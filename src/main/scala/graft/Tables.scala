@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and loads its
+  * inputs through here so the scan always goes through the parquet datasource
+  * (column pruning + predicate pushdown reach the file scan).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Confs every session that touches the testdata needs. Spark 4 refuses
+    * TIMESTAMP(NANOS) parquet columns (events.ts) unless they are read as
+    * raw nanosecond longs; [[events]] converts back to a timestamp. */
+  val requiredConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives
+    * as a long. Truncate to micros exactly like DuckDB does (floor division —
+    * values are positive, so `div` matches). Integer division, not double:
+    * nanos exceed 2^53 and would lose precision through a double. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Headline relational queries over the TPC-H-ish testdata.
+  *
+  * These exercise the canonical query pattern the reference's downstream
+  * consumers run over the `data` table — membership filter + group-by counts
+  * (docs/source/index.rst:75-77) — at TPC-H shape, plus the join/broadcast
+  * paths every pipeline step relies on.
+  *
+  * Numeric discipline for oracle parity: aggregate in DECIMAL (exact,
+  * order-insensitive), cast to DOUBLE only at the very end. Double sums would
+  * differ in ulps between Spark and DuckDB because accumulation order differs.
+  */
+object Relational extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      // customer is tiny at every SF relative to lineitem: broadcast it so the
+      // big fact table never shuffles for this dimension filter.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q_region_rollup" -> ((s, dir) => {
+      // Dimension join chain: region and nation are broadcast (tiny at any
+      // scale); only customer streams.
+      val r = broadcast(Tables.region(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      Tables.customer(s, dir)
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_region_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
