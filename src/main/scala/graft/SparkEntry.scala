@@ -14,7 +14,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     Relational,
     EpiQueries,
-    PipelineQueries
+    PipelineQueries,
+    DslQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

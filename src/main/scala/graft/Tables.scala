@@ -15,8 +15,15 @@ object Tables {
   /** Confs every session that touches the testdata needs. Spark 4 refuses
     * TIMESTAMP(NANOS) parquet columns (events.ts) unless they are read as
     * raw nanosecond longs; [[events]] converts back to a timestamp. */
-  val requiredConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  val requiredConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // ToCodes builds maps with insert-order overwrite semantics (the
+    // reference's dict.update); map_from_entries must keep the last entry
+    "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
+    // The reference's DSL is permissive Python: float() failure → value kept,
+    // ZeroDivision → 0, bad dates → fallthrough. Non-ANSI evaluation (null on
+    // bad cast) is the matching contract; hot spots additionally use try_*.
+    "spark.sql.ansi.enabled" -> "false")
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")

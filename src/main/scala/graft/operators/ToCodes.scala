@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.CodeDef
+import graft.functions.{ColumnResolver, VariableCompiler, EpiWeek}
+import graft.functions.EpiWeek.YearStartPolicy
+
+/** The core rule-engine projection (reference codes/to_codes.py:78-310 +
+  * process_steps/to_codes.py:32-152): evaluate the whole code catalog against
+  * each record and emit the `variables` / `categories` maps, alert tagging and
+  * the disregard flag — as ONE wide `select` over compiled `when()` chains.
+  *
+  * Scale notes: everything here is a narrow projection — no shuffle, no UDF;
+  * hundreds of codes become hundreds of branches inside whole-stage codegen
+  * (the reference's hash-dispatch fast path for single-`match` codes —
+  * to_codes.py:38-49 — is subsumed by CaseWhen branch chains in generated
+  * code). Catalyst prunes the read schema down to the columns the catalog
+  * actually references.
+  *
+  * Semantics preserved:
+  *  - calculation_group mutual exclusion: first applicable code in the group
+  *    wins, the rest are skipped (to_codes.py:305-306) → CaseWhen chain.
+  *  - calculation_priority: within a group where any member declares a
+  *    priority, the member with the numerically LOWEST priority among the
+  *    applicable ones wins; ties keep the earlier catalog entry
+  *    (to_codes.py:260-282's overwrite loop ≡ min over (priority, index)).
+  *  - categories: each winner writes category → its id; later groups
+  *    overwrite on key collision (dict.update ≡ LAST_WIN map dedup).
+  *  - alert: a winning code with alert & alert_type=="individual" injects
+  *    alert=1, alert_type, alert_reason=<code id> and alert_<k>=row[col] for
+  *    the configured alert_data columns (to_codes.py:292-301).
+  *  - disregard: a winning disregard code routes the record out — but only if
+  *    an individual alert also fired (to_codes.py:302-309).
+  */
+object ToCodes {
+
+  /** Winner of one mutual-exclusion group, or null when no member applies. */
+  private def groupWinner(group: Seq[(CodeDef, Int)], r: ColumnResolver,
+                          policy: YearStartPolicy): Column = {
+    val hasPriority = group.exists(_._1.calculationPriority.isDefined)
+    val members = group.map { case (code, idx) =>
+      val c = VariableCompiler.compile(code, r, policy)
+      val s = struct(
+        lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("priority"),
+        lit(idx).as("idx"),
+        lit(code.id).as("id"),
+        c.value.cast("string").as("value"),
+        array(code.category.map(lit): _*).as("cats"),
+        lit(code.alert && code.alertType == "individual").as("alert"),
+        lit(code.disregard).as("disregard"))
+      (c.applicable, s)
+    }
+    if (hasPriority) {
+      // all applicable members compete; min (priority, idx) wins
+      val candidates = filter(
+        array(members.map { case (a, s) => when(a, s) }: _*), x => x.isNotNull)
+      when(size(candidates) > 0, array_min(candidates))
+    } else {
+      // first applicable wins — CaseWhen short-circuits like the `break`
+      members.tail.foldLeft(when(members.head._1, members.head._2)) {
+        case (acc, (a, s)) => acc.when(a, s)
+      }
+    }
+  }
+
+  /** Compiled output columns for a code catalog against one row shape. */
+  final case class Outputs(variables: Column, categories: Column, disregard: Column)
+
+  /** @param alertData name → source column for alert_<name> context values
+    *                  (country_config/demo_config.py:148-155) */
+  def outputs(codes: Seq[CodeDef], r: ColumnResolver,
+              policy: YearStartPolicy = EpiWeek.International,
+              alertData: Map[String, String] = Map.empty): Outputs = {
+    // group by calculation_group, preserving catalog order (to_codes.py:33-36:
+    // ungrouped codes form singleton groups)
+    val indexed = codes.zipWithIndex
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(CodeDef, Int)]]
+    indexed.foreach { case (c, i) =>
+      val g = c.calculationGroup.getOrElse(s"__singleton_${c.id}")
+      grouped(g) = grouped.getOrElse(g, Vector.empty) :+ ((c, i))
+    }
+    val winners = array(grouped.values.map(g => groupWinner(g.toSeq, r, policy)).toSeq: _*)
+    val hits = filter(winners, w => w.isNotNull)
+
+    val baseEntries = transform(hits, w =>
+      struct(w.getField("id").as("key"), w.getField("value").as("value")))
+
+    // alert injection: reference iterates groups in order and each alert hit
+    // overwrites alert_reason — the LAST alert-firing winner is visible
+    val alertHits = filter(hits, w => w.getField("alert"))
+    val anyAlert = size(alertHits) > 0
+    val alertReason = element_at(alertHits, -1).getField("id")
+    val alertEntries: Seq[Column] =
+      Seq(
+        struct(lit("alert").as("key"), lit("1").as("value")),
+        struct(lit("alert_type").as("key"), lit("individual").as("value")),
+        struct(lit("alert_reason").as("key"), alertReason.as("value"))) ++
+      alertData.toSeq.map { case (name, column) =>
+        struct(lit(s"alert_$name").as("key"), r.get(column).as("value"))
+      }
+    val allEntries = when(anyAlert,
+        concat(baseEntries, array(alertEntries: _*)))
+      .otherwise(baseEntries)
+    // map_from_entries + LAST_WIN dedup ≡ dict insert order semantics
+    val variables = map_from_entries(allEntries)
+
+    val catEntries = flatten(transform(hits, w =>
+      transform(w.getField("cats"), c =>
+        struct(c.as("key"), w.getField("id").as("value")))))
+    val categories = when(size(catEntries) > 0, map_from_entries(catEntries))
+      .otherwise(map_from_entries(array().cast("array<struct<key:string,value:string>>")))
+
+    val anyDisregard = exists(hits, w => w.getField("disregard"))
+    val disregard = anyDisregard && anyAlert
+
+    Outputs(variables, categories, disregard)
+  }
+
+  /** Convenience: append variables/categories/disregard columns to `df`. */
+  def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
+            policy: YearStartPolicy = EpiWeek.International,
+            alertData: Map[String, String] = Map.empty): DataFrame = {
+    val o = outputs(codes, r, policy, alertData)
+    df.withColumn("variables", o.variables)
+      .withColumn("categories", o.categories)
+      .withColumn("disregard", o.disregard)
+  }
+}

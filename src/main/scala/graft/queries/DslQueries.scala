@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.config.CodeDef
+import graft.functions.{EpiWeek, FlatResolver, VariableCompiler}
+import graft.operators.ToCodes
+
+/** Gate queries exercising the Variable predicate/expression DSL (SURVEY.md
+  * §2.4, reference codes/variable.py) and the ToCodes engine (§2.2 P5,
+  * codes/to_codes.py) through the actual compiler — not hand-written
+  * equivalents — over flat TPC-H columns, verified against SQL oracles.
+  */
+object DslQueries extends QueryPack {
+
+  /** Codes applied to `part`: match / sub_match / between bands (group
+    * mutual exclusion) / or-combination / priority overwrite. */
+  private val partCatalog = Seq(
+    CodeDef(id = "brand_13", method = "match", dbColumn = "p_brand",
+      condition = "Brand#13", calculationGroup = Some("brand")),
+    CodeDef(id = "brand_19", method = "match", dbColumn = "p_brand",
+      condition = "Brand#19", calculationGroup = Some("brand")),
+    CodeDef(id = "size_small", method = "between", condition = "1,10",
+      calculation = "p_size", dbColumn = "p_size",
+      calculationGroup = Some("size_band")),
+    CodeDef(id = "size_medium", method = "between", condition = "10,25",
+      calculation = "p_size", dbColumn = "p_size",
+      calculationGroup = Some("size_band")),
+    CodeDef(id = "size_large", method = "between", condition = "25,51",
+      calculation = "p_size", dbColumn = "p_size",
+      calculationGroup = Some("size_band")),
+    CodeDef(id = "promo", method = "sub_match", dbColumn = "p_type",
+      condition = "ROMO"),
+    CodeDef(id = "combo", method = "match or between",
+      dbColumn = "p_brand;p_size", condition = "Brand#5;45,51",
+      calculation = "None;p_size"),
+    // priority group: premium (priority 1) overwrites band_any (priority 2)
+    CodeDef(id = "price_band_any", method = "between", condition = "900,2000",
+      calculation = "p_retailprice", dbColumn = "p_retailprice",
+      calculationGroup = Some("price"), calculationPriority = Some(2)),
+    CodeDef(id = "price_premium", method = "between", condition = "1500,2000",
+      calculation = "p_retailprice", dbColumn = "p_retailprice",
+      calculationGroup = Some("price"), calculationPriority = Some(1))
+  )
+
+  /** Codes applied to `lineitem` for alert injection + disregard routing. */
+  private val lineitemCatalog = Seq(
+    CodeDef(id = "ret_r", method = "match", dbColumn = "l_returnflag",
+      condition = "R", alert = true, alertType = "individual",
+      category = Seq("returns")),
+    CodeDef(id = "qty_heavy", method = "between", condition = "30,51",
+      calculation = "l_quantity", dbColumn = "l_quantity"),
+    CodeDef(id = "dis_open", method = "match", dbColumn = "l_linestatus",
+      condition = "O", disregard = true)
+  )
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dsl_predicates" -> ((s, dir) => {
+      val df = Tables.part(s, dir)
+      val out = ToCodes(df, partCatalog, new FlatResolver(df.columns.toSet))
+      out.select(col("p_partkey"), explode(col("variables")).as(Seq("code", "value")))
+        .select(col("p_partkey"), col("code"))
+        .orderBy(col("p_partkey"), col("code"))
+    }),
+
+    "dsl_calc" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+      val code = CodeDef(id = "net_price", method = "calc", condition = "None",
+        calculation = "l_extendedprice * (1 - l_discount) + l_tax",
+        dbColumn = "l_extendedprice,l_discount,l_tax")
+      val c = VariableCompiler.compileCalcNumeric(code, new FlatResolver(df.columns.toSet))
+      df.filter(c.applicable)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          c.value.as("calc_value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
+    "dsl_value_date" -> ((s, dir) => {
+      // value method with calculation="date": permissive parse → ISO string
+      // (variable.py:233-249). Input is a "Apr 17, 2016"-style string.
+      val df = Tables.orders(s, dir)
+        .withColumn("datestr", date_format(col("o_orderdate"), "MMM d, yyyy"))
+      val code = CodeDef(id = "visit_date", method = "value", condition = "None",
+        calculation = "date", dbColumn = "datestr")
+      val c = VariableCompiler.compile(code, new FlatResolver(Set("datestr")))
+      df.filter(c.applicable)
+        .select(col("o_orderkey"), c.value.as("iso_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "dsl_to_date_between" -> ((s, dir) => {
+      // between over Variable.to_date seconds (epi epoch for day:0 policy =
+      // 1970-01-05): [1996-01-01, 1998-01-01) expressed in epi-epoch seconds.
+      val df = Tables.orders(s, dir)
+        .withColumn("datestr", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val code = CodeDef(id = "in_window", method = "between",
+        condition = "820108800,883267200",
+        calculation = "Variable.to_date(datestr)", dbColumn = "datestr")
+      val c = VariableCompiler.compile(code, new FlatResolver(Set("datestr")),
+        EpiWeek.StartDay(0))
+      df.filter(c.applicable)
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "dsl_to_codes_alert" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+      val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),
+        alertData = Map("qty" -> "l_quantity"))
+      out.select(col("l_orderkey"), col("l_linenumber"), col("disregard"),
+          explode(col("variables")).as(Seq("code", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("code"), col("value"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "dsl_predicates" ->
+      """SELECT p_partkey, code FROM (
+        |  SELECT p_partkey, CASE WHEN p_brand='Brand#13' THEN 'brand_13'
+        |                         WHEN p_brand='Brand#19' THEN 'brand_19' END AS code FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, CASE WHEN p_size>=1 AND p_size<10 THEN 'size_small'
+        |                         WHEN p_size>=10 AND p_size<25 THEN 'size_medium'
+        |                         WHEN p_size>=25 AND p_size<51 THEN 'size_large' END FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, CASE WHEN p_type LIKE '%ROMO%' THEN 'promo' END FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, CASE WHEN p_brand='Brand#5' OR (p_size>=45 AND p_size<51)
+        |                         THEN 'combo' END FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, CASE WHEN p_retailprice>=1500 AND p_retailprice<2000 THEN 'price_premium'
+        |                         WHEN p_retailprice>=900 AND p_retailprice<2000 THEN 'price_band_any' END FROM part
+        |) WHERE code IS NOT NULL ORDER BY 1, 2""".stripMargin,
+
+    "dsl_calc" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  l_extendedprice * (1 - l_discount) + l_tax AS calc_value
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+
+    "dsl_value_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_date
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "dsl_to_date_between" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE date_diff('second', TIMESTAMP '1970-01-05 00:00:00', o_orderdate) >= 820108800
+        |  AND date_diff('second', TIMESTAMP '1970-01-05 00:00:00', o_orderdate) < 883267200
+        |ORDER BY 1""".stripMargin,
+
+    "dsl_to_codes_alert" ->
+      """WITH li AS (SELECT *, (l_returnflag = 'R') AS fired FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, disregard, code, value FROM (
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired) AS disregard,
+        |         'ret_r' AS code, '1' AS value FROM li WHERE fired
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'qty_heavy', '1'
+        |  FROM li WHERE l_quantity >= 30 AND l_quantity < 51
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'alert', '1'
+        |  FROM li WHERE fired
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'alert_type', 'individual'
+        |  FROM li WHERE fired
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'alert_reason', 'ret_r'
+        |  FROM li WHERE fired
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'alert_qty',
+        |         CAST(l_quantity AS VARCHAR)
+        |  FROM li WHERE fired
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'dis_open', '1'
+        |  FROM li WHERE l_linestatus = 'O')
+        |ORDER BY 1, 2, 4, 5""".stripMargin
+  )
+}

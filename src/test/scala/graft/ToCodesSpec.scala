@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.CodeDef
+import graft.functions.{EpiWeek, MapResolver}
+import graft.operators.ToCodes
+
+/** Golden-map tests for the coding engine (reference
+  * pipeline_worker/tests/to_codes_test.py:203-261 style): full expected
+  * `variables` / `categories` dicts including group exclusion, priority
+  * overwrite, alert injection and disregard routing.
+  */
+class ToCodesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val catalog = Seq(
+    CodeDef(id = "gen_1", method = "match", dbColumn = "gender",
+      condition = "female", calculationGroup = Some("gender"),
+      category = Seq("gender")),
+    CodeDef(id = "gen_2", method = "match", dbColumn = "gender",
+      condition = "male", calculationGroup = Some("gender"),
+      category = Seq("gender")),
+    // priority group: overlapping age bands, lower priority value wins
+    CodeDef(id = "age_broad", method = "between", condition = "0,100",
+      calculation = "age", dbColumn = "age",
+      calculationGroup = Some("age"), calculationPriority = Some(2),
+      category = Seq("age_band")),
+    CodeDef(id = "age_child", method = "between", condition = "0,18",
+      calculation = "age", dbColumn = "age",
+      calculationGroup = Some("age"), calculationPriority = Some(1),
+      category = Seq("age_band")),
+    // alert-firing code
+    CodeDef(id = "cmd_1", method = "match", dbColumn = "icd_code",
+      condition = "A80.9", alert = true, alertType = "individual",
+      category = Seq("cd", "case")),
+    // disregard code
+    CodeDef(id = "dis_1", method = "match", dbColumn = "status",
+      condition = "discard", disregard = true),
+    // plain counter
+    CodeDef(id = "tot_1", method = "not_null", condition = "None",
+      dbColumn = "uuid_col")
+  )
+
+  private def runRow(row: Map[String, String]):
+      (Map[String, String], Map[String, String], Boolean) = {
+    val df = Seq(Tuple1(row)).toDF("data")
+    val out = ToCodes(df, catalog, new MapResolver(col("data")),
+      EpiWeek.StartDay(0), alertData = Map("age" -> "age"))
+    val r = out.select("variables", "categories", "disregard").head()
+    (r.getMap[String, String](0).toMap, r.getMap[String, String](1).toMap,
+      r.getBoolean(2))
+  }
+
+  test("group mutual exclusion: only one gender code fires") {
+    val (vars, cats, _) = runRow(Map("gender" -> "female", "uuid_col" -> "u1"))
+    assert(vars.contains("gen_1") && !vars.contains("gen_2"))
+    assert(cats("gender") === "gen_1")
+  }
+
+  test("priority overwrite: lower priority value wins when both apply") {
+    val (vars, cats, _) = runRow(Map("age" -> "10", "uuid_col" -> "u1"))
+    assert(vars.contains("age_child") && !vars.contains("age_broad"))
+    assert(cats("age_band") === "age_child")
+    val (vars2, cats2, _) = runRow(Map("age" -> "40", "uuid_col" -> "u1"))
+    assert(vars2.contains("age_broad") && !vars2.contains("age_child"))
+    assert(cats2("age_band") === "age_broad")
+  }
+
+  test("alert injection adds alert keys and alert_data columns") {
+    val (vars, cats, _) = runRow(Map(
+      "icd_code" -> "A80.9", "age" -> "40", "uuid_col" -> "u1"))
+    assert(vars("alert") === "1")
+    assert(vars("alert_type") === "individual")
+    assert(vars("alert_reason") === "cmd_1")
+    assert(vars("alert_age") === "40")
+    assert(cats("cd") === "cmd_1" && cats("case") === "cmd_1")
+  }
+
+  test("no alert keys without an alert-firing code") {
+    val (vars, _, _) = runRow(Map("gender" -> "male", "uuid_col" -> "u1"))
+    assert(!vars.contains("alert"))
+  }
+
+  test("disregard only routes when an individual alert also fired") {
+    val (_, _, d1) = runRow(Map("status" -> "discard", "uuid_col" -> "u1"))
+    assert(!d1) // disregard fired but no alert → kept (to_codes.py:302-309)
+    val (_, _, d2) = runRow(Map(
+      "status" -> "discard", "icd_code" -> "A80.9", "uuid_col" -> "u1"))
+    assert(d2)
+  }
+
+  test("full golden variables map") {
+    val (vars, cats, disregard) = runRow(Map(
+      "gender" -> "female", "age" -> "10", "icd_code" -> "A80.9",
+      "uuid_col" -> "u9"))
+    assert(vars === Map(
+      "gen_1" -> "1", "age_child" -> "1", "cmd_1" -> "1", "tot_1" -> "1",
+      "alert" -> "1", "alert_type" -> "individual", "alert_reason" -> "cmd_1",
+      "alert_age" -> "10"))
+    assert(cats === Map(
+      "gender" -> "gen_1", "age_band" -> "age_child",
+      "cd" -> "cmd_1", "case" -> "cmd_1"))
+    assert(!disregard)
+  }
+}
