@@ -15,7 +15,8 @@ object SparkEntry {
     Relational,
     EpiQueries,
     PipelineQueries,
-    DslQueries
+    DslQueries,
+    TrainingDataQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Embedding near-dup lives in [[Similarity]].
+  *
+  * Design for 100 TB:
+  *  - exact dedup is one hash aggregation on a 16-byte digest (shuffle keys
+  *    are digests, not documents);
+  *  - shingle/LSH paths shuffle (shingle → docs) or (band-signature → docs)
+  *    postings, never document pairs, so candidate generation is linear in
+  *    corpus size + output pairs — the classic scalable formulation;
+  *  - every hash is md5 (deterministic across engines and runs; no seed
+  *    state to distribute).
+  */
+object Dedup {
+
+  /** Word-level shingles of length `k` joined by single spaces. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact dedup: group documents by content digest; representative = lowest
+    * id; emit group size so downstream can keep/drop. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, shingle) postings, distinct per doc. */
+  def shinglePostings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+
+  /** N-gram Jaccard near-dup pairs via the postings self-join:
+    * |A∩B| from the shingle join, |A|,|B| from per-doc counts; emit pairs
+    * with jaccard ≥ threshold. No O(n²) pair scan — the shuffle key is the
+    * shingle, so cost is Σ posting-list². */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   k: Int = 3): DataFrame = {
+    val postings = shinglePostings(docs, idCol, textCol, k)
+    val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = postings.as("p1")
+      .join(postings.as("p2"), col("p1.shingle") === col("p2.shingle") &&
+        col("p1.doc_id") < col("p2.doc_id"))
+      .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for permutation i, minhash_i = lexicographic min of
+    * md5(i + ":" + shingle). String-min over hex digests is a valid minwise
+    * family and — unlike numeric conversions — behaves identically in every
+    * engine. Output: (doc_id, i, minhash). */
+  def minhashes(docs: DataFrame, numHashes: Int,
+                idCol: String = "doc_id", textCol: String = "text",
+                k: Int = 3): DataFrame =
+    shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))
+        .cast("binary"))).as("mh"))
+
+  /** MinHash-LSH candidate pairs: band the signature (`bandSize` hashes per
+    * band), bucket docs by md5(band signature), join within buckets. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      k: Int = 3): DataFrame = {
+    val mh = minhashes(docs, numHashes, idCol, textCol, k)
+    val bands = mh
+      .groupBy(col("doc_id"), (col("i") / bandSize).cast("int").as("band"))
+      .agg(md5(concat_ws("", sort_array(collect_list(
+        concat_ws("|", col("i"), col("mh"))))).cast("binary")).as("sig"))
+    bands.as("b1")
+      .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
+        col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash from per-token md5 digests: bit j is the sign of the sum
+    * over tokens of ±1 according to the parity of hex nibble j. Token
+    * multiplicity counts (standard SimHash weighting by term frequency). */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val digests = transform(toks, t => md5(t.cast("binary")))
+    val bitCols = (1 to bits).map { j =>
+      val contrib = aggregate(digests, lit(0),
+        (acc, d) => acc +
+          (instr(lit("0123456789abcdef"), substring(d, j, 1)) - 1) % 2 * 2 - 1)
+      when(contrib > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash dup candidates: documents sharing an identical 16-bit sketch. */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sim"))
+      .groupBy(col("sim"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity + approximate-nearest-neighbor search over an embedding
+  * column (`array<float>`).
+  *
+  * Determinism note: dot products are LEFT FOLDS over the array
+  * (`aggregate(zip_with(...))`) in double precision — a fixed accumulation
+  * order, so results are bit-identical run-to-run and engine-to-engine
+  * (DuckDB's list_reduce folds in the same order). Never use a parallel
+  * float reduction when results feed a threshold.
+  *
+  * Scale: brute-force is the correctness baseline (O(Q·N) with Q small —
+  * a broadcast of the query set against a partitioned corpus, no shuffle of
+  * the corpus). The sign-LSH variant buckets vectors by the sign pattern of
+  * their leading dimensions — candidate generation becomes an equi-join on
+  * the bucket key (one shuffle of (bucket, vector) postings), the standard
+  * hyperplane-LSH layout with axis-aligned planes.
+  */
+object Similarity {
+
+  private def toDouble(arr: Column): Column = transform(arr, x => x.cast("double"))
+
+  /** Left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (toDouble(a), toDouble(b))
+    dot(da, db) / (norm(da) * norm(db))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Queries are expected to be a small set (broadcast side). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Sign-pattern bucket of the first `bits` dimensions (axis-aligned
+    * hyperplane LSH). */
+  def signBucket(vec: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1).cast("double") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the sign bucket; top-k within the
+    * bucket. Recall < 1 by construction; pair cost drops by ~2^bits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), bits).as("__qb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), bits).as("__cb"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(c, col("__qb") === col("__cb") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within blocking keys (cosine ≥ threshold).
+    * `blockCol` bounds the pair space (e.g. a cluster/label/LSH bucket). */
+  def embeddingDupPairs(vectors: DataFrame, threshold: Double, blockCol: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(blockCol).as("__blk"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) — at 100 TB these are
+  * narrow projections that pipeline with the parquet scan; nothing shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Token count under a BPE-ish regex lexer: word pieces, digit runs,
+    * single punctuation. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Quality features: length, token stats, stopword & punctuation ratios,
+    * and a composite score in [0,1]. Ratios are double divisions of exact
+    * integer counts — deterministic across engines. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val stopwords = Seq("the", "a", "of", "and", "to", "in")
+    val nStop = size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _)))
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val avgTokenLen = when(nTokens > 0,
+      (nChars - (nTokens - 1)).cast("double") / nTokens.cast("double")).otherwise(lit(0.0))
+    val stopRatio = when(nTokens > 0,
+      nStop.cast("double") / nTokens.cast("double")).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      nPunct.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    // composite: long enough, some stopwords (natural language), low punct noise
+    val score =
+      when(nTokens >= 5, lit(0.4)).otherwise(lit(0.0)) +
+      when(stopRatio >= 0.05 && stopRatio <= 0.6, lit(0.3)).otherwise(lit(0.0)) +
+      when(punctRatio <= 0.2, lit(0.3)).otherwise(lit(0.0))
+    Seq(
+      "n_tokens" -> nTokens,
+      "n_chars_calc" -> nChars,
+      "avg_token_len" -> avgTokenLen,
+      "stopword_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "quality_score" -> score)
+  }
+
+  /** Marker-word language scores; prediction = argmax with lexical tiebreak.
+    * An n-gram-frequency heuristic in the same shape real lang-ID uses —
+    * marker lists stand in for trained n-gram tables. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "he"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+    }
+  }
+
+  /** argmax over scores, ties broken by language code order. */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+    // foldRight so earlier languages win ties (first match in order)
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token set.
+    * Identical content up to token order/duplication gets one fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Gate queries for the training-data-pipeline operators: text analysis,
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+  * cosine) and similarity search (brute-force + LSH ANN).
+  *
+  * Oracle-parity discipline:
+  *  - all hashes are md5 hex (identical in Spark and DuckDB);
+  *  - dot products are fixed-order left folds in double (both engines);
+  *  - ratios are double divisions of exact integer counts;
+  *  - every aggregate over hex strings sorts before concatenating.
+  */
+object TrainingDataQueries extends QueryPack {
+
+  /** Shared DuckDB CTE: whitespace tokens per document. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |         FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE fragments for distinct 3-shingles per doc. */
+  private val shinglesCte =
+    s"""$toksCte,
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         CASE WHEN len(t) >= 3
+       |              THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+       |              ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |       FROM toks)""".stripMargin
+
+  /** DuckDB left-fold dot product over double lists (matches Spark's
+    * aggregate(zip_with(...)) accumulation order). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]), (x, y) -> x + y)"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+        .map { case (l, c) => c.as(s"score_$l") }
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id"),
+          TextAnalysis.predictedLang(col("text")).as("predicted")) ++ scores: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8, bandSize = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashGroups(Tables.documents(s, dir))
+        .select(col("sim"), col("n_docs"), col("keep_id"),
+          concat_ws(",", col("doc_ids")).as("doc_ids"))
+        .orderBy(col("sim"))
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.embeddingDupPairs(Tables.embeddings(s, dir),
+        threshold = 0.4, blockCol = "label")
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3, bits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "multimodal_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.attachMedia(Tables.documents(s, dir))
+      val feats = Multimodal.decodeFeatures(media)
+      Multimodal.resize(feats, maxDim = 512)
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("n_frames"), col("digest"), col("out_width"), col("out_height"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_regex_tokens
+         |FROM documents JOIN toks USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT doc_id,
+         |  len(t) AS n_tokens,
+         |  length((SELECT text FROM documents d WHERE d.doc_id = toks.doc_id)) AS n_chars,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS n_stop
+         |  FROM toks),
+         |p AS (SELECT doc_id, len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+         |      FROM documents)
+         |SELECT f.doc_id, n_tokens, n_chars AS n_chars_calc,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |  (CASE WHEN n_tokens >= 5 THEN 0.4 ELSE 0.0 END
+         |   + CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END
+         |   + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= 0.2 THEN 0.3 ELSE 0.0 END) AS quality_score
+         |FROM f JOIN p ON f.doc_id = p.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH lt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+         |            FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS score_de,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS score_en,
+         |  len(list_filter(t, x -> x IN ('el','la','de','y'))) AS score_es,
+         |  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS score_fr,
+         |  len(list_filter(t, x -> x IN ('de','shi','le','he'))) AS score_zh
+         |  FROM lt)
+         |SELECT doc_id,
+         |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+         |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+         |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+         |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+         |       WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+         |       ELSE 'und' END AS predicted,
+         |  score_de, score_en, score_es, score_fr, score_zh
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+         |FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |hi AS (SELECT doc_id, i, shingle FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)),
+         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+         |       FROM hi GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |            md5(string_agg(CAST(i AS VARCHAR) || '|' || mh, ''
+         |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
+         |          FROM mh GROUP BY 1, 2)
+         |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         |FROM bands b1 JOIN bands b2
+         |  ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |md AS (SELECT doc_id, md5(tk) AS h FROM tok),
+         |bits AS (SELECT doc_id, j,
+         |           sum(((strpos('0123456789abcdef', substr(h, j, 1)) - 1) % 2) * 2 - 1) AS s
+         |         FROM md CROSS JOIN (SELECT unnest(range(1, 17)) AS j) GROUP BY 1, 2),
+         |sims AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS sim
+         |         FROM bits GROUP BY 1)
+         |SELECT sim, count(*) AS n_docs, min(doc_id) AS keep_id,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+         |FROM sims GROUP BY 1 HAVING count(*) > 1 ORDER BY sim""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS av, b.v AS bv
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |s AS (SELECT vec_a, vec_b,
+         |        ${dotSql("av", "bv")} AS d,
+         |        sqrt(${dotSql("av", "av")}) AS na,
+         |        sqrt(${dotSql("bv", "bv")}) AS nb
+         |      FROM p)
+         |SELECT vec_a, vec_b, d / (na * nb) AS cos
+         |FROM s WHERE d / (na * nb) >= 0.4
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cos
+         |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+         |           + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+         |           + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+         |           + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+         |      FROM e),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cos
+         |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the deterministic decode stub doubles as the oracle formula
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |             md5(text) AS digest
+        |           FROM documents),
+        |f AS (SELECT doc_id, byte_len,
+        |        CAST(64 + byte_len % 576 AS INT) AS width,
+        |        CAST(64 + (byte_len * 7) % 296 AS INT) AS height,
+        |        CAST(byte_len // 100 + 1 AS INT) AS n_frames, digest
+        |      FROM m),
+        |r AS (SELECT *, CASE WHEN greatest(width, height) > 512
+        |                     THEN CAST(512 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)
+        |                     ELSE 1.0 END AS scale
+        |      FROM f)
+        |SELECT doc_id, byte_len, width, height, n_frames, digest,
+        |  CAST(floor(width * scale) AS INT) AS out_width,
+        |  CAST(floor(height * scale) AS INT) AS out_height
+        |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

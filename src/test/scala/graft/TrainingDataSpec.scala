@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Unit tests for the training-data operators: dedup family, similarity
+  * search, text analysis, multimodal plumbing. */
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one representative") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d).select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles are word 3-grams; short docs collapse to one shingle") {
+    val out = docs(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq("a b"))
+  }
+
+  test("jaccard pairs find near-duplicates, not unrelated docs") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words appear in this document here")
+    val pairs = Dedup.jaccardPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhash LSH bands collide for near-identical docs") {
+    val d = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",  // identical → all bands match
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    val pairs = Dedup.minhashLshPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash is identical for identical content, differs for different") {
+    val out = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+        3L -> "delta epsilon zeta unrelated tokens")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(3L))
+  }
+
+  test("brute-force ANN ranks the exact duplicate vector first") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),   // same direction as 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 1), k = 3)
+      .orderBy(col("rank")).select("neighbor_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 2L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.last._1 === 4L) // most dissimilar ranks last
+  }
+
+  test("LSH ANN only searches within the sign bucket") {
+    val e = Seq(
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 2.0f)),    // same (+,+) bucket
+      (3L, Seq(-1.0f, 1.0f))).toDF("vec_id", "embedding") // different bucket
+    val out = Similarity.lshTopK(e, e.filter(col("vec_id") === 1), k = 5, bits = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(2L))
+  }
+
+  test("language id picks the marker-heavy language") {
+    val out = docs(
+      1L -> "the cat of the house and a dog",
+      2L -> "el perro y la casa de el gato",
+      3L -> "qwerty zxcvb")
+      .select(col("doc_id"), TextAnalysis.predictedLang(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val out = docs(1L -> "b a c a", 2L -> "a b c", 3L -> "a b d")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(3L))
+  }
+
+  test("multimodal decode runs partition-wise and resize keeps aspect") {
+    val media = Multimodal.attachMedia(docs(1L -> ("x" * 1000)))
+    val decoded = Multimodal.decodeFeatures(media)
+    val r = Multimodal.resize(decoded, 256)
+      .select("byte_len", "width", "height", "out_width", "out_height").head()
+    assert(r.getInt(0) === 1000)
+    val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    assert(math.max(ow, oh) <= 256)
+    // aspect preserved within rounding
+    assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.02)
+  }
+
+  test("frame sampling strides the fake frame index") {
+    val media = Multimodal.attachMedia(docs(1L -> ("x" * 450)))
+    val out = Multimodal.sampleFrames(Multimodal.decodeFeatures(media), stride = 2)
+      .select("sampled_frames").as[Seq[Int]].head()
+    assert(out === Seq(0, 2, 4)) // 5 fake frames (450/100+1), stride 2
+  }
+}
