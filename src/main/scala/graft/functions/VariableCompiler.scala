@@ -23,16 +23,20 @@ object VariableCompiler {
     * (util/datetime_helper.py:1-8). `coalesce` of `to_timestamp` — each
     * returns null on mismatch (non-ANSI), so the first parse wins. */
   val dateFormats: Seq[String] = Seq(
-    "MMM d, yyyy",
-    "d-MMM-yyyy",
+    // ISO formats first: they're the overwhelmingly common case and a failed
+    // try_to_timestamp is exception-driven (expensive). Reordering is safe —
+    // no string parses under two formats of this ladder except the
+    // h/H pair, whose relative order the reference fixes and we keep.
     "yyyy-MM-dd",
-    "d-MMM-yyyy h:mm:ss",
-    "d-MMM-yyyy H:mm:ss",
-    "MMM d, yyyy h:mm:ss a",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss"
+    "MMM d, yyyy",
+    "d-MMM-yyyy",
+    "d-MMM-yyyy h:mm:ss",
+    "d-MMM-yyyy H:mm:ss",
+    "MMM d, yyyy h:mm:ss a"
   )
 
   /** Best-effort timestamp parse over the format ladder; null if no format fits. */

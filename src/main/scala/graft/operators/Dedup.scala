@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-level shingles of length `k` joined by single spaces. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Shingles from an already-materialized token array. IMPORTANT: pass a
+    * bound column, not an expression — Catalyst does not CSE across
+    * higher-order-function lambdas, so an inline `tokens(text)` here would
+    * re-tokenize the document once per shingle (measured ~4× slowdown). */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
+
+  /** Word-level shingles of length `k` joined by single spaces (convenience
+    * for small inputs; hot paths go through [[shinglesFromTokens]]). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
 
   /** Exact dedup: group documents by content digest; representative = lowest
     * id; emit group size so downstream can keep/drop. */
@@ -33,11 +39,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, shingle) postings, distinct per doc. */
+  /** (doc_id, shingle) postings, distinct per doc. Tokens are materialized
+    * into a column before shingling (see [[shinglesFromTokens]]). */
   def shinglePostings(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromTokens(col("__toks"), k))).as("shingle"))
 
   /** N-gram Jaccard near-dup pairs via the postings self-join:
     * |A∩B| from the shingle join, |A|,|B| from per-doc counts; emit pairs
@@ -46,7 +55,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    k: Int = 3): DataFrame = {
+    // join on a 64-bit shingle hash instead of the shingle string: same pair
+    // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume and
+    // long-vs-string comparisons in the join. Persisted: the self-join +
+    // counts would otherwise re-run the tokenize/shingle pipeline three
+    // times (postings are tiny relative to the corpus — ids + hashes).
     val postings = shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = postings.as("p1")
       .join(postings.as("p2"), col("p1.shingle") === col("p2.shingle") &&
@@ -67,27 +83,41 @@ object Dedup {
   /** MinHash signatures: for permutation i, minhash_i = lexicographic min of
     * md5(i + ":" + shingle). String-min over hex digests is a valid minwise
     * family and — unlike numeric conversions — behaves identically in every
-    * engine. Output: (doc_id, i, minhash). */
+    * engine. All `numHashes` mins are computed in ONE hash aggregation over
+    * the postings (no ×numHashes explode): one shuffle, codegen'd min.
+    * Output: (doc_id, mh0..mh{n-1}). */
   def minhashes(docs: DataFrame, numHashes: Int,
                 idCol: String = "doc_id", textCol: String = "text",
                 k: Int = 3): DataFrame =
     shinglePostings(docs, idCol, textCol, k)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))
-        .cast("binary"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")).cast("binary"))).as("mh0"),
+        (1 until numHashes).map(i =>
+          min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")): _*)
 
   /** MinHash-LSH candidate pairs: band the signature (`bandSize` hashes per
-    * band), bucket docs by md5(band signature), join within buckets. */
+    * band), bucket docs by md5(band signature), join within buckets. Band
+    * signatures are built from the wide minhash row (no extra shuffle);
+    * for numHashes ≤ 10 the index-order concat equals the sorted concat of
+    * "i|mh_i" strings, matching the order-insensitive definition. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3): DataFrame = {
+    require(numHashes <= 10, "index-order concat assumes single-digit hash ids")
     val mh = minhashes(docs, numHashes, idCol, textCol, k)
-    val bands = mh
-      .groupBy(col("doc_id"), (col("i") / bandSize).cast("int").as("band"))
-      .agg(md5(concat_ws("", sort_array(collect_list(
-        concat_ws("|", col("i"), col("mh"))))).cast("binary")).as("sig"))
+    val numBands = numHashes / bandSize
+    val bandStructs = (0 until numBands).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize)
+        .map(i => concat_ws("|", lit(i), col(s"mh$i")))
+      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("sig"))
+    }
+    // persisted for the same reason as in jaccardPairs: both sides of the
+    // bucket self-join would re-run shingling + 8 md5 min-aggregations
+    val bands = mh.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("b1")
       .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
         col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
@@ -110,12 +140,29 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
-  /** SimHash dup candidates: documents sharing an identical 16-bit sketch. */
+  /** SimHash dup candidates: documents sharing an identical 16-bit sketch.
+    *
+    * Set-based formulation: explode tokens → md5 once per token → ONE
+    * codegen'd hash aggregation computing all 16 bit sums (the per-row
+    * [[simhash]] column is a 16-pass interpreted fold — fine for a few rows,
+    * wrong shape for a corpus). */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sim"))
+                    textCol: String = "text", bits: Int = 16): DataFrame = {
+    val perToken = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tk"))
+      .select(col("doc_id"), md5(col("tk").cast("binary")).as("h"))
+    val bitSums = perToken.groupBy(col("doc_id"))
+      .agg(
+        sum((instr(lit("0123456789abcdef"), substring(col("h"), 1, 1)) - 1) % 2 * 2 - 1).as("s1"),
+        (2 to bits).map(j =>
+          sum((instr(lit("0123456789abcdef"), substring(col("h"), j, 1)) - 1) % 2 * 2 - 1)
+            .as(s"s$j")): _*)
+    val sim = (1 to bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))).reduce(_ + _)
+    bitSums.select(col("doc_id"), sim.as("sim"))
       .groupBy(col("sim"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
         sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
+  }
 }

@@ -38,11 +38,15 @@ object Similarity {
     * Queries are expected to be a small set (broadcast side). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -62,14 +66,18 @@ object Similarity {
     * bucket. Recall < 1 by construction; pair cost drops by ~2^bits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signBucket(col(vecCol), bits).as("__qb")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"),
+      signBucket(col(vecCol), bits).as("__qb"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__cv"),
       signBucket(col(vecCol), bits).as("__cb"))
+      .withColumn("__cn", norm(col("__cv")))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(c, col("__qb") === col("__cb") &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -82,11 +90,14 @@ object Similarity {
     * `blockCol` bounds the pair space (e.g. a cluster/label/LSH bucket). */
   def embeddingDupPairs(vectors: DataFrame, threshold: Double, blockCol: String,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cast to double and compute each vector's norm ONCE before the pair
+    // join — per-pair work drops from 3 array folds to 1
     val v = vectors.select(col(blockCol).as("__blk"), col(idCol).as("id"),
-      col(vecCol).as("v"))
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos"))
   }

@@ -22,9 +22,15 @@ object TextAnalysis {
 
   /** Quality features: length, token stats, stopword & punctuation ratios,
     * and a composite score in [0,1]. Ratios are double divisions of exact
-    * integer counts — deterministic across engines. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+    * integer counts — deterministic across engines.
+    *
+    * Pass a materialized token column (`tokens(text)` projected beforehand)
+    * when scanning a corpus — HOF lambdas don't CSE, so inline tokenization
+    * would re-split the text once per feature. */
+  def qualityColumns(text: Column): Seq[(String, Column)] =
+    qualityColumnsFromTokens(text, tokens(text))
+
+  def qualityColumnsFromTokens(text: Column, toks: Column): Seq[(String, Column)] = {
     val nTokens = size(toks)
     val nChars = length(text)
     val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -60,16 +66,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est"),
     "zh" -> Seq("de", "shi", "le", "he"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(lower(text))
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(lower(text)))
+
+  def langScoresFromTokens(toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
     }
-  }
 
   /** argmax over scores, ties broken by language code order. */
-  def predictedLang(text: Column): Column = {
-    val scores = langScores(text)
+  def predictedLang(text: Column): Column =
+    predictedLangFromTokens(tokens(lower(text)))
+
+  def predictedLangFromTokens(toks: Column): Column = {
+    val scores = langScoresFromTokens(toks)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && s > 0, lang).otherwise(acc)

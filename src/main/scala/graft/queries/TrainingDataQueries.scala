@@ -47,19 +47,24 @@ object TrainingDataQueries extends QueryPack {
     }),
 
     "text_quality" -> ((s, dir) => {
-      val cols = TextAnalysis.qualityColumns(col("text"))
+      val withToks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+      val cols = TextAnalysis.qualityColumnsFromTokens(col("text"), col("__toks"))
         .map { case (n, c) => c.as(n) }
-      Tables.documents(s, dir)
+      withToks
         .select(col("doc_id") +: cols: _*)
         .orderBy(col("doc_id"))
     }),
 
     "text_langid" -> ((s, dir) => {
-      val scores = TextAnalysis.langScores(col("text"))
+      val withToks = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+      val scores = TextAnalysis.langScoresFromTokens(col("__toks"))
         .map { case (l, c) => c.as(s"score_$l") }
-      Tables.documents(s, dir)
+      withToks
         .select(Seq(col("doc_id"),
-          TextAnalysis.predictedLang(col("text")).as("predicted")) ++ scores: _*)
+          TextAnalysis.predictedLangFromTokens(col("__toks")).as("predicted")) ++ scores: _*)
         .orderBy(col("doc_id"))
     }),
 
