@@ -22,7 +22,10 @@ final case class LocationNode(
     startDate: Option[String] = None,
     population: Option[Long] = None,
     lon: Option[Double] = None,
-    lat: Option[Double] = None)
+    lat: Option[Double] = None,
+    /** polygon rings as [x, y] vertex pairs (GeoJSON-style; for district
+      * nodes used by in_geometry location resolution) */
+    rings: Seq[Seq[(Double, Double)]] = Nil)
 
 object Locations {
 
@@ -62,6 +65,29 @@ object Locations {
   def deviceDimension(spark: SparkSession, nodes: Seq[LocationNode]): DataFrame = {
     import spark.implicits._
     denormalize(nodes).toDF()
+  }
+
+  final case class DistrictRow(district: Int, region: Option[Int],
+                               zone: Option[Int], country: Int,
+                               rings: Seq[Seq[Seq[Double]]])
+
+  /** District polygon dimension for in_geometry location resolution
+    * (codes/to_codes.py:154-180 scans district areas). Broadcast-sized. */
+  def districtDimension(spark: SparkSession, nodes: Seq[LocationNode]): DataFrame = {
+    import spark.implicits._
+    val byId = nodes.map(n => n.id -> n).toMap
+    def levelOf(id: Int, level: String): Option[Int] = {
+      var cur = byId.get(id)
+      while (cur.isDefined && cur.get.level != level)
+        cur = byId.get(cur.get.parent)
+      cur.map(_.id)
+    }
+    nodes.filter(n => n.level == "district" && n.rings.nonEmpty)
+      .map(d => DistrictRow(d.id,
+        levelOf(d.parent, "region"), levelOf(d.parent, "zone"),
+        levelOf(d.parent, "country").getOrElse(1),
+        d.rings.map(_.map { case (x, y) => Seq(x, y) })))
+      .toDF()
   }
 
   /** Population rollup (reference database_setup.py:157-166): clinic

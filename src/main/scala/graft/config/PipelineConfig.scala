@@ -16,7 +16,11 @@ final case class DataTypeDef(
     condition: Option[String],
     dateColumn: String,              // event-date column for epi weeks
     varName: String,                 // per-type counter code (e.g. "tot_1")
-    multipleRow: Option[String] = None) // repeat-group count column for registers
+    multipleRow: Option[String] = None, // repeat-group count column for registers
+    /** location resolution: "deviceid" (default, optionally
+      * "deviceid:<col>:<prefix>") or "in_geometry$<xcol>,<ycol>"
+      * (codes/to_codes.py:104-180) */
+    location: String = "deviceid")
 
 /** Record-linkage edge spec (country_config/demo_links.csv,
   * add_links.py:28-157). Methods per column pair: match | lower_match |

@@ -105,20 +105,55 @@ object DataPipeline {
           .drop("__sub")
     }
 
-    // location resolution via deviceid broadcast join; unknown device → drop
-    // (codes/to_codes.py:115-117)
+    // location resolution (codes/to_codes.py:104-180); unknown device /
+    // point outside every district → drop (inner joins)
     val withLoc =
-      if (cfg.locations.nonEmpty) {
+      if (cfg.locations.isEmpty) split
+      else if (t.location.startsWith("in_geometry")) {
+        // "in_geometry$<xcol>,<ycol>": point-in-district-polygon via the
+        // native PointInPolygon expression against the broadcast dimension
+        val fields = t.location.split("\\$")(1).split(",")
+        val px = new MapResolver(col("data")).get(fields(0)).cast("double")
+        val py = new MapResolver(col("data")).get(fields(1)).cast("double")
+        // one row per (district, ring): the join predicate is then a direct
+        // PointInPolygon call on a bound column — no lambda indirection
+        val dim = broadcast(Locations.districtDimension(spark, cfg.locations)
+          .select(col("district"), col("region"), col("zone"), col("country"),
+            explode(col("rings")).as("__ring")))
+        val joined = split.join(dim,
+          graft.functions.PointInPolygon.pointInPolygon(px, py, col("__ring")),
+          "inner").drop("__ring")
+        // deterministic pick when polygons overlap: lowest district id
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("uuid")).orderBy(col("district"))
+        joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+          .withColumn("clinic", lit(null).cast("int"))
+          .withColumn("clinic_type", lit(null).cast("string"))
+          .withColumn("case_type", lit(null).cast("array<string>"))
+          .withColumn("device_id_unused", lit(null).cast("string"))
+          .drop("device_id_unused")
+      } else {
         val dim = broadcast(Locations.deviceDimension(spark, cfg.locations)
           .withColumnRenamed("deviceid", "__dev"))
-        split.join(dim, new MapResolver(col("data")).get("deviceid") === col("__dev"),
-          "inner").drop("__dev")
-      } else split
+        // optional "deviceid:<col>:<prefix>" override of the device column
+        val parts = t.location.split(":")
+        val devCol = if (parts.length >= 2) parts(1) else "deviceid"
+        val prefix = if (parts.length >= 3) parts(2) else ""
+        val devVal = concat(lit(prefix), new MapResolver(col("data")).get(devCol))
+        split.join(dim, devVal === col("__dev"), "inner").drop("__dev")
+      }
 
-    // code evaluation for this data type
+    // code evaluation for this data type; codes targeting a linked form
+    // evaluate over links[link_name] with their multiple_link method
     val typeCodes = cfg.codes.filter(c => c.typ == t.name)
+    // self-links (toForm == main form) stay main-record codes — a code on the
+    // main form must not be rerouted through its own link array
+    val linkNameForForm = cfg.links.filter(_.typ == t.name)
+      .filter(_.toForm != t.form)
+      .map(l => l.toForm -> l.name).toMap
     val coded = ToCodes(withLoc, typeCodes, new MapResolver(col("data")),
-      cfg.policy, cfg.alertData)
+      cfg.policy, cfg.alertData, linkNameForForm)
 
     // per-type counters (process_steps/to_codes.py:106-108)
     val withCounters = coded.withColumn("variables",

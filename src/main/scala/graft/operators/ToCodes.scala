@@ -35,12 +35,48 @@ import graft.functions.EpiWeek.YearStartPolicy
   */
 object ToCodes {
 
+  /** Outcome of one code, honoring multiple_link aggregation over linked
+    * rows (codes/to_codes.py:217-242): a code whose form is a *linked* form
+    * evaluates against `links[linkName]` with method last / first / count /
+    * any / all instead of the main record. */
+  private def compiledFor(code: CodeDef, r: ColumnResolver,
+                          policy: YearStartPolicy,
+                          linkNameForForm: Map[String, String]): VariableCompiler.Compiled = {
+    linkNameForForm.get(code.form) match {
+      case None => VariableCompiler.compile(code, r, policy)
+      case Some(linkName) =>
+        val arr = element_at(col("links"), linkName)
+        def over(elem: Column) =
+          VariableCompiler.compile(code, new graft.functions.MapResolver(elem), policy)
+        val present = arr.isNotNull && size(arr) > 0
+        code.multipleLink.getOrElse("last") match {
+          case "last"  =>
+            val c = over(element_at(arr, -1))
+            VariableCompiler.Compiled(present && c.applicable, c.value)
+          case "first" =>
+            val c = over(element_at(arr, 1))
+            VariableCompiler.Compiled(present && c.applicable, c.value)
+          case "count" =>
+            VariableCompiler.Compiled(present, size(arr).cast("string"))
+          case "any"   =>
+            VariableCompiler.Compiled(
+              present && exists(arr, m => over(m).applicable), lit("1"))
+          case "all"   =>
+            VariableCompiler.Compiled(
+              present && forall(arr, m => over(m).applicable), lit("1"))
+          case other =>
+            throw new IllegalArgumentException(s"bad multiple_link $other")
+        }
+    }
+  }
+
   /** Winner of one mutual-exclusion group, or null when no member applies. */
   private def groupWinner(group: Seq[(CodeDef, Int)], r: ColumnResolver,
-                          policy: YearStartPolicy): Column = {
+                          policy: YearStartPolicy,
+                          linkNameForForm: Map[String, String]): Column = {
     val hasPriority = group.exists(_._1.calculationPriority.isDefined)
     val members = group.map { case (code, idx) =>
-      val c = VariableCompiler.compile(code, r, policy)
+      val c = compiledFor(code, r, policy, linkNameForForm)
       val s = struct(
         lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("priority"),
         lit(idx).as("idx"),
@@ -71,7 +107,12 @@ object ToCodes {
     *                  (country_config/demo_config.py:148-155) */
   def outputs(codes: Seq[CodeDef], r: ColumnResolver,
               policy: YearStartPolicy = EpiWeek.International,
-              alertData: Map[String, String] = Map.empty): Outputs = {
+              alertData: Map[String, String] = Map.empty,
+              linkNameForForm: Map[String, String] = Map.empty): Outputs = {
+    val emptyMap = map_from_entries(
+      array().cast("array<struct<key:string,value:string>>"))
+    if (codes.isEmpty)
+      return Outputs(emptyMap, emptyMap, lit(false))
     // group by calculation_group, preserving catalog order (to_codes.py:33-36:
     // ungrouped codes form singleton groups)
     val indexed = codes.zipWithIndex
@@ -80,7 +121,8 @@ object ToCodes {
       val g = c.calculationGroup.getOrElse(s"__singleton_${c.id}")
       grouped(g) = grouped.getOrElse(g, Vector.empty) :+ ((c, i))
     }
-    val winners = array(grouped.values.map(g => groupWinner(g.toSeq, r, policy)).toSeq: _*)
+    val winners = array(grouped.values
+      .map(g => groupWinner(g.toSeq, r, policy, linkNameForForm)).toSeq: _*)
     val hits = filter(winners, w => w.isNotNull)
 
     val baseEntries = transform(hits, w =>
@@ -120,8 +162,9 @@ object ToCodes {
   /** Convenience: append variables/categories/disregard columns to `df`. */
   def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
             policy: YearStartPolicy = EpiWeek.International,
-            alertData: Map[String, String] = Map.empty): DataFrame = {
-    val o = outputs(codes, r, policy, alertData)
+            alertData: Map[String, String] = Map.empty,
+            linkNameForForm: Map[String, String] = Map.empty): DataFrame = {
+    val o = outputs(codes, r, policy, alertData, linkNameForForm)
     df.withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
       .withColumn("disregard", o.disregard)

@@ -40,6 +40,18 @@ object FormSource {
   def parquet(spark: SparkSession, path: String, uuidField: String): DataFrame =
     toFormShape(spark.read.parquet(path), uuidField)
 
+  /** S3 — JDBC scan of persistent form tables (util/__init__.py:368-374's
+    * 1000-row server-side pages become partitioned JDBC reads). Untested in
+    * this environment (no database); the call shape is the standard one. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties, partitionColumn: String,
+           lowerBound: Long, upperBound: Long, numPartitions: Int = 32,
+           uuidField: String = "uuid"): DataFrame =
+    toFormShape(
+      spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+        numPartitions, props),
+      uuidField)
+
   /** S4/S5 — streaming variants: same canonical shape from a file-source
     * stream (Spark's incremental listing replaces the reference's
     * offset-tracking poll loop, get_data.py:84-92). */

@@ -108,6 +108,61 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(vars("alert_gender") === "female")
   }
 
+  test("in_geometry location resolves via point-in-polygon") {
+    val geoLocations = Seq(
+      LocationNode(1, "Demo", "country", 0),
+      LocationNode(2, "Region A", "region", 1),
+      LocationNode(3, "District X", "district", 2,
+        rings = Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))),
+      LocationNode(6, "District Y", "district", 2,
+        rings = Seq(Seq((20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)))))
+    val cfg2 = DataPipeline.EngineConfig(
+      dataTypes = Seq(DataTypeDef("geo", "geo_form", None, None, "d", "g_1",
+        location = "in_geometry$lng,lat")),
+      codes = Nil, locations = geoLocations)
+    val form = Seq(
+      ("g1", Map("lng" -> "5.0", "lat" -> "5.0", "d" -> "2016-01-01")),
+      ("g2", Map("lng" -> "25.0", "lat" -> "25.0", "d" -> "2016-01-01")),
+      ("g3", Map("lng" -> "50.0", "lat" -> "50.0", "d" -> "2016-01-01"))
+    ).toDF("uuid", "data")
+    val out = DataPipeline.process(spark, Map("geo_form" -> form), cfg2)
+      .data.select(col("uuid"), col("district"), col("region"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out === Map("g1" -> ((3, 2)), "g2" -> ((6, 2)))) // g3 outside → dropped
+  }
+
+  test("multiple_link codes aggregate over linked rows") {
+    val linkCfg = cfg.copy(
+      links = Seq(LinkDef("followups", "case", "demo_case", "demo_followup",
+        Seq("pt./pid"), Seq("pid"), Seq("match"), "visit_date", orderByIsDate = true)),
+      codes = cfg.codes ++ Seq(
+        CodeDef(id = "fu_count", typ = "case", form = "demo_followup",
+          multipleLink = Some("count"), method = "not_null", condition = "None",
+          dbColumn = "pid"),
+        CodeDef(id = "fu_any_lab", typ = "case", form = "demo_followup",
+          multipleLink = Some("any"), method = "match", dbColumn = "lab",
+          condition = "yes"),
+        CodeDef(id = "fu_last_lab", typ = "case", form = "demo_followup",
+          multipleLink = Some("last"), method = "match", dbColumn = "lab",
+          condition = "yes")))
+    val caseForm = Seq(
+      ("c1", caseRow("female") + ("pt./pid" -> "101")),
+      ("c2", caseRow("male") + ("pt./pid" -> "999"))).toDF("uuid", "data")
+    val followups = Seq(
+      ("f1", Map("pid" -> "101", "visit_date" -> "2016-01-05", "lab" -> "no")),
+      ("f2", Map("pid" -> "101", "visit_date" -> "2016-01-02", "lab" -> "yes"))
+    ).toDF("uuid", "data")
+    val out = DataPipeline.process(spark,
+      Map("demo_case" -> caseForm, "demo_followup" -> followups), linkCfg)
+      .data.filter(col("type") === "case")
+      .select(col("uuid"), col("variables"))
+      .as[(String, Map[String, String])].collect().toMap
+    assert(out("c1")("fu_count") === "2")
+    assert(out("c1")("fu_any_lab") === "1")     // some linked row has lab=yes
+    assert(!out("c1").contains("fu_last_lab"))  // last (by date) row has lab=no
+    assert(!out("c2").contains("fu_count"))     // no linked rows
+  }
+
   test("register multiple_row splits into uuid-suffixed sub-records") {
     val regs = result.data.filter(col("type") === "register")
       .select(col("uuid"), element_at(col("variables"), "reg_1").as("v"),

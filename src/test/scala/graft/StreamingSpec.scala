@@ -12,6 +12,10 @@ import java.nio.file.Files
 /** Sources, sinks, and the streaming wrapper: CSV → canonical form shape,
   * seeded fake data determinism, uuid upsert idempotency, and an end-to-end
   * micro-batch streaming run reusing the batch pipeline. */
+object StreamingSpec {
+  val exported = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
@@ -83,6 +87,35 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("uuid"), element_at(col("variables"), "gen_1"))
       .as[(String, Option[String])].collect().toMap
     assert(out === Map("uuid:1" -> Some("1"), "uuid:2" -> None))
+  }
+
+  test("export sink streams the data dir incrementally with checkpointing") {
+    val dataPath = tmpDir() + "/data"
+    Seq(("u1", "case"), ("u2", "case")).toDF("uuid", "type")
+      .write.parquet(dataPath)
+    StreamingSpec.exported.clear()
+    // collecting stub stands in for the HTTP POST; static holder because the
+    // closure is serialized to the (same-JVM) executor threads
+    val q = graft.sinks.ExportSink.start(spark, dataPath, tmpDir() + "/ckpt",
+      rows => rows.foreach(r => StreamingSpec.exported.add(r.getString(0))))
+    q.awaitTermination(60000)
+    assert(StreamingSpec.exported.size() === 2)
+  }
+
+  test("alert notifier fans recent individual alerts out per level topic") {
+    val data = Seq(
+      ("u1", 4, 3, "2016-04-17", Map("alert" -> "1", "alert_type" -> "individual",
+        "alert_reason" -> "cmd_1")),
+      ("u2", 4, 3, "2016-01-01", Map("alert" -> "1", "alert_type" -> "individual",
+        "alert_reason" -> "cmd_1")), // older than 7 days → suppressed
+      ("u3", 4, 3, "2016-04-17", Map("tot_1" -> "1")))
+      .toDF("uuid", "clinic", "district", "d", "variables")
+      .withColumn("date", col("d").cast("timestamp")).drop("d")
+    val out = graft.sinks.AlertNotifier.notifications(data, asOf = "2016-04-20",
+        levels = Seq("clinic", "district"))
+      .select("topic", "uuid").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("clinic-4-cmd_1", "u1"), ("district-3-cmd_1", "u1")))
   }
 
   test("quarantine dead-letters records with a reason") {
