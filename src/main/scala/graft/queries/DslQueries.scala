@@ -105,6 +105,24 @@ object DslQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // The reference's canonical downstream query (docs/source/index.rst:75-77):
+    // variables-membership filter + count group-by over epi week/location —
+    // run against the ToCodes output, exactly how meerkat_api consumes `data`.
+    "canonical_aggregation" -> ((s, dir) => {
+      import graft.functions.EpiWeek
+      val df = Tables.lineitem(s, dir)
+      val coded = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet))
+      val yw = EpiWeek.epiYearWeek(col("l_shipdate"), EpiWeek.International)
+      coded
+        .filter(map_contains_key(col("variables"), "ret_r"))
+        .select(yw.getField("epi_year").as("epi_year"),
+          yw.getField("epi_week").as("epi_week"), col("l_orderkey"))
+        .groupBy(col("epi_year"), col("epi_week"))
+        .agg(count(lit(1)).as("n_cases"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("epi_year"), col("epi_week"))
+    }),
+
     "dsl_to_codes_alert" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
       val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),
@@ -148,6 +166,14 @@ object DslQueries extends QueryPack {
         |WHERE date_diff('second', TIMESTAMP '1970-01-05 00:00:00', o_orderdate) >= 820108800
         |  AND date_diff('second', TIMESTAMP '1970-01-05 00:00:00', o_orderdate) < 883267200
         |ORDER BY 1""".stripMargin,
+
+    "canonical_aggregation" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS epi_year,
+        |  CAST((dayofyear(l_shipdate) - 1) // 7 + 1 AS INT) AS epi_week,
+        |  count(*) AS n_cases,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dsl_to_codes_alert" ->
       """WITH li AS (SELECT *, (l_returnflag = 'R') AS fired FROM lineitem)
