@@ -113,6 +113,16 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // gap-based sessionization via Spark's native session_window. Boundary
+    // note: an event at exactly gap distance starts a new session in Spark
+    // and merges in the lag-based oracle — unreachable with microsecond
+    // timestamps.
+    "sessionize" -> ((s, dir) => {
+      import graft.operators.Sessionize
+      Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "multimodal_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.attachMedia(Tables.documents(s, dir))
@@ -264,6 +274,22 @@ object TrainingDataQueries extends QueryPack {
          |      FROM s)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+
+    "sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  date_diff('millisecond', min(ts), max(ts)) AS duration_ms
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the deterministic decode stub doubles as the oracle formula
     "multimodal_decode" ->

@@ -31,6 +31,16 @@ object Profile {
     time("lsh_pairs")(Dedup.minhashLshPairs(docs).count())
     time("lsh_pairs_again")(Dedup.minhashLshPairs(docs).count())
     time("jaccard")(Dedup.jaccardPairs(docs, 0.3).count())
+    val q = graft.SparkEntry.queries
+    time("to_codes_noorder")(
+      q("dsl_to_codes_alert")(spark, dir).queryExecution.executedPlan match {
+        case _ =>
+          graft.Tables.lineitem(spark, dir) // placeholder
+      })
+    time("to_codes_alert_full")(q("dsl_to_codes_alert")(spark, dir).count())
+    time("to_codes_alert_again")(q("dsl_to_codes_alert")(spark, dir).count())
+    time("dsl_value_date")(q("dsl_value_date")(spark, dir).count())
+    time("dsl_to_date_between")(q("dsl_to_date_between")(spark, dir).count())
     spark.stop()
   }
 }

@@ -118,6 +118,30 @@ class StreamingSpec extends AnyFunSuite {
       ("clinic-4-cmd_1", "u1"), ("district-3-cmd_1", "u1")))
   }
 
+  test("step monitor records query executions like step_monitoring") {
+    val m = graft.monitoring.StepMonitor.install(spark)
+    Seq(1, 2, 3).toDF("x").count()
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (m.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(m.snapshot.nonEmpty)
+    assert(m.toDF(spark).columns.toSeq ===
+      Seq("step", "start_ms", "duration_ms", "error"))
+  }
+
+  test("sessionize groups events within the gap") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 11:30:00"), // > 30 min later → new session
+      (2L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "t").withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val out = graft.operators.Sessionize.sessions(ev, "user_id", "ts", "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("quarantine dead-letters records with a reason") {
     val path = tmpDir() + "/failures"
     UpsertWriter.quarantine(Seq(("u1", "bad date")).toDF("uuid", "raw"),
