@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // full rule catalogs compile to deep Column trees; Catalyst's node
+  // conversion + codegen recurse past the default 1m thread stack
+  "-Xss64m",
 )
