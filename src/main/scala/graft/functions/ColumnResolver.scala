@@ -30,3 +30,14 @@ final class FlatResolver(schema: Set[String]) extends ColumnResolver {
     if (schema(name)) col(name).cast("string") else lit(null).cast("string")
   override def exists(name: String): Column = lit(schema(name))
 }
+
+/** Form fields pre-projected into bound attribute columns (`name → attr`).
+  * ToCodes projects every distinct referenced column ONCE per row and
+  * compiles the catalog against the attributes — interpreted evaluation of a
+  * 200-code catalog otherwise repeats the map lookups per code per output. */
+final class BoundResolver(attrs: Map[String, String]) extends ColumnResolver {
+  override def get(name: String): Column =
+    attrs.get(name).map(col).getOrElse(lit(null).cast("string"))
+  override def exists(name: String): Column =
+    attrs.get(name).map(a => col(a).isNotNull).getOrElse(lit(false))
+}

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.config._
+import graft.operators.{DataPipeline, MultipleAlerts}
+import graft.sources.FakeData
+
+/** End-to-end throughput demo: the full demo pipeline (real 198-code
+  * catalog from the reference config, QC → visit control → fan-out → codes →
+  * alerts) over N generated demo_case rows. The reference processes 15k-row
+  * chunks record-at-a-time; this runs the whole corpus as one plan.
+  *
+  * Usage: runMain graft.tools.DemoE2E [nRows]
+  */
+object DemoE2E {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200000
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    if (sys.env.contains("GRAFT_NO_CONSTRAINTS"))
+      b.config("spark.sql.constraintPropagation.enabled", "false")
+    if (sys.env.contains("GRAFT_NO_WSC"))
+      b.config("spark.sql.codegen.wholeStage", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val codesDir = "/root/reference/meerkat_abacus/country_config/variable_codes"
+    val catalog = CodesCsv.load(spark,
+      s"$codesDir/demo_codes.csv", s"$codesDir/demographic_codes.csv")
+
+    val locations = Seq(LocationNode(1, "Demo", "country", 0),
+      LocationNode(2, "Region A", "region", 1),
+      LocationNode(3, "District X", "district", 2)) ++
+      (0 until 50).map(i => LocationNode(10 + i, s"Clinic $i", "clinic", 3,
+        deviceIds = Seq(s"d$i"), clinicType = Some("Hospital")))
+
+    val fields = Map[String, FakeData.FieldKind](
+      "intro./visit" -> FakeData.OneOf(Seq("new", "return", "referral")),
+      "intro./module" -> FakeData.OneOf(Seq("ncd", "cd", "mh")),
+      "pt./visit_date" -> FakeData.DateWithin("2016-06-01", 180),
+      "SubmissionDate" -> FakeData.DateWithin("2016-06-02", 180),
+      "deviceid" -> FakeData.OneOf((0 until 50).map(i => s"d$i")),
+      "pt1./gender" -> FakeData.OneOf(Seq("male", "female")),
+      "pt1./age" -> FakeData.IntRange(0, 99),
+      "pt1./status" -> FakeData.OneOf(Seq("refugee", "national")),
+      "nationality" -> FakeData.OneOf(Seq("demo", "null_island")),
+      "icd_code" -> FakeData.OneOf(Seq("A80.9", "A00", "E10", "J10", "B05.9")),
+      "pregnant" -> FakeData.OneOf(Seq("yes", "no")),
+      "smoke_ever" -> FakeData.OneOf(Seq("yes", "no")),
+      "results./bmi_weight" -> FakeData.IntRange(40, 120),
+      "results./bmi_height" -> FakeData.IntRange(120, 210),
+      "patientid" -> FakeData.PatientId(2000),
+      "pt./pid" -> FakeData.PatientId(2000))
+
+    // land the generated form in parquet first (S8 raw-form persistence) —
+    // feeding the pipeline from a raw generator expression would let
+    // CollapseProject inline the map construction into every downstream
+    // column reference
+    val formPath = s"/tmp/graft_demo_e2e_form_$n"
+    FakeData.form(spark, "demo_case", fields, n, seed = 1L)
+      .write.mode("overwrite").parquet(formPath)
+    val form = spark.read.parquet(formPath)
+
+    val cfg = DataPipeline.EngineConfig(
+      dataTypes = Seq(DataTypeDef("case", "demo_case", Some("intro./visit"),
+        Some("new"), "pt./visit_date", "tot_1")),
+      codes = catalog,
+      qc = Map("demo_case" -> QualityControlDef(qcCodes = Seq(
+        CodeDef(id = "qc_height", method = "between", condition = "50,220",
+          calculation = "results./bmi_height", dbColumn = "results./bmi_height")))),
+      initialVisit = Seq(InitialVisitDef("demo_case",
+        Seq("patientid", "icd_code"), "intro./visit", "pt./visit_date",
+        "intro./module", "ncd")),
+      locations = locations,
+      alertData = Map("gender" -> "pt1./gender"))
+
+    val t0 = System.nanoTime()
+    val result = DataPipeline.process(spark, Map("demo_case" -> form), cfg)
+    def phase(name: String)(f: => Any): Unit = {
+      val t = System.nanoTime(); f
+      println(f"PHASE $name ${(System.nanoTime() - t) / 1e9}%.2f s")
+    }
+    phase("analyze")(result.data.queryExecution.analyzed)
+    phase("optimize")(result.data.queryExecution.optimizedPlan)
+    phase("physical")(result.data.queryExecution.executedPlan)
+    // materialization barrier, as production would write `data` out here
+    result.data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = result.data.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val alerts = MultipleAlerts.dailyThreshold(result.data, "cmd_1", 3).count()
+    val alertSecs = (System.nanoTime() - t1) / 1e9
+
+    val withAlert = result.data
+      .filter(element_at(col("variables"), "alert") === "1").count()
+    println(f"DEMO_E2E rows_in=$n rows_out=$rows individual_alerts=$withAlert " +
+      f"threshold_alerts=$alerts pipeline_s=$elapsed%.2f alerts_s=$alertSecs%.2f " +
+      f"rows_per_s=${rows / elapsed}%.0f")
+    spark.stop()
+  }
+}
