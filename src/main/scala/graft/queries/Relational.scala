@@ -50,6 +50,50 @@ object Relational extends QueryPack {
         .limit(10)
     }),
 
+    // TPC-H q5 shape: the deep join chain with dimension broadcasts — the
+    // plan every serious fact-table query at 100 TB reduces to.
+    "q5_local_supplier" -> ((s, dir) => {
+      val cutoffLo = lit("1996-01-01").cast("timestamp")
+      val cutoffHi = lit("1998-01-01").cast("timestamp")
+      val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, dir))
+      val sup = broadcast(Tables.supplier(s, dir))
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= cutoffLo && col("o_orderdate") < cutoffHi)
+      val li = Tables.lineitem(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ROLLUP/CUBE — grouping-set aggregations the reference lacks entirely
+    // (bonus surface for downstream dashboards).
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q_region_rollup" -> ((s, dir) => {
       // Dimension join chain: region and nation are broadcast (tiny at any
       // scale); only customer streams.
@@ -84,6 +128,31 @@ object Relational extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
 
     "q_region_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

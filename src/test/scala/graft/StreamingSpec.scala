@@ -142,6 +142,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("data writer lays out partitions by (type, epi_year) with pruning") {
+    val path = tmpDir() + "/data"
+    val data = Seq(
+      ("u1", "case", 2016, 4, "2016-01-05"),
+      ("u2", "case", 2017, 4, "2017-01-05"),
+      ("u3", "register", 2016, 5, "2016-02-01"))
+      .toDF("uuid", "type", "epi_year", "clinic", "d")
+      .withColumn("date", col("d").cast("timestamp")).drop("d")
+    graft.sinks.DataWriter.write(data, path)
+    val back = graft.sinks.DataWriter.read(spark, path)
+    assert(back.count() === 3)
+    val pruned = back.filter(col("type") === "case" && col("epi_year") === 2016)
+    // partition pruning visible in the scan's partition filters
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("epi_year") && pruned.count() === 1)
+  }
+
   test("quarantine dead-letters records with a reason") {
     val path = tmpDir() + "/failures"
     UpsertWriter.quarantine(Seq(("u1", "bad date")).toDF("uuid", "raw"),
