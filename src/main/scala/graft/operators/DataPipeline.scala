@@ -152,13 +152,11 @@ object DataPipeline {
     val linkNameForForm = cfg.links.filter(_.typ == t.name)
       .filter(_.toForm != t.form)
       .map(l => l.toForm -> l.name).toMap
-    val coded = ToCodes(withLoc, typeCodes, new MapResolver(col("data")),
-      cfg.policy, cfg.alertData, linkNameForForm)
-
-    // per-type counters (process_steps/to_codes.py:106-108)
-    val withCounters = coded.withColumn("variables",
-      map_concat(col("variables"),
-        map(lit(t.varName), lit("1"), lit("data_entry"), lit("1"))))
+    // per-type counters (process_steps/to_codes.py:106-108) fold into the
+    // same map build — a separate map_concat would copy the map per row
+    val withCounters = ToCodes(withLoc, typeCodes, new MapResolver(col("data")),
+      cfg.policy, cfg.alertData, linkNameForForm,
+      staticEntries = Seq(t.varName -> "1", "data_entry" -> "1"))
 
     // event date + epi columns (process_steps/to_codes.py:138-152)
     val eventDate = VariableCompiler.parseDate(r.get(t.dateColumn))

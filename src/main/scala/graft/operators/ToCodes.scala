@@ -137,11 +137,19 @@ object ToCodes {
     filter(winners, w => w.isNotNull)
   }
 
-  /** Build the output maps from a (preferably materialized) hits column. */
+  /** Build the output maps from a (preferably materialized) hits column.
+    * @param staticEntries constant key→value pairs folded into the same map
+    *        build (the per-type counters — process_steps/to_codes.py:106-108 —
+    *        would otherwise cost a whole-map copy via map_concat per row) */
   def outputsFromHits(hits: Column, r: ColumnResolver,
-                      alertData: Map[String, String]): Outputs = {
-    val baseEntries = transform(hits, w =>
+                      alertData: Map[String, String],
+                      staticEntries: Seq[(String, String)] = Nil): Outputs = {
+    val baseEntries0 = transform(hits, w =>
       struct(w.getField("id").as("key"), w.getField("value").as("value")))
+    val baseEntries =
+      if (staticEntries.isEmpty) baseEntries0
+      else concat(baseEntries0, array(staticEntries.map { case (k, v) =>
+        struct(lit(k).as("key"), lit(v).as("value")) }: _*))
 
     // alert injection: reference iterates groups in order and each alert hit
     // overwrites alert_reason — the LAST alert-firing winner is visible
@@ -187,10 +195,14 @@ object ToCodes {
   def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
             policy: YearStartPolicy = EpiWeek.International,
             alertData: Map[String, String] = Map.empty,
-            linkNameForForm: Map[String, String] = Map.empty): DataFrame = {
+            linkNameForForm: Map[String, String] = Map.empty,
+            staticEntries: Seq[(String, String)] = Nil): DataFrame = {
     if (codes.isEmpty) {
       val o = outputs(codes, r, policy, alertData, linkNameForForm)
-      return df.withColumn("variables", o.variables)
+      val vars =
+        if (staticEntries.isEmpty) o.variables
+        else map(staticEntries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      return df.withColumn("variables", vars)
         .withColumn("categories", o.categories)
         .withColumn("disregard", o.disregard)
     }
@@ -208,7 +220,7 @@ object ToCodes {
     val br = new graft.functions.BoundResolver(attrMap)
     val withHits = projected.withColumn("__tc_hits",
       hitsColumn(codes, br, policy, linkNameForForm))
-    val o = outputsFromHits(col("__tc_hits"), br, alertData)
+    val o = outputsFromHits(col("__tc_hits"), br, alertData, staticEntries)
     withHits
       .withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
