@@ -170,6 +170,25 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Analytic window-function surface: running totals, ranks, quartiles —
+    // the generic per-entity history queries downstream consumers run.
+    "q_window_analytics" -> ((s, dir) => {
+      val wOrder = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRank = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(18,2)"))
+            .over(wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("value_rank", rank().over(wRank))
+        .withColumn("quartile", ntile(4).over(wOrder))
+        .select(col("event_id"), col("user_id"), col("running_value"),
+          col("value_rank"), col("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
     // A5: hierarchical population rollup (clinic→district→…→country):
     // fixed-depth level-wise aggregation, one output row per node per level.
     "a5_population_rollup" -> ((s, dir) => {
@@ -292,6 +311,14 @@ object PipelineQueries extends QueryPack {
         |  CASE WHEN event_id = master_alert THEN 'rep' ELSE 'sub' END AS role,
         |  master_alert
         |FROM g WHERE n >= 5 ORDER BY event_id""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+        |  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "a5_population_rollup" ->
       """SELECT * FROM (
