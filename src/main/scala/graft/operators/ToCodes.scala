@@ -22,10 +22,12 @@ import graft.functions.EpiWeek.YearStartPolicy
   *  - calculation_group mutual exclusion: first applicable code in the group
   *    wins, the rest are skipped (to_codes.py:305-306) → CaseWhen chain.
   *  - calculation_priority: within a group where any member declares a
-  *    priority, the member with the numerically LOWEST priority among the
-  *    applicable ones wins; ties keep the earlier catalog entry
-  *    (to_codes.py:260-282's overwrite loop ≡ min over (priority, index)).
-  *  - categories: each winner writes category → its id; later groups
+  *    priority, the loop does NOT break — every applicable member still
+  *    contributes categories/alert/disregard; only the variables-map key is
+  *    priority-gated: numerically LOWEST priority wins, ties keep the earlier
+  *    catalog entry (to_codes.py:260-282's overwrite loop ≡ min over
+  *    (priority, index)).
+  *  - categories: each hit writes category → its id; later groups
   *    overwrite on key collision (dict.update ≡ LAST_WIN map dedup).
   *  - alert: a winning code with alert & alert_type=="individual" injects
   *    alert=1, alert_type, alert_reason=<code id> and alert_<k>=row[col] for
@@ -70,33 +72,54 @@ object ToCodes {
     }
   }
 
-  /** Winner of one mutual-exclusion group, or null when no member applies. */
-  private def groupWinner(group: Seq[(CodeDef, Int)], r: ColumnResolver,
-                          policy: YearStartPolicy,
-                          linkNameForForm: Map[String, String]): Column = {
+  /** Hits contributed by one mutual-exclusion group, or null when no member
+    * applies. Each hit struct carries a `winner` flag: only the flagged hit
+    * writes the variables-map entry; categories / alert / disregard aggregate
+    * over EVERY hit.
+    *
+    * Priority groups (to_codes.py:260-309): the reference loop does NOT
+    * `break` when the group declares calculation_priority — every applicable
+    * member writes its categories, fires its individual alert (alert_reason =
+    * last applicable alerting member) and can set disregard; only the
+    * variables-map key is priority-gated (numerically lowest priority wins,
+    * ties keep the earlier catalog entry). Non-priority groups break on the
+    * first applicable member, so they emit exactly one hit. */
+  private def groupHits(group: Seq[(CodeDef, Int)], r: ColumnResolver,
+                        policy: YearStartPolicy,
+                        linkNameForForm: Map[String, String]): Column = {
     val hasPriority = group.exists(_._1.calculationPriority.isDefined)
+    // winner column appended LAST so both branches produce the same shape
+    // (withField on a CaseWhen struct trips ReplaceUpdateFieldsExpression
+    // plan validation in Spark 4 — build the field in directly instead)
     val members = group.map { case (code, idx) =>
       val c = compiledFor(code, r, policy, linkNameForForm)
-      val s = struct(
+      def mk(winner: Option[Column]) = struct(Seq(
         lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("priority"),
         lit(idx).as("idx"),
         lit(code.id).as("id"),
         c.value.cast("string").as("value"),
         array(code.category.map(lit): _*).as("cats"),
         lit(code.alert && code.alertType == "individual").as("alert"),
-        lit(code.disregard).as("disregard"))
-      (c.applicable, s)
+        lit(code.disregard).as("disregard")) ++
+        winner.map(_.as("winner")): _*)
+      (c.applicable, mk _)
     }
     if (hasPriority) {
-      // all applicable members compete; min (priority, idx) wins
+      // all applicable members contribute; min (priority, idx) is the winner
       val candidates = filter(
-        array(members.map { case (a, s) => when(a, s) }: _*), x => x.isNotNull)
-      when(size(candidates) > 0, array_min(candidates))
+        array(members.map { case (a, mk) => when(a, mk(None)) }: _*),
+        x => x.isNotNull)
+      val win = array_min(candidates)
+      when(size(candidates) > 0,
+        transform(candidates, x =>
+          x.withField("winner", x.getField("idx") === win.getField("idx"))))
     } else {
       // first applicable wins — CaseWhen short-circuits like the `break`
-      members.tail.foldLeft(when(members.head._1, members.head._2)) {
+      val flagged = members.map { case (a, mk) => (a, mk(Some(lit(true)))) }
+      val w = flagged.tail.foldLeft(when(flagged.head._1, flagged.head._2)) {
         case (acc, (a, s)) => acc.when(a, s)
       }
+      when(w.isNotNull, array(w))
     }
   }
 
@@ -116,7 +139,7 @@ object ToCodes {
     outputsFromHits(hitsColumn(codes, r, policy, linkNameForForm), r, alertData)
   }
 
-  /** The per-row array of non-null group winners — the ONE expensive
+  /** The per-row array of hits (winner-flagged structs) — the ONE expensive
     * expression. Callers materialize it into a column before fanning out to
     * variables/categories/disregard (which reference it ~6×; without
     * materialization interpreted evaluation re-runs the whole catalog per
@@ -132,9 +155,9 @@ object ToCodes {
       val g = c.calculationGroup.getOrElse(s"__singleton_${c.id}")
       grouped(g) = grouped.getOrElse(g, Vector.empty) :+ ((c, i))
     }
-    val winners = array(grouped.values
-      .map(g => groupWinner(g.toSeq, r, policy, linkNameForForm)).toSeq: _*)
-    filter(winners, w => w.isNotNull)
+    val groupArrays = array(grouped.values
+      .map(g => groupHits(g.toSeq, r, policy, linkNameForForm)).toSeq: _*)
+    flatten(filter(groupArrays, a => a.isNotNull))
   }
 
   /** Build the output maps from a (preferably materialized) hits column.
@@ -144,7 +167,9 @@ object ToCodes {
   def outputsFromHits(hits: Column, r: ColumnResolver,
                       alertData: Map[String, String],
                       staticEntries: Seq[(String, String)] = Nil): Outputs = {
-    val baseEntries0 = transform(hits, w =>
+    // only the per-group winner writes its variables-map entry; categories /
+    // alert / disregard below aggregate over every hit (to_codes.py:260-309)
+    val baseEntries0 = transform(filter(hits, w => w.getField("winner")), w =>
       struct(w.getField("id").as("key"), w.getField("value").as("value")))
     val baseEntries =
       if (staticEntries.isEmpty) baseEntries0

@@ -91,6 +91,51 @@ class ToCodesSpec extends AnyFunSuite {
     assert(d2)
   }
 
+  // to_codes.py:260-309: priority groups do NOT break — every applicable
+  // member contributes categories / alert / disregard; only the variables-map
+  // key is priority-gated. Winner (priority 1) is deliberately NOT the last
+  // applicable member here.
+  private val priCatalog = Seq(
+    CodeDef(id = "sev_high", method = "between", condition = "50,1000",
+      calculation = "score", dbColumn = "score",
+      calculationGroup = Some("sev"), calculationPriority = Some(1),
+      category = Seq("severity")),
+    CodeDef(id = "sev_any", method = "between", condition = "0,1000",
+      calculation = "score", dbColumn = "score",
+      calculationGroup = Some("sev"), calculationPriority = Some(2),
+      category = Seq("severity", "seen"),
+      alert = true, alertType = "individual", disregard = true))
+
+  test("priority group: non-winning applicable members still write categories/alert/disregard") {
+    val df = Seq(Tuple1(Map("score" -> "60"))).toDF("data")
+    val out = ToCodes(df, priCatalog, new MapResolver(col("data")),
+      EpiWeek.StartDay(0))
+    val r = out.select("variables", "categories", "disregard").head()
+    val vars = r.getMap[String, String](0).toMap
+    val cats = r.getMap[String, String](1).toMap
+    // variables map is priority-gated: sev_high wins, sev_any key dropped
+    assert(vars.contains("sev_high") && !vars.contains("sev_any"))
+    // but the non-winning applicable member still fired its alert,
+    // wrote its categories (last in catalog order wins the key), and
+    // set disregard
+    assert(vars("alert") === "1")
+    assert(vars("alert_reason") === "sev_any")
+    assert(cats("severity") === "sev_any")
+    assert(cats("seen") === "sev_any")
+    assert(r.getBoolean(2))
+  }
+
+  test("priority group: below the high band only sev_any applies and wins") {
+    val df = Seq(Tuple1(Map("score" -> "10"))).toDF("data")
+    val out = ToCodes(df, priCatalog, new MapResolver(col("data")),
+      EpiWeek.StartDay(0))
+    val r = out.select("variables", "categories", "disregard").head()
+    val vars = r.getMap[String, String](0).toMap
+    assert(vars.contains("sev_any") && !vars.contains("sev_high"))
+    val cats = r.getMap[String, String](1).toMap
+    assert(cats("severity") === "sev_any")
+  }
+
   test("full golden variables map") {
     val (vars, cats, disregard) = runRow(Map(
       "gender" -> "female", "age" -> "10", "icd_code" -> "A80.9",
