@@ -28,9 +28,14 @@ import graft.functions.{MapResolver, VariableCompiler}
   */
 object QualityControl {
 
+  /** @param exclusions optional exclusion list as a DataFrame with a `uuid`
+    *        column — the reference stores exclusion lists as their own table
+    *        (`database_setup.py` exclusion_lists), so callers with a
+    *        table-shaped list pass it here instead of `cfg.exclusionUuids` */
   def apply(form: DataFrame, cfg: QualityControlDef,
             dateValidationColumns: Seq[(Option[(String, String)], String)] = Nil,
-            sampleSeed: Long = 42L): DataFrame = {
+            sampleSeed: Long = 42L,
+            exclusions: Option[DataFrame] = None): DataFrame = {
     val r = new MapResolver(col("data"))
     var df = form
 
@@ -41,12 +46,16 @@ object QualityControl {
         VariableCompiler.parseDate(r.get("SubmissionDate")) >= lit(ts).cast("timestamp"))
     }
 
-    if (cfg.exclusionUuids.nonEmpty) {
-      // modeled as a genuine anti-join (the list is a config table in the
-      // reference); broadcast keeps the fact side shuffle-free
-      val excl = form.sparkSession.createDataFrame(
-        cfg.exclusionUuids.map(Tuple1(_))).toDF("excl_uuid")
-      df = df.join(broadcast(excl), col("uuid") === col("excl_uuid"), "left_anti")
+    val exclDf = exclusions.orElse {
+      if (cfg.exclusionUuids.isEmpty) None
+      else Some(form.sparkSession.createDataFrame(
+        cfg.exclusionUuids.map(Tuple1(_))).toDF("uuid"))
+    }
+    exclDf.foreach { e =>
+      // a genuine anti-join (the list is a config table in the reference);
+      // broadcast keeps the fact side shuffle-free
+      df = df.join(broadcast(e.select(col("uuid").as("excl_uuid"))),
+        col("uuid") === col("excl_uuid"), "left_anti")
     }
 
     cfg.qcCodes.foreach { code =>

@@ -4,19 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.config._
+import graft.functions.EpiWeek
+import graft.operators._
 
 /** Gate queries for the reference's pipeline-step operators (SURVEY.md §2.2)
-  * and aggregation operators (§2.3), re-expressed over the testdata tables.
+  * and aggregation operators (§2.3). Every query routes through the SHIPPED
+  * operator objects in `graft.operators.*` — the testdata tables are adapted
+  * into the operators' `(uuid, data)` / coded-data shapes, the operator runs,
+  * and the result is projected back to oracle-comparable columns. The oracle
+  * certifies the operator itself, not a hand-written equivalent.
   *
-  * Mapping (reference step → demo here):
-  *  - P1 quality_control  (quality_control.py:14-148)  → p1_quality_control
-  *  - P2 initial_visit_control (initial_visit_control.py:25-136) → p2_initial_visit_control
-  *  - P3 to_data_type     (to_data_type.py:16-49)      → p3_to_data_type
-  *  - P4 add_links        (add_links.py:28-157)        → p4_add_links_to / p4_add_links_alert_match
-  *  - A1 daily threshold  (add_multiple_alerts.py:154-216) → a1_daily_threshold
-  *  - A2 weekly threshold (add_multiple_alerts.py:218-252) → a2_weekly_threshold
-  *  - A3 double-doubling  (add_multiple_alerts.py:255-358) → a3_double_doubling
-  *  - A4 representative   (add_multiple_alerts.py:78-143)  → a4_alert_representative
+  * Mapping (reference step → operator → gate):
+  *  - P1 quality_control  (quality_control.py:14-148)  → QualityControl → p1
+  *  - P2 initial_visit_control (initial_visit_control.py:25-136) → InitialVisitControl → p2
+  *  - P3 to_data_type     (to_data_type.py:16-49)      → ToDataType → p3
+  *  - P4 add_links        (add_links.py:28-157)        → AddLinks → p4_*
+  *  - A1 daily threshold  (add_multiple_alerts.py:154-216) → MultipleAlerts.dailyThreshold → a1
+  *  - A2 weekly threshold (add_multiple_alerts.py:218-252) → MultipleAlerts.weeklyThreshold → a2
+  *  - A3 double-doubling  (add_multiple_alerts.py:255-358) → MultipleAlerts.doubleDoubling → a3
+  *  - A4 representative   (add_multiple_alerts.py:78-143)  → MultipleAlerts.promote → a4
   *  - A5 population rollup (database_setup.py:157-166)     → a5_population_rollup
   *  - A6 multiple_link agg (codes/to_codes.py:217-242)     → a6_multiple_link
   */
@@ -24,76 +31,146 @@ object PipelineQueries extends QueryPack {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** events → raw-form shape `(uuid, data map)` for the P-step operators.
+    * uuid is zero-padded so lexicographic uuid ordering (what the operators
+    * use, as the reference does on its string uuids) equals numeric event
+    * order; ts round-trips through the ISO-micros format of the permissive
+    * date ladder. */
+  private def eventsForm(s: SparkSession, dir: String): DataFrame = {
+    val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    Tables.events(s, dir).select(
+      lpad(col("event_id").cast("string"), 10, "0").as("uuid"),
+      map(
+        lit("event_id"), col("event_id").cast("string"),
+        lit("user_id"), col("user_id").cast("string"),
+        lit("event_type"), col("event_type"),
+        lit("ts"), iso,
+        lit("SubmissionDate"), iso,
+        lit("value"), col("value").cast("string"),
+        lit("visit"), lit("new"),
+        lit("module"), lit("m")).as("data"))
+  }
+
+  /** events → coded-data shape for the MultipleAlerts detectors: one
+    * variables key per event_type plus the catch-all "any". */
+  private def eventsData(s: SparkSession, dir: String): DataFrame = {
+    val yw = EpiWeek.epiYearWeek(col("ts"), EpiWeek.International)
+    Tables.events(s, dir).select(
+      col("event_id").cast("string").as("uuid"),
+      col("user_id").as("clinic"),
+      col("ts").as("date"),
+      yw.getField("epi_year").as("epi_year"),
+      yw.getField("epi_week").as("epi_week"),
+      map(col("event_type"), lit("1"), lit("any"), lit("1")).as("variables"))
+  }
+
+  private def d(m: org.apache.spark.sql.Column, k: String) = element_at(m, k)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // P1: sampling gate is skipped (nondeterministic); date gate + exclusion
-    // anti-join + repair-or-null + discard codes, as in quality_control.py.
+    // P1 through QualityControl: only_import_after date gate + exclusion-list
+    // anti-join + discard-category code + repair-to-null code
+    // (quality_control.py:14-148). Sampling gate off (nondeterministic).
     "p1_quality_control" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      // exclusion list arrives as its own little table in the reference
-      // (config `exclusion_lists`); modeled here as a derived uuid list,
-      // applied with a genuine left_anti join (not a filter) so the plan
-      // shape matches what runs at scale (broadcast anti-join).
-      val exclusions = ev.filter(col("event_id") % 101 === 0)
-        .select(col("event_id").as("ex_id"))
-      ev.filter(col("ts") >= lit("2024-01-03").cast("timestamp"))
-        .filter(col("event_type") =!= "signup") // discard-category QC code
-        .join(broadcast(exclusions), col("event_id") === col("ex_id"), "left_anti")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          // repair code: out-of-range value → NULL (quality_control.py:116-139)
-          when(col("value") >= 0 && col("value") < 500, col("value"))
-            .otherwise(lit(null)).as("value_r"))
+      val formDf = eventsForm(s, dir)
+      val exclusions = Tables.events(s, dir)
+        .filter(col("event_id") % 101 === 0)
+        .select(lpad(col("event_id").cast("string"), 10, "0").as("uuid"))
+      val qc = QualityControlDef(
+        qcCodes = Seq(
+          // discard code: rows failing the membership check are dropped
+          CodeDef(id = "qc_type", method = "match", dbColumn = "event_type",
+            condition = "click,error,purchase,view", category = Seq("discard")),
+          // repair code: out-of-range value → column nulled in place
+          CodeDef(id = "qc_value", method = "between", condition = "0,500",
+            calculation = "value", dbColumn = "value")),
+        onlyImportAfter = Some("2024-01-03"))
+      QualityControl(formDf, qc, exclusions = Some(exclusions))
+        .select(
+          d(col("data"), "event_id").cast("long").as("event_id"),
+          d(col("data"), "user_id").cast("long").as("user_id"),
+          d(col("data"), "event_type").as("event_type"),
+          d(col("data"), "value").cast("double").as("value_r"))
         .orderBy(col("event_id"))
     }),
 
-    // P2: within each (user_id, event_type) history ordered by time, the
-    // earliest row keeps visit="new", later rows are demoted to "return".
+    // P2 through InitialVisitControl: earliest visit per identifier tuple
+    // stays "new", later ones demoted to "return".
     "p2_initial_visit_control" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("visit",
-          when(row_number().over(w) === 1, lit("new")).otherwise(lit("return")))
-        .select(col("event_id"), col("user_id"), col("event_type"), col("visit"))
+      val cfg = InitialVisitDef(form = "events",
+        identifierKeys = Seq("user_id", "event_type"),
+        visitTypeKey = "visit", visitDateKey = "ts",
+        moduleKey = "module", moduleValue = "m")
+      InitialVisitControl(eventsForm(s, dir), cfg)
+        .select(
+          d(col("data"), "event_id").cast("long").as("event_id"),
+          d(col("data"), "user_id").cast("long").as("user_id"),
+          d(col("data"), "event_type").as("event_type"),
+          d(col("data"), "visit").as("visit"))
         .orderBy(col("event_id"))
     }),
 
-    // P3: conditional multicast — one record feeds 0..N typed streams.
+    // P3 through ToDataType: conditional multicast — equality conditions only,
+    // exactly the reference's row[db_column] == condition semantics.
     "p3_to_data_type" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val highValue = o.filter(col("o_totalprice") >= 250000)
-        .select(lit("high_value").as("type"), col("o_orderkey"))
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(lit("urgent").as("type"), col("o_orderkey"))
-      val all = o.select(lit("all_orders").as("type"), col("o_orderkey"))
-      highValue.unionByName(urgent).unionByName(all)
+      val formDf = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("uuid"),
+        map(lit("o_orderkey"), col("o_orderkey").cast("string"),
+          lit("o_orderpriority"), col("o_orderpriority")).as("data"))
+      val types = Seq(
+        DataTypeDef(name = "urgent", form = "orders",
+          dbColumn = Some("o_orderpriority"), condition = Some("1-URGENT"),
+          dateColumn = "d", varName = "tot_1"),
+        DataTypeDef(name = "low", form = "orders",
+          dbColumn = Some("o_orderpriority"), condition = Some("5-LOW"),
+          dateColumn = "d", varName = "tot_2"),
+        DataTypeDef(name = "all_orders", form = "orders",
+          dbColumn = None, condition = None,
+          dateColumn = "d", varName = "tot_3"))
+      ToDataType.union(formDf, "orders", types)
+        .select(col("type"),
+          d(col("data"), "o_orderkey").cast("long").as("o_orderkey"))
         .orderBy(col("type"), col("o_orderkey"))
     }),
 
-    // P4 "to-links": each base record collects its ordered linked rows
-    // (add_links.py:99-157: join + order_by + attach list).
+    // P4 "to-links" through AddLinks.linkMatches: equality link, matches
+    // ordered by the link's order_by column (add_links.py:99-157).
     "p4_add_links_to" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val li = Tables.lineitem(s, dir)
-      o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_links"),
-          concat_ws(",", sort_array(collect_list(
-            concat_ws(":", col("l_linenumber"), col("l_partkey"))))).as("items"))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("uuid"),
+        map(lit("o_orderkey"), col("o_orderkey").cast("string")).as("data"))
+      val linked = Tables.lineitem(s, dir).select(
+        map(lit("l_orderkey"), col("l_orderkey").cast("string"),
+          lit("item"), concat_ws(":", col("l_linenumber"), col("l_partkey")))
+          .as("data"))
+      val link = LinkDef("items", "order", "orders", "lineitem",
+        Seq("o_orderkey"), Seq("l_orderkey"), Seq("match"),
+        orderByColumn = "item", orderByIsDate = false)
+      AddLinks.linkMatches(base, linked, link, alertIdLength = 6)
+        .select(col("uuid").cast("long").as("o_orderkey"),
+          size(col("__linked")).cast("long").as("n_links"),
+          concat_ws(",", transform(col("__linked"), m => d(m, "item")))
+            .as("items"))
         .orderBy(col("o_orderkey"))
     }),
 
-    // P4 "alert_match": equality on the last-N characters of the uuid
-    // (add_links.py:79-82 — substring(uuid, 42-len, len) == alert_id).
+    // P4 "alert_match" through AddLinks: linked value == last-N chars of the
+    // base record's uuid (add_links.py:79-82), then per-customer rollup.
     "p4_add_links_alert_match" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-        .filter(length(col("c_custkey").cast("string")) === 3)
-        .select(col("c_custkey"), col("c_custkey").cast("string").as("alert_id"))
-      val ord = Tables.orders(s, dir)
+      val base = Tables.orders(s, dir)
         .filter(length(col("o_orderkey").cast("string")) >= 3)
-        .select(col("o_orderkey"),
-          substring(col("o_orderkey").cast("string"), -3, 3).as("suffix"))
-      cust.join(ord, col("alert_id") === col("suffix"))
+        .select(col("o_orderkey").cast("string").as("uuid"),
+          map(lit("uuid"), col("o_orderkey").cast("string")).as("data"))
+      val linked = Tables.customer(s, dir)
+        .filter(length(col("c_custkey").cast("string")) === 3)
+        .select(map(lit("alert_id"), col("c_custkey").cast("string")).as("data"))
+      val link = LinkDef("alert_investigation", "case", "orders", "customer",
+        Seq("uuid"), Seq("alert_id"), Seq("alert_match"),
+        orderByColumn = "alert_id", orderByIsDate = false)
+      AddLinks.linkMatches(base, linked, link, alertIdLength = 3)
+        .select(col("uuid").cast("long").as("o_orderkey"),
+          explode(col("__linked")).as("m"))
+        .select(col("o_orderkey"), d(col("m"), "alert_id").cast("long").as("c_custkey"))
         .groupBy(col("c_custkey"))
         .agg(count(lit(1)).as("n_matches"),
           min(col("o_orderkey")).as("first_match"),
@@ -101,73 +178,58 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
-    // A1: per-clinic (user) daily tumbling-window count over a variable,
-    // alert where count >= limit; contributing uuids collected.
+    // A1 through MultipleAlerts.dailyThreshold.
     "a1_daily_threshold" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"),
-          concat_ws(",", sort_array(collect_list(col("event_id").cast("string"))))
-            .as("uuids"))
-        .filter(col("n") >= 5)
+      MultipleAlerts.dailyThreshold(eventsData(s, dir), "any", 5)
+        .select(col("clinic").as("user_id"), col("day"), col("n"),
+          concat_ws(",", col("uuids")).as("uuids"))
         .orderBy(col("user_id"), col("day"))
     }),
 
-    // A2: epi-week-aligned weekly threshold (international policy).
+    // A2 through MultipleAlerts.weeklyThreshold (international epi weeks).
     "a2_weekly_threshold" -> ((s, dir) => {
-      import graft.functions.EpiWeek
-      val yw = EpiWeek.epiYearWeek(col("ts"), EpiWeek.International)
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          yw.getField("epi_year").as("epi_year"),
-          yw.getField("epi_week").as("epi_week"))
-        .groupBy(col("user_id"), col("epi_year"), col("epi_week"))
-        .agg(count(lit(1)).as("n"),
-          concat_ws(",", sort_array(collect_list(col("event_id").cast("string"))))
-            .as("uuids"))
-        .filter(col("n") >= 20)
+      MultipleAlerts.weeklyThreshold(eventsData(s, dir), "any", 20)
+        .select(col("clinic").as("user_id"), col("epi_year"), col("epi_week"),
+          col("n"), concat_ws(",", col("uuids")).as("uuids"))
         .orderBy(col("user_id"), col("epi_year"), col("epi_week"))
     }),
 
-    // A3: double-doubling — weekly counts per (user, variable); alert when
-    // counts double across two consecutive week pairs. lag() over a
-    // monotonic week index replaces the reference's ±52 manual fixups.
+    // A3 through MultipleAlerts.doubleDoubling — the reference spec: three
+    // consecutive weeks strictly doubling from >1, missing weeks break the
+    // chain, ≥14 cases in a 5-week window around the run. One detector run
+    // per alert variable, as the reference loops over its alert list.
     "a3_double_doubling" -> ((s, dir) => {
-      import graft.functions.EpiWeek
-      val yw = EpiWeek.epiYearWeek(col("ts"), EpiWeek.International)
-      val weekly = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"),
-          yw.getField("epi_year").as("epi_year"),
-          yw.getField("epi_week").as("epi_week"))
-        .groupBy(col("user_id"), col("event_type"), col("epi_year"), col("epi_week"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("epi_year"), col("epi_week"))
-      weekly
-        .withColumn("l1", lag(col("n"), 1).over(w))
-        .withColumn("l2", lag(col("n"), 2).over(w))
-        .filter(col("n") >= col("l1") * 2 && col("l1") >= col("l2") * 2 && col("l2") >= 1)
-        .select(col("user_id"), col("event_type"), col("epi_year"), col("epi_week"),
-          col("n"), col("l1"), col("l2"))
-        .orderBy(col("user_id"), col("event_type"), col("epi_year"), col("epi_week"))
+      val data = eventsData(s, dir)
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t => MultipleAlerts.doubleDoubling(data, t))
+        .reduce(_.unionByName(_))
+        .select(col("clinic").as("user_id"), col("var_id").as("event_type"),
+          col("epi_year"), col("epi_week"), col("n"),
+          concat_ws(",", col("uuids")).as("uuids"))
+        .orderBy(col("user_id"), col("event_type"), col("epi_year"),
+          col("epi_week"))
     }),
 
-    // A4: alert representative selection — within each alert group the
-    // smallest uuid becomes the representative; the rest become sub-alerts
-    // pointing at it (add_multiple_alerts.py:78-143).
+    // A4 through MultipleAlerts.promote: rep gains the full alert_* key set,
+    // others demote to sub-alerts, and EVERY member is enriched from its own
+    // raw form record (the data ⋈ form_table join of
+    // add_multiple_alerts.py:89-101).
     "a4_alert_representative" -> ((s, dir) => {
-      val withDay = Tables.events(s, dir)
-        .withColumn("day", to_date(col("ts")))
-      val w = Window.partitionBy(col("user_id"), col("day"))
-      withDay
-        .withColumn("n", count(lit(1)).over(w))
-        .filter(col("n") >= 5)
-        .withColumn("master_alert", min(col("event_id")).over(w))
-        .select(col("event_id"), col("user_id"), col("day"),
-          when(col("event_id") === col("master_alert"), lit("rep"))
-            .otherwise(lit("sub")).as("role"),
-          col("master_alert"))
-        .orderBy(col("event_id"))
+      val ev = Tables.events(s, dir)
+      val uuid8 = lpad(col("event_id").cast("string"), 8, "0")
+      val data = ev.select(uuid8.as("uuid"), col("user_id").as("clinic"),
+        col("ts").as("date"), map(lit("evt"), lit("1")).as("variables"))
+      val formDf = ev.select(uuid8.as("uuid"),
+        map(lit("value"), col("value").cast("string")).as("data"))
+      val alerts = MultipleAlerts.dailyThreshold(data, "evt", 5)
+      MultipleAlerts.promote(data, alerts, formDf,
+        alertData = Map("value" -> "value"), alertIdLength = 6)
+        .filter(map_contains_key(col("variables"), "alert") ||
+          map_contains_key(col("variables"), "sub_alert"))
+        .select(col("uuid").cast("long").as("event_id"),
+          explode(col("variables")).as(Seq("code", "value")))
+        .filter(col("code") =!= "evt")
+        .orderBy(col("event_id"), col("code"), col("value"))
     }),
 
     // Analytic window-function surface: running totals, ranks, quartiles —
@@ -246,9 +308,9 @@ object PipelineQueries extends QueryPack {
 
     "p3_to_data_type" ->
       """SELECT * FROM (
-        |  SELECT 'high_value' AS type, o_orderkey FROM orders WHERE o_totalprice >= 250000
-        |  UNION ALL
         |  SELECT 'urgent' AS type, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'low' AS type, o_orderkey FROM orders WHERE o_orderpriority = '5-LOW'
         |  UNION ALL
         |  SELECT 'all_orders' AS type, o_orderkey FROM orders)
         |ORDER BY type, o_orderkey""".stripMargin,
@@ -284,33 +346,57 @@ object PipelineQueries extends QueryPack {
         |FROM events GROUP BY 1, 2, 3 HAVING count(*) >= 20
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // Reference double_double (add_multiple_alerts.py:255-358): weekly counts
+    // on a 52-week axis, densified so missing weeks count 0; run = three
+    // consecutive weeks with count(w)>1 and two >=2x doublings; >=14 total in
+    // a 5-week window centered on one of the run weeks.
     "a3_double_doubling" ->
       """WITH weekly AS (
         |  SELECT user_id, event_type,
-        |    CAST(year(ts) AS INT) AS epi_year,
-        |    CAST((dayofyear(ts) - 1) // 7 + 1 AS INT) AS epi_week,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2, 3, 4),
-        |lagd AS (
-        |  SELECT *,
-        |    lag(n, 1) OVER (PARTITION BY user_id, event_type ORDER BY epi_year, epi_week) AS l1,
-        |    lag(n, 2) OVER (PARTITION BY user_id, event_type ORDER BY epi_year, epi_week) AS l2
-        |  FROM weekly)
-        |SELECT user_id, event_type, epi_year, epi_week, n, l1, l2
-        |FROM lagd
-        |WHERE n >= l1 * 2 AND l1 >= l2 * 2 AND l2 >= 1
+        |    CAST(year(ts) AS BIGINT) * 52 + CAST((dayofyear(ts)-1)//7 + 1 AS BIGINT) - 1 AS wk,
+        |    count(*) AS n,
+        |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS uuids
+        |  FROM events GROUP BY 1, 2, 3),
+        |bounds AS (SELECT user_id, event_type, min(wk) AS lo, max(wk) AS hi FROM weekly GROUP BY 1, 2),
+        |dense AS (SELECT user_id, event_type, unnest(generate_series(lo, hi)) AS wk FROM bounds),
+        |j AS (SELECT d.user_id, d.event_type, d.wk, coalesce(w.n, 0) AS n0, w.n, w.uuids
+        |      FROM dense d LEFT JOIN weekly w
+        |        ON d.user_id = w.user_id AND d.event_type = w.event_type AND d.wk = w.wk),
+        |l AS (SELECT *,
+        |    lag(n0, 1, 0) OVER win AS l1, lag(n0, 2, 0) OVER win AS l2,
+        |    lag(n0, 3, 0) OVER win AS l3, lag(n0, 4, 0) OVER win AS l4,
+        |    lead(n0, 1, 0) OVER win AS f1, lead(n0, 2, 0) OVER win AS f2
+        |  FROM j WINDOW win AS (PARTITION BY user_id, event_type ORDER BY wk))
+        |SELECT user_id, event_type,
+        |  CAST(wk // 52 AS INT) AS epi_year, CAST(wk % 52 + 1 AS INT) AS epi_week,
+        |  n, uuids
+        |FROM l
+        |WHERE l2 > 1 AND l1 >= 2*l2 AND n0 >= 2*l1
+        |  AND (l4+l3+l2+l1+n0 >= 14 OR l3+l2+l1+n0+f1 >= 14 OR l2+l1+n0+f1+f2 >= 14)
         |ORDER BY 1, 2, 3, 4""".stripMargin,
 
+    // Reference representative promotion incl. the form-table enrichment:
+    // rep = lexicographically-smallest member uuid; rep gains alert/alert_type/
+    // alert_duration/alert_reason/alert_id; others sub_alert+master_alert;
+    // everyone gains alert_value from their own form record.
     "a4_alert_representative" ->
       """WITH g AS (
-        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
-        |    count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n,
-        |    min(event_id) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS master_alert
-        |  FROM events)
-        |SELECT event_id, user_id, day,
-        |  CASE WHEN event_id = master_alert THEN 'rep' ELSE 'sub' END AS role,
-        |  master_alert
-        |FROM g WHERE n >= 5 ORDER BY event_id""".stripMargin,
+        |  SELECT lpad(CAST(event_id AS VARCHAR), 8, '0') AS uuid, event_id, user_id,
+        |         CAST(ts AS DATE) AS day, CAST(value AS VARCHAR) AS val
+        |  FROM events),
+        |grp AS (
+        |  SELECT *, count(*) OVER w AS n, min(uuid) OVER w AS rep
+        |  FROM g WINDOW w AS (PARTITION BY user_id, day))
+        |SELECT event_id, code, value FROM (
+        |  SELECT event_id, 'alert' AS code, '1' AS value FROM grp WHERE n >= 5 AND uuid = rep
+        |  UNION ALL SELECT event_id, 'alert_type', 'threshold' FROM grp WHERE n >= 5 AND uuid = rep
+        |  UNION ALL SELECT event_id, 'alert_duration', '1' FROM grp WHERE n >= 5 AND uuid = rep
+        |  UNION ALL SELECT event_id, 'alert_reason', 'evt' FROM grp WHERE n >= 5 AND uuid = rep
+        |  UNION ALL SELECT event_id, 'alert_id', right(uuid, 6) FROM grp WHERE n >= 5 AND uuid = rep
+        |  UNION ALL SELECT event_id, 'alert_value', val FROM grp WHERE n >= 5
+        |  UNION ALL SELECT event_id, 'sub_alert', '1' FROM grp WHERE n >= 5 AND uuid <> rep
+        |  UNION ALL SELECT event_id, 'master_alert', rep FROM grp WHERE n >= 5 AND uuid <> rep)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_window_analytics" ->
       """SELECT event_id, user_id,

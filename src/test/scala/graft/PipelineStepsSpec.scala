@@ -217,32 +217,89 @@ class PipelineStepsSpec extends AnyFunSuite {
     assert(row.getSeq[String](2) === Seq("a1", "a2", "a3"))
   }
 
-  test("double doubling detects two consecutive doublings over min total") {
-    val rows = Seq.tabulate(2)(i => (s"w1$i", 1, "2016-01-04")) ++  // week 1: 2
-      Seq.tabulate(4)(i => (s"w2$i", 1, "2016-01-11")) ++            // week 2: 4
-      Seq.tabulate(8)(i => (s"w3$i", 1, "2016-01-18"))               // week 3: 8
-    val data = codedData(rows.map { case (u, c, d) =>
-      (u, c, d, Map("cmd_1" -> "1")) }: _*)
-    val alerts = MultipleAlerts.doubleDoubling(data, "cmd_1", minTotal = 14)
-    assert(alerts.count() === 1)
-    assert(alerts.select("n").as[Long].head() === 8L)
+  /** Weekly fixture shaped like the reference's `self.double` /
+    * `self.double_new_year` (test_add_multiple_alerts.py:231-330, 433-533):
+    * `counts` records per listed (epi_year, epi_week), uuids w<i>r<j>. */
+  private def weeklyData(counts: (Int, Int, Int)*) = {
+    val rows = counts.zipWithIndex.flatMap { case ((y, wk, n), i) =>
+      Seq.tabulate(n)(j => (f"w$i%02dr$j%02d", 1, y, wk))
+    }
+    rows.toSeq.toDF("uuid", "clinic", "epi_year", "epi_week")
+      .withColumn("date", lit("2016-01-04").cast("timestamp"))
+      .withColumn("variables", map(lit("cmd_1"), lit("1")))
   }
 
-  test("representative promotion marks rep and sub alerts") {
+  test("double doubling detects two consecutive doublings over min total") {
+    // reference self.double: weeks 1,2,3 with counts 2,4,8 → one alert whose
+    // uuids are the LAST week's (test_add_multiple_alerts.py:571-614)
+    val data = weeklyData((2016, 1, 2), (2016, 2, 4), (2016, 3, 8))
+    val alerts = MultipleAlerts.doubleDoubling(data, "cmd_1", minTotal = 14)
+    val row = alerts.select(col("epi_year"), col("epi_week"), col("n"),
+      col("uuids")).head()
+    assert(alerts.count() === 1)
+    assert(row.getInt(0) === 2016 && row.getInt(1) === 3)
+    assert(row.getLong(2) === 8L)
+    assert(row.getSeq[String](3).length === 8)
+    assert(row.getSeq[String](3).forall(_.startsWith("w02")))
+  }
+
+  test("double doubling: earliest week count must exceed 1") {
+    // reference deletes one week-1 record → counts 1,4,8 → no alert
+    val data = weeklyData((2016, 1, 1), (2016, 2, 4), (2016, 3, 8))
+    assert(MultipleAlerts.doubleDoubling(data, "cmd_1").count() === 0)
+  }
+
+  test("double doubling: a missing week breaks the chain") {
+    // weeks 1,5,9 with counts 2,4,8 — the reference's counts.get(week±k, 0)
+    // sees the zero weeks, so no alert (ADVICE round 1)
+    val data = weeklyData((2016, 1, 2), (2016, 5, 4), (2016, 9, 8))
+    assert(MultipleAlerts.doubleDoubling(data, "cmd_1").count() === 0)
+  }
+
+  test("double doubling: 5-week window total gate") {
+    // counts 2,4,8 sum to exactly 14 — passes the default gate, fails 15
+    val data = weeklyData((2016, 1, 2), (2016, 2, 4), (2016, 3, 8))
+    assert(MultipleAlerts.doubleDoubling(data, "cmd_1", minTotal = 14).count() === 1)
+    assert(MultipleAlerts.doubleDoubling(data, "cmd_1", minTotal = 15).count() === 0)
+  }
+
+  test("double doubling across the year boundary") {
+    // reference self.double_new_year (test_add_multiple_alerts.py:616-639):
+    // (year-1, week 52)=2, (year, 1)=4, (year, 2)=8 → one alert
+    val data = weeklyData((2015, 52, 2), (2016, 1, 4), (2016, 2, 8))
+    val alerts = MultipleAlerts.doubleDoubling(data, "cmd_1", minTotal = 14)
+    val row = alerts.select(col("epi_year"), col("epi_week"), col("n")).head()
+    assert(alerts.count() === 1)
+    assert(row.getInt(0) === 2016 && row.getInt(1) === 2 && row.getLong(2) === 8L)
+  }
+
+  test("representative promotion marks rep and sub alerts with form enrichment") {
     val data = codedData(
       ("a1", 1, "2016-01-04", Map("cmd_1" -> "1")),
-      ("a2", 1, "2016-01-04", Map("cmd_1" -> "1")),
+      // a2 carries stale alert keys that must be dropped on demotion
+      // (add_multiple_alerts.py:131-137)
+      ("a2", 1, "2016-01-04", Map("cmd_1" -> "1", "alert" -> "1", "alert_id" -> "zz")),
       ("a3", 1, "2016-01-04", Map("cmd_1" -> "1")),
       ("b9", 2, "2016-01-04", Map("cmd_1" -> "1")))
+    val formDf = form(
+      "a1" -> Map("age" -> "30"), "a2" -> Map("age" -> "31"),
+      "a3" -> Map("age" -> "32"), "b9" -> Map("age" -> "33"))
     val alerts = MultipleAlerts.dailyThreshold(data, "cmd_1", 3)
-    val promoted = MultipleAlerts.promote(data, alerts, alertIdLength = 2)
+    val promoted = MultipleAlerts.promote(data, alerts, formDf,
+      alertData = Map("age" -> "age"), alertIdLength = 2)
       .select(col("uuid"), col("variables")).as[(String, Map[String, String])]
       .collect().toMap
     assert(promoted("a1")("alert") === "1")
+    assert(promoted("a1")("alert_type") === "threshold")
+    assert(promoted("a1")("alert_duration") === "1")
     assert(promoted("a1")("alert_id") === "a1")
     assert(promoted("a1")("alert_reason") === "cmd_1")
+    assert(promoted("a1")("alert_age") === "30") // rep enriched from ITS form row
     assert(promoted("a2")("sub_alert") === "1")
     assert(promoted("a2")("master_alert") === "a1")
+    assert(promoted("a2")("alert_age") === "31") // subs enriched too
+    assert(!promoted("a2").contains("alert"))    // stale alert keys dropped
+    assert(!promoted("a2").contains("alert_id"))
     assert(promoted("a3")("master_alert") === "a1")
     assert(!promoted("b9").contains("alert")) // below threshold clinic untouched
   }
