@@ -46,8 +46,13 @@ object VariableCompiler {
   /** `Variable.to_date` (variable.py:321-367): date string → seconds since the
     * epi epoch (first epi-week-start weekday after 1970-01-01); non-date
     * values pass through as their numeric value. */
-  def toDateSeconds(raw: Column, policy: YearStartPolicy): Column = {
-    val parsed = parseDate(raw)
+  def toDateSeconds(raw: Column, policy: YearStartPolicy): Column =
+    toDateSecondsOf(parseDate(raw), raw, policy)
+
+  /** As `toDateSeconds`, with the parse supplied by the caller (a
+    * [[ColumnResolver.dateParsed]] pre-projection at catalog scale). */
+  def toDateSecondsOf(parsed: Column, raw: Column,
+                      policy: YearStartPolicy): Column = {
     // Reference epi_offset = (4 + start_weekday) % 7 days (variable.py:346-357):
     // days from the epoch (Thu 1970-01-01) to the first epi-week-start weekday.
     // "international" starts years on Jan 1, so the offset is 0 there.
@@ -126,8 +131,13 @@ object VariableCompiler {
           if (condList.contains("")) base || v.isNull else base
         coalesce(withNull, lit(false))
       case "sub_match" =>
-        // variable.py:207-224 — exact match OR any condition substring of value
-        val subs = condition.map(c => v.contains(c)).reduce(_ || _)
+        // variable.py:207-224 — exact match OR any condition substring of
+        // value. Long condition lists (the ICD prefix catalogs) go through
+        // the native ContainsAny expression: constant generated-code size
+        // and a short-circuiting scan, vs ~1KB of Java per Contains branch.
+        val subs =
+          if (condition.length > 4) ContainsAny.containsAny(v, condition)
+          else condition.map(c => v.contains(c)).reduce(_ || _)
         coalesce(v.isin(condition: _*) || subs, lit(false))
       case "not_null" =>
         // variable.py:226-231 — fails for missing, "", None; string "0" passes
@@ -148,7 +158,8 @@ object VariableCompiler {
     val (sub, ordered) = CalcParser.substitute(calculation, columns)
     val ast = CalcParser.parse(sub)
     val numeric = (i: Int) => r.get(ordered(i)).cast("double")
-    val toDated = (i: Int) => toDateSeconds(r.get(ordered(i)), policy)
+    val toDated = (i: Int) =>
+      toDateSecondsOf(r.dateParsed(ordered(i)), r.get(ordered(i)), policy)
     val result = CalcParser.lower(ast, numeric, toDated)
     val allPresent = columns.map(c => r.exists(c) && truthy(r.get(c))).reduce(_ && _)
     val lo = condition(0).toDouble
@@ -164,7 +175,7 @@ object VariableCompiler {
     val column = code.columnsPerTerm.head.head
     val v = r.get(column)
     if (code.calculation == "date") {
-      val parsed = parseDate(v)
+      val parsed = r.dateParsed(column)
       Compiled(
         coalesce(r.exists(column) && truthy(v) && parsed.isNotNull, lit(false)),
         date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss"))
@@ -185,7 +196,8 @@ object VariableCompiler {
       val raw = r.get(ordered(i))
       when(raw.isNull || raw === "", lit(0.0)).otherwise(raw.cast("double"))
     }
-    val toDated = (i: Int) => toDateSeconds(r.get(ordered(i)), policy)
+    val toDated = (i: Int) =>
+      toDateSecondsOf(r.dateParsed(ordered(i)), r.get(ordered(i)), policy)
     val result = CalcParser.lower(ast, numeric, toDated)
     val allExist = columns.map(r.exists).reduce(_ && _)
     // null result (division by zero / unparseable operand) → 0, still applicable

@@ -11,12 +11,24 @@ import graft.functions.EpiWeek.YearStartPolicy
   * each record and emit the `variables` / `categories` maps, alert tagging and
   * the disregard flag — as ONE wide `select` over compiled `when()` chains.
   *
-  * Scale notes: everything here is a narrow projection — no shuffle, no UDF;
-  * hundreds of codes become hundreds of branches inside whole-stage codegen
-  * (the reference's hash-dispatch fast path for single-`match` codes —
-  * to_codes.py:38-49 — is subsumed by CaseWhen branch chains in generated
-  * code). Catalyst prunes the read schema down to the columns the catalog
-  * actually references.
+  * Scale notes — this is the pipeline's CPU hot path, so it is built to stay
+  * inside whole-stage codegen:
+  *
+  *  - NO higher-order functions anywhere on the main-form path. Spark's
+  *    lambda HOFs (`transform`/`filter`/`exists`/`aggregate`) have no
+  *    `doGenCode`, so ONE of them in a projection forces the whole stage
+  *    interpreted (~100 µs/row on the 198-code demo catalog — measured).
+  *    Everything here is CaseWhen / least / concat — all codegen'd. (Codes
+  *    over *linked* forms do use HOFs — a link array is genuinely dynamic —
+  *    so only catalogs with link codes pay any interpreted cost.)
+  *  - No shared intermediate structs: SimplifyExtractValueOps tears
+  *    GetStructField-over-CaseWhen into per-field copies, so apparent plan
+  *    sharing is illusory. Instead each output is its own first-match fold
+  *    and the generated projection's subexpression elimination runs each
+  *    member predicate once per row; its method splitter keeps every
+  *    generated method under the JVM 64 KB limit at any catalog size.
+  *  - Everything is a narrow projection — no shuffle, no UDF; Catalyst
+  *    prunes the read schema down to the columns the catalog references.
   *
   * Semantics preserved:
   *  - calculation_group mutual exclusion: first applicable code in the group
@@ -25,17 +37,22 @@ import graft.functions.EpiWeek.YearStartPolicy
   *    priority, the loop does NOT break — every applicable member still
   *    contributes categories/alert/disregard; only the variables-map key is
   *    priority-gated: numerically LOWEST priority wins, ties keep the earlier
-  *    catalog entry (to_codes.py:260-282's overwrite loop ≡ min over
+  *    catalog entry (to_codes.py:260-282's overwrite loop ≡ least over
   *    (priority, index)).
   *  - categories: each hit writes category → its id; later groups
   *    overwrite on key collision (dict.update ≡ LAST_WIN map dedup).
-  *  - alert: a winning code with alert & alert_type=="individual" injects
-  *    alert=1, alert_type, alert_reason=<code id> and alert_<k>=row[col] for
-  *    the configured alert_data columns (to_codes.py:292-301).
-  *  - disregard: a winning disregard code routes the record out — but only if
+  *  - alert: a firing code with alert & alert_type=="individual" injects
+  *    alert=1, alert_type, alert_reason=<code id> (LAST firing alert code in
+  *    catalog order) and alert_<k>=row[col] for the configured alert_data
+  *    columns (to_codes.py:292-301).
+  *  - disregard: a firing disregard code routes the record out — but only if
   *    an individual alert also fired (to_codes.py:302-309).
   */
 object ToCodes {
+
+  private val entriesType = "array<struct<key:string,value:string>>"
+  private def emptyEntries = array().cast(entriesType)
+  private def nullString = lit(null).cast("string")
 
   /** Outcome of one code, honoring multiple_link aggregation over linked
     * rows (codes/to_codes.py:217-242): a code whose form is a *linked* form
@@ -72,184 +89,314 @@ object ToCodes {
     }
   }
 
-  /** Hits contributed by one mutual-exclusion group, or null when no member
-    * applies. Each hit struct carries a `winner` flag: only the flagged hit
-    * writes the variables-map entry; categories / alert / disregard aggregate
-    * over EVERY hit.
+  /** Static partial outputs of one slice of the catalog. All five columns
+    * compose with plain concat / OR / coalesce, so chunks and groups fold
+    * identically. */
+  private final case class Partials(
+      entries: Column,     // variables-map entries array (winners only)
+      catEntries: Column,  // categories entries array (every hit)
+      anyAlert: Column,    // did any firing member carry an individual alert
+      alertReason: Column, // id of the LAST firing alert member, else null
+      anyDisregard: Column)
+
+  private def concatAll(parts: Seq[Column]): Column = parts match {
+    case Seq()  => emptyEntries
+    case Seq(c) => c
+    case many   => concat(many: _*)
+  }
+
+  private def orAll(parts: Seq[Column]): Column =
+    parts.reduceOption(_ || _).getOrElse(lit(false))
+
+  private def lastReason(parts: Seq[Column]): Column = parts match {
+    case Seq()  => nullString
+    case Seq(c) => c
+    case many   => coalesce(many.reverse: _*)
+  }
+
+  /** (category → id) literal entries for one code. */
+  private def catsLit(code: CodeDef): Column =
+    array(code.category.map(c =>
+      struct(lit(c).as("key"), lit(code.id).as("value"))): _*)
+
+  /** Fold group partials into chunk partials; groups that contribute nothing
+    * to a fold (null markers) are pruned statically. */
+  private def foldPartials(parts: Seq[Partials]): Partials = Partials(
+    entries = concatAll(parts.map(_.entries)),
+    catEntries = concatAll(parts.filter(_.catEntries != null).map(_.catEntries)),
+    anyAlert = orAll(parts.filter(_.anyAlert != null).map(_.anyAlert)),
+    alertReason = lastReason(parts.filter(_.alertReason != null).map(_.alertReason)),
+    anyDisregard = orAll(parts.filter(_.anyDisregard != null).map(_.anyDisregard)))
+
+  /** Partials of one mutual-exclusion group — five independent expressions,
+    * no shared intermediate structs: GetStructField-over-CaseWhen gets torn
+    * apart by SimplifyExtractValueOps into per-field copies anyway, so
+    * sharing at the plan level is illusory. The member predicates appear in
+    * several folds; runtime subexpression elimination in the generated
+    * projection evaluates each once per row.
     *
-    * Priority groups (to_codes.py:260-309): the reference loop does NOT
-    * `break` when the group declares calculation_priority — every applicable
-    * member writes its categories, fires its individual alert (alert_reason =
-    * last applicable alerting member) and can set disregard; only the
-    * variables-map key is priority-gated (numerically lowest priority wins,
-    * ties keep the earlier catalog entry). Non-priority groups break on the
-    * first applicable member, so they emit exactly one hit. */
-  private def groupHits(group: Seq[(CodeDef, Int)], r: ColumnResolver,
-                        policy: YearStartPolicy,
-                        linkNameForForm: Map[String, String]): Column = {
-    val hasPriority = group.exists(_._1.calculationPriority.isDefined)
-    // winner column appended LAST so both branches produce the same shape
-    // (withField on a CaseWhen struct trips ReplaceUpdateFieldsExpression
-    // plan validation in Spark 4 — build the field in directly instead)
+    * Static pruning: groups without categories / alerts / disregard codes
+    * contribute no expression at all to those folds (`null` markers), which
+    * keeps the generated code proportional to what the catalog actually
+    * uses. */
+  private def groupPartials(group: Seq[(CodeDef, Int)], r: ColumnResolver,
+                            policy: YearStartPolicy,
+                            linkNameForForm: Map[String, String]): Partials = {
     val members = group.map { case (code, idx) =>
-      val c = compiledFor(code, r, policy, linkNameForForm)
-      def mk(winner: Option[Column]) = struct(Seq(
-        lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("priority"),
-        lit(idx).as("idx"),
-        lit(code.id).as("id"),
-        c.value.cast("string").as("value"),
-        array(code.category.map(lit): _*).as("cats"),
-        lit(code.alert && code.alertType == "individual").as("alert"),
-        lit(code.disregard).as("disregard")) ++
-        winner.map(_.as("winner")): _*)
-      (c.applicable, mk _)
+      (code, idx, compiledFor(code, r, policy, linkNameForForm))
     }
-    if (hasPriority) {
-      // all applicable members contribute; min (priority, idx) is the winner
-      val candidates = filter(
-        array(members.map { case (a, mk) => when(a, mk(None)) }: _*),
-        x => x.isNotNull)
-      val win = array_min(candidates)
-      when(size(candidates) > 0,
-        transform(candidates, x =>
-          x.withField("winner", x.getField("idx") === win.getField("idx"))))
+    val hasPriority = group.exists(_._1.calculationPriority.isDefined)
+    val hasCats = members.exists(_._1.category.nonEmpty)
+    def isAlert(c: CodeDef) = c.alert && c.alertType == "individual"
+    val hasAlert = members.exists(m => isAlert(m._1))
+    val hasDis = members.exists(_._1.disregard)
+
+    if (!hasPriority) {
+      // first applicable wins and the loop breaks (to_codes.py:305-306) —
+      // every output is a first-match CaseWhen over the member predicates
+      def firstMatch(f: ((CodeDef, Int, VariableCompiler.Compiled)) => Column) =
+        members.tail.foldLeft(
+          when(members.head._3.applicable, f(members.head))) {
+          case (acc, m) => acc.when(m._3.applicable, f(m))
+        }
+      Partials(
+        entries = coalesce(firstMatch(m =>
+          array(struct(lit(m._1.id).as("key"),
+            m._3.value.cast("string").as("value")))), emptyEntries),
+        catEntries = if (!hasCats) null
+          else coalesce(firstMatch(m =>
+            if (m._1.category.isEmpty) emptyEntries else catsLit(m._1)),
+            emptyEntries),
+        anyAlert = if (!hasAlert) null
+          else coalesce(firstMatch(m => lit(isAlert(m._1))), lit(false)),
+        alertReason = if (!hasAlert) null
+          else firstMatch(m =>
+            if (isAlert(m._1)) lit(m._1.id) else nullString),
+        anyDisregard = if (!hasDis) null
+          else coalesce(firstMatch(m => lit(m._1.disregard)), lit(false)))
     } else {
-      // first applicable wins — CaseWhen short-circuits like the `break`
-      val flagged = members.map { case (a, mk) => (a, mk(Some(lit(true)))) }
-      val w = flagged.tail.foldLeft(when(flagged.head._1, flagged.head._2)) {
-        case (acc, (a, s)) => acc.when(a, s)
-      }
-      when(w.isNotNull, array(w))
+      // priority group (to_codes.py:260-309): the loop does NOT break —
+      // every applicable member contributes categories/alert/disregard; only
+      // the variables entry is priority-gated. least() skips nulls, so the
+      // applicable member with the smallest (priority, idx) wins.
+      val wmin = least(members.map { case (code, idx, c) =>
+        when(c.applicable, struct(
+          lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("p"),
+          lit(idx).as("idx")))
+      }: _*)
+      val widx = wmin.getField("idx")
+      def byWinner(f: ((CodeDef, Int, VariableCompiler.Compiled)) => Column) =
+        members.tail.foldLeft(
+          when(widx === members.head._2, f(members.head))) {
+          case (acc, m) => acc.when(widx === m._2, f(m))
+        }
+      Partials(
+        entries = coalesce(
+          byWinner(m => array(struct(lit(m._1.id).as("key"),
+            m._3.value.cast("string").as("value")))),
+          emptyEntries),
+        catEntries = if (!hasCats) null
+          else concatAll(members.filter(_._1.category.nonEmpty).map {
+            case (code, _, c) =>
+              when(c.applicable, catsLit(code)).otherwise(emptyEntries)
+          }),
+        anyAlert = if (!hasAlert) null
+          else orAll(members.filter(m => isAlert(m._1))
+            .map(m => coalesce(m._3.applicable, lit(false)))),
+        alertReason = if (!hasAlert) null
+          else lastReason(members.filter(m => isAlert(m._1))
+            .map(m => when(m._3.applicable, lit(m._1.id)))),
+        anyDisregard = if (!hasDis) null
+          else orAll(members.filter(_._1.disregard)
+            .map(m => coalesce(m._3.applicable, lit(false)))))
     }
   }
+
+  /** Catalog order preserving group-by calculation_group (to_codes.py:33-36:
+    * ungrouped codes form singleton groups). */
+  private def groupedCatalog(codes: Seq[CodeDef]): Seq[Seq[(CodeDef, Int)]] = {
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(CodeDef, Int)]]
+    codes.zipWithIndex.foreach { case (c, i) =>
+      val g = c.calculationGroup.getOrElse(s"__singleton_${c.id}")
+      grouped(g) = grouped.getOrElse(g, Vector.empty) :+ ((c, i))
+    }
+    grouped.values.map(_.toSeq).toSeq
+  }
+
+  private def emptyMapCol =
+    map_from_entries(array().cast(entriesType))
 
   /** Compiled output columns for a code catalog against one row shape. */
   final case class Outputs(variables: Column, categories: Column, disregard: Column)
 
-  /** @param alertData name → source column for alert_<name> context values
-    *                  (country_config/demo_config.py:148-155) */
-  def outputs(codes: Seq[CodeDef], r: ColumnResolver,
-              policy: YearStartPolicy = EpiWeek.International,
-              alertData: Map[String, String] = Map.empty,
-              linkNameForForm: Map[String, String] = Map.empty): Outputs = {
-    val emptyMap = map_from_entries(
-      array().cast("array<struct<key:string,value:string>>"))
-    if (codes.isEmpty)
-      return Outputs(emptyMap, emptyMap, lit(false))
-    outputsFromHits(hitsColumn(codes, r, policy, linkNameForForm), r, alertData)
-  }
-
-  /** The per-row array of hits (winner-flagged structs) — the ONE expensive
-    * expression. Callers materialize it into a column before fanning out to
-    * variables/categories/disregard (which reference it ~6×; without
-    * materialization interpreted evaluation re-runs the whole catalog per
-    * output — measured 30×+ slowdown on the 198-code demo catalog). */
-  def hitsColumn(codes: Seq[CodeDef], r: ColumnResolver,
-                 policy: YearStartPolicy,
-                 linkNameForForm: Map[String, String] = Map.empty): Column = {
-    // group by calculation_group, preserving catalog order (to_codes.py:33-36:
-    // ungrouped codes form singleton groups)
-    val indexed = codes.zipWithIndex
-    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(CodeDef, Int)]]
-    indexed.foreach { case (c, i) =>
-      val g = c.calculationGroup.getOrElse(s"__singleton_${c.id}")
-      grouped(g) = grouped.getOrElse(g, Vector.empty) :+ ((c, i))
-    }
-    val groupArrays = array(grouped.values
-      .map(g => groupHits(g.toSeq, r, policy, linkNameForForm)).toSeq: _*)
-    flatten(filter(groupArrays, a => a.isNotNull))
-  }
-
-  /** Build the output maps from a (preferably materialized) hits column.
-    * @param staticEntries constant key→value pairs folded into the same map
-    *        build (the per-type counters — process_steps/to_codes.py:106-108 —
-    *        would otherwise cost a whole-map copy via map_concat per row) */
-  def outputsFromHits(hits: Column, r: ColumnResolver,
-                      alertData: Map[String, String],
-                      staticEntries: Seq[(String, String)] = Nil): Outputs = {
-    // only the per-group winner writes its variables-map entry; categories /
-    // alert / disregard below aggregate over every hit (to_codes.py:260-309)
-    val baseEntries0 = transform(filter(hits, w => w.getField("winner")), w =>
-      struct(w.getField("id").as("key"), w.getField("value").as("value")))
+  /** Assemble the final outputs from the catalog-wide partials. */
+  private def assemble(p: Partials, r: ColumnResolver,
+                       alertData: Map[String, String],
+                       staticEntries: Seq[(String, String)]): Outputs = {
     val baseEntries =
-      if (staticEntries.isEmpty) baseEntries0
-      else concat(baseEntries0, array(staticEntries.map { case (k, v) =>
+      if (staticEntries.isEmpty) p.entries
+      else concat(p.entries, array(staticEntries.map { case (k, v) =>
         struct(lit(k).as("key"), lit(v).as("value")) }: _*))
-
-    // alert injection: reference iterates groups in order and each alert hit
-    // overwrites alert_reason — the LAST alert-firing winner is visible
-    val alertHits = filter(hits, w => w.getField("alert"))
-    val anyAlert = size(alertHits) > 0
-    val alertReason = element_at(alertHits, -1).getField("id")
     val alertEntries: Seq[Column] =
       Seq(
         struct(lit("alert").as("key"), lit("1").as("value")),
         struct(lit("alert_type").as("key"), lit("individual").as("value")),
-        struct(lit("alert_reason").as("key"), alertReason.as("value"))) ++
+        struct(lit("alert_reason").as("key"), p.alertReason.as("value"))) ++
       alertData.toSeq.map { case (name, column) =>
         struct(lit(s"alert_$name").as("key"), r.get(column).as("value"))
       }
-    val allEntries = when(anyAlert,
-        concat(baseEntries, array(alertEntries: _*)))
-      .otherwise(baseEntries)
+    // the alert block is its own conditional ARRAY concatenated once —
+    // `when(anyAlert, concat(base, alerts)).otherwise(base)` would emit the
+    // whole catalog-wide base expression twice in generated code
+    val allEntries = concat(baseEntries,
+      when(p.anyAlert, array(alertEntries: _*)).otherwise(emptyEntries))
     // map_from_entries + LAST_WIN dedup ≡ dict insert order semantics
     val variables = map_from_entries(allEntries)
 
-    val catEntries = flatten(transform(hits, w =>
-      transform(w.getField("cats"), c =>
-        struct(c.as("key"), w.getField("id").as("value")))))
-    val categories = when(size(catEntries) > 0, map_from_entries(catEntries))
-      .otherwise(map_from_entries(array().cast("array<struct<key:string,value:string>>")))
+    val categories = when(size(p.catEntries) > 0, map_from_entries(p.catEntries))
+      .otherwise(emptyMapCol)
 
-    val anyDisregard = exists(hits, w => w.getField("disregard"))
-    val disregard = anyDisregard && anyAlert
-
+    val disregard = p.anyDisregard && p.anyAlert
     Outputs(variables, categories, disregard)
+  }
+
+  /** Output expressions for a catalog — used directly by specs and small
+    * callers; `apply` wires them onto a DataFrame with the referenced
+    * columns pre-projected. */
+  def outputs(codes: Seq[CodeDef], r: ColumnResolver,
+              policy: YearStartPolicy = EpiWeek.International,
+              alertData: Map[String, String] = Map.empty,
+              linkNameForForm: Map[String, String] = Map.empty): Outputs = {
+    if (codes.isEmpty)
+      return Outputs(emptyMapCol, emptyMapCol, lit(false))
+    val p = foldPartials(groupedCatalog(codes).map(g =>
+      groupPartials(g, r, policy, linkNameForForm)))
+    assemble(p, r, alertData, Nil)
   }
 
   /** Append variables/categories/disregard columns to `df`.
     *
-    * Two-stage evaluation for catalog-scale performance:
-    *  1. every distinct referenced form column is projected ONCE into a bound
-    *     attribute (a 200-code catalog references ~40 distinct columns —
-    *     without this each code repeats its own map lookups);
-    *  2. the winner array is materialized into a column so the catalog
-    *     evaluates once per row, with variables/categories/disregard reading
-    *     the materialized result.
-    */
+    * Evaluation shape for catalog-scale performance: every distinct
+    * referenced form column is projected ONCE into a bound attribute (a
+    * 200-code catalog references ~40 distinct columns — without this each
+    * code repeats its own map lookups), then the three outputs are single
+    * HOF-free expressions. The generated (non-whole-stage) projection
+    * splits the evaluator into per-subtree methods and runs common
+    * subexpressions once, so the catalog stays compiled at any size. */
   def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
             policy: YearStartPolicy = EpiWeek.International,
             alertData: Map[String, String] = Map.empty,
             linkNameForForm: Map[String, String] = Map.empty,
             staticEntries: Seq[(String, String)] = Nil): DataFrame = {
     if (codes.isEmpty) {
-      val o = outputs(codes, r, policy, alertData, linkNameForForm)
       val vars =
-        if (staticEntries.isEmpty) o.variables
+        if (staticEntries.isEmpty) emptyMapCol
         else map(staticEntries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
       return df.withColumn("variables", vars)
-        .withColumn("categories", o.categories)
-        .withColumn("disregard", o.disregard)
+        .withColumn("categories", emptyMapCol)
+        .withColumn("disregard", lit(false))
     }
     // names must stay verbatim (no trim): the compiler resolves by the exact
     // strings columnsPerTerm yields
-    val mainCols = (codes
-      .filter(c => !linkNameForForm.contains(c.form))
-      .flatMap(_.columnsPerTerm.flatten) ++ alertData.values)
-      .filter(_.nonEmpty).distinct
+    val mainCodes = codes.filter(c => !linkNameForForm.contains(c.form))
+    val mainCols = (mainCodes.flatMap(_.columnsPerTerm.flatten) ++
+      alertData.values).filter(_.nonEmpty).distinct
     val attrMap = mainCols.zipWithIndex
       .map { case (c, i) => c -> s"__tc_c$i" }.toMap
-    val projected = attrMap.foldLeft(df) { case (acc, (name, attr)) =>
+    // columns the catalog parses as dates get their parse pre-projected too:
+    // the ~10-format try_to_timestamp ladder is both bulky in generated code
+    // (it blew slice stages past the 64 KB method limit) and expensive to
+    // re-evaluate per referencing code
+    val toDateRe = "Variable\\.to_date\\(([^)]+)\\)".r
+    val dateCols = mainCodes.flatMap { c =>
+      val valueDate =
+        if (c.methodTerms == Seq("value") && c.calculation == "date")
+          c.columnsPerTerm.head.headOption.toSeq
+        else Nil
+      valueDate ++
+        toDateRe.findAllMatchIn(c.calculation).map(_.group(1).trim)
+    }.filter(_.nonEmpty).distinct
+    val dateAttrMap = dateCols.zipWithIndex
+      .map { case (c, i) => c -> s"__tc_d$i" }.toMap
+    val projected0 = attrMap.foldLeft(df) { case (acc, (name, attr)) =>
       acc.withColumn(attr, r.get(name))
     }
-    val br = new graft.functions.BoundResolver(attrMap)
-    val withHits = projected.withColumn("__tc_hits",
-      hitsColumn(codes, br, policy, linkNameForForm))
-    val o = outputsFromHits(col("__tc_hits"), br, alertData, staticEntries)
-    withHits
+    val projected = dateAttrMap.foldLeft(projected0) { case (acc, (name, attr)) =>
+      acc.withColumn(attr, VariableCompiler.parseDate(r.get(name)))
+    }
+    val br = new graft.functions.BoundResolver(attrMap, dateAttrMap)
+    val groups = groupedCatalog(codes)
+
+    if (codes.length < StageBarrierThreshold) {
+      // small catalog: one unmaterialized projection, full cross-stage
+      // Catalyst optimization (pruning, pushdown, fusion)
+      val p = foldPartials(groups.map(g =>
+        groupPartials(g, br, policy, linkNameForForm)))
+      val o = assemble(p, br, alertData, staticEntries)
+      return projected
+        .withColumn("variables", o.variables)
+        .withColumn("categories", o.categories)
+        .withColumn("disregard", o.disregard)
+        .drop((attrMap.values ++ dateAttrMap.values).toSeq: _*)
+    }
+
+    // Catalog-sized projections are evaluated in their OWN execution
+    // stages: fused into an upstream stage (joins, windows, filters) or a
+    // consumer stage (write, explode, aggregate), the combined generated
+    // `doConsume` exceeds Janino's 64 KB method limit and the WHOLE fused
+    // stage drops to interpreted evaluation (~10× slower, measured on the
+    // 198-code demo catalog). Stage barriers on both sides — and between
+    // slices of a very large catalog — keep every generated method
+    // compiled at any catalog size. Each slice lands its partial outputs in
+    // a struct column; the RDD boundary is also what stops
+    // SimplifyExtractValueOps/CollapseProject from tearing the struct back
+    // into per-consumer copies of the whole slice expression.
+    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    val slices = sliceGroups(groups, MaxCodesPerStage)
+    val sliceNames = slices.indices.map(i => s"__tc_s$i")
+    var acc = stageBarrier(projected)
+    slices.zip(sliceNames).foreach { case (sliceGroupSeq, name) =>
+      val p = foldPartials(sliceGroupSeq.map(g =>
+        groupPartials(g, br, policy, linkNameForForm)))
+      acc = stageBarrier(acc.withColumn(name,
+        struct(p.entries.as("e"), p.catEntries.as("c"), p.anyAlert.as("a"),
+          p.alertReason.as("r"), p.anyDisregard.as("d"))))
+    }
+    val parts = sliceNames.map { n =>
+      Partials(col(n).getField("e"), col(n).getField("c"),
+        col(n).getField("a"), col(n).getField("r"), col(n).getField("d"))
+    }
+    val o = assemble(foldPartials(parts), br, alertData, staticEntries)
+    acc
       .withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
       .withColumn("disregard", o.disregard)
-      .drop(attrMap.values.toSeq :+ "__tc_hits": _*)
+      .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames: _*)
   }
+
+  /** Split groups into slices of at most `maxCodes` codes, never splitting
+    * a mutual-exclusion group. */
+  private def sliceGroups(groups: Seq[Seq[(CodeDef, Int)]],
+                          maxCodes: Int): Seq[Seq[Seq[(CodeDef, Int)]]] = {
+    val slices = Vector.newBuilder[Seq[Seq[(CodeDef, Int)]]]
+    var current = Vector.empty[Seq[(CodeDef, Int)]]
+    var n = 0
+    groups.foreach { g =>
+      if (n > 0 && n + g.length > maxCodes) {
+        slices += current; current = Vector.empty; n = 0
+      }
+      current :+= g; n += g.length
+    }
+    if (current.nonEmpty) slices += current
+    slices.result()
+  }
+
+  /** Catalogs at or above this size are evaluated behind stage barriers;
+    * below it the single projection stays comfortably under the method
+    * limit even when fused with its neighbors. */
+  val StageBarrierThreshold = 64
+
+  /** Max codes evaluated per barrier-delimited stage, sized so a slice's
+    * generated evaluator compiles with ample headroom. */
+  val MaxCodesPerStage = 64
 }

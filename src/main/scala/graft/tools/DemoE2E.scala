@@ -22,6 +22,7 @@ object DemoE2E {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.debug.maxToStringFields", "5000")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     if (sys.env.contains("GRAFT_NO_CONSTRAINTS"))
       b.config("spark.sql.constraintPropagation.enabled", "false")
