@@ -59,6 +59,7 @@ object VariableCompiler {
     val off = policy match {
       case EpiWeek.International => 0L
       case EpiWeek.StartDay(w)   => ((4 + w) % 7).toLong * 86400L
+      case _: EpiWeek.Custom     => 0L // no epoch notion for custom configs
     }
     when(parsed.isNotNull, (unix_timestamp(parsed) - off).cast("double"))
       .otherwise(raw.cast("double"))

@@ -29,7 +29,10 @@ object DataPipeline {
       locations: Seq[LocationNode] = Nil,
       alertData: Map[String, String] = Map.empty,
       policy: YearStartPolicy = EpiWeek.StartDay(0),
-      alertIdLength: Int = 6)
+      alertIdLength: Int = 6,
+      /** named JSON parameter blobs (database_setup.py:331-362); rules
+        * reference them as `<file>.<group>.<key>` pseudo-columns */
+      calculationParameters: CalculationParameters.Params = Map.empty)
 
   final case class Result(data: DataFrame, disregarded: DataFrame)
 
@@ -154,7 +157,11 @@ object DataPipeline {
       .map(l => l.toForm -> l.name).toMap
     // per-type counters (process_steps/to_codes.py:106-108) fold into the
     // same map build — a separate map_concat would copy the map per row
-    val withCounters = ToCodes(withLoc, typeCodes, new MapResolver(col("data")),
+    val baseResolver = new MapResolver(col("data"))
+    val resolver =
+      if (cfg.calculationParameters.isEmpty) baseResolver
+      else new ParameterResolver(baseResolver, cfg.calculationParameters)
+    val withCounters = ToCodes(withLoc, typeCodes, resolver,
       cfg.policy, cfg.alertData, linkNameForForm,
       staticEntries = Seq(t.varName -> "1", "data_entry" -> "1"))
 
