@@ -51,17 +51,36 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via the postings self-join:
     * |A∩B| from the shingle join, |A|,|B| from per-doc counts; emit pairs
     * with jaccard ≥ threshold. No O(n²) pair scan — the shuffle key is the
-    * shingle, so cost is Σ posting-list². */
+    * shingle, so cost is Σ posting-list².
+    *
+    * @param maxShingleDf skew guard: drop shingles whose document frequency
+    *        exceeds this cap BEFORE the self-join. A stop-shingle ("in the
+    *        beginning", boilerplate headers) with document frequency f costs
+    *        f² join rows — one shingle in 1M docs is 10¹² candidate rows at
+    *        corpus scale. Dropped shingles leave both the intersection and
+    *        the per-doc sizes, so pairs whose overlap is only boilerplate
+    *        fall below threshold (the standard stop-shingle Jaccard). The
+    *        DF count rides the same shingle-keyed shuffle the join needs —
+    *        zero extra exchanges. With a cap above the corpus's max DF the
+    *        output is exactly the unguarded result (spec-verified). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
     // join on a 64-bit shingle hash instead of the shingle string: same pair
     // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume and
     // long-vs-string comparisons in the join. Persisted: the self-join +
     // counts would otherwise re-run the tokenize/shingle pipeline three
     // times (postings are tiny relative to the corpus — ids + hashes).
-    val postings = shinglePostings(docs, idCol, textCol, k)
+    val raw = shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val guarded = maxShingleDf match {
+      case None => raw
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        raw.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= cap).drop("__df")
+    }
+    val postings = guarded
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = postings.as("p1")
@@ -101,9 +120,20 @@ object Dedup {
     * signatures are built from the wide minhash row (no extra shuffle);
     * for numHashes ≤ 10 the index-order concat equals the sorted concat of
     * "i|mh_i" strings, matching the order-insensitive definition. */
+  /** @param maxBucketSize skew guard: skip (band, signature) buckets holding
+    *        more than this many documents. One degenerate signature (empty
+    *        or boilerplate documents all hashing alike) makes its bucket
+    *        quadratic — b docs emit b²/2 candidate pairs inside the bucket
+    *        regardless of corpus-side banding. Oversized buckets are almost
+    *        always a degenerate content class, not genuine near-dups of one
+    *        another; real members still pair through their other bands. The
+    *        size count rides the (band, sig)-keyed shuffle the self-join
+    *        needs — zero extra exchanges. With a cap above the corpus's max
+    *        bucket size the output is exactly the unguarded result
+    *        (spec-verified). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
                       idCol: String = "doc_id", textCol: String = "text",
-                      k: Int = 3): DataFrame = {
+                      k: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     require(numHashes <= 10, "index-order concat assumes single-digit hash ids")
     val mh = minhashes(docs, numHashes, idCol, textCol, k)
     val numBands = numHashes / bandSize
@@ -114,15 +144,57 @@ object Dedup {
     }
     // persisted for the same reason as in jaccardPairs: both sides of the
     // bucket self-join would re-run shingling + 8 md5 min-aggregations
-    val bands = mh.select(col("doc_id"),
+    val rawBands = mh.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val guardedBands = maxBucketSize match {
+      case None => rawBands
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("sig"))
+        rawBands.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+    }
+    val bands = guardedBands
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("b1")
       .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
         col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
       .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Skew counters for the [[jaccardPairs]] guard: one row with the max
+    * shingle document frequency, how many shingles a given cap would drop,
+    * and how many postings they carry. Run (and log) when tuning
+    * `maxShingleDf` — the operators themselves stay pure plan builders. */
+  def jaccardSkewStats(docs: DataFrame, cap: Int, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 3): DataFrame =
+    shinglePostings(docs, idCol, textCol, k)
+      .groupBy(xxhash64(col("shingle")).as("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("max_shingle_df"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_shingles_dropped"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L)).as("n_postings_dropped"))
+
+  /** Skew counters for the [[minhashLshPairs]] guard: max bucket size and
+    * what a given `maxBucketSize` cap would drop. */
+  def lshSkewStats(docs: DataFrame, cap: Int, numHashes: Int = 8,
+                   bandSize: Int = 2, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 3): DataFrame = {
+    val pairs = minhashes(docs, numHashes, idCol, textCol, k)
+    val numBands = numHashes / bandSize
+    val bandStructs = (0 until numBands).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize)
+        .map(i => concat_ws("|", lit(i), col(s"mh$i")))
+      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("sig"))
+    }
+    pairs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_bucket_size"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_buckets_dropped"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("n_docs_in_dropped"))
   }
 
   /** 16-bit SimHash from per-token md5 digests: bit j is the sign of the sum

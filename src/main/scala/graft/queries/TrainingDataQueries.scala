@@ -79,12 +79,19 @@ object TrainingDataQueries extends QueryPack {
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.3)
+      // skew guard on (observed max shingle DF is 25 at sf0.1, so a cap of
+      // 1000 is exercise-without-effect here; at corpus scale it is the
+      // stop-shingle defense)
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.3,
+        maxShingleDf = Some(1000))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8, bandSize = 2)
+      // bucket-size guard on (observed max bucket is 13 at sf0.1; 1000 is
+      // exercise-without-effect here, the hot-bucket defense at scale)
+      Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8,
+        bandSize = 2, maxBucketSize = Some(1000))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

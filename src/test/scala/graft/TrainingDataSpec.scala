@@ -47,6 +47,63 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("skew guards are identity when caps exceed observed maxima") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words appear in this document here",
+      4L -> "the quick brown fox jumps over the lazy dog tomorrow")
+    val base = Dedup.jaccardPairs(d, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.jaccardPairs(d, 0.3, maxShingleDf = Some(1000))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(guarded === base)
+    val lshBase = Dedup.minhashLshPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshGuarded = Dedup.minhashLshPairs(d, maxBucketSize = Some(1000))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lshGuarded === lshBase)
+  }
+
+  test("binding shingle-DF cap drops boilerplate-only pairs") {
+    // docs share ONLY the boilerplate prefix; with the stop-shingle cap
+    // binding (the prefix shingles appear in all 5 docs) the overlap — and
+    // the pair — disappears
+    val boiler = "copyright notice all rights reserved"
+    val d = docs(
+      1L -> s"$boiler unique alpha text one",
+      2L -> s"$boiler unrelated beta words two",
+      3L -> s"$boiler different gamma tokens three",
+      4L -> s"$boiler other delta content four",
+      5L -> s"$boiler more epsilon stuff five")
+    val unguarded = Dedup.jaccardPairs(d, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.nonEmpty) // boilerplate alone clears the 0.2 threshold
+    val guarded = Dedup.jaccardPairs(d, 0.2, maxShingleDf = Some(4))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(guarded.isEmpty)
+  }
+
+  test("binding LSH bucket cap skips the degenerate bucket") {
+    // five identical docs form one degenerate bucket per band (size 5 > 3);
+    // the guard drops those buckets and with them the quadratic pair set
+    val d = docs((1L to 5L).map(i => i -> "same words in every doc body"): _*)
+    assert(Dedup.minhashLshPairs(d).count() === 10) // 5 choose 2
+    assert(Dedup.minhashLshPairs(d, maxBucketSize = Some(3)).count() === 0)
+  }
+
+  test("skew stats report maxima and what a cap would drop") {
+    val d = docs(
+      1L -> "shared shingle words here plus alpha",
+      2L -> "shared shingle words here plus beta",
+      3L -> "shared shingle words here plus gamma")
+    val js = Dedup.jaccardSkewStats(d, cap = 2).head()
+    assert(js.getLong(0) === 3L)     // "shared shingle words" in all 3 docs
+    assert(js.getLong(1) >= 1L)      // at least that shingle dropped by cap=2
+    val ls = Dedup.lshSkewStats(d, cap = 10).head()
+    assert(ls.getLong(0) >= 1L && ls.getLong(1) === 0L)
+  }
+
   test("simhash is identical for identical content, differs for different") {
     val out = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
         3L -> "delta epsilon zeta unrelated tokens")
