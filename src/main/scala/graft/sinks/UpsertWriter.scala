@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object UpsertWriter {
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+
+  /** Promote `tmp` into `target`: rename the live directory ASIDE first,
+    * promote, then delete the old copy — a failed rename restores the
+    * original and throws instead of silently losing the store. */
+  private def swapDir(tmp: java.io.File, target: java.io.File): Unit = {
+    val old = new java.io.File(target.getPath + ".old")
+    if (old.exists()) rm(old)
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"could not move $target aside to $old")
+    if (!tmp.renameTo(target)) {
+      if (old.exists()) old.renameTo(target) // restore the previous store
+      throw new java.io.IOException(s"could not promote $tmp to $target")
+    }
+    if (old.exists()) rm(old)
+  }
+
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
              keys: Seq[String] = Seq("uuid", "type")): Unit = {
     val dir = new java.io.File(path)
@@ -30,15 +50,54 @@ object UpsertWriter {
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     // atomic-ish swap (single-FS); object stores would overwrite in place or MERGE
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
+    swapDir(new java.io.File(tmp), new java.io.File(path))
+  }
+
+  /** Partition-scoped upsert over the [[DataWriter]] `(type, epi_year)`
+    * layout: only the partitions the batch touches are read, merged and
+    * swapped — the rest of the store is never opened or rewritten. This is
+    * the MERGE-shaped path a nightly incremental run takes at 100 TB: a
+    * day's batch touches a handful of (type, epi_year) partitions, so the
+    * rewrite is bounded by batch-adjacent data, not store size.
+    *
+    * The touched-partition list is collected driver-side — it is partition
+    * METADATA (types × years, dozens of values), the same scale of state a
+    * Delta/Iceberg MERGE plans its file rewrite from. */
+  def upsertPartitioned(spark: SparkSession, batch: DataFrame, path: String,
+                        partitionCols: Seq[String] = Seq("type", "epi_year"),
+                        keys: Seq[String] = Seq("uuid", "type")): Unit = {
+    val root = new java.io.File(path)
+    if (!root.exists()) {
+      batch.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*).parquet(path)
+      return
     }
-    new java.io.File(tmp).renameTo(target)
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    val prune = touched.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // partition-pruned scan: only touched partitions are read (the filter is
+    // on partition columns, so it prunes directories, not rows)
+    val current = spark.read.parquet(path).filter(prune)
+    val newKeys = batch.select(keys.map(col): _*).distinct()
+    val merged = current.join(newKeys, keys, "left_anti")
+      .unionByName(batch.select(current.columns.map(col): _*))
+    val tmp = path + ".tmp"
+    merged.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
+    // swap ONLY the touched partition directories
+    touched.foreach { row =>
+      val rel = partitionCols.zipWithIndex
+        .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+      val tmpPart = new java.io.File(s"$tmp/$rel")
+      val livePart = new java.io.File(s"$path/$rel")
+      livePart.getParentFile.mkdirs()
+      if (tmpPart.exists()) swapDir(tmpPart, livePart)
+      else if (livePart.exists()) rm(livePart) // batch emptied the partition
+    }
+    rm(new java.io.File(tmp))
   }
 
   /** Dead-letter quarantine (reference step_failures, model.py:47-54 +

@@ -63,4 +63,17 @@ object FormSource {
         .schema(schemaFrom.schema)
         .csv(path),
       uuidField)
+
+  /** Strip ODK group prefixes from the data-map keys:
+    * `grp./field` → `field` (the reference's `group./field` convention,
+    * util/__init__.py:405-419). Deployments whose rule catalogs address
+    * fields WITHOUT prefixes apply this right after the scan so
+    * `db_column`s match the exported keys. Ungrouped keys pass through;
+    * a collision after stripping keeps the later entry (LAST_WIN map
+    * semantics — the reference's dict assignment order). Pure
+    * `transform_keys`, no shuffle. */
+  def stripGroupPrefixes(df: DataFrame): DataFrame =
+    df.withColumn("data",
+      transform_keys(col("data"), (k, _) =>
+        regexp_replace(k, "^.*?\\./", "")))
 }

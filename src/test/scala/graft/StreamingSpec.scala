@@ -33,6 +33,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("uuid:1" -> Some("female"), "uuid:2" -> None))
   }
 
+  test("group-prefix stripping flattens grp./field keys to field") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/grouped.csv"),
+      "meta/instanceID,pt./visit_date,intro./module,plain\n" +
+        "uuid:1,2016-06-01,ncd,x\n")
+    val df = FormSource.stripGroupPrefixes(
+      FormSource.csv(spark, s"$dir/grouped.csv"))
+    val data = df.select(col("data")).as[Map[String, String]].head()
+    assert(data === Map(
+      // "meta/instanceID" has no "./" separator, so it passes through
+      "meta/instanceID" -> "uuid:1",
+      "visit_date" -> "2016-06-01",
+      "module" -> "ncd",
+      "plain" -> "x"))
+  }
+
   test("fake data generator is deterministic and respects field kinds") {
     val fields = Map[String, FakeData.FieldKind](
       "intro./visit" -> FakeData.OneOf(Seq("new", "return")),
@@ -60,6 +76,25 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.read.parquet(path)
       .select("uuid", "payload").as[(String, String)].collect().toMap
     assert(out === Map("u1" -> "new", "u2" -> "keep"))
+  }
+
+  test("partitioned upsert rewrites only the touched partitions") {
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case", 2015, "a"), ("u2", "case", 2016, "b"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v1, path)
+    val p2015 = new java.io.File(s"$path/type=case/epi_year=2015")
+    def snapshot() = p2015.listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = snapshot()
+    // this batch touches ONLY (case, 2016): u2 replaced, u3 added
+    val v2 = Seq(("u2", "case", 2016, "B"), ("u3", "case", 2016, "c"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v2, path)
+    assert(snapshot() === before) // untouched partition's files unchanged
+    val out = spark.read.parquet(path).select(col("uuid"), col("v"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("u1" -> "a", "u2" -> "B", "u3" -> "c"))
   }
 
   test("streaming foreachBatch reuses the batch pipeline and upserts") {
