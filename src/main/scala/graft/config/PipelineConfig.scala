@@ -57,6 +57,14 @@ final case class QualityControlDef(
     deviceStartDates: Map[String, String] = Map.empty, // deviceid → ISO date
     uuidField: String = "meta/instanceID")
 
+/** Devices dimension (model.py:81-84): registered device ids with their
+  * tag lists (JSONB upstream). Joined into the location block during
+  * deviceid resolution (codes/to_codes.py:122-127 `tags:
+  * devices.get(deviceid)`). */
+final case class DeviceDef(
+    deviceId: String,
+    tags: Seq[String] = Nil)
+
 /** Alert-variable spec for threshold / double-doubling detection
   * (add_multiple_alerts.py). `limits` semantics follow the reference:
   * 2 entries = (daily, weekly); 4 entries = separate hospital limits. */

@@ -27,6 +27,7 @@ object DataPipeline {
       qc: Map[String, QualityControlDef] = Map.empty,       // per form
       initialVisit: Seq[InitialVisitDef] = Nil,
       locations: Seq[LocationNode] = Nil,
+      devices: Seq[DeviceDef] = Nil,    // device tags (model.py:81-84)
       alertData: Map[String, String] = Map.empty,
       policy: YearStartPolicy = EpiWeek.StartDay(0),
       alertIdLength: Int = 6,
@@ -110,8 +111,9 @@ object DataPipeline {
 
     // location resolution (codes/to_codes.py:104-180); unknown device /
     // point outside every district → drop (inner joins)
+    val nullTags = lit(null).cast("array<string>")
     val withLoc =
-      if (cfg.locations.isEmpty) split
+      if (cfg.locations.isEmpty) split.withColumn("tags", nullTags)
       else if (t.location.startsWith("in_geometry")) {
         // "in_geometry$<xcol>,<ycol>": point-in-district-polygon via the
         // native PointInPolygon expression against the broadcast dimension
@@ -134,8 +136,9 @@ object DataPipeline {
           .withColumn("clinic", lit(null).cast("int"))
           .withColumn("clinic_type", lit(null).cast("string"))
           .withColumn("case_type", lit(null).cast("array<string>"))
-          .withColumn("device_id_unused", lit(null).cast("string"))
-          .drop("device_id_unused")
+          // reference sets tags: None for geometry-located rows
+          // (to_codes.py:163-170)
+          .withColumn("tags", nullTags)
       } else {
         val dim = broadcast(Locations.deviceDimension(spark, cfg.locations)
           .withColumnRenamed("deviceid", "__dev"))
@@ -144,7 +147,17 @@ object DataPipeline {
         val devCol = if (parts.length >= 2) parts(1) else "deviceid"
         val prefix = if (parts.length >= 3) parts(2) else ""
         val devVal = concat(lit(prefix), new MapResolver(col("data")).get(devCol))
-        split.join(dim, devVal === col("__dev"), "inner").drop("__dev")
+        val located = split.join(dim, devVal === col("__dev"), "inner").drop("__dev")
+        // device tags (to_codes.py:122-127: tags = devices.get(deviceid)) —
+        // the devices dimension is config-sized, so it compiles into a
+        // literal map lookup, not a join
+        val tags =
+          if (cfg.devices.isEmpty) lit(null).cast("array<string>")
+          else element_at(
+            map(cfg.devices.flatMap(d =>
+              Seq(lit(d.deviceId), array(d.tags.map(lit): _*).cast("array<string>"))): _*),
+            r.get("deviceid"))
+        located.withColumn("tags", tags)
       }
 
     // code evaluation for this data type; codes targeting a linked form

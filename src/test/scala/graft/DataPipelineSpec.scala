@@ -44,6 +44,7 @@ class DataPipelineSpec extends AnyFunSuite {
         "reg_count", multipleRow = Some("row_count"))),
     codes = codes,
     locations = locations,
+    devices = Seq(DeviceDef("d1", Seq("pilot", "hospital")), DeviceDef("d2")),
     alertData = Map("gender" -> "gender"))
 
   private def caseRow(gender: String, icd: String = "", status: String = "",
@@ -80,6 +81,14 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(rows("u2") === ((5, None, Some(2), 1))) // clinic parented at region
     assert(!rows.contains("u3"))
     assert(!rows.contains("u5"))
+  }
+
+  test("device tags attach from the devices dimension (model.py:81-84)") {
+    val rows = result.data.filter(col("type") === "case")
+      .select(col("uuid"), col("tags")).collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[String](1)).map(_.toSeq)).toMap
+    assert(rows("u1") === Some(Seq("pilot", "hospital"))) // d1's tags
+    assert(rows("u2") === Some(Seq())) // d2 registered, no tags
   }
 
   test("epi columns and counters are attached") {
