@@ -18,28 +18,52 @@ object MultipleAlerts {
   private def hasVar(varId: String) =
     map_contains_key(col("variables"), varId)
 
+  /** Reference hospital-limit gate (add_multiple_alerts.py:183-205,
+    * 238-247): a 4-entry `threshold:d,w,hd,hw` config applies the separate
+    * hospital limit to clinics whose clinic_type == "Hospital" — ON TOP of
+    * the base filter (the reference pre-filters groups at the base limit
+    * before the hospital check, so a hospital group needs BOTH). */
+  private def limitGate(limit: Int, hospitalLimit: Option[Int]): Column =
+    hospitalLimit match {
+      case None => col("n") >= limit
+      case Some(h) => col("n") >= limit &&
+        (col("clinic_type").isNull || col("clinic_type") =!= "Hospital" ||
+          col("n") >= h)
+    }
+
+  private def groupCols(hospitalLimit: Option[Int]) =
+    if (hospitalLimit.isEmpty) Nil else Seq(col("clinic_type"))
+
   /** A1 — daily threshold (add_multiple_alerts.py:154-216): per clinic and
     * 1-day tumbling window, alert when the count of records carrying `varId`
     * reaches `limit`; contributing uuids collected (sorted = deterministic;
     * the reference emits them in frame order). duration=1 feeds
-    * `alert_duration` at promotion (add_multiple_alerts.py:105). */
-  def dailyThreshold(data: DataFrame, varId: String, limit: Int): DataFrame =
+    * `alert_duration` at promotion (add_multiple_alerts.py:105).
+    * @param hospitalLimit 4-entry configs' separate Hospital limit; requires
+    *        a `clinic_type` column on `data` */
+  def dailyThreshold(data: DataFrame, varId: String, limit: Int,
+                     hospitalLimit: Option[Int] = None): DataFrame =
     data.filter(hasVar(varId))
-      .groupBy(col("clinic"), to_date(col("date")).as("day"))
+      .groupBy(col("clinic") +: to_date(col("date")).as("day") +:
+        groupCols(hospitalLimit): _*)
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(col("uuid"))).as("uuids"))
-      .filter(col("n") >= limit)
+      .filter(limitGate(limit, hospitalLimit))
+      .drop("clinic_type")
       .withColumn("var_id", lit(varId))
       .withColumn("duration", lit(1))
 
   /** A2 — weekly threshold (add_multiple_alerts.py:218-252): epi-week-aligned
     * weekly windows; epi_year/epi_week are precomputed data columns. */
-  def weeklyThreshold(data: DataFrame, varId: String, limit: Int): DataFrame =
+  def weeklyThreshold(data: DataFrame, varId: String, limit: Int,
+                      hospitalLimit: Option[Int] = None): DataFrame =
     data.filter(hasVar(varId))
-      .groupBy(col("clinic"), col("epi_year"), col("epi_week"))
+      .groupBy(col("clinic") +: col("epi_year") +: col("epi_week") +:
+        groupCols(hospitalLimit): _*)
       .agg(count(lit(1)).as("n"),
         sort_array(collect_list(col("uuid"))).as("uuids"))
-      .filter(col("n") >= limit)
+      .filter(limitGate(limit, hospitalLimit))
+      .drop("clinic_type")
       .withColumn("var_id", lit(varId))
       .withColumn("duration", lit(7))
 

@@ -270,22 +270,61 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("level"), col("name"))
     }),
 
-    // A6: multiple_link aggregation semantics over linked rows:
-    // count / any / all / first / last (codes/to_codes.py:217-242).
+    // A6: multiple_link aggregation over linked rows — count / any / all /
+    // first / last (codes/to_codes.py:217-242) — through the REAL machinery:
+    // AddLinks attaches the ordered links array, ToCodes evaluates link
+    // codes with their multiple_link methods over it.
     "a6_multiple_link" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      val li = Tables.lineitem(s, dir)
-      o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(
-          count(lit(1)).as("n_links"),
-          expr("bool_or(l_discount >= 0.05)").as("any_high_disc"),
-          expr("bool_and(l_shipdate > o_orderdate)").as("all_shipped_after"),
-          // order key must be unique up to identical output values, else
-          // min_by/max_by tie-break nondeterministically (l_linenumber alone
-          // is NOT unique per order in this data)
-          expr("min_by(l_partkey, l_linenumber * 100000 + l_partkey)").as("first_part"),
-          expr("max_by(l_partkey, l_linenumber * 100000 + l_partkey)").as("last_part"))
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("uuid"),
+        map(lit("o_orderkey"), col("o_orderkey").cast("string")).as("data"))
+      // sort_key zero-pads (linenumber, partkey) so the link's lexical
+      // order_by equals numeric order — first/last match min_by/max_by
+      val linked = Tables.lineitem(s, dir).select(map(
+        lit("l_orderkey"), col("l_orderkey").cast("string"),
+        lit("l_partkey"), col("l_partkey").cast("string"),
+        lit("l_discount"), col("l_discount").cast("string"),
+        lit("l_shipdate"), col("l_shipdate").cast("string"),
+        lit("sort_key"), concat(
+          lpad(col("l_linenumber").cast("string"), 3, "0"),
+          lpad(col("l_partkey").cast("string"), 10, "0"))).as("data"))
+      val link = LinkDef("items", "order", "orders", "lineitem",
+        Seq("o_orderkey"), Seq("l_orderkey"), Seq("match"),
+        orderByColumn = "sort_key", orderByIsDate = false)
+      val withLinks = AddLinks(base, Map("lineitem" -> linked), Seq(link))
+      val codes = Seq(
+        CodeDef(id = "n_links", form = "lineitem",
+          multipleLink = Some("count"), method = "not_null",
+          condition = "None", dbColumn = "l_partkey"),
+        CodeDef(id = "any_high_disc", form = "lineitem",
+          multipleLink = Some("any"), method = "between",
+          condition = "0.05,2", calculation = "l_discount",
+          dbColumn = "l_discount"),
+        // all lineitems shipped in [1992-01-01, 1997-01-01), via
+        // Variable.to_date epoch seconds (international policy -> unix)
+        CodeDef(id = "all_early", form = "lineitem",
+          multipleLink = Some("all"), method = "between",
+          condition = "694224000,852076800",
+          calculation = "Variable.to_date(l_shipdate)",
+          dbColumn = "l_shipdate"),
+        CodeDef(id = "first_part", form = "lineitem",
+          multipleLink = Some("first"), method = "value",
+          condition = "None", dbColumn = "l_partkey"),
+        CodeDef(id = "last_part", form = "lineitem",
+          multipleLink = Some("last"), method = "value",
+          condition = "None", dbColumn = "l_partkey"))
+      val coded = ToCodes(withLinks, codes,
+        new graft.functions.MapResolver(col("data")),
+        policy = EpiWeek.International,
+        linkNameForForm = Map("lineitem" -> "items"))
+      val vars = col("variables")
+      coded.filter(map_contains_key(vars, "n_links"))
+        .select(d(col("data"), "o_orderkey").cast("long").as("o_orderkey"),
+          element_at(vars, "n_links").cast("long").as("n_links"),
+          map_contains_key(vars, "any_high_disc").as("any_high_disc"),
+          map_contains_key(vars, "all_early").as("all_early"),
+          element_at(vars, "first_part").cast("long").as("first_part"),
+          element_at(vars, "last_part").cast("long").as("last_part"))
         .orderBy(col("o_orderkey"))
     })
   )
@@ -423,10 +462,12 @@ object PipelineQueries extends QueryPack {
 
     "a6_multiple_link" ->
       """SELECT o_orderkey, count(*) AS n_links,
-        |  bool_or(l_discount >= 0.05) AS any_high_disc,
-        |  bool_and(l_shipdate > o_orderdate) AS all_shipped_after,
-        |  min_by(l_partkey, l_linenumber * 100000 + l_partkey) AS first_part,
-        |  max_by(l_partkey, l_linenumber * 100000 + l_partkey) AS last_part
+        |  bool_or(l_discount >= 0.05 AND l_discount < 2) AS any_high_disc,
+        |  bool_and(l_shipdate >= DATE '1992-01-01' AND l_shipdate < DATE '1997-01-01') AS all_early,
+        |  min_by(l_partkey, lpad(CAST(l_linenumber AS VARCHAR), 3, '0')
+        |         || lpad(CAST(l_partkey AS VARCHAR), 10, '0')) AS first_part,
+        |  max_by(l_partkey, lpad(CAST(l_linenumber AS VARCHAR), 3, '0')
+        |         || lpad(CAST(l_partkey AS VARCHAR), 10, '0')) AS last_part
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -229,6 +229,25 @@ class PipelineStepsSpec extends AnyFunSuite {
       .withColumn("variables", map(lit("cmd_1"), lit("1")))
   }
 
+  test("hospital limits gate Hospital clinics at the higher threshold") {
+    // threshold:3,5,5,8-style config (add_multiple_alerts.py:183-205):
+    // clinic 1 (Hospital) has 4 cases -> passes base 3, fails hospital 5;
+    // clinic 2 (Primary) has 4 cases -> base limit applies, alert fires
+    val data = codedData(
+      (1 to 4).map(i => (s"h$i", 1, "2016-01-04", Map("cmd_1" -> "1"))) ++
+        (1 to 4).map(i => (s"p$i", 2, "2016-01-04", Map("cmd_1" -> "1"))): _*)
+      .withColumn("clinic_type",
+        when(col("clinic") === 1, "Hospital").otherwise("Primary"))
+    val alerts = MultipleAlerts
+      .dailyThreshold(data, "cmd_1", 3, hospitalLimit = Some(5))
+      .select(col("clinic")).as[Int].collect().toSet
+    assert(alerts === Set(2))
+    // without the hospital limit both clinics alert at the base limit
+    val base = MultipleAlerts.dailyThreshold(data, "cmd_1", 3)
+      .select(col("clinic")).as[Int].collect().toSet
+    assert(base === Set(1, 2))
+  }
+
   test("double doubling detects two consecutive doublings over min total") {
     // reference self.double: weeks 1,2,3 with counts 2,4,8 → one alert whose
     // uuids are the LAST week's (test_add_multiple_alerts.py:571-614)
