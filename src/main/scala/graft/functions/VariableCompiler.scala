@@ -20,13 +20,8 @@ object VariableCompiler {
 
   /** Reference's permissive date-format ladder (variable.py:370-380) as Spark
     * datetime patterns, plus the SubmissionDate helper format
-    * (util/datetime_helper.py:1-8). `coalesce` of `to_timestamp` — each
-    * returns null on mismatch (non-ANSI), so the first parse wins. */
+    * (util/datetime_helper.py:1-8). */
   val dateFormats: Seq[String] = Seq(
-    // ISO formats first: they're the overwhelmingly common case and a failed
-    // try_to_timestamp is exception-driven (expensive). Reordering is safe —
-    // no string parses under two formats of this ladder except the
-    // h/H pair, whose relative order the reference fixes and we keep.
     "yyyy-MM-dd",
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss",
@@ -39,9 +34,44 @@ object VariableCompiler {
     "MMM d, yyyy h:mm:ss a"
   )
 
-  /** Best-effort timestamp parse over the format ladder; null if no format fits. */
-  def parseDate(raw: Column): Column =
-    coalesce(dateFormats.map(f => try_to_timestamp(raw, lit(f))): _*)
+  /** Shape regex per format, so the parse is DISPATCHED instead of tried:
+    * a failed `try_to_timestamp` is exception-driven (~µs each), and a
+    * coalesce ladder pays one failure per preceding format on EVERY value —
+    * the dominant cost of date-heavy columns at corpus scale. One cheap
+    * compiled-regex probe per shape picks the single format to run. The
+    * h/H ambiguity (12h vs 24h clock, same textual shape) keeps the
+    * reference's h-then-H order inside its shape branch. */
+  private val dateShapes: Seq[(String, Seq[String])] = Seq(
+    "^\\d{4}-\\d{2}-\\d{2}$" -> Seq("yyyy-MM-dd"),
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$" -> Seq("yyyy-MM-dd'T'HH:mm:ss"),
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$" -> Seq("yyyy-MM-dd HH:mm:ss"),
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}$" ->
+      Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}Z$" ->
+      Seq("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+    "^[A-Za-z]{3} \\d{1,2}, \\d{4}$" -> Seq("MMM d, yyyy"),
+    "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$" -> Seq("d-MMM-yyyy"),
+    "^\\d{1,2}-[A-Za-z]{3}-\\d{4} \\d{1,2}:\\d{2}:\\d{2}$" ->
+      Seq("d-MMM-yyyy h:mm:ss", "d-MMM-yyyy H:mm:ss"),
+    "^[A-Za-z]{3} \\d{1,2}, \\d{4} \\d{1,2}:\\d{2}:\\d{2} [AaPp][Mm]$" ->
+      Seq("MMM d, yyyy h:mm:ss a")
+  )
+
+  /** Best-effort timestamp parse over the format ladder; null if no format
+    * fits. Semantics identical to coalescing try_to_timestamp over
+    * [[dateFormats]] (each shape regex admits exactly the strings its
+    * format parses). */
+  def parseDate(raw: Column): Column = {
+    val dispatched = dateShapes.tail.foldLeft(
+      when(raw.rlike(dateShapes.head._1),
+        try_to_timestamp(raw, lit(dateShapes.head._2.head)))) {
+      case (acc, (shape, fmts)) =>
+        acc.when(raw.rlike(shape),
+          if (fmts.length == 1) try_to_timestamp(raw, lit(fmts.head))
+          else coalesce(fmts.map(f => try_to_timestamp(raw, lit(f))): _*))
+    }
+    dispatched
+  }
 
   /** `Variable.to_date` (variable.py:321-367): date string → seconds since the
     * epi epoch (first epi-week-start weekday after 1970-01-01); non-date
