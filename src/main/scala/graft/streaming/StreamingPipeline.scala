@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import graft.operators.DataPipeline
 import graft.sinks.UpsertWriter
 
@@ -45,4 +46,41 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= limit)
       .select(col("clinic"), col("window.start").as("day"), col("n"))
+
+  /** One visit event on the stateful path: identifier = the joined identifier
+    * tuple (e.g. patientid|icd_code), ts = event-time millis. */
+  final case class VisitEvent(identifier: String, uuid: String, ts: Long)
+  /** Output: the visit label assigned to this record. */
+  final case class VisitLabel(identifier: String, uuid: String, visit: String)
+
+  /** TRUE streaming initial_visit_control via flatMapGroupsWithState
+    * (initial_visit_control.py:25-136 semantics, arrival-order flavor): per
+    * identifier tuple, the FIRST visit ever seen stays "new", every later
+    * one emits "return". State per key is just the first-seen event time
+    * (8 bytes), so state size is bounded by distinct identifiers, not
+    * events. Unlike the batch recompute (which can re-label when an earlier
+    * visit arrives late), this path labels at arrival like the reference's
+    * incremental consumer; pair it with the store-recompute for healing.
+    *
+    * Event-time processing: if a record arrives whose ts PRECEDES the
+    * stored first-visit time, it becomes the new "new" (emitted as such)
+    * — the previously-emitted label is NOT retracted (same contract as the
+    * reference, which re-writes the store instead). */
+  def visitControlStream(events: Dataset[VisitEvent]): Dataset[VisitLabel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.identifier)
+      .flatMapGroupsWithState[Long, VisitLabel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[VisitEvent], state: GroupState[Long]) =>
+          val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
+          var firstTs = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.map { e =>
+            val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
+            VisitLabel(key, e.uuid, label)
+          }
+          if (firstTs != Long.MaxValue) state.update(firstTs)
+          out.iterator
+      }
+  }
 }

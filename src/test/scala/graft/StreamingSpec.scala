@@ -33,6 +33,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("uuid:1" -> Some("female"), "uuid:2" -> None))
   }
 
+  test("stateful visit control labels first-seen per identifier across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingPipeline.{VisitEvent, VisitLabel}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VisitEvent]
+    val q = StreamingPipeline.visitControlStream(input.toDS())
+      .writeStream.format("memory").queryName("visit_labels")
+      .outputMode("append").start()
+    try {
+      input.addData(VisitEvent("A", "u1", 10L), VisitEvent("A", "u2", 20L))
+      q.processAllAvailable()
+      // batch 2: an EARLIER visit for A arrives late, and a fresh key B
+      input.addData(VisitEvent("A", "u0", 5L), VisitEvent("B", "v1", 1L))
+      q.processAllAvailable()
+      val out = spark.table("visit_labels")
+        .as[VisitLabel].collect().map(l => l.uuid -> l.visit).toMap
+      assert(out === Map(
+        "u1" -> "new",    // first seen for A in batch 1
+        "u2" -> "return", // later ts, same batch
+        "u0" -> "new",    // precedes the stored first-visit time
+        "v1" -> "new"))   // fresh key
+    } finally q.stop()
+  }
+
+  test("jdbc source reads a partitioned table into form shape (embedded Derby)") {
+    // Derby ships with Spark (hive-metastore dependency), so S3's JDBC scan
+    // is testable in-JVM: partitioned read → canonical (uuid, data)
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // quote identifiers: Derby uppercases bare names, and the column names
+    // become the form map's keys verbatim
+    st.execute("CREATE TABLE demo_form " +
+      "(\"id\" INT, \"uuid\" VARCHAR(20), \"gender\" VARCHAR(10))")
+    st.execute("INSERT INTO demo_form VALUES " +
+      "(1, 'u1', 'female'), (2, 'u2', 'male'), (3, 'u3', 'female')")
+    st.close(); conn.close()
+    val df = FormSource.jdbc(spark, url, "demo_form",
+      new java.util.Properties(), partitionColumn = "id",
+      lowerBound = 0L, upperBound = 10L, numPartitions = 2,
+      uuidField = "uuid")
+    assert(df.rdd.getNumPartitions === 2) // split predicates on id ranges
+    val rows = df.select(col("uuid"), element_at(col("data"), "gender"))
+      .as[(String, String)].collect().toMap
+    assert(rows === Map("u1" -> "female", "u2" -> "male", "u3" -> "female"))
+  }
+
   test("group-prefix stripping flattens grp./field keys to field") {
     val dir = tmpDir()
     Files.writeString(java.nio.file.Paths.get(s"$dir/grouped.csv"),
