@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data pipelines.
+  *
+  * Everything is hash-gated, never RNG-gated: a row's fate is a pure
+  * function of its key (+ salt), so samples are reproducible across runs,
+  * engines and cluster layouts, survive retries/speculative execution, and
+  * need no seed state distributed to executors. The gate is a string
+  * comparison on an md5 hex prefix — the first 8 hex digits are a uniform
+  * 32-bit draw, and comparing them against a literal hex threshold is
+  * identical in every engine (the md5-everywhere determinism discipline
+  * used across the dedup family).
+  *
+  * Scale shape: pure filter / projection — no shuffle, no UDF, no state.
+  * Stratified variants compile the per-stratum thresholds into a CaseWhen,
+  * so one pass decides everything.
+  */
+object Sampling {
+
+  /** First 8 md5 hex digits of (key ":" salt) — a deterministic uniform
+    * 32-bit draw as zero-padded hex. */
+  def draw(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+
+  /** `fraction` as an 8-hex-digit threshold; fraction >= 1 admits all
+    * ("g" sorts after every hex digit). */
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0, s"fraction must be >= 0, got $fraction")
+    if (fraction >= 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose draw falls under
+    * `fraction`. */
+  def bernoulli(df: DataFrame, fraction: Double, keyCol: String,
+                salt: String = ""): DataFrame =
+    df.filter(draw(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Stratified sample: per-stratum keep fractions (e.g. downsample English
+    * to 10%, keep low-resource languages whole). Strata absent from the map
+    * get `defaultFraction`. */
+  def stratified(df: DataFrame, strataCol: String,
+                 fractions: Map[String, Double], keyCol: String,
+                 defaultFraction: Double = 0.0,
+                 salt: String = ""): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit(thresholdHex(defaultFraction))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(draw(col(keyCol), salt) < threshold)
+  }
+
+  /** Assign each row to a named split (train/val/test …) by cumulative hash
+    * ranges. Weights are normalized; assignment is a pure function of the
+    * key, so the same document lands in the same split in every run and
+    * every engine — the property that keeps eval sets leak-free as the
+    * corpus is re-processed. */
+  def splitAssign(df: DataFrame, weights: Seq[(String, Double)],
+                  keyCol: String, salt: String = "",
+                  outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val d = draw(col(keyCol), salt)
+    // CaseWhen over the upper cut of each split; the last branch catches the
+    // remainder exactly
+    val assigned = weights.init.zip(cuts.tail.init).foldLeft(
+      Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+      val cond = d < lit(thresholdHex(hi))
+      Some(acc.map(_.when(cond, name)).getOrElse(when(cond, name)))
+    } match {
+      case Some(cw) => cw.otherwise(weights.last._1)
+      case None     => lit(weights.last._1)
+    }
+    df.withColumn(outCol, assigned)
+  }
+}

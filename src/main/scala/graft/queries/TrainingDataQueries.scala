@@ -138,6 +138,30 @@ object TrainingDataQueries extends QueryPack {
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("n_frames"), col("digest"), col("out_width"), col("out_height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: downsample English, keep German
+    // whole, halve French, default quarter — hash-gated, so the sample is a
+    // pure function of doc_id and reproducible on any engine/cluster.
+    "sample_stratified" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratified(Tables.documents(s, dir), "lang",
+        Map("en" -> 0.1, "de" -> 1.0, "fr" -> 0.5),
+        keyCol = "doc_id", defaultFraction = 0.25, salt = "s1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/val/test assignment by cumulative hash ranges —
+    // the same doc lands in the same split in every reprocessing run
+    // (leak-free eval sets).
+    "sample_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.splitAssign(Tables.documents(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        keyCol = "doc_id", salt = "sp")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -315,6 +339,29 @@ object TrainingDataQueries extends QueryPack {
         |SELECT doc_id, byte_len, width, height, n_frames, digest,
         |  CAST(floor(width * scale) AS INT) AS out_width,
         |  CAST(floor(height * scale) AS INT) AS out_height
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Hex thresholds are Sampling.thresholdHex's exact output:
+    // 0.1->19999999, 0.25->40000000, 0.5->80000000, 1.0->'g' (admits all);
+    // the draw is the first 8 md5 hex digits of "<doc_id>:<salt>".
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '19999999'
+        |            WHEN 'de' THEN 'g'
+        |            WHEN 'fr' THEN '80000000'
+        |            ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // cumulative cuts: 0.8->cccccccc, 0.9->e6666666
+    "sample_split" ->
+      """WITH d AS (SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':sp'), 1, 8) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h < 'cccccccc' THEN 'train'
+        |       WHEN h < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -104,6 +104,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ls.getLong(0) >= 1L && ls.getLong(1) === 0L)
   }
 
+  test("deterministic sampling: reproducible, stratified, split-partitioned") {
+    val d = (1L to 2000L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    // reproducible: identical output on re-run (pure hash gate, no RNG)
+    val s1 = Sampling.bernoulli(d, 0.3, "doc_id", salt = "x")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(d, 0.3, "doc_id", salt = "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(math.abs(s1.size - 600) < 120) // ~30% of 2000, loose tolerance
+    // fraction 1.0 keeps everything; 0.0 keeps nothing
+    assert(Sampling.bernoulli(d, 1.0, "doc_id").count() === 2000)
+    assert(Sampling.bernoulli(d, 0.0, "doc_id").count() === 0)
+    // stratified: full-fraction stratum survives whole, other downsampled
+    val strat = Sampling.stratified(d, "lang", Map("de" -> 1.0, "en" -> 0.1),
+      keyCol = "doc_id")
+    val byLang = strat.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLang("de") === 1000L)
+    assert(byLang("en") < 300L)
+    // split: every row assigned exactly once, same doc -> same split on rerun
+    val sp = Sampling.splitAssign(d,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "doc_id")
+    val counts = sp.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 1400L && counts("train") < 1800L)
+    val again = Sampling.splitAssign(d,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "doc_id")
+    assert(sp.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() === 0)
+  }
+
   test("simhash is identical for identical content, differs for different") {
     val out = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
         3L -> "delta epsilon zeta unrelated tokens")
