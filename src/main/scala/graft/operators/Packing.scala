@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: assign documents to
+  * fixed-token-budget training examples.
+  *
+  * True greedy bin packing is sequential; the distributed formulation
+  * buckets documents deterministically (hash of the key — NOT round-robin,
+  * which would depend on partition layout), orders each bucket by the key,
+  * and cuts the running token count into budget-sized examples. A document
+  * whose tokens straddle a budget boundary belongs to the example its START
+  * offset falls in (examples may therefore exceed the budget by at most one
+  * document's tail — the standard packing-with-overflow contract; callers
+  * that need hard caps truncate documents first).
+  *
+  * Scale shape: one shuffle on (bucket) for the window; bucket count scales
+  * the parallelism and bounds per-task state. Everything is a pure window
+  * cumsum — deterministic across runs/engines, no driver-side loop.
+  */
+object Packing {
+
+  /** Add `bucket` and `example_id` columns.
+    *
+    * @param tokenCountCol per-document token count (precomputed — e.g.
+    *        `size(TextAnalysis.tokens(text))`)
+    * @param budget        tokens per training example
+    * @param numBuckets    parallel packing streams; examples are
+    *        (bucket, example_id) pairs */
+  def packByBudget(df: DataFrame, tokenCountCol: String, budget: Int,
+                   keyCol: String, numBuckets: Int = 64): DataFrame = {
+    require(budget > 0 && numBuckets > 0)
+    // deterministic bucket: md5-hex prefix of the key modulo numBuckets
+    // (same engine-stable draw the Sampling operators use)
+    val bucket = (conv(Sampling.draw(col(keyCol), "pack"), 16, 10)
+      .cast("long") % numBuckets).cast("int")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", bucket)
+      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      // start offset of this document = cum - own tokens
+      .withColumn("example_id",
+        ((col("__cum") - col(tokenCountCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Per-example rollup: how full each packed example is. */
+  def exampleStats(packed: DataFrame, tokenCountCol: String): DataFrame =
+    packed.groupBy(col("bucket"), col("example_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("n_tokens"))
+}

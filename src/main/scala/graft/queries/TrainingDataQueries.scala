@@ -140,6 +140,21 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: documents assigned to fixed-token-budget training
+    // examples — hash-bucketed parallel streams, window cumsum cut at the
+    // budget (start-offset assignment).
+    "pack_sequences" -> ((s, dir) => {
+      import graft.operators.{Packing, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Packing.packByBudget(docs, "n_tokens", budget = 2048,
+        keyCol = "doc_id", numBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("example_id"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sampling: downsample English, keep German
     // whole, halve French, default quarter — hash-gated, so the sample is a
     // pure function of doc_id and reproducible on any engine/cluster.
@@ -340,6 +355,17 @@ object TrainingDataQueries extends QueryPack {
         |  CAST(floor(width * scale) AS INT) AS out_width,
         |  CAST(floor(height * scale) AS INT) AS out_height
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+         |  FROM n),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+         |SELECT doc_id, bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS example_id, n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Hex thresholds are Sampling.thresholdHex's exact output:
     // 0.1->19999999, 0.25->40000000, 0.5->80000000, 1.0->'g' (admits all);

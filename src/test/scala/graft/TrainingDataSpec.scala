@@ -137,6 +137,28 @@ class TrainingDataSpec extends AnyFunSuite {
       again.select("doc_id", "split")).count() === 0)
   }
 
+  test("sequence packing cuts running token counts at the budget") {
+    // single bucket keeps the math inspectable: 5 docs x 100 tokens,
+    // budget 250 -> start offsets 0,100,200,300,400 -> examples 0,0,0,1,1
+    val d = (1L to 5L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packByBudget(d, "n_tokens", budget = 250,
+      keyCol = "doc_id", numBuckets = 1)
+    val ex = packed.select("doc_id", "example_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ex === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    val stats = Packing.exampleStats(packed, "n_tokens")
+      .select("example_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    // example 0 holds 3 docs (300 tokens: straddles the budget by design)
+    assert(stats === Set((0L, 3L, 300L), (1L, 2L, 200L)))
+    // determinism + full coverage at a larger scale
+    val big = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "n_tokens")
+    val p1 = Packing.packByBudget(big, "n_tokens", 64, "doc_id", numBuckets = 8)
+    val p2 = Packing.packByBudget(big, "n_tokens", 64, "doc_id", numBuckets = 8)
+    assert(p1.count() === 500)
+    assert(p1.except(p2).count() === 0)
+  }
+
   test("simhash is identical for identical content, differs for different") {
     val out = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
         3L -> "delta epsilon zeta unrelated tokens")
