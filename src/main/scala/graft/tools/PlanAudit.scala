@@ -11,6 +11,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE wraps the executed plan in AdaptiveSparkPlan whose pre-execution
+      // string hides the *(n) codegen markers; disable for a readable audit
+      .config("spark.sql.adaptive.enabled", "false")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
