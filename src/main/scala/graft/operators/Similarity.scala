@@ -101,4 +101,20 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos"))
   }
+
+  /** Per-group centroids: elementwise mean of the embedding vectors, one
+    * output row per (group, dimension). The cross-row sum runs in FIXED
+    * POINT (floor(v·10⁹) longs) — double accumulation depends on
+    * partition/merge order, and decimal-casting doubles rounds differently
+    * across engines at the last digit; floor of an exact double times a
+    * power of ten is bit-identical everywhere. The ~1e-9 per-element
+    * truncation is far below float input precision. One shuffle on
+    * (group, pos); the flat output shape streams at any dimensionality. */
+  def centroids(vectors: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(floor(col("v").cast("double") * lit(1e9)).cast("long"))
+        .cast("double") / (count(lit(1)) * lit(1e9))).as("mean"))
 }

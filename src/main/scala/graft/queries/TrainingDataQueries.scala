@@ -140,6 +140,14 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-label embedding centroids (clustering/reporting surface):
+    // elementwise means, decimal-summed for engine-stable determinism.
+    "embedding_centroids" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // Sequence packing: documents assigned to fixed-token-budget training
     // examples — hash-bucketed parallel streams, window cumsum cut at the
     // budget (start-offset assignment).
@@ -355,6 +363,16 @@ object TrainingDataQueries extends QueryPack {
         |  CAST(floor(width * scale) AS INT) AS out_width,
         |  CAST(floor(height * scale) AS INT) AS out_height
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |         unnest(embedding) AS val
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1e9) AS mean
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH $toksCte,

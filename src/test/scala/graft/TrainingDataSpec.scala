@@ -137,6 +137,17 @@ class TrainingDataSpec extends AnyFunSuite {
       again.select("doc_id", "split")).count() === 0)
   }
 
+  test("embedding centroids are elementwise means per group") {
+    val e = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val c = Similarity.centroids(e)
+      .select("label", "pos", "mean")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(c === Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 10.0), (1, 1, 20.0)))
+  }
+
   test("sequence packing cuts running token counts at the budget") {
     // single bucket keeps the math inspectable: 5 docs x 100 tokens,
     // budget 250 -> start offsets 0,100,200,300,400 -> examples 0,0,0,1,1
