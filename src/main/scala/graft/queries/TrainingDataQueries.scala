@@ -140,6 +140,20 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus scrub pass: tag strip + email/URL redaction + whitespace
+    // collapse, plus per-doc redaction counts. md5 of the scrubbed text
+    // hash-checks the whole transformation.
+    "text_scrub" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val counts = TextNormalize.redactionCounts(col("text"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id"),
+          md5(TextNormalize.scrub(col("text")).cast("binary")).as("scrub_md5")) ++
+          counts: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-label embedding centroids (clustering/reporting surface):
     // elementwise means, decimal-summed for engine-stable determinism.
     "embedding_centroids" -> ((s, dir) => {
@@ -363,6 +377,20 @@ object TrainingDataQueries extends QueryPack {
         |  CAST(floor(width * scale) AS INT) AS out_width,
         |  CAST(floor(height * scale) AS INT) AS out_height
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '<[^<>]+>', ' ', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[ \t\n]+', ' ', 'g'))) AS scrub_md5,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '<[^<>]+>')) AS n_tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "embedding_centroids" ->
       """WITH e AS (

@@ -137,6 +137,19 @@ class TrainingDataSpec extends AnyFunSuite {
       again.select("doc_id", "split")).count() === 0)
   }
 
+  test("text scrub strips tags, redacts emails/urls, collapses whitespace") {
+    val d = Seq((1L,
+      "<p>Contact  bob@example.com or\nsee https://x.org/a?b=1 now</p>"))
+      .toDF("doc_id", "text")
+    val out = d.select(TextNormalize.scrub(col("text")).as("t"))
+      .as[String].head()
+    assert(out === "Contact <EMAIL> or see <URL> now")
+    val counts = d.select(TextNormalize.redactionCounts(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).head()
+    assert(counts.getInt(0) === 1 && counts.getInt(1) === 1 &&
+      counts.getInt(2) === 2)
+  }
+
   test("embedding centroids are elementwise means per group") {
     val e = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
