@@ -33,6 +33,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("uuid:1" -> Some("female"), "uuid:2" -> None))
   }
 
+  test("watermarked threshold stream emits after the watermark and drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, Int, java.sql.Timestamp, Map[String, String])]
+    val coded = input.toDS().toDF("uuid", "clinic", "date", "variables")
+    val q = StreamingPipeline
+      .thresholdAlertStream(coded, "cmd_1", limit = 3, watermark = "1 day")
+      .writeStream.format("memory").queryName("thr_alerts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("u1", 1, ts("2024-01-01 10:00:00"), Map("cmd_1" -> "1")),
+        ("u2", 1, ts("2024-01-01 11:00:00"), Map("cmd_1" -> "1")),
+        ("u3", 1, ts("2024-01-01 12:00:00"), Map("cmd_1" -> "1")))
+      q.processAllAvailable()
+      // append mode: the Jan-1 window holds until the watermark passes it
+      assert(spark.table("thr_alerts").count() === 0)
+      // events 3+ days later advance the watermark beyond the window end
+      // (watermark updates at batch commit, so drive two batches)
+      input.addData(("w1", 2, ts("2024-01-04 00:00:00"), Map("cmd_1" -> "1")))
+      q.processAllAvailable()
+      input.addData(("w2", 2, ts("2024-01-04 01:00:00"), Map("cmd_1" -> "1")))
+      q.processAllAvailable()
+      val rows = spark.table("thr_alerts")
+        .select(col("clinic"), col("n")).as[(Int, Long)].collect().toSeq
+      assert(rows === Seq((1, 3L)))
+      // a LATE Jan-1 event is behind the watermark: dropped, no re-emission
+      input.addData(("u4", 1, ts("2024-01-01 13:00:00"), Map("cmd_1" -> "1")))
+      q.processAllAvailable()
+      assert(spark.table("thr_alerts").count() === 1)
+    } finally q.stop()
+  }
+
   test("stateful visit control labels first-seen per identifier across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingPipeline.{VisitEvent, VisitLabel}
