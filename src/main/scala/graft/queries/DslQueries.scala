@@ -123,6 +123,33 @@ object DslQueries extends QueryPack {
         .orderBy(col("epi_year"), col("epi_week"))
     }),
 
+    // Priority-group fidelity (to_codes.py:260-309): the variables map is
+    // priority-gated (lowest wins), but EVERY applicable member writes its
+    // categories — so where both price codes apply, the winner is
+    // price_premium while the "band" category comes from price_any (the
+    // later catalog entry). Oracle-certifies the round-1 ADVICE fix.
+    "dsl_priority_categories" -> ((s, dir) => {
+      val df = Tables.part(s, dir)
+      val catalog = Seq(
+        CodeDef(id = "price_premium", method = "between",
+          condition = "1500,2500", calculation = "p_retailprice",
+          dbColumn = "p_retailprice", calculationGroup = Some("price"),
+          calculationPriority = Some(1), category = Seq("band")),
+        CodeDef(id = "price_any", method = "between",
+          condition = "900,2000", calculation = "p_retailprice",
+          dbColumn = "p_retailprice", calculationGroup = Some("price"),
+          calculationPriority = Some(2), category = Seq("band", "seen")))
+      val out = ToCodes(df, catalog, new FlatResolver(df.columns.toSet))
+      out.select(col("p_partkey"),
+          when(map_contains_key(col("variables"), "price_premium"), "price_premium")
+            .when(map_contains_key(col("variables"), "price_any"), "price_any")
+            .as("var_winner"),
+          element_at(col("categories"), "band").as("band_src"),
+          element_at(col("categories"), "seen").as("seen_src"))
+        .filter(col("var_winner").isNotNull)
+        .orderBy(col("p_partkey"))
+    }),
+
     "dsl_to_codes_alert" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
       val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),
@@ -174,6 +201,18 @@ object DslQueries extends QueryPack {
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dsl_priority_categories" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_retailprice >= 1500 AND p_retailprice < 2500 THEN 'price_premium'
+        |       WHEN p_retailprice >= 900 AND p_retailprice < 2000 THEN 'price_any' END AS var_winner,
+        |  CASE WHEN p_retailprice >= 900 AND p_retailprice < 2000 THEN 'price_any'
+        |       WHEN p_retailprice >= 1500 AND p_retailprice < 2500 THEN 'price_premium' END AS band_src,
+        |  CASE WHEN p_retailprice >= 900 AND p_retailprice < 2000 THEN 'price_any' END AS seen_src
+        |FROM part
+        |WHERE (p_retailprice >= 1500 AND p_retailprice < 2500)
+        |   OR (p_retailprice >= 900 AND p_retailprice < 2000)
+        |ORDER BY p_partkey""".stripMargin,
 
     "dsl_to_codes_alert" ->
       """WITH li AS (SELECT *, (l_returnflag = 'R') AS fired FROM lineitem)
