@@ -131,21 +131,26 @@ object Dedup {
     *        needs — zero extra exchanges. With a cap above the corpus's max
     *        bucket size the output is exactly the unguarded result
     *        (spec-verified). */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
-                      idCol: String = "doc_id", textCol: String = "text",
-                      k: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+  /** (band, signature) structs over a wide minhash row — the ONE definition
+    * of the banding scheme, shared by the pair join and the skew stats so
+    * they can never drift apart. */
+  private def bandStructs(numHashes: Int, bandSize: Int): Seq[Column] = {
     require(numHashes <= 10, "index-order concat assumes single-digit hash ids")
-    val mh = minhashes(docs, numHashes, idCol, textCol, k)
-    val numBands = numHashes / bandSize
-    val bandStructs = (0 until numBands).map { b =>
+    (0 until numHashes / bandSize).map { b =>
       val parts = (b * bandSize until (b + 1) * bandSize)
         .map(i => concat_ws("|", lit(i), col(s"mh$i")))
       struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("sig"))
     }
+  }
+
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      k: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
+    val mh = minhashes(docs, numHashes, idCol, textCol, k)
     // persisted for the same reason as in jaccardPairs: both sides of the
     // bucket self-join would re-run shingling + 8 md5 min-aggregations
     val rawBands = mh.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bs"))
+        explode(array(bandStructs(numHashes, bandSize): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val guardedBands = maxBucketSize match {
       case None => rawBands
@@ -182,14 +187,9 @@ object Dedup {
   def lshSkewStats(docs: DataFrame, cap: Int, numHashes: Int = 8,
                    bandSize: Int = 2, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 3): DataFrame = {
-    val pairs = minhashes(docs, numHashes, idCol, textCol, k)
-    val numBands = numHashes / bandSize
-    val bandStructs = (0 until numBands).map { b =>
-      val parts = (b * bandSize until (b + 1) * bandSize)
-        .map(i => concat_ws("|", lit(i), col(s"mh$i")))
-      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("sig"))
-    }
-    pairs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    val mh = minhashes(docs, numHashes, idCol, textCol, k)
+    mh.select(col("doc_id"),
+        explode(array(bandStructs(numHashes, bandSize): _*)).as("bs"))
       .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("max_bucket_size"),

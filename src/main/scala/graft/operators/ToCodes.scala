@@ -178,12 +178,16 @@ object ToCodes {
       // priority group (to_codes.py:260-309): the loop does NOT break —
       // every applicable member contributes categories/alert/disregard; only
       // the variables entry is priority-gated. least() skips nulls, so the
-      // applicable member with the smallest (priority, idx) wins.
-      val wmin = least(members.map { case (code, idx, c) =>
+      // applicable member with the smallest (priority, idx) wins. (Least
+      // requires > 1 children — a singleton priority group is just its own
+      // conditional struct.)
+      val candidates = members.map { case (code, idx, c) =>
         when(c.applicable, struct(
           lit(code.calculationPriority.getOrElse(Int.MaxValue)).as("p"),
           lit(idx).as("idx")))
-      }: _*)
+      }
+      val wmin =
+        if (candidates.length == 1) candidates.head else least(candidates: _*)
       val widx = wmin.getField("idx")
       def byWinner(f: ((CodeDef, Int, VariableCompiler.Compiled)) => Column) =
         members.tail.foldLeft(
@@ -306,15 +310,21 @@ object ToCodes {
     // columns the catalog parses as dates get their parse pre-projected too:
     // the ~10-format try_to_timestamp ladder is both bulky in generated code
     // (it blew slice stages past the 64 KB method limit) and expensive to
-    // re-evaluate per referencing code
-    val toDateRe = "Variable\\.to_date\\(([^)]+)\\)".r
+    // re-evaluate per referencing code. Any code whose calculation invokes
+    // Variable.to_date contributes ALL its declared columns (no textual
+    // parse of the argument — parenthesized sub-expressions would defeat a
+    // regex); over-projecting a term's non-date column costs one extra
+    // ladder, never correctness.
     val dateCols = mainCodes.flatMap { c =>
       val valueDate =
         if (c.methodTerms == Seq("value") && c.calculation == "date")
           c.columnsPerTerm.head.headOption.toSeq
         else Nil
-      valueDate ++
-        toDateRe.findAllMatchIn(c.calculation).map(_.group(1).trim)
+      val toDateCols =
+        if (c.calculation.contains("Variable.to_date"))
+          c.columnsPerTerm.flatten
+        else Nil
+      valueDate ++ toDateCols
     }.filter(_.nonEmpty).distinct
     val dateAttrMap = dateCols.zipWithIndex
       .map { case (c, i) => c -> s"__tc_d$i" }.toMap

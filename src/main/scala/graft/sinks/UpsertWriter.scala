@@ -73,9 +73,12 @@ object UpsertWriter {
       return
     }
     val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return // empty micro-batch: nothing to merge
+    // null-safe equality: a null partition value must select the
+    // __HIVE_DEFAULT_PARTITION__ rows, which plain === never matches
     val prune = touched.map { row =>
       partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(row.get(i)) }
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
     // partition-pruned scan: only touched partitions are read (the filter is
@@ -87,10 +90,18 @@ object UpsertWriter {
     val tmp = path + ".tmp"
     merged.repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
-    // swap ONLY the touched partition directories
+    // swap ONLY the touched partition directories. Directory names use
+    // Spark's own partition-path encoding (percent-escaping; null →
+    // __HIVE_DEFAULT_PARTITION__) so the swap finds exactly what the write
+    // produced.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     touched.foreach { row =>
-      val rel = partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+      val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i)
+        val str = if (v == null) null else v.toString
+        ExternalCatalogUtils.getPartitionPathString(c,
+          if (str == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME else str)
+      }.mkString("/")
       val tmpPart = new java.io.File(s"$tmp/$rel")
       val livePart = new java.io.File(s"$path/$rel")
       livePart.getParentFile.mkdirs()

@@ -178,6 +178,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map("u1" -> "a", "u2" -> "B", "u3" -> "c"))
   }
 
+  test("partitioned upsert handles empty batches and null partition values") {
+    val path = tmpDir() + "/store2"
+    val v1 = Seq(("u1", "case", Some(2015), "a"), ("u2", "case", None, "b"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v1, path)
+    // empty batch: no-op, store intact
+    UpsertWriter.upsertPartitioned(spark, v1.limit(0), path)
+    // replace the null-partition row (unparseable-date records land there)
+    val v2 = Seq(("u2", "case", Option.empty[Int], "B"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v2, path)
+    val out = spark.read.parquet(path).select(col("uuid"), col("v"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("u1" -> "a", "u2" -> "B"))
+  }
+
   test("streaming foreachBatch reuses the batch pipeline and upserts") {
     val inDir = tmpDir()
     val dataPath = tmpDir() + "/data"

@@ -125,6 +125,20 @@ class ToCodesSpec extends AnyFunSuite {
     assert(r.getBoolean(2))
   }
 
+  test("singleton priority group evaluates (least needs >1 children)") {
+    // an ungrouped code with calculation_priority forms a one-member
+    // priority group — must not break plan analysis
+    val solo = Seq(CodeDef(id = "only", method = "between",
+      condition = "0,100", calculation = "score", dbColumn = "score",
+      calculationPriority = Some(1), category = Seq("c")))
+    val df = Seq(Tuple1(Map("score" -> "5"))).toDF("data")
+    val out = ToCodes(df, solo, new MapResolver(col("data")),
+      EpiWeek.StartDay(0))
+    val r = out.select("variables", "categories").head()
+    assert(r.getMap[String, String](0).toMap === Map("only" -> "1"))
+    assert(r.getMap[String, String](1).toMap === Map("c" -> "only"))
+  }
+
   test("priority group: below the high band only sev_any applies and wins") {
     val df = Seq(Tuple1(Map("score" -> "10"))).toDF("data")
     val out = ToCodes(df, priCatalog, new MapResolver(col("data")),
