@@ -152,8 +152,11 @@ object DslQueries extends QueryPack {
 
     "dsl_to_codes_alert" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
+      // staticEntries = the A7 unit counters (per-type var + data_entry,
+      // process_steps/to_codes.py:106-108), folded into the same map build
       val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),
-        alertData = Map("qty" -> "l_quantity"))
+        alertData = Map("qty" -> "l_quantity"),
+        staticEntries = Seq("tot_case" -> "1", "data_entry" -> "1"))
       out.select(col("l_orderkey"), col("l_linenumber"), col("disregard"),
           explode(col("variables")).as(Seq("code", "value")))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("code"), col("value"))
@@ -237,7 +240,11 @@ object DslQueries extends QueryPack {
         |  FROM li WHERE fired
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'dis_open', '1'
-        |  FROM li WHERE l_linestatus = 'O')
+        |  FROM li WHERE l_linestatus = 'O'
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'tot_case', '1' FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, (l_linestatus='O' AND fired), 'data_entry', '1' FROM li)
         |ORDER BY 1, 2, 4, 5""".stripMargin
   )
 }
