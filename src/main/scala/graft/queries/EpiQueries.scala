@@ -36,6 +36,18 @@ object EpiQueries extends QueryPack {
         .orderBy(col("epi_year"), col("epi_week"))
     }),
 
+    // Same policy with include_in_52: week 53 folds back into week 52 of
+    // the same epi year (epi_week.py:33-41).
+    "epi_week_include_in_52" -> ((s, dir) => {
+      val yw = EpiWeek.epiYearWeek(col("o_orderdate"), International, IncludeIn52)
+      Tables.orders(s, dir)
+        .select(yw.getField("epi_year").as("epi_year"),
+                yw.getField("epi_week").as("epi_week"))
+        .groupBy(col("epi_year"), col("epi_week"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("epi_year"), col("epi_week"))
+    }),
+
     // Policy "day:6" (epi year starts the first Sunday on/after Jan 1) with
     // the epi_week_start_date roundtrip as an extra column.
     "epi_week_day_policy" -> ((s, dir) => {
@@ -66,6 +78,16 @@ object EpiQueries extends QueryPack {
         |  FROM orders)
         |SELECT CASE WHEN w >= 53 THEN y + 1 ELSE y END AS epi_year,
         |  CASE WHEN w >= 53 THEN 1 ELSE w END AS epi_week,
+        |  count(*) AS n
+        |FROM raw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "epi_week_include_in_52" ->
+      """WITH raw AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    CAST((dayofyear(o_orderdate) - 1) // 7 + 1 AS INT) AS w
+        |  FROM orders)
+        |SELECT y AS epi_year,
+        |  CASE WHEN w = 53 THEN 52 ELSE w END AS epi_week,
         |  count(*) AS n
         |FROM raw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

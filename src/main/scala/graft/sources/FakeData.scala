@@ -54,11 +54,31 @@ object FakeData {
   def form(spark: SparkSession, formName: String, fields: Map[String, FieldKind],
            n: Int, seed: Long = 1L): DataFrame = {
     val base = spark.range(n).withColumnRenamed("id", "__id")
+    base.select(formColumns(formName, fields, seed): _*)
+  }
+
+  private def formColumns(formName: String, fields: Map[String, FieldKind],
+                          seed: Long): Seq[Column] = {
     val dataEntries = fields.toSeq.sortBy(_._1).map { case (name, kind) =>
       struct(lit(name).as("key"), gen(seed, name, kind).as("value"))
     }
-    base.select(
+    Seq(
       concat(lit(s"uuid:$formName:"), col("__id").cast("string")).as("uuid"),
       map_from_entries(array(dataEntries: _*)).as("data"))
   }
+
+  /** Streaming flavor of the generator (the reference's fake-data stream
+    * mode, util/create_fake_data.py run at 10 rows / 5 min): Spark's rate
+    * source supplies monotonically increasing row ids at `rowsPerSecond`,
+    * and every field stays the same pure function of (seed, id, name) as
+    * the batch generator — so a streamed corpus equals the batch corpus of
+    * the same ids, which is what makes end-to-end streaming tests
+    * deterministic. */
+  def stream(spark: SparkSession, formName: String,
+             fields: Map[String, FieldKind], rowsPerSecond: Int,
+             seed: Long = 1L): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("value").as("__id"))
+      .select(formColumns(formName, fields, seed): _*)
 }

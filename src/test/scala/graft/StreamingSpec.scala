@@ -33,6 +33,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("uuid:1" -> Some("female"), "uuid:2" -> None))
   }
 
+  test("rate-source fake-data stream equals the batch generator on the same ids") {
+    val fields = Map[String, FakeData.FieldKind](
+      "gender" -> FakeData.OneOf(Seq("male", "female")),
+      "age" -> FakeData.IntRange(0, 99))
+    val stream = FakeData.stream(spark, "demo_case", fields,
+      rowsPerSecond = 500, seed = 7L)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("fake_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // wait until some rows arrived (rate source is wall-clock driven)
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("fake_stream").isEmpty &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val streamed = spark.table("fake_stream")
+        .select(col("uuid"), element_at(col("data"), "gender"),
+          element_at(col("data"), "age"))
+        .as[(String, String, String)].collect()
+      assert(streamed.nonEmpty)
+      val n = streamed.length
+      val batch = FakeData.form(spark, "demo_case", fields, n, seed = 7L)
+        .select(col("uuid"), element_at(col("data"), "gender"),
+          element_at(col("data"), "age"))
+        .as[(String, String, String)].collect().toSet
+      assert(streamed.toSet.subsetOf(batch) ||
+        streamed.toSet == batch) // same ids → identical rows
+    } finally q.stop()
+  }
+
   test("watermarked threshold stream emits after the watermark and drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
