@@ -55,6 +55,72 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Left-fold squared-L2 distance of two double arrays (fixed accumulation
+    * order — the cross-engine determinism discipline of [[dot]]). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF cell assignment: nearest coarse centroid by squared L2, ties to
+    * the lowest cell id. The quantizer here is the FIXED "seed vectors as
+    * centroids" scheme (cell k = the corpus vector with id k, k < numCells)
+    * — deterministic and engine-checkable; production systems train
+    * centroids offline and feed them in the same broadcast shape, the
+    * index/search mechanics are identical.
+    *
+    * Scale shape: centroids broadcast (numCells × dim — KB), assignment is
+    * one narrow pass over the corpus (no shuffle until the per-vector
+    * argmin aggregation, keyed by vector id). */
+  def ivfAssign(corpus: DataFrame, numCells: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(corpus.filter(col(idCol) < numCells)
+      .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("__cv")))
+    corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
+      .join(cents)
+      .withColumn("__d", sqDist(col("__v"), col("__cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
+      .select(col("vec_id"), col("__m.cell").as("cell"))
+  }
+
+  /** IVF top-k search: each query probes its `nProbe` nearest cells and
+    * ranks only the vectors assigned there — the classic inverted-file ANN
+    * trade (recall < 1 when a true neighbor lives outside the probed
+    * cells). Candidate cost is |corpus| × nProbe / numCells per query
+    * instead of |corpus|. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus.filter(col(idCol) < numCells)
+      .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("__cv")))
+    val asg = ivfAssign(corpus, numCells, idCol, vecCol)
+    // probe list per query (queries are a small broadcast-sized set)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .join(cents)
+      .withColumn("__d", sqDist(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell")))
+    val cand = asg.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__cv2"))
+    val scored = cand.join(c, Seq("vec_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv2")) /
+        (norm(col("__qv")) * norm(col("__cv2"))))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** Sign-pattern bucket of the first `bits` dimensions (axis-aligned
     * hyperplane LSH). */
   def signBucket(vec: Column, bits: Int = 8): Column =

@@ -36,6 +36,10 @@ object TrainingDataQueries extends QueryPack {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]), (x, y) -> x + y)"
 
+  /** DuckDB left-fold squared-L2 distance (matches Similarity.sqDist). */
+  private def sqDistSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_token_count" -> ((s, dir) => {
@@ -111,6 +115,15 @@ object TrainingDataQueries extends QueryPack {
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN: fixed seed-vector coarse quantizer, nProbe nearest cells
+    // searched per query — the inverted-file scale path alongside LSH.
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
+        numCells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -324,6 +337,30 @@ object TrainingDataQueries extends QueryPack {
          |      FROM s)
          |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cell, vv AS cv FROM v WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cell, ${sqDistSql("v.vv", "c.cv")} AS d FROM v, c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
+         |        WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 10),
+         |qd AS (SELECT q.query_id, q.qv, c.cell, ${sqDistSql("q.qv", "c.cv")} AS d FROM q, c),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
+         |           WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, p.qv, a.vec_id FROM probes p
+         |         JOIN asg a USING (cell) WHERE a.vec_id <> p.query_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         |             ${dotSql("cand.qv", "v.vv")} /
+         |               (sqrt(${dotSql("cand.qv", "cand.qv")}) * sqrt(${dotSql("v.vv", "v.vv")})) AS cos
+         |           FROM cand JOIN v ON cand.vec_id = v.vec_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -150,6 +150,27 @@ class TrainingDataSpec extends AnyFunSuite {
       counts.getInt(2) === 2)
   }
 
+  test("IVF ANN probes nearest cells; wider probes recover cross-cell neighbors") {
+    // cells seeded by vec 0 (x-axis) and vec 1 (y-axis). vec 4 sits near
+    // the y-axis but is queried from the x-cell: nProbe=1 misses it,
+    // nProbe=2 finds it.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),     // cell seed 0
+      (1L, Seq(0.0f, 1.0f)),     // cell seed 1
+      (2L, Seq(0.9f, 0.1f)),     // x-cell member
+      (3L, Seq(0.1f, 0.9f)),     // y-cell member
+      (4L, Seq(0.6f, 0.8f)))     // y-cell, but cosine-close to x queries too
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 2L)
+    def neighbors(nProbe: Int) =
+      Similarity.ivfTopK(e, q, k = 4, numCells = 2, nProbe = nProbe)
+        .select("neighbor_id").as[Long].collect().toSet
+    val narrow = neighbors(1)
+    assert(narrow === Set(0L)) // only the x-cell (seed 0 + itself excluded)
+    val wide = neighbors(2)
+    assert(Set(0L, 1L, 3L, 4L).subsetOf(wide)) // cross-cell recovered
+  }
+
   test("embedding centroids are elementwise means per group") {
     val e = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
