@@ -72,16 +72,24 @@ object Similarity {
     * one narrow pass over the corpus (no shuffle until the per-vector
     * argmin aggregation, keyed by vector id). */
   def ivfAssign(corpus: DataFrame, numCells: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(corpus.filter(col(idCol) < numCells)
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignTo(corpus, ivfCentroids(corpus, numCells, idCol, vecCol),
+      idCol, vecCol)
+
+  /** The broadcast coarse-quantizer table `(cell, __cv)`. */
+  private def ivfCentroids(corpus: DataFrame, numCells: Int,
+                           idCol: String, vecCol: String): DataFrame =
+    broadcast(corpus.filter(col(idCol) < numCells)
       .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("__cv")))
+
+  private def ivfAssignTo(corpus: DataFrame, cents: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
       .join(cents)
       .withColumn("__d", sqDist(col("__v"), col("__cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
       .select(col("vec_id"), col("__m.cell").as("cell"))
-  }
 
   /** IVF top-k search: each query probes its `nProbe` nearest cells and
     * ranks only the vectors assigned there — the classic inverted-file ANN
@@ -92,26 +100,28 @@ object Similarity {
               numCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(corpus.filter(col(idCol) < numCells)
-      .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("__cv")))
-    val asg = ivfAssign(corpus, numCells, idCol, vecCol)
-    // probe list per query (queries are a small broadcast-sized set)
+    val cents = ivfCentroids(corpus, numCells, idCol, vecCol)
+    val asg = ivfAssignTo(corpus, cents, idCol, vecCol)
+    // probe list per query (queries are a small broadcast-sized set);
+    // the query norm is computed ONCE here, not per candidate pair
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__d"), col("cell"))
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
       .join(cents)
       .withColumn("__d", sqDist(col("__qv"), col("__cv")))
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("cell")))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cell")))
     val cand = asg.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
     val c = corpus.select(col(idCol).as("vec_id"),
-      toDouble(col(vecCol)).as("__cv2"))
+        toDouble(col(vecCol)).as("__cv2"))
+      .withColumn("__cn", norm(col("__cv2")))
     val scored = cand.join(c, Seq("vec_id"))
       .withColumn("cos", dot(col("__qv"), col("__cv2")) /
-        (norm(col("__qv")) * norm(col("__cv2"))))
+        (col("__qn") * col("__cn")))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored

@@ -62,8 +62,8 @@ object Relational extends QueryPack {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      val pair = (col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20")
       li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
@@ -168,8 +168,8 @@ object Relational extends QueryPack {
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q5_local_supplier" ->

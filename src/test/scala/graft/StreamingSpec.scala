@@ -60,8 +60,9 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("uuid"), element_at(col("data"), "gender"),
           element_at(col("data"), "age"))
         .as[(String, String, String)].collect().toSet
-      assert(streamed.toSet.subsetOf(batch) ||
-        streamed.toSet == batch) // same ids → identical rows
+      // rate-source ids are contiguous from 0, so the first n streamed
+      // rows are exactly the batch generator's first n rows
+      assert(streamed.toSet === batch)
     } finally q.stop()
   }
 
