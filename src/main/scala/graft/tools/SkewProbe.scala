@@ -5,7 +5,7 @@ import graft.Tables
 import graft.operators.Dedup
 
 /** Dev probe: observed dedup skew at each SF (for choosing guard caps). */
-object ChunkProbe {
+object SkewProbe {
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
