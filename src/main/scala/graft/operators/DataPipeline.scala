@@ -61,8 +61,14 @@ object DataPipeline {
     val perType: Seq[DataFrame] = cfg.dataTypes.flatMap { t =>
       cleaned.get(t.form).map { form =>
         val (_, typed) = ToDataType.fanOut(form, t.form, Seq(t)).head
-        val withLinks = AddLinks(typed,
-          cleaned, cfg.links.filter(_.typ == t.name), cfg.alertIdLength)
+        val typeLinks = cfg.links.filter(_.typ == t.name)
+        // any/all codes over LINKED forms (self-links stay main-record codes,
+        // mirroring buildDataRows' linkNameForForm) pre-aggregate at link
+        // build time — ToCodes then reads a plain boolean column
+        val linkForms = typeLinks.filter(_.toForm != t.form).map(_.toForm).toSet
+        val linkCodes = cfg.codes.filter(c => c.typ == t.name && linkForms(c.form))
+        val withLinks = AddLinks(typed, cleaned, typeLinks, cfg.alertIdLength,
+          linkCodes, cfg.policy)
         buildDataRows(spark, withLinks, t, cfg)
       }
     }

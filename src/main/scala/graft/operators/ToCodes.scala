@@ -57,10 +57,19 @@ object ToCodes {
   /** Outcome of one code, honoring multiple_link aggregation over linked
     * rows (codes/to_codes.py:217-242): a code whose form is a *linked* form
     * evaluates against `links[linkName]` with method last / first / count /
-    * any / all instead of the main record. */
+    * any / all instead of the main record.
+    *
+    * count/first/last are HOF-free by construction (size / element_at). For
+    * any/all, when AddLinks pre-aggregated the code's outcome into a
+    * `__lc_<id>` boolean column (`preAgg` — the hot pipeline path), that
+    * plain column is consumed; the `exists`/`forall` formulation remains only
+    * as a fallback for direct callers that attach link arrays without
+    * AddLinks — it is CodegenFallback and interpreted, so the pipeline never
+    * uses it. */
   private def compiledFor(code: CodeDef, r: ColumnResolver,
                           policy: YearStartPolicy,
-                          linkNameForForm: Map[String, String]): VariableCompiler.Compiled = {
+                          linkNameForForm: Map[String, String],
+                          preAgg: Set[String]): VariableCompiler.Compiled = {
     linkNameForForm.get(code.form) match {
       case None => VariableCompiler.compile(code, r, policy)
       case Some(linkName) =>
@@ -77,6 +86,12 @@ object ToCodes {
             VariableCompiler.Compiled(present && c.applicable, c.value)
           case "count" =>
             VariableCompiler.Compiled(present, size(arr).cast("string"))
+          case "any" if preAgg(code.id) =>
+            VariableCompiler.Compiled(
+              present && col(AddLinks.aggColName(code.id)), lit("1"))
+          case "all" if preAgg(code.id) =>
+            VariableCompiler.Compiled(
+              present && col(AddLinks.aggColName(code.id)), lit("1"))
           case "any"   =>
             VariableCompiler.Compiled(
               present && exists(arr, m => over(m).applicable), lit("1"))
@@ -141,9 +156,10 @@ object ToCodes {
     * uses. */
   private def groupPartials(group: Seq[(CodeDef, Int)], r: ColumnResolver,
                             policy: YearStartPolicy,
-                            linkNameForForm: Map[String, String]): Partials = {
+                            linkNameForForm: Map[String, String],
+                            preAgg: Set[String] = Set.empty): Partials = {
     val members = group.map { case (code, idx) =>
-      (code, idx, compiledFor(code, r, policy, linkNameForForm))
+      (code, idx, compiledFor(code, r, policy, linkNameForForm, preAgg))
     }
     val hasPriority = group.exists(_._1.calculationPriority.isDefined)
     val hasCats = members.exists(_._1.category.nonEmpty)
@@ -336,18 +352,26 @@ object ToCodes {
     }
     val br = new graft.functions.BoundResolver(attrMap, dateAttrMap)
     val groups = groupedCatalog(codes)
+    // any/all link codes whose outcome AddLinks pre-aggregated into a
+    // __lc_<id> column on this frame: consume the plain column (codegen'd)
+    // instead of exists/forall over the link array, and drop it afterwards
+    val dfCols = df.columns.toSet
+    val preAgg = codes.filter(c => linkNameForForm.contains(c.form))
+      .filter(c => c.multipleLink.exists(m => m == "any" || m == "all"))
+      .map(_.id).filter(id => dfCols(AddLinks.aggColName(id))).toSet
+    val preAggCols = preAgg.toSeq.map(AddLinks.aggColName)
 
     if (codes.length < StageBarrierThreshold) {
       // small catalog: one unmaterialized projection, full cross-stage
       // Catalyst optimization (pruning, pushdown, fusion)
       val p = foldPartials(groups.map(g =>
-        groupPartials(g, br, policy, linkNameForForm)))
+        groupPartials(g, br, policy, linkNameForForm, preAgg)))
       val o = assemble(p, br, alertData, staticEntries)
       return projected
         .withColumn("variables", o.variables)
         .withColumn("categories", o.categories)
         .withColumn("disregard", o.disregard)
-        .drop((attrMap.values ++ dateAttrMap.values).toSeq: _*)
+        .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols: _*)
     }
 
     // Catalog-sized projections are evaluated in their OWN execution
@@ -367,7 +391,7 @@ object ToCodes {
     var acc = stageBarrier(projected)
     slices.zip(sliceNames).foreach { case (sliceGroupSeq, name) =>
       val p = foldPartials(sliceGroupSeq.map(g =>
-        groupPartials(g, br, policy, linkNameForForm)))
+        groupPartials(g, br, policy, linkNameForForm, preAgg)))
       acc = stageBarrier(acc.withColumn(name,
         struct(p.entries.as("e"), p.catEntries.as("c"), p.anyAlert.as("a"),
           p.alertReason.as("r"), p.anyDisregard.as("d"))))
@@ -381,7 +405,8 @@ object ToCodes {
       .withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
       .withColumn("disregard", o.disregard)
-      .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames: _*)
+      .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames ++
+        preAggCols: _*)
   }
 
   /** Split groups into slices of at most `maxCodes` codes, never splitting

@@ -291,7 +291,6 @@ object PipelineQueries extends QueryPack {
       val link = LinkDef("items", "order", "orders", "lineitem",
         Seq("o_orderkey"), Seq("l_orderkey"), Seq("match"),
         orderByColumn = "sort_key", orderByIsDate = false)
-      val withLinks = AddLinks(base, Map("lineitem" -> linked), Seq(link))
       val codes = Seq(
         CodeDef(id = "n_links", form = "lineitem",
           multipleLink = Some("count"), method = "not_null",
@@ -313,6 +312,11 @@ object PipelineQueries extends QueryPack {
         CodeDef(id = "last_part", form = "lineitem",
           multipleLink = Some("last"), method = "value",
           condition = "None", dbColumn = "l_partkey"))
+      // any/all outcomes pre-aggregate inside AddLinks (bool_or/bool_and at
+      // link-build time); ToCodes consumes them as plain columns — the whole
+      // a6 path stays codegen'd
+      val withLinks = AddLinks(base, Map("lineitem" -> linked), Seq(link),
+        alertIdLength = 6, linkCodes = codes, policy = EpiWeek.International)
       val coded = ToCodes(withLinks, codes,
         new graft.functions.MapResolver(col("data")),
         policy = EpiWeek.International,
