@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.config.{CodeDef, LinkDef}
 import graft.functions.{EpiWeek, MapResolver, VariableCompiler}
@@ -29,60 +30,110 @@ import graft.functions.EpiWeek.YearStartPolicy
   * equi-joins (alert_match included — the substring is computed into the join
   * key), so Catalyst picks hash joins and can broadcast small linked forms.
   *
-  * Ordering is a SECONDARY SORT, not a post-aggregation `array_sort` with a
-  * comparator lambda: lambda HOFs are CodegenFallback, and one of them in the
-  * link-assembly projection forced the whole stage interpreted (measured 29×
-  * on the p4 gate). Instead the join output is hash-repartitioned on the
-  * group key and sorted within partitions by (key, order_by); the
-  * aggregation's required distribution is already satisfied, so
-  * `collect_list` rides the same single shuffle the groupBy needed anyway and
-  * appends rows per group in sorted order — arrays come out ordered with
-  * every expression codegen'd. (`EliminateSorts` keeps the sort: the
-  * aggregate contains collect_list, which is order-sensitive.)
+  * ORDERING CONTRACT. Array order comes from a window-ordered collection:
+  * `collect_list(payload) OVER (PARTITION BY uuid ORDER BY order_key ROWS
+  * BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)` followed by
+  * `groupBy(uuid).agg(first(arr))`. The window's sort order is contractual
+  * (WindowExec requires and consumes a SortExec), and with an unbounded
+  * frame every row of a group carries the identical full array, so `first`
+  * is deterministic regardless of which aggregate implementation runs.
+  * This replaced a `sortWithinPartitions` + `groupBy.collect_list` shape
+  * that had NO ordering contract: ObjectHashAggregateExec falls back to
+  * sort-based aggregation past `...sortBased.fallbackThreshold` (128)
+  * distinct groups per partition and merges the straddling group's rows out
+  * of order — it passed spec-sized data and broke at sf0.01 (round-3
+  * regression; AddLinksOrderSpec now forces that fallback in-test).
+  * Plan shape: Exchange(uuid) → Sort(uuid, ok) → Window → SortAggregate
+  * (input already sorted, grouping key is the sort prefix) — one shuffle,
+  * one sort. No lambda HOF anywhere: a post-aggregation `array_sort`
+  * comparator is CodegenFallback and forced whole stages interpreted
+  * (measured 29× on the p4 gate in round 2).
   *
-  * `multiple_link` any/all codes (codes/to_codes.py:217-242) are evaluated
-  * here too, as `bool_or` / `bool_and` aggregations over the UNCOLLECTED join
-  * rows ([[linkCodeAggs]]): the five reference aggregation methods are all
-  * expressible at link-build time (count = size, first/last = element_at ±1,
-  * any/all = bool_or/bool_and), so ToCodes never needs an `exists`/`forall`
-  * lambda over the collected arrays on the hot path.
+  * `multiple_link` codes (codes/to_codes.py:217-242) are evaluated here as
+  * order-insensitive PRE-AGGREGATIONS over the uncollected join rows
+  * ([[linkCodeAggs]]): any/all → bool_or/bool_and of the compiled predicate,
+  * count → count(*), first/last → min_by/max_by of the compiled
+  * (applicable, value) struct keyed on the order key with a nulls-last
+  * sentinel (the reference sorts None last — add_links.py:145-152). ToCodes
+  * consumes the resulting `__lc_<id>` columns as plain codegen'd
+  * expressions, so no multiple_link method ever needs an `exists`/`forall`
+  * lambda or even the collected array on the hot path — callers that need
+  * only link-code outcomes can skip array collection entirely
+  * (`collectArrays = false`), turning the whole link step into one
+  * partial-aggregated shuffle of a few bytes per group.
   */
 object AddLinks {
 
   private def normalize(c: Column): Column = lower(regexp_replace(c, "-", "_"))
 
-  /** Column name carrying the pre-aggregated any/all outcome of one
-    * multiple_link code; consumed (and dropped) by ToCodes. */
+  /** Sorts after every real key, so min_by/max_by see the reference's
+    * None-last order. ￿ is above any character the string-encoded order
+    * keys (dates, zero-padded ids) contain. */
+  private val NullsLastSentinel = "￿"
+
+  /** Column name carrying the pre-aggregated outcome of one multiple_link
+    * code; consumed (and dropped) by ToCodes. */
   def aggColName(codeId: String): String = s"__lc_$codeId"
 
-  /** `bool_or`/`bool_and` aggregation columns for the any/all multiple_link
-    * codes that target this link's form. The code's predicate is compiled
-    * against the pre-aggregation linked row (`__l_data`), where it is a
-    * plain codegen'd column expression — the lambda-free equivalent of
-    * `exists`/`forall` over the collected array.
+  /** Pre-aggregation columns for the multiple_link codes targeting this
+    * link's form, one `__lc_<id>` per code:
     *
+    *   any / all   → `bool_or` / `bool_and` of the code's predicate
+    *   count       → `count(*)` (the reference counts linked rows, not
+    *                 predicate hits — codes/to_codes.py:236-238)
+    *   first / last→ `min_by` / `max_by` of struct(applicable, value) over
+    *                 the order key (nulls coalesced to a high sentinel:
+    *                 min_by/max_by skip null keys, but the reference sorts
+    *                 None last, so a null-keyed row CAN be the "last" match)
+    *
+    * The code's predicate/value compile against the pre-aggregation linked
+    * row (`__l_data`), where they are plain codegen'd column expressions —
+    * the lambda-free equivalent of evaluating over the collected array.
     * Null predicate outcomes fold to false first: `forall([true, null])` is
     * null (falsy downstream) while `bool_and` skips nulls, so the coalesce
-    * keeps the two formulations identical. */
+    * keeps the two formulations identical. All five aggregations are
+    * order-INSENSITIVE (first/last order via the min_by/max_by key), so
+    * they are immune to aggregation-order nondeterminism by construction. */
   def linkCodeAggs(codes: Seq[CodeDef], link: LinkDef,
                    policy: YearStartPolicy): Seq[Column] = {
     val r = new MapResolver(col("__l_data"))
+    val ordKey = coalesce(col("__ok"), lit(NullsLastSentinel))
     codes.filter(_.form == link.toForm).flatMap { c =>
-      def pred = coalesce(VariableCompiler.compile(c, r, policy).applicable,
-        lit(false))
-      c.multipleLink match {
-        case Some("any") => Some(bool_or(pred).as(aggColName(c.id)))
-        case Some("all") => Some(bool_and(pred).as(aggColName(c.id)))
-        case _           => None
+      val compiled = VariableCompiler.compile(c, r, policy)
+      def pred = coalesce(compiled.applicable, lit(false))
+      def outcome = struct(pred.as("a"), compiled.value.cast("string").as("v"))
+      val agg = c.multipleLink.getOrElse("last") match {
+        case "any"   => bool_or(pred)
+        case "all"   => bool_and(pred)
+        case "count" => count(lit(1))
+        case "first" => min_by(outcome, ordKey)
+        case "last"  => max_by(outcome, ordKey)
+        case other =>
+          throw new IllegalArgumentException(s"bad multiple_link $other")
       }
+      Some(agg.as(aggColName(c.id)))
     }
   }
 
-  /** (uuid → ordered linked-data array) for one link spec, plus any
-    * `extraAggs` evaluated over the pre-collection join rows. */
+  /** (uuid → ordered linked array) for one link spec, plus any `extraAggs`
+    * evaluated over the pre-collection join rows.
+    *
+    * @param payload what to collect per matched row; defaults to the full
+    *        linked `data` map (the reference attaches whole linked dicts).
+    *        Callers that only need one field should project it here —
+    *        collecting strings instead of maps keeps the shuffle payload
+    *        narrow and leaves no post-aggregation HOF to run. NOTE:
+    *        `collect_list` drops null elements, so a payload that can be
+    *        null (e.g. a missing map key) shifts positions relative to the
+    *        full-map default; project a non-null payload or keep the default.
+    * @param collectArrays false skips array collection entirely (no window,
+    *        no sort): the output is just `groupBy(uuid).agg(extraAggs)`,
+    *        partial-aggregated map-side. Only valid with nonEmpty extraAggs. */
   def linkMatches(base: DataFrame, linked: DataFrame, link: LinkDef,
                   alertIdLength: Int,
-                  extraAggs: Seq[Column] = Nil): DataFrame = {
+                  extraAggs: Seq[Column] = Nil,
+                  payload: Option[Column] = None,
+                  collectArrays: Boolean = true): DataFrame = {
     val b = base.select(col("uuid").as("__b_uuid"), col("data").as("__b_data"))
     val l = linked.select(col("data").as("__l_data"))
 
@@ -111,39 +162,70 @@ object AddLinks {
       val raw = element_at(col("__l_data"), link.orderByColumn)
       if (link.orderByIsDate) VariableCompiler.parseDate(raw).cast("string") else raw
     }
-    // secondary sort (see object doc): null order keys last, matching the
-    // reference's None-sorts-last comparator
-    joined
-      .select(col("__b_uuid"), orderKey.as("__ok"), col("__l_data"))
-      .repartition(col("__b_uuid"))
-      .sortWithinPartitions(col("__b_uuid"), col("__ok").asc_nulls_last)
-      .groupBy(col("__b_uuid").as("uuid"))
-      .agg(collect_list(col("__l_data")).as("__linked"), extraAggs: _*)
+    // keep __l_data out of the shuffle when nothing aggregates over it
+    val keepLinkedData = extraAggs.nonEmpty || payload.isEmpty
+    val rows = joined.select(
+      Seq(col("__b_uuid"), orderKey.as("__ok")) ++
+        payload.map(_.as("__pl")) ++
+        (if (keepLinkedData) Seq(col("__l_data")) else Nil): _*)
+
+    if (!collectArrays) {
+      require(extraAggs.nonEmpty, "collectArrays=false needs extraAggs")
+      rows.groupBy(col("__b_uuid").as("uuid"))
+        .agg(extraAggs.head, extraAggs.tail: _*)
+    } else {
+      // window-ordered collection (see object doc): contractual sort, every
+      // row of the unbounded frame carries the identical full array
+      val target = payload.map(_ => col("__pl")).getOrElse(col("__l_data"))
+      val w = Window.partitionBy(col("__b_uuid"))
+        .orderBy(col("__ok").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rows.withColumn("__arr", collect_list(target).over(w))
+        .groupBy(col("__b_uuid").as("uuid"))
+        .agg(first(col("__arr")).as("__linked"), extraAggs: _*)
+    }
   }
 
   /** Attach `links: map<string, array<map<string,string>>>` to `base`,
     * covering every link spec for this data type.
     *
     * @param linkCodes multiple_link codes of this data type whose form is a
-    *        LINKED form — their any/all outcomes are pre-aggregated into
-    *        `__lc_<id>` boolean columns that ToCodes consumes instead of
-    *        running exists/forall over the arrays. */
+    *        LINKED form — their outcomes are pre-aggregated into `__lc_<id>`
+    *        columns that ToCodes consumes instead of evaluating over the
+    *        arrays. When two links share a toForm, only the FIRST link
+    *        emits a code's column (one `__lc_<id>` per code — the catalog
+    *        resolves links by form, so duplicates would be ambiguous).
+    * @param collectArrays false skips the ordered-array collection (the
+    *        `links` column stays an empty map): correct whenever every
+    *        consumer reads only the pre-aggregated link-code outcomes. */
   def apply(base: DataFrame, forms: Map[String, DataFrame], links: Seq[LinkDef],
             alertIdLength: Int = 6,
             linkCodes: Seq[CodeDef] = Nil,
-            policy: YearStartPolicy = EpiWeek.International): DataFrame = {
+            policy: YearStartPolicy = EpiWeek.International,
+            collectArrays: Boolean = true): DataFrame = {
     val emptyLinks = map_from_entries(
       array().cast("array<struct<key:string,value:array<map<string,string>>>>"))
+    var aggedForms = Set.empty[String]
     links.foldLeft(base.withColumn("links", emptyLinks)) { (acc, link) =>
-      val matches = linkMatches(base, forms(link.toForm), link, alertIdLength,
-        linkCodeAggs(linkCodes, link, policy))
-        .withColumnRenamed("uuid", "__m_uuid")
-      acc.join(matches, col("uuid") === col("__m_uuid"), "left")
-        .withColumn("links",
-          when(col("__linked").isNotNull,
-            map_concat(col("links"), map(lit(link.name), col("__linked"))))
-            .otherwise(col("links")))
-        .drop("__m_uuid", "__linked")
+      val aggs =
+        if (aggedForms(link.toForm)) Nil
+        else linkCodeAggs(linkCodes, link, policy)
+      aggedForms += link.toForm
+      if (!collectArrays && aggs.isEmpty) acc
+      else {
+        val matches = linkMatches(base, forms(link.toForm), link, alertIdLength,
+          aggs, payload = None, collectArrays = collectArrays)
+          .withColumnRenamed("uuid", "__m_uuid")
+        val joined = acc.join(matches, col("uuid") === col("__m_uuid"), "left")
+        (if (collectArrays)
+          joined.withColumn("links",
+            when(col("__linked").isNotNull,
+              map_concat(col("links"), map(lit(link.name), col("__linked"))))
+              .otherwise(col("links")))
+            .drop("__linked")
+        else joined)
+          .drop("__m_uuid")
+      }
     }
   }
 }

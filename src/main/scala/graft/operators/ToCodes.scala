@@ -54,24 +54,43 @@ object ToCodes {
   private def emptyEntries = array().cast(entriesType)
   private def nullString = lit(null).cast("string")
 
+  /** `__lc_<id>` as a Column, backtick-quoted so code ids containing dots
+    * resolve as a name, not a field access. */
+  private def aggCol(codeId: String): Column =
+    col(s"`${AddLinks.aggColName(codeId)}`")
+
   /** Outcome of one code, honoring multiple_link aggregation over linked
     * rows (codes/to_codes.py:217-242): a code whose form is a *linked* form
-    * evaluates against `links[linkName]` with method last / first / count /
+    * evaluates against the linked matches with method last / first / count /
     * any / all instead of the main record.
     *
-    * count/first/last are HOF-free by construction (size / element_at). For
-    * any/all, when AddLinks pre-aggregated the code's outcome into a
-    * `__lc_<id>` boolean column (`preAgg` — the hot pipeline path), that
-    * plain column is consumed; the `exists`/`forall` formulation remains only
-    * as a fallback for direct callers that attach link arrays without
-    * AddLinks — it is CodegenFallback and interpreted, so the pipeline never
-    * uses it. */
+    * When AddLinks pre-aggregated the code's outcome into a `__lc_<id>`
+    * column (`preAgg` — the hot pipeline path), that plain codegen'd column
+    * is consumed for ALL five methods: a null `__lc_<id>` means the left
+    * join found no linked rows, i.e. the reference's not-present case. The
+    * array formulations over `links[linkName]` remain as a fallback for
+    * direct callers that attach link arrays without AddLinks; of those only
+    * any/all use lambda HOFs (CodegenFallback, interpreted), which the
+    * pipeline therefore never runs. */
   private def compiledFor(code: CodeDef, r: ColumnResolver,
                           policy: YearStartPolicy,
                           linkNameForForm: Map[String, String],
                           preAgg: Set[String]): VariableCompiler.Compiled = {
     linkNameForForm.get(code.form) match {
       case None => VariableCompiler.compile(code, r, policy)
+      case Some(linkName) if preAgg(code.id) =>
+        val c = aggCol(code.id)
+        code.multipleLink.getOrElse("last") match {
+          case "first" | "last" =>
+            VariableCompiler.Compiled(
+              c.isNotNull && c.getField("a"), c.getField("v"))
+          case "count" =>
+            VariableCompiler.Compiled(c.isNotNull, c.cast("string"))
+          case "any" | "all" =>
+            VariableCompiler.Compiled(coalesce(c, lit(false)), lit("1"))
+          case other =>
+            throw new IllegalArgumentException(s"bad multiple_link $other")
+        }
       case Some(linkName) =>
         val arr = element_at(col("links"), linkName)
         def over(elem: Column) =
@@ -86,12 +105,6 @@ object ToCodes {
             VariableCompiler.Compiled(present && c.applicable, c.value)
           case "count" =>
             VariableCompiler.Compiled(present, size(arr).cast("string"))
-          case "any" if preAgg(code.id) =>
-            VariableCompiler.Compiled(
-              present && col(AddLinks.aggColName(code.id)), lit("1"))
-          case "all" if preAgg(code.id) =>
-            VariableCompiler.Compiled(
-              present && col(AddLinks.aggColName(code.id)), lit("1"))
           case "any"   =>
             VariableCompiler.Compiled(
               present && exists(arr, m => over(m).applicable), lit("1"))
@@ -352,12 +365,11 @@ object ToCodes {
     }
     val br = new graft.functions.BoundResolver(attrMap, dateAttrMap)
     val groups = groupedCatalog(codes)
-    // any/all link codes whose outcome AddLinks pre-aggregated into a
-    // __lc_<id> column on this frame: consume the plain column (codegen'd)
-    // instead of exists/forall over the link array, and drop it afterwards
+    // link codes whose outcome AddLinks pre-aggregated into a __lc_<id>
+    // column on this frame: consume the plain column (codegen'd) instead of
+    // evaluating over the link array, and drop it afterwards
     val dfCols = df.columns.toSet
     val preAgg = codes.filter(c => linkNameForForm.contains(c.form))
-      .filter(c => c.multipleLink.exists(m => m == "any" || m == "all"))
       .map(_.id).filter(id => dfCols(AddLinks.aggColName(id))).toSet
     val preAggCols = preAgg.toSeq.map(AddLinks.aggColName)
 

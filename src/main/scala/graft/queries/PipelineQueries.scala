@@ -134,7 +134,9 @@ object PipelineQueries extends QueryPack {
     }),
 
     // P4 "to-links" through AddLinks.linkMatches: equality link, matches
-    // ordered by the link's order_by column (add_links.py:99-157).
+    // ordered by the link's order_by column (add_links.py:99-157). The item
+    // string is projected as the collection payload, so the arrays carry
+    // plain strings and the output needs no post-aggregation HOF.
     "p4_add_links_to" -> ((s, dir) => {
       val base = Tables.orders(s, dir).select(
         col("o_orderkey").cast("string").as("uuid"),
@@ -146,11 +148,11 @@ object PipelineQueries extends QueryPack {
       val link = LinkDef("items", "order", "orders", "lineitem",
         Seq("o_orderkey"), Seq("l_orderkey"), Seq("match"),
         orderByColumn = "item", orderByIsDate = false)
-      AddLinks.linkMatches(base, linked, link, alertIdLength = 6)
+      AddLinks.linkMatches(base, linked, link, alertIdLength = 6,
+        payload = Some(d(col("__l_data"), "item")))
         .select(col("uuid").cast("long").as("o_orderkey"),
           size(col("__linked")).cast("long").as("n_links"),
-          concat_ws(",", transform(col("__linked"), m => d(m, "item")))
-            .as("items"))
+          concat_ws(",", col("__linked")).as("items"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -312,11 +314,14 @@ object PipelineQueries extends QueryPack {
         CodeDef(id = "last_part", form = "lineitem",
           multipleLink = Some("last"), method = "value",
           condition = "None", dbColumn = "l_partkey"))
-      // any/all outcomes pre-aggregate inside AddLinks (bool_or/bool_and at
-      // link-build time); ToCodes consumes them as plain columns — the whole
-      // a6 path stays codegen'd
+      // all five multiple_link methods pre-aggregate inside AddLinks
+      // (bool_or/bool_and/count/min_by/max_by at link-build time); ToCodes
+      // consumes them as plain columns, so the link arrays are never needed
+      // — collectArrays=false makes the link step one partial-aggregated
+      // shuffle with no window, no sort, no map payloads
       val withLinks = AddLinks(base, Map("lineitem" -> linked), Seq(link),
-        alertIdLength = 6, linkCodes = codes, policy = EpiWeek.International)
+        alertIdLength = 6, linkCodes = codes, policy = EpiWeek.International,
+        collectArrays = false)
       val coded = ToCodes(withLinks, codes,
         new graft.functions.MapResolver(col("data")),
         policy = EpiWeek.International,
