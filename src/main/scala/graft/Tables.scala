@@ -23,7 +23,9 @@ object Tables {
     // The reference's DSL is permissive Python: float() failure → value kept,
     // ZeroDivision → 0, bad dates → fallthrough. Non-ANSI evaluation (null on
     // bad cast) is the matching contract; hot spots additionally use try_*.
-    "spark.sql.ansi.enabled" -> "false")
+    "spark.sql.ansi.enabled" -> "false",
+    // engine planner rules (InlineMapExtracts: kill the map-adapter tax)
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")

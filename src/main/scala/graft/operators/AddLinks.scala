@@ -75,8 +75,12 @@ object AddLinks {
     * code; consumed (and dropped) by ToCodes. */
   def aggColName(codeId: String): String = s"__lc_$codeId"
 
-  /** Pre-aggregation columns for the multiple_link codes targeting this
-    * link's form, one `__lc_<id>` per code:
+  /** Pre-aggregations for the multiple_link codes targeting this link's
+    * form, one `__lc_<id>` per code, returned as (rowProjections, aggs):
+    * the projections evaluate each code's predicate/value ONCE per joined
+    * row, scan-side, into plain `__la_*` columns (see [[linkMatches]] —
+    * shuffles and aggregation buffers then carry booleans/strings, not the
+    * linked data map), and the aggs fold those columns:
     *
     *   any / all   → `bool_or` / `bool_and` of the code's predicate
     *   count       → `count(*)` (the reference counts linked rows, not
@@ -86,46 +90,67 @@ object AddLinks {
     *                 min_by/max_by skip null keys, but the reference sorts
     *                 None last, so a null-keyed row CAN be the "last" match)
     *
-    * The code's predicate/value compile against the pre-aggregation linked
-    * row (`__l_data`), where they are plain codegen'd column expressions —
-    * the lambda-free equivalent of evaluating over the collected array.
     * Null predicate outcomes fold to false first: `forall([true, null])` is
     * null (falsy downstream) while `bool_and` skips nulls, so the coalesce
     * keeps the two formulations identical. All five aggregations are
     * order-INSENSITIVE (first/last order via the min_by/max_by key), so
     * they are immune to aggregation-order nondeterminism by construction. */
   def linkCodeAggs(codes: Seq[CodeDef], link: LinkDef,
-                   policy: YearStartPolicy): Seq[Column] = {
+                   policy: YearStartPolicy): (Seq[Column], Seq[Column]) = {
     val r = new MapResolver(col("__l_data"))
     val ordKey = coalesce(col("__ok"), lit(NullsLastSentinel))
-    codes.filter(_.form == link.toForm).flatMap { c =>
-      val compiled = VariableCompiler.compile(c, r, policy)
-      def pred = coalesce(compiled.applicable, lit(false))
-      def outcome = struct(pred.as("a"), compiled.value.cast("string").as("v"))
-      val agg = c.multipleLink.getOrElse("last") match {
-        case "any"   => bool_or(pred)
-        case "all"   => bool_and(pred)
-        case "count" => count(lit(1))
-        case "first" => min_by(outcome, ordKey)
-        case "last"  => max_by(outcome, ordKey)
-        case other =>
-          throw new IllegalArgumentException(s"bad multiple_link $other")
-      }
-      Some(agg.as(aggColName(c.id)))
+    val parts = codes.filter(_.form == link.toForm).zipWithIndex.map {
+      case (c, i) =>
+        val compiled = VariableCompiler.compile(c, r, policy)
+        val pred = coalesce(compiled.applicable, lit(false))
+        val pName = s"__la_p$i"
+        val vName = s"__la_v$i"
+        val out = aggColName(c.id)
+        c.multipleLink.getOrElse("last") match {
+          case "any"   => (Seq(pred.as(pName)), bool_or(col(pName)).as(out))
+          case "all"   => (Seq(pred.as(pName)), bool_and(col(pName)).as(out))
+          case "count" => (Seq.empty[Column], count(lit(1)).as(out))
+          case "first" =>
+            (Seq(pred.as(pName), compiled.value.cast("string").as(vName)),
+              min_by(struct(col(pName).as("a"), col(vName).as("v")), ordKey).as(out))
+          case "last"  =>
+            (Seq(pred.as(pName), compiled.value.cast("string").as(vName)),
+              max_by(struct(col(pName).as("a"), col(vName).as("v")), ordKey).as(out))
+          case other =>
+            throw new IllegalArgumentException(s"bad multiple_link $other")
+        }
     }
+    (parts.flatMap(_._1), parts.map(_._2))
   }
 
   /** (uuid → ordered linked array) for one link spec, plus any `extraAggs`
     * evaluated over the pre-collection join rows.
     *
-    * @param payload what to collect per matched row; defaults to the full
-    *        linked `data` map (the reference attaches whole linked dicts).
-    *        Callers that only need one field should project it here —
-    *        collecting strings instead of maps keeps the shuffle payload
-    *        narrow and leaves no post-aggregation HOF to run. NOTE:
-    *        `collect_list` drops null elements, so a payload that can be
-    *        null (e.g. a missing map key) shifts positions relative to the
-    *        full-map default; project a non-null payload or keep the default.
+    * SCALE SHAPE: every field the link needs — join keys (with the method
+    * transform applied), order key, to_condition, agg inputs, payload — is
+    * projected out of the data maps in narrow SCAN-SIDE projections BEFORE
+    * the join, and the to/from condition filters run before the join too.
+    * The join is then a pure equi-join on plain string columns, and the
+    * shuffle/sort/aggregation buffers carry primitives; the linked map
+    * itself crosses the join only when something downstream genuinely
+    * consumes whole linked rows (full-map array collection, or `extraAggs`
+    * over `__l_data` without `aggInputs`). Measured at sf0.1, maps flowing
+    * through the join+agg cost 3× the plain-column shape.
+    *
+    * @param extraAggs aggregations over the joined rows; they may reference
+    *        the `aggInputs` projections (preferred — see [[linkCodeAggs]])
+    *        or `__l_data` directly (forces the map through the join).
+    * @param payload what to collect per matched row, as an expression over
+    *        `__l_data`; defaults to the full linked map (the reference
+    *        attaches whole linked dicts). Callers that only need one field
+    *        should project it here — collecting strings instead of maps
+    *        keeps the shuffle payload narrow and leaves no post-aggregation
+    *        HOF to run. NOTE: `collect_list` drops null elements, so a
+    *        payload that can be null (e.g. a missing map key) shifts
+    *        positions relative to the full-map default; project a non-null
+    *        payload or keep the default.
+    * @param aggInputs named per-row projections over `__l_data` (evaluated
+    *        pre-join) that `extraAggs` folds; from [[linkCodeAggs]].
     * @param collectArrays false skips array collection entirely (no window,
     *        no sort): the output is just `groupBy(uuid).agg(extraAggs)`,
     *        partial-aggregated map-side. Only valid with nonEmpty extraAggs. */
@@ -133,41 +158,61 @@ object AddLinks {
                   alertIdLength: Int,
                   extraAggs: Seq[Column] = Nil,
                   payload: Option[Column] = None,
-                  collectArrays: Boolean = true): DataFrame = {
-    val b = base.select(col("uuid").as("__b_uuid"), col("data").as("__b_data"))
-    val l = linked.select(col("data").as("__l_data"))
+                  collectArrays: Boolean = true,
+                  aggInputs: Seq[Column] = Nil): DataFrame = {
+    val fromKeys = link.fromColumns.indices.map(i => s"__fk_$i")
+    val toKeys = link.toColumns.indices.map(i => s"__tk_$i")
 
-    val conds: Seq[Column] =
-      link.fromColumns.lazyZip(link.toColumns).lazyZip(link.methods).map {
-        (fc, tc, m) =>
-          val bv = element_at(col("__b_data"), fc)
-          val lv = element_at(col("__l_data"), tc)
-          val eq = m match {
-            case "match"       => lv === bv
-            case "lower_match" => normalize(lv) === normalize(bv)
-            case "alert_match" => lv === substring(bv, -alertIdLength, alertIdLength)
-            case other => throw new IllegalArgumentException(s"bad link method $other")
-          }
-          eq && lv =!= ""
-      }
-    val toCond: Column = link.toCondition
-      .map { case (c, v) => element_at(col("__l_data"), c) === v }
-      .getOrElse(lit(true))
-    val fromCond: Column = link.fromCondition
-      .map { case (c, v) => element_at(col("__b_data"), c) === v }
-      .getOrElse(lit(true))
+    // base side: pre-join filter, then keys only (method transforms applied
+    // here so the join itself is a plain equi-join)
+    val bFiltered = link.fromCondition
+      .map { case (c, v) => base.filter(element_at(col("data"), c) === v) }
+      .getOrElse(base)
+    val bKeyCols = link.fromColumns.lazyZip(link.methods).lazyZip(fromKeys).map {
+      (fc, m, name) =>
+        val bv = element_at(col("data"), fc)
+        val key = m match {
+          case "match"       => bv
+          case "lower_match" => normalize(bv)
+          case "alert_match" => substring(bv, -alertIdLength, alertIdLength)
+          case other => throw new IllegalArgumentException(s"bad link method $other")
+        }
+        key.as(name)
+    }
+    val b = bFiltered.select(col("uuid").as("__b_uuid") +: bKeyCols: _*)
 
-    val joined = b.join(l, conds.reduce(_ && _) && toCond && fromCond, "inner")
+    // linked side: pre-join filter, then keys + order key + agg inputs +
+    // payload — the data map survives only if whole rows are consumed
+    val lFiltered = link.toCondition
+      .map { case (c, v) => linked.filter(element_at(col("data"), c) === v) }
+      .getOrElse(linked)
+      .select(col("data").as("__l_data"))
     val orderKey = {
       val raw = element_at(col("__l_data"), link.orderByColumn)
       if (link.orderByIsDate) VariableCompiler.parseDate(raw).cast("string") else raw
     }
-    // keep __l_data out of the shuffle when nothing aggregates over it
-    val keepLinkedData = extraAggs.nonEmpty || payload.isEmpty
-    val rows = joined.select(
-      Seq(col("__b_uuid"), orderKey.as("__ok")) ++
+    val keepLinkedData = (collectArrays && payload.isEmpty) ||
+      (extraAggs.nonEmpty && aggInputs.isEmpty)
+    val lKeyCols = link.toColumns.lazyZip(link.methods).lazyZip(toKeys).map {
+      (tc, m, name) =>
+        val lv = element_at(col("__l_data"), tc)
+        // "" normalizes to "", so guarding the transformed key ≡ guarding raw
+        val key = m match {
+          case "lower_match" => normalize(lv)
+          case _             => lv
+        }
+        key.as(name)
+    }
+    val l = lFiltered.select(
+      lKeyCols ++ Seq(orderKey.as("__ok")) ++ aggInputs ++
         payload.map(_.as("__pl")) ++
         (if (keepLinkedData) Seq(col("__l_data")) else Nil): _*)
+
+    val conds = fromKeys.zip(toKeys).map { case (fk, tk) =>
+      col(tk) === col(fk) && col(tk) =!= ""
+    }
+    val rows = b.join(l, conds.reduce(_ && _), "inner")
+      .drop(fromKeys ++ toKeys: _*)
 
     if (!collectArrays) {
       require(extraAggs.nonEmpty, "collectArrays=false needs extraAggs")
@@ -207,14 +252,15 @@ object AddLinks {
       array().cast("array<struct<key:string,value:array<map<string,string>>>>"))
     var aggedForms = Set.empty[String]
     links.foldLeft(base.withColumn("links", emptyLinks)) { (acc, link) =>
-      val aggs =
-        if (aggedForms(link.toForm)) Nil
+      val (aggInputs, aggs) =
+        if (aggedForms(link.toForm)) (Nil, Nil)
         else linkCodeAggs(linkCodes, link, policy)
       aggedForms += link.toForm
       if (!collectArrays && aggs.isEmpty) acc
       else {
         val matches = linkMatches(base, forms(link.toForm), link, alertIdLength,
-          aggs, payload = None, collectArrays = collectArrays)
+          aggs, payload = None, collectArrays = collectArrays,
+          aggInputs = aggInputs)
           .withColumnRenamed("uuid", "__m_uuid")
         val joined = acc.join(matches, col("uuid") === col("__m_uuid"), "left")
         (if (collectArrays)

@@ -33,7 +33,14 @@ object DataPipeline {
       alertIdLength: Int = 6,
       /** named JSON parameter blobs (database_setup.py:331-362); rules
         * reference them as `<file>.<group>.<key>` pseudo-columns */
-      calculationParameters: CalculationParameters.Params = Map.empty)
+      calculationParameters: CalculationParameters.Params = Map.empty,
+      /** false drops the raw form map from the data rows after coding —
+        * the reference's `data` table carries no raw form payload either
+        * (model.py:97-128) — which lets the catalog-scale ToCodes barrier
+        * prune its input to the columns the catalog references. Default
+        * true for callers (and specs) that read raw fields back off the
+        * pipeline output. */
+      retainRawData: Boolean = true)
 
   final case class Result(data: DataFrame, disregarded: DataFrame)
 
@@ -180,19 +187,25 @@ object DataPipeline {
     val resolver =
       if (cfg.calculationParameters.isEmpty) baseResolver
       else new ParameterResolver(baseResolver, cfg.calculationParameters)
-    val withCounters = ToCodes(withLoc, typeCodes, resolver,
-      cfg.policy, cfg.alertData, linkNameForForm,
-      staticEntries = Seq(t.varName -> "1", "data_entry" -> "1"))
 
-    // event date + epi columns (process_steps/to_codes.py:138-152)
+    // event date + epi columns (process_steps/to_codes.py:138-152) — built
+    // BEFORE coding (they don't depend on codes) so a retain-pruned ToCodes
+    // barrier can drop the raw map from everything downstream
     val eventDate = VariableCompiler.parseDate(r.get(t.dateColumn))
     val yw = EpiWeek.epiYearWeek(eventDate, cfg.policy)
-    withCounters
+    val withDates = withLoc
       .withColumn("date", date_trunc("DAY", eventDate))
       .withColumn("epi_year", yw.getField("epi_year"))
       .withColumn("epi_week", yw.getField("epi_week"))
       .withColumn("submission_date",
         VariableCompiler.parseDate(r.get("SubmissionDate")))
       .withColumn("device_id", r.get("deviceid"))
+    val retain =
+      if (cfg.retainRawData) None
+      else Some(withDates.columns.filterNot(_ == "data").toSeq)
+    ToCodes(withDates, typeCodes, resolver,
+      cfg.policy, cfg.alertData, linkNameForForm,
+      staticEntries = Seq(t.varName -> "1", "data_entry" -> "1"),
+      retain = retain)
   }
 }

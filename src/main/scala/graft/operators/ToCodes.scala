@@ -315,12 +315,23 @@ object ToCodes {
     * code repeats its own map lookups), then the three outputs are single
     * HOF-free expressions. The generated (non-whole-stage) projection
     * splits the evaluator into per-subtree methods and runs common
-    * subexpressions once, so the catalog stays compiled at any size. */
+    * subexpressions once, so the catalog stays compiled at any size.
+    *
+    * @param retain at catalog scale (stage-barrier path) the barrier is an
+    *        RDD boundary, which blocks Catalyst's column pruning: without
+    *        help, the barrier materializes EVERY column of `df` even when
+    *        the caller consumes two. Passing the columns the caller needs
+    *        downstream prunes the barrier frame to retain ∪ catalog inputs,
+    *        so the scan reads only referenced columns. None (default)
+    *        keeps every column — correct for pipeline callers whose later
+    *        steps read the raw row. No effect below the barrier threshold,
+    *        where Catalyst prunes through the plain projection on its own. */
   def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
             policy: YearStartPolicy = EpiWeek.International,
             alertData: Map[String, String] = Map.empty,
             linkNameForForm: Map[String, String] = Map.empty,
-            staticEntries: Seq[(String, String)] = Nil): DataFrame = {
+            staticEntries: Seq[(String, String)] = Nil,
+            retain: Option[Seq[String]] = None): DataFrame = {
     if (codes.isEmpty) {
       val vars =
         if (staticEntries.isEmpty) emptyMapCol
@@ -372,6 +383,20 @@ object ToCodes {
     val preAgg = codes.filter(c => linkNameForForm.contains(c.form))
       .map(_.id).filter(id => dfCols(AddLinks.aggColName(id))).toSet
     val preAggCols = preAgg.toSeq.map(AddLinks.aggColName)
+    // non-pre-aggregated link codes read the links column at eval time;
+    // a retain list must not prune it out from under them
+    val needsLinks = dfCols("links") &&
+      codes.exists(c => linkNameForForm.contains(c.form) && !preAgg(c.id))
+    val retainAll = retain.map(keep =>
+      (keep ++ (if (needsLinks) Seq("links") else Nil)).distinct)
+    // retain applies on BOTH paths so a mixed-size set of catalogs (one per
+    // data type) unions to one schema regardless of which path each took
+    def applyRetain(out: DataFrame): DataFrame = retainAll match {
+      case None => out
+      case Some(keep) =>
+        out.select((keep ++ Seq("variables", "categories", "disregard"))
+          .map(n => col(s"`$n`")): _*)
+    }
 
     if (codes.length < StageBarrierThreshold) {
       // small catalog: one unmaterialized projection, full cross-stage
@@ -379,11 +404,11 @@ object ToCodes {
       val p = foldPartials(groups.map(g =>
         groupPartials(g, br, policy, linkNameForForm, preAgg)))
       val o = assemble(p, br, alertData, staticEntries)
-      return projected
+      return applyRetain(projected
         .withColumn("variables", o.variables)
         .withColumn("categories", o.categories)
         .withColumn("disregard", o.disregard)
-        .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols: _*)
+        .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols: _*))
     }
 
     // Catalog-sized projections are evaluated in their OWN execution
@@ -400,7 +425,14 @@ object ToCodes {
     import org.apache.spark.sql.GraftColumnBridge.stageBarrier
     val slices = sliceGroups(groups, MaxCodesPerStage)
     val sliceNames = slices.indices.map(i => s"__tc_s$i")
-    var acc = stageBarrier(projected)
+    val barrierInput = retainAll match {
+      case None => projected
+      case Some(keep) =>
+        val cols = (keep ++ attrMap.values ++ dateAttrMap.values ++
+          preAggCols).distinct
+        projected.select(cols.map(n => col(s"`$n`")): _*)
+    }
+    var acc = stageBarrier(barrierInput)
     slices.zip(sliceNames).foreach { case (sliceGroupSeq, name) =>
       val p = foldPartials(sliceGroupSeq.map(g =>
         groupPartials(g, br, policy, linkNameForForm, preAgg)))
@@ -413,12 +445,12 @@ object ToCodes {
         col(n).getField("a"), col(n).getField("r"), col(n).getField("d"))
     }
     val o = assemble(foldPartials(parts), br, alertData, staticEntries)
-    acc
+    applyRetain(acc
       .withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
       .withColumn("disregard", o.disregard)
       .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames ++
-        preAggCols: _*)
+        preAggCols: _*))
   }
 
   /** Split groups into slices of at most `maxCodes` codes, never splitting

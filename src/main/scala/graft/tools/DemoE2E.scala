@@ -79,7 +79,11 @@ object DemoE2E {
         Seq("patientid", "icd_code"), "intro./visit", "pt./visit_date",
         "intro./module", "ncd")),
       locations = locations,
-      alertData = Map("gender" -> "pt1./gender"))
+      alertData = Map("gender" -> "pt1./gender"),
+      // production shape: the data rows drop the raw form map (the
+      // reference's data table carries none either), which lets the
+      // 198-code ToCodes barrier prune its input columns
+      retainRawData = false)
 
     val t0 = System.nanoTime()
     val result = DataPipeline.process(spark, Map("demo_case" -> form), cfg)
