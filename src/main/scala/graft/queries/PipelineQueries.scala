@@ -253,22 +253,35 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
-    // A5: hierarchical population rollup (clinic→district→…→country):
-    // fixed-depth level-wise aggregation, one output row per node per level.
+    // A5: hierarchical population rollup through the SHIPPED
+    // Locations.populationRollup (database_setup.py:157-166): Spark
+    // aggregates leaf populations (exact cents, so the driver-side Long
+    // accumulation is lossless), the config-sized dimension collects to
+    // the driver — the reference's rollup is driver-side UPDATEs over the
+    // tiny locations table, ours is the same shape — and the accumulated
+    // tree is emitted per level for the oracle.
     "a5_population_rollup" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val n = broadcast(Tables.nation(s, dir))
-      val r = broadcast(Tables.region(s, dir))
-      val base = c.join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-      val nationLevel = base.groupBy(col("n_name").as("name"))
-        .agg(sum(dec(col("c_acctbal"))).cast("double").as("pop"))
-        .withColumn("level", lit("nation"))
-      val regionLevel = base.groupBy(col("r_name").as("name"))
-        .agg(sum(dec(col("c_acctbal"))).cast("double").as("pop"))
-        .withColumn("level", lit("region"))
-      nationLevel.unionByName(regionLevel)
-        .select(col("level"), col("name"), col("pop"))
+      import s.implicits._
+      val leafCents = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg((sum(dec(col("c_acctbal"))) * 100).cast("long").as("cents"))
+      val natRows = Tables.nation(s, dir)
+        .join(leafCents, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"), coalesce(col("cents"), lit(0L)))
+        .collect()
+      val regRows = Tables.region(s, dir)
+        .select(col("r_regionkey").cast("int"), col("r_name")).collect()
+      // unique tree ids: regions at 1000+key (roots), nations at 100+key
+      val nodes =
+        regRows.map(r => LocationNode(1000 + r.getInt(0), r.getString(1),
+          "region", 0)).toSeq ++
+        natRows.map(r => LocationNode(100 + r.getInt(0), r.getString(1),
+          "nation", 1000 + r.getInt(2), population = Some(r.getLong(3))))
+      val rolled = Locations.populationRollup(nodes)
+      nodes.map(nd =>
+          (nd.level, nd.name, rolled.getOrElse(nd.id, 0L) / 100.0))
+        .toDF("level", "name", "pop")
         .orderBy(col("level"), col("name"))
     }),
 

@@ -65,22 +65,60 @@ object StreamingPipeline {
     * Event-time processing: if a record arrives whose ts PRECEDES the
     * stored first-visit time, it becomes the new "new" (emitted as such)
     * — the previously-emitted label is NOT retracted (same contract as the
-    * reference, which re-writes the store instead). */
-  def visitControlStream(events: Dataset[VisitEvent]): Dataset[VisitLabel] = {
+    * reference, which re-writes the store instead).
+    *
+    * STATE TTL: at 100 TB of history, distinct identifiers grow without
+    * bound, and the reference's "state" is the whole database, which a
+    * streaming state store cannot be. `ttlMs` expires a key's state after
+    * that much EVENT-TIME inactivity (watermark-driven, so tests and
+    * reprocessing are deterministic; activity extends the deadline). An
+    * expired identifier that reappears is labeled "new" again — the
+    * bounded-state tradeoff; the batch store-recompute heals those labels.
+    * `None` keeps the unbounded reference discipline.
+    *
+    * `latenessMs` is the watermark delay — the event-time timeout needs a
+    * watermark, and the watermark also drops rows older than (max seen −
+    * lateness). The reference processes arbitrarily late data, so the
+    * default tolerance is generous; a key actually expires once the
+    * watermark (not raw event time) passes its deadline, i.e. after
+    * ttl + lateness of event-time inactivity. */
+  def visitControlStream(events: Dataset[VisitEvent],
+                         ttlMs: Option[Long] = Some(30L * 24 * 3600 * 1000),
+                         latenessMs: Long = 30L * 24 * 3600 * 1000)
+      : Dataset[VisitLabel] = {
     import events.sparkSession.implicits._
-    events
+    val timeout = ttlMs.map(_ => GroupStateTimeout.EventTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    val withWm = ttlMs match {
+      case None => events
+      case Some(_) => events
+        .withColumn("__et", timestamp_millis(col("ts")))
+        .withWatermark("__et", s"$latenessMs milliseconds")
+        .as[VisitEvent]
+    }
+    withWm
       .groupByKey(_.identifier)
       .flatMapGroupsWithState[Long, VisitLabel](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[VisitEvent], state: GroupState[Long]) =>
-          val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
-          var firstTs = state.getOption.getOrElse(Long.MaxValue)
-          val out = batch.map { e =>
-            val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
-            VisitLabel(key, e.uuid, label)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
+            var firstTs = state.getOption.getOrElse(Long.MaxValue)
+            val out = batch.map { e =>
+              val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
+              VisitLabel(key, e.uuid, label)
+            }
+            if (firstTs != Long.MaxValue) {
+              state.update(firstTs)
+              // inactivity deadline extends from this batch's latest event
+              ttlMs.foreach(t =>
+                state.setTimeoutTimestamp(batch.map(_.ts).max + t))
+            }
+            out.iterator
           }
-          if (firstTs != Long.MaxValue) state.update(firstTs)
-          out.iterator
       }
   }
 }

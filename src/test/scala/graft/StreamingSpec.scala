@@ -124,6 +124,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("visit-control state expires after event-time TTL and re-arms") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingPipeline.{VisitEvent, VisitLabel}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VisitEvent]
+    val q = StreamingPipeline.visitControlStream(input.toDS(),
+      ttlMs = Some(1000L), latenessMs = 0L)
+      .writeStream.format("memory").queryName("visit_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(VisitEvent("A", "u1", 1000L))   // A first seen; deadline 2000
+      q.processAllAvailable()
+      input.addData(VisitEvent("A", "u2", 1500L))   // activity extends to 2500
+      q.processAllAvailable()
+      input.addData(VisitEvent("Z", "z1", 5000L))   // advances watermark to 1500
+      q.processAllAvailable()
+      input.addData(VisitEvent("Z", "z2", 5001L))   // watermark 5000 > 2500: A expires
+      q.processAllAvailable()
+      input.addData(VisitEvent("A", "u3", 6000L))   // expired key re-arrives
+      q.processAllAvailable()
+      val out = spark.table("visit_ttl")
+        .as[VisitLabel].collect().map(l => l.uuid -> l.visit).toMap
+      assert(out === Map(
+        "u1" -> "new", "u2" -> "return", // within TTL: normal labeling
+        "z1" -> "new", "z2" -> "return",
+        "u3" -> "new"))                  // state expired → labeled new again
+    } finally q.stop()
+  }
+
   test("jdbc source reads a partitioned table into form shape (embedded Derby)") {
     // Derby ships with Spark (hive-metastore dependency), so S3's JDBC scan
     // is testable in-JVM: partitioned read → canonical (uuid, data)

@@ -275,4 +275,51 @@ class TrainingDataSpec extends AnyFunSuite {
       .select("sampled_frames").as[Seq[Int]].head()
     assert(out === Seq(0, 2, 4)) // 5 fake frames (450/100+1), stride 2
   }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("real PNG/JPEG payloads decode real dimensions via javax.imageio") {
+    val media = Seq(
+      (1L, pngBytes(100, 40)), (2L, jpegBytes(33, 77)),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.decodeFeatures(media)
+      .select("doc_id", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === ((100, 40, 1)))
+    assert(out(2L) === ((33, 77, 1)))
+    // unclaimed payload falls back to the deterministic codec (12 bytes)
+    assert(out(3L) === ((64 + 12, 64 + 84, 1)))
+  }
+
+  test("pixel resize scales, keeps aspect, and re-encodes decodable PNG") {
+    val media = Seq((1L, pngBytes(100, 40)), (2L, "nope".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizePixels(media, maxDim = 50).collect()
+    assert(out.length === 1) // undecodable payloads are dropped
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert((r.getInt(2), r.getInt(3)) === ((50, 20)))
+    // the re-encoded payload is itself a decodable PNG with those dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    assert((round.getWidth, round.getHeight) === ((50, 20)))
+  }
 }
