@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -159,6 +160,74 @@ object InlineMapExtracts extends Rule[LogicalPlan] {
             Aggregate(nge, named(nae), Filter(ncond, nc), hints)
           case _ => a
         }
+      case p @ Project(list, j: Join) => inlineOverJoin(p, list, j)
+    }
+  }
+
+  /** Inline map aliases defined in a join's child projections into the
+    * parent projection and the join condition. Only sides that cannot be
+    * null-extended are eligible: on a null-extended row the map ATTRIBUTE
+    * is null (extract → null), but an inlined value expression could
+    * evaluate non-null over the nulled child attrs (e.g. a coalesce with
+    * a literal default) — a silent wrong answer on outer joins. */
+  private def inlineOverJoin(p: Project, list: Seq[NamedExpression],
+                             j: Join): LogicalPlan = {
+    def eligible(side: LogicalPlan, isLeft: Boolean): Option[Project] =
+      side match {
+        case pr: Project =>
+          val safe = j.joinType match {
+            case Inner                       => true
+            case LeftOuter | LeftSemi        => isLeft
+            case RightOuter                  => !isLeft
+            case _                           => false
+          }
+          if (safe) Some(pr) else None
+        case _ => None
+      }
+    val leftP = eligible(j.left, isLeft = true)
+    val rightP = eligible(j.right, isLeft = false)
+    val defs = leftP.map(mapDefs).getOrElse(Map.empty) ++
+      rightP.map(mapDefs).getOrElse(Map.empty)
+    if (defs.isEmpty) return p
+    var changed = false
+    def rw(e: Expression): Expression = {
+      val r = rewriteExtracts(e, defs)
+      if (!r.fastEquals(e)) changed = true
+      r
+    }
+    val newList = list.map(rw)
+    val newCond = j.condition.map(rw)
+    if (!changed) return p
+    val needed = AttributeSet(newList.flatMap(_.references) ++
+      newCond.toSeq.flatMap(_.references))
+    def pruneSide(side: LogicalPlan, pr: Option[Project]): Option[LogicalPlan] =
+      pr match {
+        case None => Some(side)
+        case Some(proj) =>
+          val produced = AttributeSet(proj.projectList.map(_.toAttribute))
+          val fromBelow = (needed -- produced)
+            .filter(a => proj.child.outputSet.contains(a)).toSeq
+          // anything needed that neither this projection nor its child can
+          // supply must come from the OTHER side; only bail if a map def
+          // we inlined can't be satisfied here
+          val kept = proj.projectList.filter { ne =>
+            !defs.contains(ne.exprId) || needed.contains(ne.toAttribute)
+          } ++ fromBelow
+          Some(Project(kept, proj.child))
+      }
+    val stillNeeded = needed -- AttributeSet(
+      leftP.map(_.child.outputSet.toSeq).getOrElse(Nil) ++
+      leftP.map(_.projectList.map(_.toAttribute)).getOrElse(Nil) ++
+      rightP.map(_.child.outputSet.toSeq).getOrElse(Nil) ++
+      rightP.map(_.projectList.map(_.toAttribute)).getOrElse(Nil) ++
+      (if (leftP.isEmpty) j.left.output else Nil) ++
+      (if (rightP.isEmpty) j.right.output else Nil))
+    if (stillNeeded.nonEmpty) return p // a reference we cannot satisfy — bail
+    (pruneSide(j.left, leftP), pruneSide(j.right, rightP)) match {
+      case (Some(nl), Some(nr)) =>
+        Project(named(newList),
+          Join(nl, nr, j.joinType, newCond, j.hint))
+      case _ => p
     }
   }
 }

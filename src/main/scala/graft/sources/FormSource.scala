@@ -64,6 +64,54 @@ object FormSource {
         .csv(path),
       uuidField)
 
+  /** S4 — queue-message envelope decode (consumer/get_data.py:128-165): the
+    * reference long-polls SQS for JSON messages `{"formId": f, "data":
+    * {...}}` and deletes each on receipt. No queue exists in this
+    * environment, but the decode is SOURCE-AGNOSTIC by design: feed it any
+    * Dataset carrying raw message strings — a file-stream line source, a
+    * socket, a Kafka `value` column — bounded or unbounded; the result is
+    * the same decoded frame either way, so the whole path is testable
+    * under a real unbounded source (see StreamingSpec).
+    *
+    * Malformed input is DATA, not an exception (the reference's
+    * step_failures discipline, model.py:47-54): unparseable JSON, a
+    * missing form id or data payload, or a record without its uuid field
+    * land in the output with a non-null `error`, which
+    * [[envelopeDeadLetter]] splits off for the quarantine sink —
+    * one malformed message must never kill an unbounded query.
+    *
+    * Output columns: raw, form, uuid, data, error. */
+  def decodeEnvelopes(messages: DataFrame, valueCol: String = "value",
+                      uuidField: String = "meta/instanceID"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val envSchema = StructType(Seq(
+      StructField("formId", StringType),
+      StructField("data", MapType(StringType, StringType))))
+    messages
+      .select(col(valueCol).cast("string").as("raw"))
+      .withColumn("env", from_json(col("raw"), envSchema))
+      .select(col("raw"),
+        col("env.formId").as("form"),
+        element_at(col("env.data"), uuidField).as("uuid"),
+        col("env.data").as("data"))
+      .withColumn("error",
+        when(col("form").isNull || col("data").isNull,
+          lit("malformed envelope"))
+          .when(col("uuid").isNull || col("uuid") === "",
+            lit(s"missing uuid field $uuidField"))
+          .otherwise(lit(null).cast("string")))
+  }
+
+  /** The well-formed records of one form, in canonical shape. */
+  def envelopeRecords(decoded: DataFrame, form: String): DataFrame =
+    decoded.filter(col("error").isNull && col("form") === form)
+      .select(col("uuid"), col("data"))
+
+  /** The malformed messages, shaped for the quarantine sink. */
+  def envelopeDeadLetter(decoded: DataFrame): DataFrame =
+    decoded.filter(col("error").isNotNull)
+      .select(col("raw"), col("form"), col("error"))
+
   /** Strip ODK group prefixes from the data-map keys:
     * `grp./field` → `field` (the reference's `group./field` convention,
     * util/__init__.py:405-419). Deployments whose rule catalogs address

@@ -60,6 +60,33 @@ class InlineMapExtractsSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(0)).toSeq === Seq("second"))
   }
 
+  test("inner-join child maps inline away") {
+    val left = src.select(col("id"),
+      map(lit("k"), col("id").cast("string")).as("ldata"))
+    val right = src.select((col("id") * 3).as("rid"),
+      map(lit("v"), col("v").cast("string")).as("rdata"))
+    val out = left.join(right, col("id") === col("rid"))
+      .select(element_at(col("ldata"), "k").cast("long").as("k"),
+        element_at(col("rdata"), "v").cast("long").as("v"))
+    assert(!hasCreateMap(out), "both join-side map adapters should inline away")
+    // matches: id ∈ {0,3,...,99∩multiples-of-3 under 100 from id*3<100}
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === (0L until 100L by 3L).filter(_ / 3 < 100).toSet)
+    rows.foreach { case (k, v) => assert(v === (k / 3) * 2) }
+  }
+
+  test("outer-join null-extended side is NOT inlined (stays null-correct)") {
+    // the map value has a literal default: inlining it into null-extended
+    // rows would yield "d" where the map attribute is null
+    val left = src.select(col("id"))
+    val right = src.filter(col("id") < 50).select(col("id").as("rid"),
+      map(lit("v"), coalesce(col("v").cast("string"), lit("d"))).as("rdata"))
+    val out = left.join(right, col("id") === col("rid"), "left")
+      .select(col("id"), element_at(col("rdata"), "v").as("x"))
+    assert(out.filter(col("id") >= 50 && col("x").isNotNull).count() === 0)
+    assert(out.filter(col("id") < 50 && col("x").isNull).count() === 0)
+  }
+
   test("non-literal lookup keys stay correct (rule must not mis-resolve)") {
     // Spark's own SimplifyExtractValueOps may still rewrite this shape;
     // the contract here is purely behavioral

@@ -153,6 +153,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("queue envelope decode under an unbounded source routes bad messages to dead-letter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val decoded = FormSource.decodeEnvelopes(input.toDF(), uuidField = "uuid")
+    val q = decoded.writeStream.format("memory").queryName("envelopes")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        """{"formId":"demo_case","data":{"uuid":"u1","age":"40"}}""",
+        """{"formId":"other_form","data":{"uuid":"u2"}}""",
+        """this is not json at all""",
+        """{"formId":"demo_case"}""",
+        """{"formId":"demo_case","data":{"age":"12"}}""")
+      q.processAllAvailable()
+      val out = spark.table("envelopes")
+      val good = FormSource.envelopeRecords(out, "demo_case")
+        .collect().map(r => r.getString(0) -> r.getMap[String, String](1)("age"))
+      assert(good.toSeq === Seq("u1" -> "40"))
+      val dead = FormSource.envelopeDeadLetter(out)
+        .collect().map(_.getString(2)).sorted
+      assert(dead.toSeq ===
+        Seq("malformed envelope", "malformed envelope", "missing uuid field uuid"))
+      // the other form's record is well-formed, just not ours
+      assert(FormSource.envelopeRecords(out, "other_form").count() === 1)
+    } finally q.stop()
+  }
+
   test("jdbc source reads a partitioned table into form shape (embedded Derby)") {
     // Derby ships with Spark (hive-metastore dependency), so S3's JDBC scan
     // is testable in-JVM: partitioned read → canonical (uuid, data)
