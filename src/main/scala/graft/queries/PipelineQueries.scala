@@ -335,12 +335,16 @@ object PipelineQueries extends QueryPack {
       val withLinks = AddLinks(base, Map("lineitem" -> linked), Seq(link),
         alertIdLength = 6, linkCodes = codes, policy = EpiWeek.International,
         collectArrays = false)
-      val coded = ToCodes(withLinks, codes,
+      // rows where the count code fires ≡ rows with ≥1 linked match; the
+      // pre-agg column says so directly — filtering before ToCodes avoids
+      // re-evaluating the whole variables map inside the Filter
+      val coded = ToCodes(withLinks.filter(col("__lc_n_links").isNotNull),
+        codes,
         new graft.functions.MapResolver(col("data")),
         policy = EpiWeek.International,
         linkNameForForm = Map("lineitem" -> "items"))
       val vars = col("variables")
-      coded.filter(map_contains_key(vars, "n_links"))
+      coded
         .select(d(col("data"), "o_orderkey").cast("long").as("o_orderkey"),
           element_at(vars, "n_links").cast("long").as("n_links"),
           map_contains_key(vars, "any_high_disc").as("any_high_disc"),
