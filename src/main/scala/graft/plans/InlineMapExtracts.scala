@@ -131,9 +131,12 @@ object InlineMapExtracts extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // inline-CreateMap extractions anywhere (filters pushed below the
-    // map-building projection end up in this shape)
+    // map-building projection end up in this shape); match only extract
+    // roots — a catch-all would re-transform every subtree at every node,
+    // quadratic on catalog-sized expressions
     val inlined = plan.transformAllExpressions {
-      case e => rewriteExtracts(e, Map.empty)
+      case ea: ElementAt   => rewriteExtracts(ea, Map.empty)
+      case gm: GetMapValue => rewriteExtracts(gm, Map.empty)
     }
     inlined.transformUp {
       case p @ Project(list, child: Project) =>
