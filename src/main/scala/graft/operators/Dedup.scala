@@ -237,4 +237,53 @@ object Dedup {
         sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
   }
+
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns detector output (pairs, possibly from SEVERAL detectors
+    * unioned) into dedup clusters and a canonical survivor per cluster.
+    *
+    * Algorithm: min-label propagation (BSP) — each round every vertex takes
+    * the min label among itself and its neighbors; converges in O(cluster
+    * diameter) rounds. Near-dup clusters are near-cliques (diameter 2-3),
+    * so 3-4 rounds in practice; `maxIter` caps adversarial chains (the
+    * large-star/small-star variant is the drop-in upgrade if long paths
+    * ever matter). Each round is one join + one min-aggregation — shuffle
+    * volume is O(edges), never materializing anything quadratic.
+    *
+    * Driver involvement is ONE boolean convergence probe per round (an
+    * isEmpty on changed labels — no data collected); labels persist per
+    * round and the previous round unpersists, keeping lineage shallow.
+    *
+    * Output: (id, component, is_canonical) where component = min id
+    * reachable, is_canonical marks the survivor a keep-list retains.
+    * Only ids appearing in `pairs` are emitted (singletons are trivially
+    * canonical and usually vastly outnumber members — callers anti-join). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min("comp").as("comp")).persist()
+      // labels only ever decrease, so "no label decreased" = fixed point
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("component"),
+      (col("comp") === col("id")).as("is_canonical"))
+  }
 }

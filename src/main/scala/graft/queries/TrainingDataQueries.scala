@@ -106,6 +106,27 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("sim"))
     }),
 
+    // Detector consolidation: exact-dup pairs ∪ jaccard near-dup pairs →
+    // connected components → canonical survivor per cluster (the keep-list
+    // step every multi-detector dedup pipeline ends with).
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      Dedup.connectedComponents(jp.unionByName(ep))
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"),
+          col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir),
         threshold = 0.4, blockCol = "label")
@@ -271,6 +292,31 @@ object TrainingDataQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // min-label closure as a recursive CTE: seed every edge endpoint with
+    // its own id, propagate along (symmetric) edges, take the min label —
+    // set-semantics UNION terminates the recursion at the fixed point.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jp AS (SELECT doc_a AS a, doc_b AS b
+         |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+         |ep AS (SELECT a, b FROM (
+         |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+         |         FROM documents) WHERE a <> b),
+         |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
+         |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
+         |walk(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)
+         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component,
+         |       (min(lab) = id) AS is_canonical
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $shinglesCte,

@@ -12,6 +12,20 @@ class TrainingDataSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
+  test("connected components converge on chains and mark canonical survivors") {
+    // a 5-vertex chain (needs several propagation rounds), a separate pair,
+    // and a duplicate edge — components = min reachable id
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, comp, can) => id -> ((comp, can)) }.toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((1L, false)), 5L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false))))
+  }
+
   test("exact dedup groups identical texts under one representative") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(d).select("keep_id", "n_dups")
