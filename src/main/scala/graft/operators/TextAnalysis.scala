@@ -91,4 +91,35 @@ object TextAnalysis {
     * Identical content up to token order/duplication gets one fingerprint. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
+
+  /** Repetition features per document (the Gopher-rule staples a quality
+    * filter thresholds on): duplicate-word fraction and the share of the
+    * most frequent word bigram. Word stats are a narrow projection; the
+    * bigram mode needs one (doc_id, bigram) aggregation — shuffle volume
+    * is O(total bigrams), grouped on composite keys, never any per-doc
+    * collection. Docs under two tokens have no bigrams: share 0. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val withToks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+    val words = withToks.select(col("doc_id"),
+      size(col("t")).as("word_total"),
+      size(array_distinct(col("t"))).as("word_distinct"))
+    val topBigram = withToks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(Dedup.shinglesFromTokens(col("t"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+    words.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("word_total"), col("word_distinct"),
+        when(col("word_total") > 0,
+          lit(1.0) - col("word_distinct").cast("double") /
+            col("word_total").cast("double"))
+          .as("dup_word_frac"),
+        when(col("word_total") >= 2,
+          col("top_n").cast("double") /
+            (col("word_total") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_share"))
+  }
 }

@@ -106,6 +106,11 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("sim"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // Detector consolidation: exact-dup pairs ∪ jaccard near-dup pairs →
     // connected components → canonical survivor per cluster (the keep-list
     // step every multi-detector dedup pipeline ends with).
@@ -292,6 +297,28 @@ object TrainingDataQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |w AS (SELECT doc_id, len(t) AS word_total,
+         |             len(list_distinct(t)) AS word_distinct FROM toks),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(len(t) - 1),
+         |                i -> t[i+1] || ' ' || t[i+2])) AS b
+         |       FROM toks WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(n) AS top_n FROM bgc GROUP BY 1)
+         |SELECT w.doc_id,
+         |  CAST(word_total AS INT) AS word_total,
+         |  CAST(word_distinct AS INT) AS word_distinct,
+         |  CASE WHEN word_total > 0
+         |       THEN 1.0 - CAST(word_distinct AS DOUBLE) / CAST(word_total AS DOUBLE)
+         |       ELSE NULL END AS dup_word_frac,
+         |  CASE WHEN word_total >= 2
+         |       THEN CAST(top_n AS DOUBLE) / CAST(word_total - 1 AS DOUBLE)
+         |       ELSE 0.0 END AS top_bigram_share
+         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
 
     // min-label closure as a recursive CTE: seed every edge endpoint with
     // its own id, propagate along (symmetric) edges, take the min label —

@@ -26,6 +26,16 @@ class TrainingDataSpec extends AnyFunSuite {
       10L -> ((10L, true)), 11L -> ((10L, false))))
   }
 
+  test("repetition features: duplicate-word fraction and top-bigram share") {
+    val d = docs(1L -> "a a a b", 2L -> "x y", 3L -> "solo")
+    val out = TextAnalysis.repetition(d)
+      .as[(Long, Int, Int, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((4, 2, 0.5, 2.0 / 3)))  // "a a" twice of 3 bigrams
+    assert(out(2L) === ((2, 2, 0.0, 1.0)))
+    assert(out(3L) === ((1, 1, 0.0, 0.0)))      // no bigrams
+  }
+
   test("exact dedup groups identical texts under one representative") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(d).select("keep_id", "n_dups")
