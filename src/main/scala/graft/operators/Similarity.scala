@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Vector similarity + approximate-nearest-neighbor search over an embedding
   * column (`array<float>`).
   *
-  * Determinism note: dot products are LEFT FOLDS over the array
-  * (`aggregate(zip_with(...))`) in double precision — a fixed accumulation
-  * order, so results are bit-identical run-to-run and engine-to-engine
-  * (DuckDB's list_reduce folds in the same order). Never use a parallel
-  * float reduction when results feed a threshold.
+  * Determinism note: dot products are LEFT FOLDS over the array in double
+  * precision — a fixed accumulation order, so results are bit-identical
+  * run-to-run and engine-to-engine (DuckDB's list_reduce folds in the same
+  * order). Never use a parallel float reduction when results feed a
+  * threshold. The folds are the native [[graft.functions.VectorExprs]]
+  * expressions (codegen'd loop, identical semantics to the
+  * `aggregate(zip_with(...))` formulation they replaced — which, being
+  * lambda HOFs, ran INTERPRETED once per candidate pair and dominated the
+  * pair stages); array casts are native `Cast`s, not `transform` lambdas,
+  * for the same reason.
   *
   * Scale: brute-force is the correctness baseline (O(Q·N) with Q small —
   * a broadcast of the query set against a partitioned corpus, no shuffle of
@@ -21,11 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def toDouble(arr: Column): Column = transform(arr, x => x.cast("double"))
+  private def toDouble(arr: Column): Column = arr.cast("array<double>")
 
-  /** Left-fold dot product of two double arrays. */
+  /** Left-fold dot product of two double arrays (native expression). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotColumn(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -39,10 +44,10 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      toDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__cv"))
+      toDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -58,8 +63,7 @@ object Similarity {
   /** Left-fold squared-L2 distance of two double arrays (fixed accumulation
     * order — the cross-engine determinism discipline of [[dot]]). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.sqDistColumn(a, b)
 
   /** IVF cell assignment: nearest coarse centroid by squared L2, ties to
     * the lowest cell id. The quantizer here is the FIXED "seed vectors as
@@ -143,11 +147,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__qv"),
+      toDouble(col(vecCol)).as("__qv"),
       signBucket(col(vecCol), bits).as("__qb"))
       .withColumn("__qn", norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), x => x.cast("double")).as("__cv"),
+      toDouble(col(vecCol)).as("__cv"),
       signBucket(col(vecCol), bits).as("__cb"))
       .withColumn("__cn", norm(col("__cv")))
     import org.apache.spark.sql.expressions.Window
@@ -169,7 +173,7 @@ object Similarity {
     // cast to double and compute each vector's norm ONCE before the pair
     // join — per-pair work drops from 3 array folds to 1
     val v = vectors.select(col(blockCol).as("__blk"), col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
