@@ -40,7 +40,7 @@ object VariableCompiler {
     * the dominant cost of date-heavy columns at corpus scale. One cheap
     * compiled-regex probe per shape picks the single parser to run.
     *
-    * Parser per branch: the five ISO shapes parse via Spark's native
+    * Parser per branch: the offset-free ISO shapes parse via Spark's native
     * string→timestamp/date CAST (a hand-written UTF8String parser, ~3×
     * faster than the DateTimeFormatter behind `try_to_timestamp` —
     * measured 1.7 s of a 2.6 s link-aggregation stage at sf0.1). A bare
@@ -64,7 +64,11 @@ object VariableCompiler {
       "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$" -> castTs,
       "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$" -> castTs,
       "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}$" -> castTs,
-      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}Z$" -> castTs,
+      // NOT cast: the reference's format quotes Z as a LITERAL (naive
+      // parse in session time), while cast would read it as a UTC offset —
+      // identical only in UTC sessions, so keep the formatter's contract
+      "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}Z$" ->
+        fmt("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
       "^[A-Za-z]{3} \\d{1,2}, \\d{4}$" -> fmt("MMM d, yyyy"),
       "^\\d{1,2}-[A-Za-z]{3}-\\d{4}$" -> fmt("d-MMM-yyyy"),
       "^\\d{1,2}-[A-Za-z]{3}-\\d{4} \\d{1,2}:\\d{2}:\\d{2}$" ->

@@ -66,10 +66,12 @@ object AddLinks {
 
   private def normalize(c: Column): Column = lower(regexp_replace(c, "-", "_"))
 
-  /** Sorts after every real key, so min_by/max_by see the reference's
-    * None-last order. ￿ is above any character the string-encoded order
-    * keys (dates, zero-padded ids) contain. */
-  private val NullsLastSentinel = "￿"
+  /** Total nulls-last ordering for min_by/max_by over the order key:
+    * struct(isNull, key) — false sorts before true, so null keys are the
+    * supremum. (A sentinel string is NOT safe: U+FFFF is below any
+    * supplementary-plane character under UTF8 binary comparison.) */
+  private def nullsLastKey(ok: Column): Column =
+    struct(ok.isNull.as("n"), coalesce(ok, lit("")).as("k"))
 
   /** Column name carrying the pre-aggregated outcome of one multiple_link
     * code; consumed (and dropped) by ToCodes. */
@@ -86,9 +88,10 @@ object AddLinks {
     *   count       → `count(*)` (the reference counts linked rows, not
     *                 predicate hits — codes/to_codes.py:236-238)
     *   first / last→ `min_by` / `max_by` of struct(applicable, value) over
-    *                 the order key (nulls coalesced to a high sentinel:
-    *                 min_by/max_by skip null keys, but the reference sorts
-    *                 None last, so a null-keyed row CAN be the "last" match)
+    *                 a (isNull, key) struct ordering: min_by/max_by skip
+    *                 null keys, but the reference sorts None LAST, so a
+    *                 null-keyed row CAN be the "last" match — the struct
+    *                 makes null keys the supremum without a sentinel
     *
     * Null predicate outcomes fold to false first: `forall([true, null])` is
     * null (falsy downstream) while `bool_and` skips nulls, so the coalesce
@@ -98,7 +101,7 @@ object AddLinks {
   def linkCodeAggs(codes: Seq[CodeDef], link: LinkDef,
                    policy: YearStartPolicy): (Seq[Column], Seq[Column]) = {
     val r = new MapResolver(col("__l_data"))
-    val ordKey = coalesce(col("__ok"), lit(NullsLastSentinel))
+    val ordKey = nullsLastKey(col("__ok"))
     val parts = codes.filter(_.form == link.toForm).zipWithIndex.map {
       case (c, i) =>
         val compiled = VariableCompiler.compile(c, r, policy)
@@ -191,8 +194,16 @@ object AddLinks {
       val raw = element_at(col("__l_data"), link.orderByColumn)
       if (link.orderByIsDate) VariableCompiler.parseDate(raw).cast("string") else raw
     }
+    // keep __l_data out of the shuffle when nothing aggregates over it —
+    // detected by actual references, not by aggInputs being empty (a
+    // count(*)-only catalog has no inputs AND no use for the map)
+    def refersToLinkedData(c: Column): Boolean =
+      org.apache.spark.sql.GraftColumnBridge.expression(c).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.name == "__l_data" => ua
+      }.nonEmpty
     val keepLinkedData = (collectArrays && payload.isEmpty) ||
-      (extraAggs.nonEmpty && aggInputs.isEmpty)
+      extraAggs.exists(refersToLinkedData)
     val lKeyCols = link.toColumns.lazyZip(link.methods).lazyZip(toKeys).map {
       (tc, m, name) =>
         val lv = element_at(col("__l_data"), tc)

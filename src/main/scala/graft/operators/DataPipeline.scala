@@ -200,9 +200,13 @@ object DataPipeline {
       .withColumn("submission_date",
         VariableCompiler.parseDate(r.get("SubmissionDate")))
       .withColumn("device_id", r.get("deviceid"))
+    // __lc_* pre-agg columns must NOT be in the retain list: ToCodes owns
+    // them (adds them to its barrier input itself, then drops them), so
+    // retaining them would select columns that no longer exist
     val retain =
       if (cfg.retainRawData) None
-      else Some(withDates.columns.filterNot(_ == "data").toSeq)
+      else Some(withDates.columns
+        .filterNot(c => c == "data" || c.startsWith("__lc_")).toSeq)
     ToCodes(withDates, typeCodes, resolver,
       cfg.policy, cfg.alertData, linkNameForForm,
       staticEntries = Seq(t.varName -> "1", "data_entry" -> "1"),

@@ -273,6 +273,10 @@ object Dedup {
         .select(col("dst").as("id"), col("comp"))
       val next = labels.unionByName(propagated)
         .groupBy("id").agg(min("comp").as("comp")).persist()
+      // materialize the WHOLE round before dropping its parent — an
+      // early-exit probe alone would leave most partitions uncached and the
+      // next round would recompute them through the accumulated lineage
+      next.count()
       // labels only ever decrease, so "no label decreased" = fixed point
       converged = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
@@ -283,6 +287,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent under-merge would split true clusters into several survivors
+    // (and fail any exact oracle); a diameter above maxIter means the
+    // caller should raise it or switch to large-star/small-star
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pair graph diameter exceeds maxIter")
     labels.select(col("id"), col("comp").as("component"),
       (col("comp") === col("id")).as("is_canonical"))
   }

@@ -52,15 +52,19 @@ object Multimodal {
         if (!readers.hasNext) None
         else {
           val reader = readers.next()
+          // NonFatal, not just IOException: the JDK readers throw
+          // RuntimeExceptions (AIOOBE, NegativeArraySize, IAE) on corrupt
+          // payloads their header sniffing claimed — a bad image must be
+          // data, never a job-killing exception
           try {
             reader.setInput(in)
             val w = reader.getWidth(0)
             val h = reader.getHeight(0)
             val n = try math.max(reader.getNumImages(true), 1)
-                    catch { case _: java.io.IOException => 1 }
+                    catch { case scala.util.control.NonFatal(_) => 1 }
             Some((payload.length, w, h, n, md5hex(payload)))
           } catch {
-            case _: java.io.IOException => None // truncated/corrupt payload
+            case scala.util.control.NonFatal(_) => None // corrupt payload
           } finally reader.dispose()
         }
       } finally in.close()
@@ -141,7 +145,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           val img =
             try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           img.map { src =>
             val longest = math.max(src.getWidth, src.getHeight)
             val scale =

@@ -265,13 +265,17 @@ object PipelineQueries extends QueryPack {
       val leafCents = Tables.customer(s, dir)
         .groupBy(col("c_nationkey"))
         .agg((sum(dec(col("c_acctbal"))) * 100).cast("long").as("cents"))
+      // inner join: the oracle's customer⋈nation emits only customer-bearing
+      // nations (and only regions reached through one), so the gate's output
+      // set must match even at SFs where some nation has no customers
       val natRows = Tables.nation(s, dir)
-        .join(leafCents, col("n_nationkey") === col("c_nationkey"), "left")
+        .join(leafCents, col("n_nationkey") === col("c_nationkey"))
         .select(col("n_nationkey").cast("int"), col("n_name"),
-          col("n_regionkey").cast("int"), coalesce(col("cents"), lit(0L)))
+          col("n_regionkey").cast("int"), col("cents"))
         .collect()
       val regRows = Tables.region(s, dir)
         .select(col("r_regionkey").cast("int"), col("r_name")).collect()
+      val liveRegions = natRows.map(_.getInt(2)).toSet
       // unique tree ids: regions at 1000+key (roots), nations at 100+key
       val nodes =
         regRows.map(r => LocationNode(1000 + r.getInt(0), r.getString(1),
@@ -279,8 +283,9 @@ object PipelineQueries extends QueryPack {
         natRows.map(r => LocationNode(100 + r.getInt(0), r.getString(1),
           "nation", 1000 + r.getInt(2), population = Some(r.getLong(3))))
       val rolled = Locations.populationRollup(nodes)
-      nodes.map(nd =>
-          (nd.level, nd.name, rolled.getOrElse(nd.id, 0L) / 100.0))
+      nodes.filter(nd => nd.level == "nation" ||
+          liveRegions(nd.id - 1000))
+        .map(nd => (nd.level, nd.name, rolled.getOrElse(nd.id, 0L) / 100.0))
         .toDF("level", "name", "pop")
         .orderBy(col("level"), col("name"))
     }),

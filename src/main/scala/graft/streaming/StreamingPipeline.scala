@@ -96,26 +96,29 @@ object StreamingPipeline {
         .withWatermark("__et", s"$latenessMs milliseconds")
         .as[VisitEvent]
     }
+    // state = (first-seen ts, max-seen ts): the max drives the inactivity
+    // deadline, so an out-of-order (but not watermark-late) event can never
+    // move an established deadline EARLIER
     withWm
       .groupByKey(_.identifier)
-      .flatMapGroupsWithState[Long, VisitLabel](
+      .flatMapGroupsWithState[(Long, Long), VisitLabel](
         OutputMode.Append(), timeout) {
-        (key: String, rows: Iterator[VisitEvent], state: GroupState[Long]) =>
+        (key: String, rows: Iterator[VisitEvent], state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
-            var firstTs = state.getOption.getOrElse(Long.MaxValue)
+            var (firstTs, maxTs) =
+              state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
             val out = batch.map { e =>
               val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
+              if (e.ts > maxTs) maxTs = e.ts
               VisitLabel(key, e.uuid, label)
             }
             if (firstTs != Long.MaxValue) {
-              state.update(firstTs)
-              // inactivity deadline extends from this batch's latest event
-              ttlMs.foreach(t =>
-                state.setTimeoutTimestamp(batch.map(_.ts).max + t))
+              state.update((firstTs, maxTs))
+              ttlMs.foreach(t => state.setTimeoutTimestamp(maxTs + t))
             }
             out.iterator
           }

@@ -172,6 +172,31 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!out("c2").contains("fu_count"))     // no linked rows
   }
 
+  test("retainRawData=false with link codes drops the map, keeps link outcomes") {
+    // regression: the retain list must not include AddLinks' __lc_* columns
+    // (ToCodes drops them before applying retain — selecting them crashed)
+    val linkCfg = cfg.copy(
+      retainRawData = false,
+      links = Seq(LinkDef("followups", "case", "demo_case", "demo_followup",
+        Seq("pt./pid"), Seq("pid"), Seq("match"), "visit_date", orderByIsDate = true)),
+      codes = cfg.codes ++ Seq(
+        CodeDef(id = "fu_count", typ = "case", form = "demo_followup",
+          multipleLink = Some("count"), method = "not_null", condition = "None",
+          dbColumn = "pid")))
+    val caseForm = Seq(
+      ("c1", caseRow("female") + ("pt./pid" -> "101"))).toDF("uuid", "data")
+    val followups = Seq(
+      ("f1", Map("pid" -> "101", "visit_date" -> "2016-01-05", "lab" -> "no"))
+    ).toDF("uuid", "data")
+    val out = DataPipeline.process(spark,
+      Map("demo_case" -> caseForm, "demo_followup" -> followups), linkCfg)
+      .data.filter(col("type") === "case")
+    assert(!out.columns.contains("data"))
+    val vars = out.select(col("variables"))
+      .as[Map[String, String]].head()
+    assert(vars("fu_count") === "1")
+  }
+
   test("register multiple_row splits into uuid-suffixed sub-records") {
     val regs = result.data.filter(col("type") === "register")
       .select(col("uuid"), element_at(col("variables"), "reg_1").as("v"),
