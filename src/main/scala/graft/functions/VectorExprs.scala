@@ -107,11 +107,16 @@ object VectorExprs {
     acc
   }
 
+  // float arrays are coerced here (the expressions demand exact
+  // array<double> and, unlike the HOF formulation they replaced, get no
+  // analyzer-inserted cast); the no-op case is erased by SimplifyCasts
   def dotColumn(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
-      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+      GraftColumnBridge.expression(a.cast("array<double>")),
+      GraftColumnBridge.expression(b.cast("array<double>"))))
 
   def sqDistColumn(a: Column, b: Column): Column =
     GraftColumnBridge.column(SqDistance(
-      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+      GraftColumnBridge.expression(a.cast("array<double>")),
+      GraftColumnBridge.expression(b.cast("array<double>"))))
 }

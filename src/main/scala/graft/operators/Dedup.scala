@@ -252,7 +252,15 @@ object Dedup {
     *
     * Driver involvement is ONE count-based convergence probe per round (no
     * data collected); every round ends in an eager localCheckpoint so the
-    * logical plan — not just the data — stays round-sized.
+    * logical plan — not just the data — stays round-sized (persist alone
+    * leaves analysis re-walking every previous round's nested plan).
+    * localCheckpoint trades fault tolerance for speed: its blocks do not
+    * recompute from lineage, so on clusters with executor churn (dynamic
+    * allocation, spot nodes) a lost executor fails the job — use a
+    * reliable `SparkContext.setCheckpointDir` + `.checkpoint()` variant
+    * there. Intermediate rounds' blocks become unreachable as soon as the
+    * loop advances and are released by the ContextCleaner (deferred, not
+    * leaked).
     *
     * Output: (id, component, is_canonical) where component = min id
     * reachable, is_canonical marks the survivor a keep-list retains.
@@ -262,15 +270,18 @@ object Dedup {
                           bCol: String = "b", maxIter: Int = 25): DataFrame = {
     // pairs appears twice in the symmetric-closure plan (both directions),
     // and a self-union recomputes its whole upstream pipeline per branch —
-    // persist for the one job that materializes edges, then release.
+    // persist for the one job that materializes edges, then release (but
+    // never clobber a persistence the CALLER established).
     // edges itself is CHECKPOINTED, not just persisted: every round's query
     // references it, and analysis would re-walk the full upstream
     // pair-generation plan each time
-    val p = pairs.persist()
+    val callerPersisted =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerPersisted) pairs else pairs.persist()
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
-    p.unpersist()
+    if (!callerPersisted) p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     // Each round ends in an EAGER localCheckpoint: caching alone is not

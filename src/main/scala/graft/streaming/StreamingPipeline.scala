@@ -56,9 +56,12 @@ object StreamingPipeline {
   /** TRUE streaming initial_visit_control via flatMapGroupsWithState
     * (initial_visit_control.py:25-136 semantics, arrival-order flavor): per
     * identifier tuple, the FIRST visit ever seen stays "new", every later
-    * one emits "return". State per key is just the first-seen event time
-    * (8 bytes), so state size is bounded by distinct identifiers, not
-    * events. Unlike the batch recompute (which can re-label when an earlier
+    * one emits "return". State per key is the (first-seen, max-seen)
+    * event-time pair (16 bytes; the max drives the TTL deadline), so state
+    * size is bounded by distinct identifiers, not events. NOTE: this state
+    * schema replaced a single-long layout — a checkpoint written by the
+    * old layout cannot restart under this one (Spark's state-schema check
+    * rejects it); discard the checkpoint or migrate offline. Unlike the batch recompute (which can re-label when an earlier
     * visit arrives late), this path labels at arrival like the reference's
     * incremental consumer; pair it with the store-recompute for healing.
     *
