@@ -87,6 +87,40 @@ class InlineMapExtractsSpec extends AnyFunSuite {
     assert(out.filter(col("id") < 50 && col("x").isNull).count() === 0)
   }
 
+  test("random literal maps + lookups survive the rule (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // random map shapes: duplicate keys, missing lookups, value exprs over
+    // scan attributes — results must equal a driver-side model regardless
+    // of what the rule inlined or pruned
+    val keyGen = Gen.oneOf("k1", "k2", "k3", "k4")
+    val entriesGen = Gen.listOfN(4, Gen.zip(keyGen, Gen.choose(0, 3)))
+      .suchThat(_.nonEmpty)
+    val lookupsGen = Gen.listOfN(3, keyGen)
+    val prop = forAll(entriesGen, lookupsGen) { (entries, lookups) =>
+      val mapArgs = entries.flatMap { case (k, mult) =>
+        Seq(lit(k), (col("id") * mult).cast("string"))
+      }
+      val mapped = src.select(col("id"), map(mapArgs: _*).as("data"))
+      val out = mapped.select(
+        col("id") +: lookups.zipWithIndex.map { case (k, i) =>
+          element_at(col("data"), k).as(s"v$i")
+        }: _*).collect()
+      // model: LAST_WIN duplicate keys, null on missing
+      val lastWin = entries.toMap // toMap keeps the LAST duplicate
+      val ok = out.forall { r =>
+        val id = r.getLong(0)
+        lookups.zipWithIndex.forall { case (k, i) =>
+          val expected = lastWin.get(k).map(m => (id * m).toString)
+          Option(r.getString(i + 1)) == expected
+        }
+      }
+      Prop(ok)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("non-literal lookup keys stay correct (rule must not mis-resolve)") {
     // Spark's own SimplifyExtractValueOps may still rewrite this shape;
     // the contract here is purely behavioral
