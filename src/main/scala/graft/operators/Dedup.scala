@@ -256,18 +256,22 @@ object Dedup {
     * leaves analysis re-walking every previous round's nested plan).
     * localCheckpoint trades fault tolerance for speed: its blocks do not
     * recompute from lineage, so on clusters with executor churn (dynamic
-    * allocation, spot nodes) a lost executor fails the job — use a
-    * reliable `SparkContext.setCheckpointDir` + `.checkpoint()` variant
-    * there. Intermediate rounds' blocks become unreachable as soon as the
-    * loop advances and are released by the ContextCleaner (deferred, not
-    * leaked).
+    * allocation, spot nodes) a lost executor fails the job — pass
+    * `reliableCheckpoints = true` there (requires
+    * `SparkContext.setCheckpointDir` on durable storage; rounds then
+    * survive any executor loss). Intermediate rounds' blocks become
+    * unreachable as soon as the loop advances and are released by the
+    * ContextCleaner (deferred, not leaked).
     *
     * Output: (id, component, is_canonical) where component = min id
     * reachable, is_canonical marks the survivor a keep-list retains.
     * Only ids appearing in `pairs` are emitted (singletons are trivially
     * canonical and usually vastly outnumber members — callers anti-join). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "b", maxIter: Int = 25,
+                          reliableCheckpoints: Boolean = false): DataFrame = {
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     // pairs appears twice in the symmetric-closure plan (both directions),
     // and a self-union recomputes its whole upstream pipeline per branch —
     // persist for the one job that materializes edges, then release (but
@@ -278,12 +282,13 @@ object Dedup {
     val callerPersisted =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerPersisted) pairs else pairs.persist()
-    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = checkpointed(
+      p.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     if (!callerPersisted) p.unpersist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // Each round ends in an EAGER localCheckpoint: caching alone is not
     // enough for iterative plans — the logical plan still nests every
     // previous round, so driver-side analysis/optimization grows per round
@@ -298,9 +303,8 @@ object Dedup {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(propagated)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val next = checkpointed(labels.unionByName(propagated)
+        .groupBy("id").agg(min("comp").as("comp")))
       val changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev"))

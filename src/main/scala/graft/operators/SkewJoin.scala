@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-joins for skewed keys — the manual fallback when AQE's
+  * skew-join splitting can't help (AQE only splits SORT-MERGE join
+  * partitions; a skewed key inside an aggregation-feeding join, or a
+  * deployment with AQE off, still hot-spots one task).
+  *
+  * Shape: the SKEWED side scatters each row to one of `saltBuckets`
+  * sub-keys (deterministic hash of the row, so reruns place rows
+  * identically); the REPLICATED side duplicates each row into every
+  * sub-key. The join key becomes (key, salt), fanning one hot key's rows
+  * across `saltBuckets` tasks. Replication multiplies the small side by
+  * `saltBuckets` — size that side accordingly (dimension-sized inputs;
+  * for two large skewed sides, split the hot keys out and union two
+  * joins instead).
+  *
+  * Results are row-identical to the unsalted join: salt never reaches
+  * the output, and inner-join multiplicity is preserved (each skewed row
+  * meets each matching replicated row exactly once — in the one salt
+  * bucket the skewed row landed in).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `skewed ⋈ small` on `keys`, salted to
+    * `saltBuckets`. Output columns = the unsalted join's (skewed side's
+    * columns first). */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // deterministic per-row scatter: hash of the whole row (not rand() —
+    // retried tasks must place rows identically or results change)
+    val scatter = pmod(xxhash64(skewed.columns.map(col): _*),
+      lit(saltBuckets)).cast("int")
+    val s = skewed.withColumn("__salt", scatter)
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val cond = (keys.map(k => s(k) === r(k)) :+ (s("__salt") === r("__salt")))
+      .reduce(_ && _)
+    val dropCols = r("__salt") +: keys.map(r(_))
+    dropCols.foldLeft(s.join(r, cond, "inner")) { (df, c) => df.drop(c) }
+      .drop("__salt")
+  }
+}

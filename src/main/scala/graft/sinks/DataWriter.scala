@@ -29,4 +29,25 @@ object DataWriter {
   /** Read back with partition pruning available on type/epi_year. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed layout for SHUFFLE-FREE equi-joins on a hot key: both tables
+    * hash-bucketed (and sorted) on the join key at write time join with no
+    * Exchange and no Sort at read time — at 100 TB this turns the
+    * recurring `data ⋈ form_table` uuid joins (alert enrichment,
+    * reprocessing upserts) from a full shuffle of both sides into a
+    * zip of co-located buckets.
+    *
+    * Bucketing goes through the session catalog (`saveAsTable` — bucket
+    * metadata lives there; a bare parquet path cannot carry it). Size
+    * `numBuckets` so one bucket ≈ one task's worth of the BIG table
+    * (128-256 MB); both join sides must use the same count. */
+  def writeBucketed(data: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    data.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -204,6 +204,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("u1" -> "female", "u2" -> "male", "u3" -> "female"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import graft.sinks.DataWriter
+    val left = (1L to 200L).map(i => (i.toString, s"L$i")).toDF("uuid", "lv")
+    val right = (1L to 200L).map(i => (i.toString, s"R$i")).toDF("uuid", "rv")
+    DataWriter.writeBucketed(left, "bt_left", "uuid", numBuckets = 4)
+    DataWriter.writeBucketed(right, "bt_right", "uuid", numBuckets = 4)
+    try {
+      val joined = spark.table("bt_left")
+        .join(spark.table("bt_right"), "uuid")
+      assert(joined.count() === 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_left")
+      spark.sql("DROP TABLE IF EXISTS bt_right")
+    }
+  }
+
   test("group-prefix stripping flattens grp./field keys to field") {
     val dir = tmpDir()
     Files.writeString(java.nio.file.Paths.get(s"$dir/grouped.csv"),

@@ -12,6 +12,21 @@ class TrainingDataSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
+  test("salted join equals the unsalted join, including duplicate matches") {
+    val skewed = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 9001L), ("b", 9002L))).toDF("k", "payload")
+    // duplicate dim row for "hot": every skewed row must match twice
+    val dim = Seq(("hot", "H1"), ("hot", "H2"), ("a", "A"), ("z", "Z"))
+      .toDF("k", "label")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "label").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = skewed.join(dim, Seq("k"))
+    val salted = SkewJoin.saltedJoin(skewed, dim, Seq("k"), saltBuckets = 8)
+    assert(canon(salted) === canon(plain))
+    assert(canon(salted).size === 1001) // 500*2 hot + 1 for "a"
+  }
+
   test("connected components converge on chains and mark canonical survivors") {
     // a 5-vertex chain (needs several propagation rounds), a separate pair,
     // and a duplicate edge — components = min reachable id
@@ -34,6 +49,15 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(1L) === ((4, 2, 0.5, 2.0 / 3)))  // "a a" twice of 3 bigrams
     assert(out(2L) === ((2, 2, 0.0, 1.0)))
     assert(out(3L) === ((1, 1, 0.0, 0.0)))      // no bigrams
+  }
+
+  test("connected components with reliable checkpoints match local results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, reliableCheckpoints = true)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
   test("exact dedup groups identical texts under one representative") {
