@@ -330,6 +330,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map("uuid:1" -> Some("1"), "uuid:2" -> None))
   }
 
+  test("queue envelopes drive the full pipeline; bad messages quarantine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dataPath = tmpDir() + "/data"
+    val quarantinePath = tmpDir() + "/dead"
+    val cfg = DataPipeline.EngineConfig(
+      dataTypes = Seq(DataTypeDef("case", "demo_case", None, None,
+        "pt./visit_date", "tot_1")),
+      codes = Seq(CodeDef(id = "gen_1", typ = "case", method = "match",
+        dbColumn = "gender", condition = "female")),
+      locations = Seq(
+        LocationNode(1, "Demo", "country", 0),
+        LocationNode(4, "Clinic 1", "clinic", 1, deviceIds = Seq("d1"))))
+    val input = MemoryStream[String]
+    // data must be available BEFORE start: the pipeline runs with
+    // Trigger.AvailableNow, which drains what exists and terminates
+    input.addData(
+      """{"formId":"demo_case","data":{"meta/instanceID":"uuid:1","deviceid":"d1","gender":"female","pt./visit_date":"2016-04-17"}}""",
+      """{"formId":"demo_case","data":{"meta/instanceID":"uuid:2","deviceid":"d1","gender":"male","pt./visit_date":"2016-04-18"}}""",
+      """broken json {{""")
+    val decoded = FormSource.decodeEnvelopes(input.toDF())
+    val q1 = StreamingPipeline.start(spark,
+      FormSource.envelopeRecords(decoded, "demo_case"), "demo_case", cfg,
+      dataPath, tmpDir() + "/dis", tmpDir() + "/ckpt1")
+    val q2 = FormSource.envelopeDeadLetter(decoded).writeStream
+      .option("checkpointLocation", tmpDir() + "/ckpt2")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        UpsertWriter.quarantine(batch, quarantinePath, "bad envelope")
+      }.start()
+    try {
+      q1.awaitTermination(60000); q2.processAllAvailable()
+      val out = spark.read.parquet(dataPath)
+        .select(col("uuid"), element_at(col("variables"), "gen_1"))
+        .as[(String, Option[String])].collect().toMap
+      assert(out === Map("uuid:1" -> Some("1"), "uuid:2" -> None))
+      val dead = spark.read.parquet(quarantinePath)
+      assert(dead.count() === 1)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("export sink streams the data dir incrementally with checkpointing") {
     val dataPath = tmpDir() + "/data"
     Seq(("u1", "case"), ("u2", "case")).toDF("uuid", "type")
