@@ -99,21 +99,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
-  /** MinHash signatures: for permutation i, minhash_i = lexicographic min of
-    * md5(i + ":" + shingle). String-min over hex digests is a valid minwise
-    * family and — unlike numeric conversions — behaves identically in every
-    * engine. All `numHashes` mins are computed in ONE hash aggregation over
-    * the postings (no ×numHashes explode): one shuffle, codegen'd min.
-    * Output: (doc_id, mh0..mh{n-1}). */
+  /** Fixed per-permutation universal-hash constants (odd multipliers +
+    * offsets) for [[minhashes]]. Mirrored VERBATIM by the DuckDB oracle —
+    * change both or neither. */
+  private[operators] val MinhashA = Seq(981238597L, 673562387L, 552963643L,
+    413158523L, 316199399L, 247073897L, 198491317L, 153889403L,
+    122949829L, 104395301L)
+  private[operators] val MinhashB = Seq(825377933L, 743900233L, 621445373L,
+    536870923L, 433024253L, 362867483L, 297779117L, 247073891L,
+    198491329L, 153889409L)
+  private[operators] val MinhashMod = 1L << 28
+
+  /** MinHash signatures via DERIVED permutations: ONE md5 per shingle
+    * yields a 28-bit shingle hash h, and permutation i's value is the
+    * universal-hash `(Aᵢ·h + Bᵢ) mod 2²⁸` with FIXED per-permutation odd
+    * constants — the standard one-strong-hash + affine-permutation minwise
+    * family (constants per PERMUTATION, not per shingle: deriving from the
+    * shingle digest makes permutations correlated — the same shingle wins
+    * every i — which measurably inflated candidate pairs). minhash_i = min
+    * over the doc's shingles. Replaces hashing every shingle `numHashes`
+    * times (md5 dominated the signature stage); all arithmetic is exact in
+    * signed 64-bit (Aᵢ·h < 2⁶⁰), so every engine computes identical
+    * signatures. All mins run in ONE hash aggregation over the postings
+    * (no ×numHashes explode): one shuffle, codegen'd min.
+    * Output: (doc_id, mh0..mh{n-1}) as longs. */
   def minhashes(docs: DataFrame, numHashes: Int,
                 idCol: String = "doc_id", textCol: String = "text",
-                k: Int = 3): DataFrame =
-    shinglePostings(docs, idCol, textCol, k)
-      .groupBy(col("doc_id"))
+                k: Int = 3): DataFrame = {
+    require(numHashes <= MinhashA.length,
+      s"permutation-constant table sized for numHashes <= ${MinhashA.length}")
+    val hashed = shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 7), 16, 10)
+          .cast("long").as("__h"))
+    def perm(i: Int) =
+      pmod(lit(MinhashA(i)) * col("__h") + lit(MinhashB(i)), lit(MinhashMod))
+    hashed.groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("shingle")).cast("binary"))).as("mh0"),
-        (1 until numHashes).map(i =>
-          min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary"))).as(s"mh$i")): _*)
+        min(perm(0)).as("mh0"),
+        (1 until numHashes).map(i => min(perm(i)).as(s"mh$i")): _*)
+  }
 
   /** MinHash-LSH candidate pairs: band the signature (`bandSize` hashes per
     * band), bucket docs by md5(band signature), join within buckets. Band

@@ -357,11 +357,19 @@ object TrainingDataQueries extends QueryPack {
          |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
          |ORDER BY 1, 2""".stripMargin,
 
+    // permutation constants mirror Dedup.MinhashA/B/Mod verbatim
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
-         |hi AS (SELECT doc_id, i, shingle FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)),
-         |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-         |       FROM hi GROUP BY 1, 2),
+         |hs AS (SELECT doc_id,
+         |         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+         |       FROM sh),
+         |perm(i, pa, pb) AS (VALUES
+         |  (0, 981238597, 825377933), (1, 673562387, 743900233),
+         |  (2, 552963643, 621445373), (3, 413158523, 536870923),
+         |  (4, 316199399, 433024253), (5, 247073897, 362867483),
+         |  (6, 198491317, 297779117), (7, 153889403, 247073891)),
+         |mh AS (SELECT doc_id, i, min((pa * h + pb) % 268435456) AS mh
+         |       FROM hs CROSS JOIN perm GROUP BY 1, 2),
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |            md5(string_agg(CAST(i AS VARCHAR) || '|' || mh, ''
          |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
