@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *  - shingle/LSH paths shuffle (shingle → docs) or (band-signature → docs)
   *    postings, never document pairs, so candidate generation is linear in
   *    corpus size + output pairs — the classic scalable formulation;
-  *  - every hash is md5 (deterministic across engines and runs; no seed
-  *    state to distribute).
+  *  - content hashing starts from md5 (deterministic across engines and
+  *    runs; no seed state to distribute); minhash permutations derive from
+  *    ONE digest per shingle via fixed universal-hash constants (see
+  *    [[minhashes]] — the constants are mirrored by the DuckDB oracle,
+  *    change both or neither).
   */
 object Dedup {
 
@@ -173,7 +176,7 @@ object Dedup {
                       k: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     val mh = minhashes(docs, numHashes, idCol, textCol, k)
     // persisted for the same reason as in jaccardPairs: both sides of the
-    // bucket self-join would re-run shingling + 8 md5 min-aggregations
+    // bucket self-join would re-run shingling + the signature aggregation
     val rawBands = mh.select(col("doc_id"),
         explode(array(bandStructs(numHashes, bandSize): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -296,7 +299,20 @@ object Dedup {
                           bCol: String = "b", maxIter: Int = 25,
                           reliableCheckpoints: Boolean = false): DataFrame = {
     def checkpointed(df: DataFrame): DataFrame =
-      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+      if (!reliableCheckpoints) df.localCheckpoint(true)
+      else {
+        // persist-then-checkpoint: without the persist, the eager count
+        // materializes the plan once and the checkpoint WRITE recomputes
+        // the whole lineage a second time (documented RDD.checkpoint
+        // behavior). NOTE reliable checkpoint files are not auto-deleted
+        // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to
+        // false) — enable that conf or clean the checkpoint dir after
+        // long runs.
+        val cached = df.persist()
+        val out = cached.checkpoint(true)
+        cached.unpersist()
+        out
+      }
     // pairs appears twice in the symmetric-closure plan (both directions),
     // and a self-union recomputes its whole upstream pipeline per branch —
     // persist for the one job that materializes edges, then release (but

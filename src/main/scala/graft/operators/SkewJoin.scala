@@ -26,13 +26,26 @@ object SkewJoin {
 
   /** Inner equi-join of `skewed ⋈ small` on `keys`, salted to
     * `saltBuckets`. Output columns = the unsalted join's (skewed side's
-    * columns first). */
+    * columns first). The skewed side needs at least one hashable
+    * NON-KEY column (hash over the keys alone would send a hot key's rows
+    * to one salt — the exact hot spot being split); map-typed columns
+    * can't hash — callers with map-only payloads add a scatter column. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    // deterministic per-row scatter: hash of the whole row (not rand() —
-    // retried tasks must place rows identically or results change)
-    val scatter = pmod(xxhash64(skewed.columns.map(col): _*),
+    require(!skewed.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    // deterministic per-row scatter: hash of the hashable non-key columns
+    // (not rand() — retried tasks must place rows identically or results
+    // change; not maps — Spark refuses hash over MapType)
+    val hashable = skewed.schema.fields
+      .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name).filterNot(keys.contains)
+    require(hashable.nonEmpty,
+      "saltedJoin needs a hashable non-key column on the skewed side to " +
+        "scatter rows within a key; add one (e.g. a row id)")
+    val scatter = pmod(xxhash64(hashable.map(col): _*),
       lit(saltBuckets)).cast("int")
     val s = skewed.withColumn("__salt", scatter)
     val r = small.withColumn("__salt",

@@ -40,11 +40,21 @@ object DataWriter {
     * Bucketing goes through the session catalog (`saveAsTable` — bucket
     * metadata lives there; a bare parquet path cannot carry it). Size
     * `numBuckets` so one bucket ≈ one task's worth of the BIG table
-    * (128-256 MB); both join sides must use the same count. */
+    * (128-256 MB); both join sides must use the same count. The Exchange
+    * is always eliminated; eliminating the read-side Sort additionally
+    * needs `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (Spark 3+ stopped propagating bucket sort order by default) and one
+    * file per bucket, which the repartition below guarantees. */
   def writeBucketed(data: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
-    data.write
+    // repartition to ONE file per bucket: Spark exposes a bucket's sort
+    // order at read time only when the bucket is a single file (each
+    // writing task otherwise emits its own file per bucket), and without
+    // that the join keeps its per-partition Sort even though the Exchange
+    // is gone
+    data.repartition(numBuckets, col(bucketCol))
+      .write
       .mode(mode)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -204,19 +204,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Map("u1" -> "female", "u2" -> "male", "u3" -> "female"))
   }
 
-  test("bucketed tables join without a shuffle") {
+  test("bucketed tables join without a shuffle or a sort") {
     import graft.sinks.DataWriter
     val left = (1L to 200L).map(i => (i.toString, s"L$i")).toDF("uuid", "lv")
     val right = (1L to 200L).map(i => (i.toString, s"R$i")).toDF("uuid", "rv")
     DataWriter.writeBucketed(left, "bt_left", "uuid", numBuckets = 4)
     DataWriter.writeBucketed(right, "bt_right", "uuid", numBuckets = 4)
+    // broadcast would hide the claim under test (small tables always
+    // broadcast-join without hashpartitioning Exchanges) — force the
+    // sort-merge path in an isolated session sharing the same catalog
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Spark 3+ only propagates bucket SORT order under this conf (and only
+    // with one file per bucket, which writeBucketed guarantees)
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      val joined = spark.table("bt_left")
-        .join(spark.table("bt_right"), "uuid")
+      val joined = s2.table("bt_left").join(s2.table("bt_right"), "uuid")
       assert(joined.count() === 200)
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1000)}")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(!plan.contains("+- Sort ") && !plan.contains("+- *Sort "),
+        s"one-file-per-bucket sorted tables must not re-sort:\n${plan.take(1500)}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bt_left")
       spark.sql("DROP TABLE IF EXISTS bt_right")
