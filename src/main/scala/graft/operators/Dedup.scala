@@ -364,4 +364,16 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"),
       (col("comp") === col("id")).as("is_canonical"))
   }
+
+  /** The deduplicated corpus: every document except non-canonical cluster
+    * members — the terminal step of the dedup pipeline (detectors → pairs
+    * → [[connectedComponents]] → keep list). A left-anti join against the
+    * (small) non-canonical id set: the corpus never shuffles more than its
+    * id column, and untouched documents (the overwhelming majority) pass
+    * through unexamined. */
+  def applyKeepList(docs: DataFrame, components: DataFrame,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      components.filter(!col("is_canonical")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -132,6 +132,25 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The terminal dedup artifact: the corpus with non-canonical cluster
+    // members dropped (same pair sources as dedup_components).
+    "dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      val comps = Dedup.connectedComponents(jp.unionByName(ep))
+      Dedup.applyKeepList(docs, comps)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir),
         threshold = 0.4, blockCol = "label")
@@ -319,6 +338,29 @@ object TrainingDataQueries extends QueryPack {
          |       ELSE 0.0 END AS top_bigram_share
          |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jp AS (SELECT doc_a AS a, doc_b AS b
+         |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+         |ep AS (SELECT a, b FROM (
+         |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+         |         FROM documents) WHERE a <> b),
+         |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
+         |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
+         |walk(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         |drop_ids AS (SELECT id FROM walk GROUP BY id HAVING min(lab) <> id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         |ORDER BY doc_id""".stripMargin,
 
     // min-label closure as a recursive CTE: seed every edge endpoint with
     // its own id, propagate along (symmetric) edges, take the min label —

@@ -60,6 +60,14 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keep list drops exactly the non-canonical cluster members") {
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "x", 11L -> "y")
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.applyKeepList(d, Dedup.connectedComponents(pairs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 10L)) // 2 and 11 demoted; 3 untouched
+  }
+
   test("exact dedup groups identical texts under one representative") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(d).select("keep_id", "n_dups")
