@@ -77,6 +77,15 @@ object AddLinks {
     * code; consumed (and dropped) by ToCodes. */
   def aggColName(codeId: String): String = s"__lc_$codeId"
 
+  /** Does this aggregation expression reference the linked-row map? Matches
+    * the name whether the caller built it from `functions.col`
+    * (an unresolved attribute in the lazy column-node tree) or from a
+    * resolved frame reference like `df("__l_data")` (AttributeReference) —
+    * pruning a resolved reference would fail analysis at runtime instead
+    * of keeping the map. */
+  private[graft] def refersToLinkedData(c: Column): Boolean =
+    org.apache.spark.sql.GraftColumnBridge.referencesName(c, "__l_data")
+
   /** Pre-aggregations for the multiple_link codes targeting this link's
     * form, one `__lc_<id>` per code, returned as (rowProjections, aggs):
     * the projections evaluate each code's predicate/value ONCE per joined
@@ -197,11 +206,6 @@ object AddLinks {
     // keep __l_data out of the shuffle when nothing aggregates over it —
     // detected by actual references, not by aggInputs being empty (a
     // count(*)-only catalog has no inputs AND no use for the map)
-    def refersToLinkedData(c: Column): Boolean =
-      org.apache.spark.sql.GraftColumnBridge.expression(c).collect {
-        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if ua.name == "__l_data" => ua
-      }.nonEmpty
     val keepLinkedData = (collectArrays && payload.isEmpty) ||
       extraAggs.exists(refersToLinkedData)
     val lKeyCols = link.toColumns.lazyZip(link.methods).lazyZip(toKeys).map {

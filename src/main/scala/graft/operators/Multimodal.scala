@@ -91,23 +91,40 @@ object Multimodal {
       struct(lit("image/fake").as("mime"),
         length(col(textCol)).as("content_length")).as("media_meta"))
 
+  /** Codec dispatch policy for [[decodeFeatures]]. `Auto` tries a real
+    * `javax.imageio` reader per payload, deterministic fallback otherwise
+    * (mixed fake/real corpora share a table). `ForceFake` pins the
+    * deterministic codec for EVERY payload — required when the output is
+    * verified against a SQL oracle: under Auto, a payload some JDK reader
+    * happens to claim silently changes feature values, and which payloads
+    * readers claim is a JDK detail, not a corpus property. `ImageIoOnly`
+    * decodes strictly real images and drops unclaimed payloads (callers
+    * route those to quarantine). */
+  sealed trait CodecPolicy
+  case object Auto extends CodecPolicy
+  case object ForceFake extends CodecPolicy
+  case object ImageIoOnly extends CodecPolicy
+
   /** Partition-wise decode: one pass per partition over the binary payloads,
     * emitting the feature rows. Batch shape = the partition iterator, exactly
-    * like a mapInPandas batch stream. Dispatch is per payload: a real
-    * `javax.imageio` reader when one claims the bytes, the deterministic
-    * fallback otherwise — text-corpus fakes and real PNGs can share a
-    * table. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+    * like a mapInPandas batch stream. Dispatch per [[CodecPolicy]]. */
+  def decodeFeatures(media: DataFrame, codec: CodecPolicy = Auto): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     media.select(col("doc_id"), col("media"))
       .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
+        rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (len, w, h, frames, digest) =
-            ImageIoCodec.decode(payload).getOrElse(FakeCodec.decode(payload))
-          Row(id, len, w, h, frames, digest)
+          val decoded = codec match {
+            case Auto        => Some(ImageIoCodec.decode(payload)
+                                  .getOrElse(FakeCodec.decode(payload)))
+            case ForceFake   => Some(FakeCodec.decode(payload))
+            case ImageIoOnly => ImageIoCodec.decode(payload)
+          }
+          decoded.map { case (len, w, h, frames, digest) =>
+            Row(id, len, w, h, frames, digest)
+          }
         }
       }(enc)
   }

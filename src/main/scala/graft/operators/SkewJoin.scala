@@ -26,27 +26,38 @@ object SkewJoin {
 
   /** Inner equi-join of `skewed ⋈ small` on `keys`, salted to
     * `saltBuckets`. Output columns = the unsalted join's (skewed side's
-    * columns first). The skewed side needs at least one hashable
-    * NON-KEY column (hash over the keys alone would send a hot key's rows
-    * to one salt — the exact hot spot being split); map-typed columns
-    * can't hash — callers with map-only payloads add a scatter column. */
+    * columns first).
+    *
+    * Scatter: by default, the deterministic hash of the skewed side's
+    * hashable non-key columns (hash over the keys alone would send a hot
+    * key's rows to one salt — the exact hot spot being split; map-typed
+    * columns can't hash). That default CANNOT split a hot key whose rows
+    * are IDENTICAL in every hashable non-key column (duplicate-heavy skew
+    * — the common case for scraped corpora): identical rows hash to one
+    * salt and the hot spot survives. For those inputs pass `scatterBy` —
+    * any expression distinct-ish within a key (a row id,
+    * `monotonically_increasing_id()` captured BEFORE the join, a source
+    * offset). It must be deterministic per ROW (retried tasks must place
+    * rows identically or results change), but need not be unique —
+    * collisions only cost balance, never correctness. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
-                 saltBuckets: Int): DataFrame = {
+                 saltBuckets: Int, scatterBy: Option[Column] = None): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     require(!skewed.columns.contains("__salt") &&
       !small.columns.contains("__salt"),
       "__salt is reserved by saltedJoin")
-    // deterministic per-row scatter: hash of the hashable non-key columns
-    // (not rand() — retried tasks must place rows identically or results
-    // change; not maps — Spark refuses hash over MapType)
-    val hashable = skewed.schema.fields
-      .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(_.name).filterNot(keys.contains)
-    require(hashable.nonEmpty,
-      "saltedJoin needs a hashable non-key column on the skewed side to " +
-        "scatter rows within a key; add one (e.g. a row id)")
-    val scatter = pmod(xxhash64(hashable.map(col): _*),
-      lit(saltBuckets)).cast("int")
+    val scatterExpr = scatterBy.getOrElse {
+      // not rand() — retried tasks must place rows identically or results
+      // change; not maps — Spark refuses hash over MapType
+      val hashable = skewed.schema.fields
+        .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(_.name).filterNot(keys.contains)
+      require(hashable.nonEmpty,
+        "saltedJoin needs a hashable non-key column on the skewed side to " +
+          "scatter rows within a key; add one (e.g. a row id) or pass scatterBy")
+      xxhash64(hashable.map(col): _*)
+    }
+    val scatter = pmod(scatterExpr.cast("long"), lit(saltBuckets.toLong)).cast("int")
     val s = skewed.withColumn("__salt", scatter)
     val r = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -59,6 +59,17 @@ object ToCodes {
   private def aggCol(codeId: String): Column =
     col(s"`${AddLinks.aggColName(codeId)}`")
 
+  /** Drop by QUOTED Column, not by raw name: `df.drop(name)` parses a
+    * dotted name as a nested-field access, fails to resolve, and silently
+    * no-ops — a code id containing a dot would leak its `__lc_` column into
+    * the pipeline output. The Column overload resolves the backtick-quoted
+    * top-level attribute; names that are absent still no-op harmlessly. */
+  private def dropQuoted(df: DataFrame, names: Seq[String]): DataFrame =
+    names.map(n => col(s"`$n`")) match {
+      case Seq() => df
+      case cs    => df.drop(cs.head, cs.tail: _*)
+    }
+
   /** Outcome of one code, honoring multiple_link aggregation over linked
     * rows (codes/to_codes.py:217-242): a code whose form is a *linked* form
     * evaluates against the linked matches with method last / first / count /
@@ -404,11 +415,11 @@ object ToCodes {
       val p = foldPartials(groups.map(g =>
         groupPartials(g, br, policy, linkNameForForm, preAgg)))
       val o = assemble(p, br, alertData, staticEntries)
-      return applyRetain(projected
+      return applyRetain(dropQuoted(projected
         .withColumn("variables", o.variables)
         .withColumn("categories", o.categories)
-        .withColumn("disregard", o.disregard)
-        .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols: _*))
+        .withColumn("disregard", o.disregard),
+        (attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols))
     }
 
     // Catalog-sized projections are evaluated in their OWN execution
@@ -445,12 +456,12 @@ object ToCodes {
         col(n).getField("a"), col(n).getField("r"), col(n).getField("d"))
     }
     val o = assemble(foldPartials(parts), br, alertData, staticEntries)
-    applyRetain(acc
+    applyRetain(dropQuoted(acc
       .withColumn("variables", o.variables)
       .withColumn("categories", o.categories)
-      .withColumn("disregard", o.disregard)
-      .drop((attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames ++
-        preAggCols: _*))
+      .withColumn("disregard", o.disregard),
+      (attrMap.values ++ dateAttrMap.values).toSeq ++ sliceNames ++
+        preAggCols))
   }
 
   /** Split groups into slices of at most `maxCodes` codes, never splitting

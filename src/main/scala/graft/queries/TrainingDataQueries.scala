@@ -191,7 +191,9 @@ object TrainingDataQueries extends QueryPack {
     "multimodal_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.attachMedia(Tables.documents(s, dir))
-      val feats = Multimodal.decodeFeatures(media)
+      // ForceFake pins the deterministic codec: this output is verified
+      // against a SQL oracle, which cannot recompute a real pixel decode
+      val feats = Multimodal.decodeFeatures(media, Multimodal.ForceFake)
       Multimodal.resize(feats, maxDim = 512)
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("n_frames"), col("digest"), col("out_width"), col("out_height"))

@@ -58,10 +58,15 @@ object StreamingPipeline {
     * identifier tuple, the FIRST visit ever seen stays "new", every later
     * one emits "return". State per key is the (first-seen, max-seen)
     * event-time pair (16 bytes; the max drives the TTL deadline), so state
-    * size is bounded by distinct identifiers, not events. NOTE: this state
-    * schema replaced a single-long layout — a checkpoint written by the
-    * old layout cannot restart under this one (Spark's state-schema check
-    * rejects it); discard the checkpoint or migrate offline. Unlike the batch recompute (which can re-label when an earlier
+    * size is bounded by distinct identifiers, not events. STATE-SCHEMA
+    * COMPATIBILITY: the `ttlMs = None` path keeps the original single-Long
+    * state layout (first-seen only — no TTL means the max-seen deadline
+    * driver is dead weight), so pre-TTL production checkpoints restart
+    * unchanged by passing `ttlMs = None`. Switching a checkpointed query
+    * between None and Some IS a state-schema change (Long vs (Long, Long))
+    * that Spark's state-schema check rejects — enable TTL on a fresh
+    * checkpoint (the batch store-recompute heals the labels either way).
+    * Unlike the batch recompute (which can re-label when an earlier
     * visit arrives late), this path labels at arrival like the reference's
     * incremental consumer; pair it with the store-recompute for healing.
     *
@@ -90,41 +95,55 @@ object StreamingPipeline {
                          latenessMs: Long = 30L * 24 * 3600 * 1000)
       : Dataset[VisitLabel] = {
     import events.sparkSession.implicits._
-    val timeout = ttlMs.map(_ => GroupStateTimeout.EventTimeTimeout())
-      .getOrElse(GroupStateTimeout.NoTimeout())
-    val withWm = ttlMs match {
-      case None => events
-      case Some(_) => events
-        .withColumn("__et", timestamp_millis(col("ts")))
-        .withWatermark("__et", s"$latenessMs milliseconds")
-        .as[VisitEvent]
-    }
-    // state = (first-seen ts, max-seen ts): the max drives the inactivity
-    // deadline, so an out-of-order (but not watermark-late) event can never
-    // move an established deadline EARLIER
-    withWm
-      .groupByKey(_.identifier)
-      .flatMapGroupsWithState[(Long, Long), VisitLabel](
-        OutputMode.Append(), timeout) {
-        (key: String, rows: Iterator[VisitEvent], state: GroupState[(Long, Long)]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
-            var (firstTs, maxTs) =
-              state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
-            val out = batch.map { e =>
-              val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
-              if (e.ts > maxTs) maxTs = e.ts
-              VisitLabel(key, e.uuid, label)
-            }
-            if (firstTs != Long.MaxValue) {
-              state.update((firstTs, maxTs))
-              ttlMs.foreach(t => state.setTimeoutTimestamp(maxTs + t))
-            }
-            out.iterator
+    ttlMs match {
+      case None =>
+        // legacy single-Long state (first-seen only): byte-compatible with
+        // pre-TTL checkpoints, no watermark requirement
+        events
+          .groupByKey(_.identifier)
+          .flatMapGroupsWithState[Long, VisitLabel](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (key: String, rows: Iterator[VisitEvent], state: GroupState[Long]) =>
+              val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
+              var firstTs = state.getOption.getOrElse(Long.MaxValue)
+              val out = batch.map { e =>
+                val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
+                VisitLabel(key, e.uuid, label)
+              }
+              if (firstTs != Long.MaxValue) state.update(firstTs)
+              out.iterator
           }
-      }
+      case Some(ttl) =>
+        // state = (first-seen ts, max-seen ts): the max drives the
+        // inactivity deadline, so an out-of-order (but not watermark-late)
+        // event can never move an established deadline EARLIER
+        events
+          .withColumn("__et", timestamp_millis(col("ts")))
+          .withWatermark("__et", s"$latenessMs milliseconds")
+          .as[VisitEvent]
+          .groupByKey(_.identifier)
+          .flatMapGroupsWithState[(Long, Long), VisitLabel](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (key: String, rows: Iterator[VisitEvent], state: GroupState[(Long, Long)]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val batch = rows.toSeq.sortBy(e => (e.ts, e.uuid))
+                var (firstTs, maxTs) =
+                  state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+                val out = batch.map { e =>
+                  val label = if (e.ts < firstTs) { firstTs = e.ts; "new" } else "return"
+                  if (e.ts > maxTs) maxTs = e.ts
+                  VisitLabel(key, e.uuid, label)
+                }
+                if (firstTs != Long.MaxValue) {
+                  state.update((firstTs, maxTs))
+                  state.setTimeoutTimestamp(maxTs + ttl)
+                }
+                out.iterator
+              }
+          }
+    }
   }
 }

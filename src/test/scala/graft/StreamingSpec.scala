@@ -124,6 +124,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("visit control with ttlMs=None labels identically on the legacy state path") {
+    // the None path keeps the original single-Long state layout so pre-TTL
+    // checkpoints restart unchanged; semantics must match the TTL path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingPipeline.{VisitEvent, VisitLabel}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VisitEvent]
+    val q = StreamingPipeline.visitControlStream(input.toDS(), ttlMs = None)
+      .writeStream.format("memory").queryName("visit_labels_nottl")
+      .outputMode("append").start()
+    try {
+      input.addData(VisitEvent("A", "u1", 10L), VisitEvent("A", "u2", 20L))
+      q.processAllAvailable()
+      input.addData(VisitEvent("A", "u0", 5L), VisitEvent("B", "v1", 1L))
+      q.processAllAvailable()
+      val out = spark.table("visit_labels_nottl")
+        .as[VisitLabel].collect().map(l => l.uuid -> l.visit).toMap
+      assert(out === Map(
+        "u1" -> "new", "u2" -> "return", "u0" -> "new", "v1" -> "new"))
+    } finally q.stop()
+  }
+
   test("visit-control state expires after event-time TTL and re-arms") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingPipeline.{VisitEvent, VisitLabel}

@@ -163,4 +163,18 @@ class ToCodesSpec extends AnyFunSuite {
       "cd" -> "cmd_1", "case" -> "cmd_1"))
     assert(!disregard)
   }
+
+  test("pre-aggregated __lc_ column drops even when the code id contains a dot") {
+    // df.drop("__lc_a.b") parses the dot as a field access and silently
+    // no-ops — the quoted-Column drop must still remove the helper column
+    val dotted = CodeDef(id = "a.b", form = "linkform",
+      multipleLink = Some("count"))
+    val df = Seq(Tuple1(Map("k" -> "v"))).toDF("data")
+      .withColumn("__lc_a.b", lit(3L))
+    val out = ToCodes(df, Seq(dotted), new MapResolver(col("data")),
+      EpiWeek.StartDay(0), linkNameForForm = Map("linkform" -> "lk"))
+    assert(!out.columns.contains("__lc_a.b"))
+    val vars = out.select("variables").head().getMap[String, String](0).toMap
+    assert(vars === Map("a.b" -> "3"))
+  }
 }

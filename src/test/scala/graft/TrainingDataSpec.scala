@@ -27,6 +27,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(canon(salted).size === 1001) // 500*2 hot + 1 for "a"
   }
 
+  test("salted join scatters duplicate-identical rows via an explicit scatter column") {
+    // duplicate-heavy skew: every hot row is IDENTICAL in the non-key
+    // columns, so the default hash-scatter would land them all in one salt
+    // bucket; a caller-provided row id spreads them
+    val skewed = (1 to 96).map(i => ("hot", "same-payload", i.toLong))
+      .toDF("k", "payload", "rid")
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(skewed, dim, Seq("k"),
+      saltBuckets = 8, scatterBy = Some(col("rid")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "rid", "label").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+    assert(canon(salted) === canon(skewed.join(dim, Seq("k"))))
+    // a map-only payload (unhashable) is fine once scatterBy is provided
+    val mapSkewed = (1 to 10).map(i => ("hot", Map("p" -> i.toString), i.toLong))
+      .toDF("k", "m", "rid")
+    val viaMap = SkewJoin.saltedJoin(mapSkewed, dim, Seq("k"),
+      saltBuckets = 4, scatterBy = Some(col("rid")))
+    assert(viaMap.count() === 10)
+  }
+
   test("connected components converge on chains and mark canonical survivors") {
     // a 5-vertex chain (needs several propagation rounds), a separate pair,
     // and a duplicate edge — components = min reachable id
@@ -363,6 +385,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(2L) === ((33, 77, 1)))
     // unclaimed payload falls back to the deterministic codec (12 bytes)
     assert(out(3L) === ((64 + 12, 64 + 84, 1)))
+  }
+
+  test("codec policy pins the deterministic path or strict imageio") {
+    val png = pngBytes(100, 40)
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    // ForceFake: the REAL png decodes via the deterministic codec — an
+    // oracle-gated corpus must not change values when a JDK reader claims
+    // a payload
+    val fake = Multimodal.decodeFeatures(media, Multimodal.ForceFake)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(fake(1L) === ((64 + png.length % 576, 64 + (png.length * 7) % 296)))
+    assert(fake(2L) === ((64 + 12, 64 + 84)))
+    // ImageIoOnly: strict real decode; unclaimed payloads are dropped
+    val strict = Multimodal.decodeFeatures(media, Multimodal.ImageIoOnly)
+      .select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(strict === Map(1L -> ((100, 40))))
   }
 
   test("pixel resize scales, keeps aspect, and re-encodes decodable PNG") {
