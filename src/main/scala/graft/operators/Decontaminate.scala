@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training documents
+  * that share word k-grams with an evaluation/benchmark set, so eval data
+  * can be scrubbed from the training mix before a run (the standard n-gram
+  * overlap decontamination described in the GPT-3/PaLM appendices; k≈13 in
+  * production, smaller k for short-document corpora).
+  *
+  * Scale shape: the benchmark side is tiny (eval suites are thousands of
+  * documents against a 100 TB corpus), so its distinct k-gram set is
+  * BROADCAST; the training corpus streams its shingle postings past the
+  * broadcast set in one narrow pass — no corpus-side self-join, no
+  * benchmark-keyed shuffle. The only exchange is the per-document count
+  * aggregation, keyed by doc id with map-side partial aggregation.
+  */
+object Decontaminate {
+
+  /** Per-training-document contamination counts against `benchmark`.
+    *
+    * Output: (idCol, n_shingles, n_matched, contamination) — distinct
+    * k-grams in the document, how many of those appear anywhere in the
+    * benchmark set, and their ratio. Only contaminated documents
+    * (n_matched > 0) are returned; the clean majority never leaves the
+    * aggregation. Join keys are 64-bit xxhash64 of the k-gram — same
+    * match set (collision odds ~|grams|²/2⁶⁴), a fraction of the string
+    * shuffle volume.
+    *
+    * @param benchmark the eval corpus; must carry `textCol`. Its k-gram
+    *        set is collected to a broadcast hash relation — callers with a
+    *        benchmark too large to broadcast should pre-filter it, not
+    *        raise the broadcast threshold. */
+  def overlap(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainGrams = Dedup.shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+    val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
+      .select(xxhash64(col("shingle")).as("g")).distinct()
+    trainGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** The decontaminated corpus: `docs` minus every document whose k-gram
+    * overlap with `benchmark` reaches `minMatched` shared k-grams. The
+    * anti-join runs on ids only — document payloads never shuffle. */
+  def scrub(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+            minMatched: Long = 1, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.join(
+      overlap(docs, benchmark, k, idCol, textCol)
+        .filter(col("n_matched") >= minMatched).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -77,4 +77,40 @@ object Sampling {
     }
     df.withColumn(outCol, assigned)
   }
+
+  /** Weighted corpus mixing under per-source token budgets: within each
+    * stratum (source, language, domain), documents are ordered by their
+    * deterministic hash draw — a reproducible shuffle — and the prefix
+    * whose cumulative token count stays within the stratum's budget is
+    * kept. This is how a training mix hits "x billion tokens of source A,
+    * y of source B" targets: the hash order makes the kept prefix a
+    * uniform sample, and determinism makes the mix identical across runs
+    * and engines. A document whose count CROSSES the budget line is cut
+    * (strictly-under semantics) — budgets are honored as hard caps.
+    * Strata absent from `budgets` are dropped entirely.
+    *
+    * Scale shape: one exchange, keyed by stratum, with a running sum over
+    * the (draw, key) order. Budget enforcement is a prefix sum — inherently
+    * sequential per stratum — so a 100 TB run partitions the corpus by
+    * stratum; for strata too large for one task, pre-aggregate counts per
+    * (stratum, draw-prefix) range to locate the cut draw, then filter —
+    * same result, two narrow passes (the standard two-phase quantile cut).
+    */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String,
+                     budgets: Map[String, Long], tokenCountCol: String,
+                     keyCol: String, salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(draw(col(keyCol), salt), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    docs
+      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -122,4 +122,62 @@ object TextAnalysis {
             (col("word_total") - 1).cast("double"))
           .otherwise(lit(0.0)).as("top_bigram_share"))
   }
+
+  /** Hashed-feature linear quality classifier — the fasttext-shaped scoring
+    * pass real pipelines run to rank documents (a trained model is a
+    * weights-per-bucket table; here the weights are a fixed deterministic
+    * function of the bucket id, so the SCORING machinery — hashing,
+    * bucketing, weight lookup, mean-pooling — is real and engine-checkable
+    * while staying oracle-reproducible).
+    *
+    * token → bucket: first 6 md5 hex digits mod `buckets` (md5 is the
+    * cross-engine hash discipline); bucket → weight: (bucket mod 1001)/1000
+    * − 0.5, a fixed pseudo-random weight in [−0.5, 0.5]. Score = mean
+    * weight over the document's tokens (logistic squashing is monotone, so
+    * thresholding the mean ≡ thresholding the sigmoid — and exp() is not
+    * bit-identical across engines, so it stays out of the gated output).
+    *
+    * Scale shape: explode → pure column arithmetic (codegen'd, no lambda
+    * HOFs — those run interpreted) → one doc-keyed aggregation with
+    * map-side partial sums. Swapping real trained weights in means joining
+    * a broadcast (bucket → weight) table instead of computing the weight
+    * expression — same plan shape. */
+  def classifierScores(docs: DataFrame, buckets: Int = 4096,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val bucket = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
+      16, 10).cast("long"), lit(buckets.toLong))
+    // weight·1000 as an INTEGER summand: summing doubles is
+    // accumulation-order-sensitive (partial-aggregation order is partition
+    // layout, not a contract) — sum exact integers, divide once at the end
+    val milliWeight = pmod(bucket, lit(1001L)) - 500L
+    tok.select(col("doc_id"), milliWeight.as("mw"))
+      .groupBy("doc_id")
+      .agg((sum(col("mw")).cast("double") /
+        (count(lit(1)) * 1000L).cast("double")).as("score"))
+  }
+
+  /** Corpus vocabulary: the `topK` tokens by total frequency with document
+    * frequency alongside — the first step of any tokenizer/vocab build and
+    * the usual corpus-sanity report. Deterministic tiebreak: token
+    * ascending at equal frequency.
+    *
+    * Scale shape: token-keyed aggregation with map-side combine for the
+    * term counts; document frequency needs the distinct (token, doc) pass —
+    * both exchanges are keyed on the token, and the top-K is a
+    * TakeOrderedAndProject (per-partition heaps, never a global sort). */
+  def vocabulary(docs: DataFrame, topK: Int,
+                 idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("token").agg(count(lit(1)).as("term_freq"))
+    val df = tok.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    tf.join(df, Seq("token"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(topK)
+  }
 }

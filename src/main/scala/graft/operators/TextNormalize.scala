@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text normalization / redaction for corpus cleaning — the scrub pass that
@@ -44,4 +45,59 @@ object TextNormalize {
     "n_emails" -> regexp_count(text, lit(EmailPattern)),
     "n_urls" -> regexp_count(text, lit(UrlPattern)),
     "n_tags" -> regexp_count(text, lit(TagPattern)))
+
+  /** Corpus-level duplicated-line removal (the CCNet/Gopher line-dedup
+    * pass): a line appearing in more than `maxDocFrequency` DISTINCT
+    * documents is boilerplate (headers, navigation, license banners) and is
+    * stripped from EVERY document, including the first; surviving lines are
+    * reassembled in their original order.
+    *
+    * Scale shape: three exchanges, all narrow —
+    *  1. line document-frequency: distinct (doc, line-hash) then a count
+    *     keyed by the 64-bit line hash (never the line text);
+    *  2. the postings ⋈ hot-line-set anti join, keyed by the same hash
+    *     (the hot set is small — boilerplate by definition — but is NOT
+    *     assumed broadcastable);
+    *  3. reassembly keyed by doc id, ordered by original line position
+    *     through an unbounded window frame (the contract-backed ordered
+    *     collect — groupBy.collect_list has no ordering guarantee under
+    *     aggregation fallback).
+    * Intra-document repeats of a rare line survive — document frequency
+    * counts documents, not occurrences (reference CCNet discipline).
+    *
+    * Output: (idCol, textCol deduped, n_lines, n_removed). Documents whose
+    * every line was boilerplate remain with empty text — dropping them is a
+    * quality-filter decision, not a dedup decision. */
+  def dedupLines(docs: DataFrame, maxDocFrequency: Long,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__line"),
+        xxhash64(col("col")).as("__lh"))
+    val hot = lines.select(col("__id"), col("__lh")).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFrequency)
+      .select("__lh")
+    val kept = lines.join(hot, Seq("__lh"), "left_anti")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rebuilt = kept
+      .select(col("__id"), collect_list(col("__line")).over(w).as("__arr"),
+        count(lit(1)).over(w).as("n_kept"))
+      .groupBy("__id")
+      .agg(first(col("__arr")).as("__arr"), first(col("n_kept")).as("n_kept"))
+      .select(col("__id"), concat_ws(sep, col("__arr")).as(textCol),
+        col("n_kept"))
+    // docs with every line removed fall out of `kept` — restore them empty
+    val totals = docs.select(col(idCol).as("__id"),
+      size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .cast("long").as("n_lines"))
+    totals.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

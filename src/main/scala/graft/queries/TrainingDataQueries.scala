@@ -259,6 +259,57 @@ object TrainingDataQueries extends QueryPack {
         keyCol = "doc_id", salt = "sp")
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: training docs sharing any 3-gram with the
+    // held-out "benchmark" slice (doc_id % 97 == 0 — an in-table derivation
+    // both engines compute identically).
+    "decontaminate" -> ((s, dir) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Decontaminate.overlap(train, bench, k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level duplicated-line removal (CCNet pass). The corpus has no
+    // newlines, so a multi-line view is derived by turning ' table ' into
+    // line breaks — a literal left-to-right replace both engines agree on.
+    "line_dedup" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("replace(text, ' table ', '\n')").as("text"))
+      TextNormalize.dedupLines(lined, maxDocFrequency = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hashed-feature linear quality score (fasttext-shaped scoring pass).
+    "quality_classifier" -> ((s, dir) => {
+      TextAnalysis.classifierScores(Tables.documents(s, dir), buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary: top-50 tokens by term frequency with document
+    // frequency, token-ascending tiebreak.
+    "vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir), topK = 50)
+        .orderBy(col("term_freq").desc, col("token").asc)
+    }),
+
+    // Weighted training mix under per-language token budgets: hash-ordered
+    // prefix per stratum, hard budget caps, absent strata dropped.
+    "corpus_mix" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Sampling.tokenBudgetMix(docs, "lang",
+        Map("en" -> 2000L, "de" -> 1000L, "fr" -> 800L),
+        tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "m1")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -596,6 +647,72 @@ object TrainingDataQueries extends QueryPack {
         |  CASE WHEN h < 'cccccccc' THEN 'train'
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH $shinglesCte
+         |SELECT t.doc_id, count(*) AS n_shingles,
+         |       count(b.shingle) AS n_matched,
+         |       CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |         AS contamination
+         |FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) t
+         |LEFT JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0) b
+         |  USING (shingle)
+         |GROUP BY 1 HAVING count(b.shingle) > 0
+         |ORDER BY 1""".stripMargin,
+
+    "line_dedup" ->
+      """WITH lined AS (SELECT doc_id,
+        |       string_split(replace(text, ' table ', chr(10)), chr(10)) AS l
+        |       FROM documents),
+        |lines AS (SELECT doc_id, unnest(list_transform(range(len(l)),
+        |       i -> {'pos': i, 'line': l[i+1]}), recursive := true) FROM lined),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY 1),
+        |kept AS (SELECT doc_id, pos, line FROM lines JOIN df USING (line)
+        |         WHERE d <= 5)
+        |SELECT l.doc_id,
+        |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+        |       count(*) AS n_lines,
+        |       count(*) - count(k.line) AS n_removed
+        |FROM lines l LEFT JOIN kept k ON l.doc_id = k.doc_id AND l.pos = k.pos
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // weight*1000 is the exact integer (bucket % 1001) - 500; summing
+    // integers then dividing once keeps the double bit-identical
+    "quality_classifier" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |w AS (SELECT doc_id,
+         |        (('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096) % 1001 - 500
+         |          AS mw
+         |      FROM tok)
+         |SELECT doc_id,
+         |       CAST(sum(mw) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE)
+         |         AS score
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT token, count(*) AS term_freq FROM tok GROUP BY 1),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS doc_freq
+         |       FROM tok GROUP BY 1)
+         |SELECT token, term_freq, doc_freq FROM tf JOIN df USING (token)
+         |ORDER BY term_freq DESC, token LIMIT 50""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+         |        substring(md5(CAST(doc_id AS VARCHAR) || ':m1'), 1, 8) AS h
+         |      FROM toks JOIN documents USING (doc_id)),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT doc_id, lang, n_tokens FROM c
+         |WHERE cum <= CASE lang WHEN 'en' THEN 2000
+         |                       WHEN 'de' THEN 1000
+         |                       WHEN 'fr' THEN 800 END
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -49,6 +49,86 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(viaMap.count() === 10)
   }
 
+  test("decontamination flags n-gram overlap with the benchmark and scrubs it") {
+    val train = docs(
+      1L -> "alpha beta gamma delta",   // shares "beta gamma delta" via 2L? no — with bench
+      2L -> "one two three four five",
+      3L -> "nothing in common here at all")
+    val bench = docs(100L -> "zzz beta gamma delta qqq one two three")
+    val out = Decontaminate.overlap(train, bench, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: shingles {alpha beta gamma, beta gamma delta} — 1 matched
+    // doc 2: {one two three, two three four, three four five} — 1 matched
+    assert(out === Map(1L -> ((2L, 1L)), 2L -> ((3L, 1L))))
+    val kept = Decontaminate.scrub(train, bench, k = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(3L))
+  }
+
+  test("line dedup removes corpus-frequent lines everywhere, keeps order") {
+    val d = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nunique a"),
+      (3L, "unique b\nBOILER"),
+      (4L, "BOILER"))                      // all lines boilerplate
+      .toDF("doc_id", "text")
+    val out = TextNormalize.dedupLines(d, maxDocFrequency = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> (("keep one\nkeep two", 3L, 1L)),
+      2L -> (("unique a", 2L, 1L)),
+      3L -> (("unique b", 2L, 1L)),
+      4L -> (("", 1L, 1L))))
+  }
+
+  test("line dedup counts documents, not occurrences") {
+    // the same line twice INSIDE one doc is 1 toward document frequency,
+    // and a rare line's intra-doc repeats survive
+    val d = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val out = TextNormalize.dedupLines(d, maxDocFrequency = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out === Map(1L -> "x\nx\nx", 2L -> "y"))
+  }
+
+  test("hashed classifier score is the exact mean bucket weight") {
+    val out = TextAnalysis.classifierScores(docs(1L -> "hello", 2L -> "hello hello"))
+      .as[(Long, Double)].collect().toMap
+    // independent recomputation of the weight formula
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+    val w = (java.lang.Long.parseLong(hex, 16) % 4096) % 1001 - 500
+    assert(out(1L) === w / 1000.0)
+    assert(out(2L) === out(1L)) // mean of equal weights
+  }
+
+  test("vocabulary ranks by term frequency with token tiebreak") {
+    val d = docs(1L -> "b a a c", 2L -> "a b")
+    val out = TextAnalysis.vocabulary(d, topK = 2)
+      .as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 3L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("token-budget mix keeps a hash-ordered prefix under hard caps") {
+    val d = (1 to 50).map(i => (i.toLong, "en", 10L)) ++
+      (51 to 60).map(i => (i.toLong, "xx", 10L))
+    val df = d.toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.tokenBudgetMix(df, "lang", Map("en" -> 95L),
+      tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "t")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    // budget 95 fits 9 docs of 10 tokens (a 10th would cross the cap);
+    // unbudgeted stratum dropped entirely
+    assert(out.length === 9)
+    assert(out.forall(_._2 == "en"))
+    // kept set = the 9 lowest hash draws (prefix property)
+    val drawn = df.filter(col("lang") === "en")
+      .select(col("doc_id"), Sampling.draw(col("doc_id"), "t").as("h"))
+      .as[(Long, String)].collect().sortBy(_._2).map(_._1).take(9).toSet
+    assert(out.map(_._1).toSet === drawn)
+  }
+
   test("connected components converge on chains and mark canonical survivors") {
     // a 5-vertex chain (needs several propagation rounds), a separate pair,
     // and a duplicate edge — components = min reachable id
