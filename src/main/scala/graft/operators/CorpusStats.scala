@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group corpus reporting — the summary a training-data pipeline prints
+  * per language/source/domain before and after each filtering stage: how
+  * many documents, how many tokens, how diverse the sources, where the
+  * median document sits.
+  *
+  * Two tiers with the same schema:
+  *  - [[stats]] is EXACT (count-distinct + exact percentile). Exact
+  *    distinct and exact median both need the full value set per group —
+  *    fine to ~billions of rows per group, and required for the oracle
+  *    gate.
+  *  - [[approxStats]] is the 100 TB path: HyperLogLog++ distinct
+  *    (`approx_count_distinct`, fixed-size sketch, map-side combinable)
+  *    and t-digest median (`percentile_approx`) — both stream in one pass
+  *    with bounded memory per group, at the cost of a small documented
+  *    relative error. Same columns, so a report consumer can switch tiers
+  *    by data volume without schema changes.
+  */
+object CorpusStats {
+
+  /** Exact per-`groupCol` stats: document count, total `tokenCountCol`,
+    * distinct `distinctCol` count, exact interpolated median of
+    * `tokenCountCol` (index p·(n−1), linear interpolation — the same
+    * definition DuckDB's quantile_cont uses, so halves of integers compare
+    * bit-exactly). */
+  def stats(docs: DataFrame, groupCol: String, tokenCountCol: String,
+            distinctCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("total_tokens"),
+        countDistinct(col(distinctCol)).as("n_distinct"),
+        expr(s"percentile($tokenCountCol, 0.5)").as("median_tokens"))
+
+  /** Sketch-based variant: identical schema, bounded-memory aggregation.
+    * `accuracy` is percentile_approx's inverse-error knob (10000 ≈ 0.01%
+    * rank error); approx_count_distinct runs at its default ~2% rsd. */
+  def approxStats(docs: DataFrame, groupCol: String, tokenCountCol: String,
+                  distinctCol: String, accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("total_tokens"),
+        approx_count_distinct(col(distinctCol)).as("n_distinct"),
+        percentile_approx(col(tokenCountCol), lit(0.5), lit(accuracy))
+          .cast("double").as("median_tokens"))
+}

@@ -298,6 +298,17 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("term_freq").desc, col("token").asc)
     }),
 
+    // Per-language corpus report: doc count, token volume, source
+    // diversity, exact median document length.
+    "corpus_stats" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      CorpusStats.stats(docs, "lang", "n_tokens", "source")
+        .orderBy(col("lang"))
+    }),
+
     // Weighted training mix under per-language token budgets: hash-ordered
     // prefix per stratum, hard budget caps, absent strata dropped.
     "corpus_mix" -> ((s, dir) => {
@@ -699,6 +710,15 @@ object TrainingDataQueries extends QueryPack {
          |       FROM tok GROUP BY 1)
          |SELECT token, term_freq, doc_freq FROM tf JOIN df USING (token)
          |ORDER BY term_freq DESC, token LIMIT 50""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS n_tokens
+         |      FROM toks JOIN documents USING (doc_id))
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |       count(DISTINCT source) AS n_distinct,
+         |       quantile_cont(n_tokens, 0.5) AS median_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH $toksCte,

@@ -34,6 +34,28 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming exact dedup at ingest — the first pass a training-data
+    * pipeline runs on a document firehose. Keyed by the md5 content digest
+    * (the same digest batch [[graft.operators.Dedup.exact]] groups on, so
+    * stream-ingested and batch-ingested corpora dedupe identically);
+    * `dropDuplicatesWithinWatermark` keeps one row per digest and lets the
+    * engine EVICT a digest's state once the watermark passes it — without
+    * the watermark bound, state grows with every distinct document ever
+    * seen, which at firehose scale is the corpus itself. A duplicate
+    * arriving later than `watermarkDelay` after its first copy can be
+    * re-admitted (bounded-state tradeoff); the batch dedup pass heals those,
+    * exactly like the visit-control store-recompute discipline.
+    *
+    * `eventTimeCol` must be an actual event-time timestamp column. */
+  def dedupStream(docs: DataFrame, eventTimeCol: String,
+                  watermarkDelay: String = "1 hour",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(textCol).cast("binary")))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Native streaming variant of the A1 daily-threshold aggregation: windowed
     * count per (clinic, day) with a watermark — for deployments that want
     * push-style alerts instead of the store-recompute discipline. */

@@ -124,6 +124,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one row per content digest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingPipeline.dedupStream(stream, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "same text", ts(10)), (2L, "same text", ts(20)),
+        (3L, "other", ts(30)))
+      q.processAllAvailable()
+      // a duplicate in a LATER batch (inside the watermark) is dropped too
+      input.addData((4L, "same text", ts(40)), (5L, "third", ts(50)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().sorted
+      assert(out === Array(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("visit control with ttlMs=None labels identically on the legacy state path") {
     // the None path keeps the original single-Long state layout so pre-TTL
     // checkpoints restart unchanged; semantics must match the TTL path

@@ -129,6 +129,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === drawn)
   }
 
+  test("corpus stats: exact tier is exact, approx tier lands close") {
+    val d = Seq(
+      (1L, "en", "s1", 10L), (2L, "en", "s2", 20L), (3L, "en", "s1", 30L),
+      (4L, "en", "s3", 40L), (5L, "de", "s1", 5L))
+      .toDF("doc_id", "lang", "source", "n_tokens")
+    val exact = CorpusStats.stats(d, "lang", "n_tokens", "source")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // even-count median interpolates: (20+30)/2
+    assert(exact === Map(
+      "en" -> ((4L, 100L, 3L, 25.0)), "de" -> ((1L, 5L, 1L, 5.0))))
+    val approx = CorpusStats.approxStats(d, "lang", "n_tokens", "source")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // HLL at this cardinality is exact; schema and counts line up
+    assert(approx === Map("en" -> 3L, "de" -> 1L))
+  }
+
   test("connected components converge on chains and mark canonical survivors") {
     // a 5-vertex chain (needs several propagation rounds), a separate pair,
     // and a duplicate edge — components = min reachable id
