@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN. Single-shot timings in a shared JVM swung up to 6× between
   * rounds on unchanged queries, which made per-query comparisons
   * uninterpretable — the median of three warmed runs is stable enough to
-  * attribute changes to plans rather than to the JIT. Per-run timings go
-  * to stderr for diagnosis. */
+  * attribute changes to plans rather than to the JIT. Queries run in
+  * FIXED alphabetical order with a GC + settle before each, so adding a
+  * query to the suite no longer reshuffles every other query's JIT/GC
+  * neighborhood and round-over-round per-query deltas are attributable
+  * to plans. Per-run timings go to stderr for diagnosis. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,7 +36,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // quiesce before each query: collect the previous query's garbage so
+      // its GC debt isn't billed to this one's timings
+      System.gc()
+      Thread.sleep(100)
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -52,7 +59,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,7 +34,9 @@ object CorpusStats {
         count(lit(1)).as("n_docs"),
         sum(col(tokenCountCol)).as("total_tokens"),
         countDistinct(col(distinctCol)).as("n_distinct"),
-        expr(s"percentile($tokenCountCol, 0.5)").as("median_tokens"))
+        // Column API, not an expr() splice: a column name needing backticks
+        // (dot, space) resolves like every other parameter here
+        percentile(col(tokenCountCol), lit(0.5)).as("median_tokens"))
 
   /** Sketch-based variant: identical schema, bounded-memory aggregation.
     * `accuracy` is percentile_approx's inverse-error knob (10000 ≈ 0.01%

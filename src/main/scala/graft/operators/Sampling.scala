@@ -89,28 +89,77 @@ object Sampling {
     * (strictly-under semantics) — budgets are honored as hard caps.
     * Strata absent from `budgets` are dropped entirely.
     *
-    * Scale shape: one exchange, keyed by stratum, with a running sum over
-    * the (draw, key) order. Budget enforcement is a prefix sum — inherently
-    * sequential per stratum — so a 100 TB run partitions the corpus by
-    * stratum; for strata too large for one task, pre-aggregate counts per
-    * (stratum, draw-prefix) range to locate the cut draw, then filter —
-    * same result, two narrow passes (the standard two-phase quantile cut).
+    * Scale shape: the TWO-PHASE cut. Budget enforcement is a prefix sum in
+    * (draw, key) order — inherently sequential — so a single window per
+    * stratum funnels each stratum through ONE task (a handful of language
+    * strata over a 100 TB corpus = a handful of tasks). Instead, the draw
+    * is range-split by its first `drawPrefixLen` hex digits (a fixed-length
+    * hex prefix orders exactly like the full draw, so bucket order IS draw
+    * order):
+    *  1. a narrow aggregation sums tokens per (stratum, bucket) — at most
+    *     strata × 16^drawPrefixLen rows — and a window over THAT tiny
+    *     aggregate computes each bucket's base offset (tokens in all
+    *     earlier buckets of its stratum). Buckets whose base already
+    *     exceeds the budget are dropped here, before any document moves.
+    *  2. the corpus inner-joins the broadcast bucket offsets and runs the
+    *     prefix sum per (stratum, bucket) — parallelism strata ×
+    *     16^drawPrefixLen instead of strata — offset by the bucket base.
+    * Identical kept set to the single-window formulation (spec-enforced);
+    * the default 2 hex digits give 256 tasks per stratum, raise to 3 (4096)
+    * for trillion-document strata. `drawPrefixLen = 0` keeps the legacy
+    * single-window path (fine for small strata, required reading for the
+    * semantics).
     */
   def tokenBudgetMix(docs: DataFrame, strataCol: String,
                      budgets: Map[String, Long], tokenCountCol: String,
-                     keyCol: String, salt: String = ""): DataFrame = {
+                     keyCol: String, salt: String = "",
+                     drawPrefixLen: Int = 2): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(draw(col(keyCol), salt), col(keyCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    require(drawPrefixLen >= 0 && drawPrefixLen <= 8,
+      s"drawPrefixLen must be in [0, 8], got $drawPrefixLen")
+    val reserved = Seq("__draw", "__bkt", "__tok", "__base", "__cum")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by tokenBudgetMix")
     val budget = budgets.foldLeft(lit(null).cast("long")) {
       case (acc, (stratum, b)) =>
         when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
-    docs
-      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    val W = org.apache.spark.sql.expressions.Window
+    if (drawPrefixLen == 0) {
+      val w = W.partitionBy(col(strataCol))
+        .orderBy(draw(col(keyCol), salt), col(keyCol))
+        .rowsBetween(W.unboundedPreceding, 0)
+      docs
+        .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+        .filter(col("__cum") <= budget)
+        .drop("__cum")
+    } else {
+      val withDraw = docs
+        .withColumn("__draw", draw(col(keyCol), salt))
+        .withColumn("__bkt", substring(col("__draw"), 1, drawPrefixLen))
+      // phase 1: bucket token sums + base offsets; the window runs over the
+      // strata × 16^drawPrefixLen aggregate, never over documents
+      val wBase = W.partitionBy(col(strataCol)).orderBy(col("__bkt"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val bases = withDraw
+        .groupBy(col(strataCol), col("__bkt"))
+        .agg(sum(col(tokenCountCol)).as("__tok"))
+        .withColumn("__base", coalesce(sum(col("__tok")).over(wBase), lit(0L)))
+        // a bucket starting past the budget can't keep any row (tokens are
+        // non-negative); unbudgeted strata have a null budget and drop too
+        .filter(col("__base") <= budget)
+        .select(col(strataCol), col("__bkt"), col("__base"))
+      // phase 2: prefix sum per (stratum, bucket), offset by the base;
+      // the inner join doubles as the drop filter for pruned buckets
+      val wIn = W.partitionBy(col(strataCol), col("__bkt"))
+        .orderBy(col("__draw"), col(keyCol))
+        .rowsBetween(W.unboundedPreceding, 0)
+      withDraw
+        .join(broadcast(bases), Seq(strataCol, "__bkt"))
+        .withColumn("__cum",
+          col("__base") + sum(col(tokenCountCol)).over(wIn))
+        .filter(col("__cum") <= budget)
+        .select(docs.columns.map(col).toSeq: _*)
+    }
   }
 }

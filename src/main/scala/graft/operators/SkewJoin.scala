@@ -39,25 +39,32 @@ object SkewJoin {
     * `monotonically_increasing_id()` captured BEFORE the join, a source
     * offset). It must be deterministic per ROW (retried tasks must place
     * rows identically or results change), but need not be unique —
-    * collisions only cost balance, never correctness. */
+    * collisions only cost balance, never correctness. Any type works
+    * (string ids, structs): the override is hashed, never cast, so a
+    * non-numeric or null value can never yield a null salt. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, scatterBy: Option[Column] = None): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     require(!skewed.columns.contains("__salt") &&
       !small.columns.contains("__salt"),
       "__salt is reserved by saltedJoin")
-    val scatterExpr = scatterBy.getOrElse {
-      // not rand() — retried tasks must place rows identically or results
-      // change; not maps — Spark refuses hash over MapType
-      val hashable = skewed.schema.fields
-        .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-        .map(_.name).filterNot(keys.contains)
-      require(hashable.nonEmpty,
-        "saltedJoin needs a hashable non-key column on the skewed side to " +
-          "scatter rows within a key; add one (e.g. a row id) or pass scatterBy")
-      xxhash64(hashable.map(col): _*)
+    val scatterExpr = scatterBy match {
+      // hash the override, never cast it: cast("long") on a uuid string or
+      // null value yields a null __salt and the inner join on __salt then
+      // silently DROPS those rows; xxhash64 is non-null for any input type
+      case Some(c) => xxhash64(c)
+      case None =>
+        // not rand() — retried tasks must place rows identically or results
+        // change; not maps — Spark refuses hash over MapType
+        val hashable = skewed.schema.fields
+          .filter(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(_.name).filterNot(keys.contains)
+        require(hashable.nonEmpty,
+          "saltedJoin needs a hashable non-key column on the skewed side to " +
+            "scatter rows within a key; add one (e.g. a row id) or pass scatterBy")
+        xxhash64(hashable.map(col): _*)
     }
-    val scatter = pmod(scatterExpr.cast("long"), lit(saltBuckets.toLong)).cast("int")
+    val scatter = pmod(scatterExpr, lit(saltBuckets.toLong)).cast("int")
     val s = skewed.withColumn("__salt", scatter)
     val r = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

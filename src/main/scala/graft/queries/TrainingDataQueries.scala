@@ -715,7 +715,8 @@ object TrainingDataQueries extends QueryPack {
       s"""WITH $toksCte,
          |d AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS n_tokens
          |      FROM toks JOIN documents USING (doc_id))
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |       count(DISTINCT source) AS n_distinct,
          |       quantile_cont(n_tokens, 0.5) AS median_tokens
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -49,6 +49,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(viaMap.count() === 10)
   }
 
+  test("salted join never drops rows for a string or null scatter column") {
+    // a uuid-ish string (or a null) scatterBy used to be cast("long") →
+    // null salt → the inner join on __salt silently dropped those rows
+    val skewed = Seq(
+      ("hot", "row-a"), ("hot", "row-b"), ("hot", null.asInstanceOf[String]),
+      ("cold", "row-c"))
+      .toDF("k", "sid")
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(skewed, dim, Seq("k"),
+      saltBuckets = 8, scatterBy = Some(col("sid")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "sid", "label").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2)))
+        .sorted.toSeq
+    assert(canon(salted) === canon(skewed.join(dim, Seq("k"))))
+    assert(salted.count() === 4)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark and scrubs it") {
     val train = docs(
       1L -> "alpha beta gamma delta",   // shares "beta gamma delta" via 2L? no — with bench
@@ -127,6 +145,31 @@ class TrainingDataSpec extends AnyFunSuite {
       .select(col("doc_id"), Sampling.draw(col("doc_id"), "t").as("h"))
       .as[(Long, String)].collect().sortBy(_._2).map(_._1).take(9).toSet
     assert(out.map(_._1).toSet === drawn)
+  }
+
+  test("token-budget mix: two-phase cut equals the single-window formulation") {
+    // enough docs that draws populate many prefix buckets, varied token
+    // counts so budget lines land mid-bucket, one stratum unbudgeted
+    val d = (1 to 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "de" else "en", (i % 37 + 1).toLong)) ++
+      (401 to 420).map(i => (i.toLong, "xx", 10L))
+    val df = d.toDF("doc_id", "lang", "n_tokens")
+    val budgets = Map("en" -> 1234L, "de" -> 567L)
+    def kept(prefixLen: Int): Seq[Long] =
+      Sampling.tokenBudgetMix(df, "lang", budgets,
+        tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "tp",
+        drawPrefixLen = prefixLen)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val single = kept(0)
+    assert(single.nonEmpty)
+    // every bucket granularity locates the same cut
+    assert(kept(1) === single)
+    assert(kept(2) === single)
+    assert(kept(3) === single)
+    // column order/set is preserved by the two-phase path
+    assert(Sampling.tokenBudgetMix(df, "lang", budgets,
+      tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "tp")
+      .columns.toSeq === Seq("doc_id", "lang", "n_tokens"))
   }
 
   test("corpus stats: exact tier is exact, approx tier lands close") {
