@@ -28,18 +28,38 @@ object Decontaminate {
     * match set (collision odds ~|grams|²/2⁶⁴), a fraction of the string
     * shuffle volume.
     *
-    * @param benchmark the eval corpus; must carry `textCol`. Its k-gram
-    *        set is collected to a broadcast hash relation — callers with a
-    *        benchmark too large to broadcast should pre-filter it, not
-    *        raise the broadcast threshold. */
+    * Short-document semantics: a document with fewer than `k` tokens
+    * (including an empty/whitespace-only one) contributes ONE whole-text
+    * gram, so short docs match on exact whole-text equality — and a single
+    * empty benchmark row therefore flags EVERY empty training doc as 100%
+    * contaminated. That is the conservative reading (an eval answer short
+    * enough to fit under k grams still leaks verbatim); callers who don't
+    * want empty-vs-empty matches should drop empty rows upstream, which is
+    * a quality-filter decision, not a decontamination one.
+    *
+    * @param benchmark the eval corpus; must carry `textCol`.
+    * @param maxBroadcastGrams guard on the broadcast: the benchmark's
+    *        distinct-gram count is measured first (one cheap pass over the
+    *        small side), and only a set at most this size is broadcast; a
+    *        larger one falls back to a shuffled join instead of silently
+    *        building a multi-GB broadcast relation on the driver. The
+    *        default (5M grams ≈ tens of MB hashed) is comfortably inside
+    *        executor broadcast budgets. */
   def overlap(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+              idCol: String = "doc_id", textCol: String = "text",
+              maxBroadcastGrams: Long = 5000000L): DataFrame = {
     val trainGrams = Dedup.shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
     val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
       .select(xxhash64(col("shingle")).as("g")).distinct()
-    trainGrams
-      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
+    // the guard re-derives the (small) benchmark gram set once more for the
+    // join — cheaper than managing a persisted relation's lifetime
+    val marked = benchGrams.withColumn("__hit", lit(1))
+    val joined =
+      if (benchGrams.count() <= maxBroadcastGrams)
+        trainGrams.join(broadcast(marked), Seq("g"), "left")
+      else trainGrams.join(marked, Seq("g"), "left")
+    joined
       .groupBy(col("doc_id").as(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_matched"))
@@ -50,12 +70,14 @@ object Decontaminate {
 
   /** The decontaminated corpus: `docs` minus every document whose k-gram
     * overlap with `benchmark` reaches `minMatched` shared k-grams. The
-    * anti-join runs on ids only — document payloads never shuffle. */
+    * anti-join runs on ids only — document payloads never shuffle.
+    * Short documents match by whole-text equality (see [[overlap]]). */
   def scrub(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
             minMatched: Long = 1, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame =
+            textCol: String = "text",
+            maxBroadcastGrams: Long = 5000000L): DataFrame =
     docs.join(
-      overlap(docs, benchmark, k, idCol, textCol)
+      overlap(docs, benchmark, k, idCol, textCol, maxBroadcastGrams)
         .filter(col("n_matched") >= minMatched).select(idCol),
       Seq(idCol), "left_anti")
 }

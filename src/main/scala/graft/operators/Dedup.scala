@@ -245,9 +245,20 @@ object Dedup {
     * Set-based formulation: explode tokens → md5 once per token → ONE
     * codegen'd hash aggregation computing all 16 bit sums (the per-row
     * [[simhash]] column is a 16-pass interpreted fold — fine for a few rows,
-    * wrong shape for a corpus). */
+    * wrong shape for a corpus).
+    *
+    * Output per sketch group: `n_docs`, the canonical `keep_id` (min id),
+    * and `doc_ids` — a BOUNDED sample of the `sampleSize` smallest member
+    * ids, not the full membership. A degenerate sketch (near-empty docs all
+    * hashing to one group) would otherwise make one output row carry the
+    * whole class; the rank filter runs BEFORE the collect, so the
+    * aggregation buffer is bounded too, not just the emitted row. The rank
+    * window sorts within each sketch partition (spillable), riding the same
+    * exchange as the group aggregation. Full membership, when needed,
+    * is a join back on `sim` — not a wide row. */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", bits: Int = 16): DataFrame = {
+                    textCol: String = "text", bits: Int = 16,
+                    sampleSize: Int = 16): DataFrame = {
     val perToken = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tk"))
       .select(col("doc_id"), md5(col("tk").cast("binary")).as("h"))
@@ -259,10 +270,16 @@ object Dedup {
             .as(s"s$j")): _*)
     val sim = (1 to bits).map(j =>
       when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))).reduce(_ + _)
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sim")).orderBy(col("doc_id"))
     bitSums.select(col("doc_id"), sim.as("sim"))
+      .withColumn("__rn", row_number().over(rn))
       .groupBy(col("sim"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
-        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+        // collect_list skips nulls: only the sampleSize lowest-ranked ids
+        // ever enter the buffer
+        sort_array(collect_list(when(col("__rn") <= sampleSize,
+          col("doc_id")))).as("doc_ids"))
       .filter(col("n_docs") > 1)
   }
 

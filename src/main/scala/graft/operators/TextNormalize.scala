@@ -18,6 +18,20 @@ object TextNormalize {
   val UrlPattern = "https?://[^ \\t\\n]+"
   val TagPattern = "<[^<>]+>"
 
+  /** Dotted-quad IPv4 with range-valid octets (0-255), word-bounded so a
+    * longer digit run (a version string `1.2.3.4.5`'s interior) can't start
+    * a match mid-number. */
+  val Ipv4Pattern =
+    "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
+
+  /** Phone numbers in the two shapes that dominate scraped text: E.164-ish
+    * (`+` then 7-15 digits) and separator-grouped 3-3-4 (`555-123-4567`,
+    * dots or dashes). Deliberately narrow — a bare 10-digit run is left
+    * alone (it's usually an id, not a phone). */
+  val PhonePattern =
+    "\\+[0-9]{7,15}\\b|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
   /** Drop HTML/XML-ish tags (best-effort tag-shaped token removal — not a
     * parser; nested/malformed markup beyond `<...>` shapes passes through). */
   def stripTags(text: Column): Column =
@@ -35,16 +49,42 @@ object TextNormalize {
   def collapseWhitespace(text: Column): Column =
     trim(regexp_replace(text, "[ \\t\\n]+", " "))
 
+  /** Replace IPv4 addresses with a redaction token. */
+  def redactIps(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(text, Ipv4Pattern, token)
+
+  /** Replace phone numbers with a redaction token. */
+  def redactPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(text, PhonePattern, token)
+
   /** The standard scrub: strip tags, redact emails+URLs, collapse
     * whitespace. */
   def scrub(text: Column): Column =
     collapseWhitespace(redactUrls(redactEmails(stripTags(text))))
+
+  /** The full PII scrub: [[scrub]] plus IPv4 and phone redaction — the
+    * standard redaction list for training corpora. Order matters: URLs go
+    * before IPs (a URL host that is an IP is redacted as a URL, whole),
+    * and IPs before phones (so the dotted 3-3-4 phone shape can never eat
+    * part of a dotted quad). */
+  def scrubPii(text: Column): Column =
+    collapseWhitespace(redactPhones(redactIps(
+      redactUrls(redactEmails(stripTags(text))))))
 
   /** How many redactions each pattern would make (reporting columns). */
   def redactionCounts(text: Column): Seq[(String, Column)] = Seq(
     "n_emails" -> regexp_count(text, lit(EmailPattern)),
     "n_urls" -> regexp_count(text, lit(UrlPattern)),
     "n_tags" -> regexp_count(text, lit(TagPattern)))
+
+  /** [[redactionCounts]] extended with the PII patterns. Counts run on the
+    * RAW text (same discipline as redactionCounts): an IP inside a URL
+    * counts as an IP here even though [[scrubPii]] redacts it as part of
+    * the URL. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    redactionCounts(text) ++ Seq(
+      "n_ips" -> regexp_count(text, lit(Ipv4Pattern)),
+      "n_phones" -> regexp_count(text, lit(PhonePattern)))
 
   /** Corpus-level duplicated-line removal (the CCNet/Gopher line-dedup
     * pass): a line appearing in more than `maxDocFrequency` DISTINCT

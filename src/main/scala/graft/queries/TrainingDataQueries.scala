@@ -214,6 +214,28 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Full PII scrub (emails, URLs, IPv4, phones). The corpus carries no
+    // natural PII, so a deterministic per-doc suffix (3-3-4 phone, E.164,
+    // dotted quad — all derived from doc_id, identical in both engines)
+    // exercises the patterns for real.
+    "text_scrub_pii" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val pii = concat(col("text"),
+        lit(" call 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" or +1415555"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit(".7"))
+      val counts = TextNormalize.piiCounts(pii)
+        .map { case (n, c) => c.cast("long").as(n) }
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id"),
+          md5(TextNormalize.scrubPii(pii).cast("binary")).as("scrub_md5")) ++
+          counts: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-label embedding centroids (clustering/reporting surface):
     // elementwise means, decimal-summed for engine-stable determinism.
     "embedding_centroids" -> ((s, dir) => {
@@ -493,10 +515,14 @@ object TrainingDataQueries extends QueryPack {
          |           sum(((strpos('0123456789abcdef', substr(h, j, 1)) - 1) % 2) * 2 - 1) AS s
          |         FROM md CROSS JOIN (SELECT unnest(range(1, 17)) AS j) GROUP BY 1, 2),
          |sims AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS sim
-         |         FROM bits GROUP BY 1)
+         |         FROM bits GROUP BY 1),
+         |rk AS (SELECT doc_id, sim,
+         |         row_number() OVER (PARTITION BY sim ORDER BY doc_id) AS rn
+         |       FROM sims)
          |SELECT sim, count(*) AS n_docs, min(doc_id) AS keep_id,
-         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-         |FROM sims GROUP BY 1 HAVING count(*) > 1 ORDER BY sim""".stripMargin,
+         |  string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
+         |             ',' ORDER BY doc_id) AS doc_ids
+         |FROM rk GROUP BY 1 HAVING count(*) > 1 ORDER BY sim""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, label,
@@ -615,6 +641,32 @@ object TrainingDataQueries extends QueryPack {
         |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
         |  len(regexp_extract_all(text, '<[^<>]+>')) AS n_tags
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_scrub_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' or +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.' || CAST(doc_id % 100 AS VARCHAR) || '.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(t, '<[^<>]+>', ' ', 'g'),
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          'https?://[^ \t\n]+', '<URL>', 'g'),
+        |        '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g'),
+        |      '\+[0-9]{7,15}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '[ \t\n]+', ' ', 'g'))) AS scrub_md5,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS n_urls,
+        |  len(regexp_extract_all(t, '<[^<>]+>')) AS n_tags,
+        |  len(regexp_extract_all(t, '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t, '\+[0-9]{7,15}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "embedding_centroids" ->
       """WITH e AS (

@@ -84,6 +84,61 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept === Array(3L))
   }
 
+  test("decontamination over-large benchmark falls back to a shuffle join") {
+    val train = docs(
+      1L -> "alpha beta gamma delta",
+      2L -> "one two three four five",
+      3L -> "nothing in common here at all")
+    val bench = docs(100L -> "zzz beta gamma delta qqq one two three")
+    def canon(maxGrams: Long) =
+      Decontaminate.overlap(train, bench, k = 3, maxBroadcastGrams = maxGrams)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // guard of 0 forces the shuffle path; results must be identical
+    assert(canon(0L) === canon(Long.MaxValue))
+    // the fallback plan carries no broadcast hint (AQE may still choose a
+    // broadcast strategy at runtime for a genuinely small side — the guard
+    // only refuses to FORCE one)
+    val fallback = Decontaminate.overlap(train, bench, k = 3,
+      maxBroadcastGrams = 0L)
+    assert(!fallback.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("strategy=broadcast"))
+  }
+
+  test("decontamination matches sub-k documents on whole-text equality") {
+    // documented conservative semantics: an empty/short benchmark row
+    // matches exactly-equal short training docs via the whole-doc gram
+    val train = docs(1L -> "tiny doc", 2L -> "", 3L -> "other tiny")
+    val bench = docs(100L -> "tiny doc", 101L -> "")
+    val out = Decontaminate.overlap(train, bench, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("PII scrub redacts phones and IPs, leaves version strings alone") {
+    val d = Seq(
+      (1L, "call 555-123-4567 or +14155551234 now"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "see http://10.0.0.1/path for docs"),      // IP inside URL → <URL>
+      (4L, "version 1.2.3.4.5 is out"),               // 5 dotted groups: the
+                                                      // leading quad redacts
+      (5L, "ticket 1234567890 unchanged"))            // bare digit run kept
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextNormalize.scrubPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "call <PHONE> or <PHONE> now")
+    assert(out(2L) === "server at <IP> responded")
+    assert(out(3L) === "see <URL> for docs")
+    assert(out(4L) === "version <IP>.5 is out")
+    assert(out(5L) === "ticket 1234567890 unchanged")
+    val counts = d.filter(col("doc_id") === 1L)
+      .select(TextNormalize.piiCounts(col("text"))
+        .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(counts.getAs[Int]("n_phones") === 2)
+    assert(counts.getAs[Int]("n_ips") === 0)
+  }
+
   test("line dedup removes corpus-frequent lines everywhere, keeps order") {
     val d = Seq(
       (1L, "keep one\nBOILER\nkeep two"),
@@ -145,6 +200,18 @@ class TrainingDataSpec extends AnyFunSuite {
       .select(col("doc_id"), Sampling.draw(col("doc_id"), "t").as("h"))
       .as[(Long, String)].collect().sortBy(_._2).map(_._1).take(9).toSet
     assert(out.map(_._1).toSet === drawn)
+  }
+
+  test("simhash groups bound the per-group id sample while counting all members") {
+    // 20 identical docs share one sketch; the sample must cap at
+    // sampleSize smallest ids while n_docs counts the whole group
+    val d = docs((1 to 20).map(i => (i.toLong, "same tokens here")): _*)
+    val g = Dedup.simhashGroups(d, sampleSize = 16)
+      .select(col("n_docs"), col("keep_id"), col("doc_ids")).collect()
+    assert(g.length === 1)
+    assert(g(0).getLong(0) === 20L)
+    assert(g(0).getLong(1) === 1L)
+    assert(g(0).getSeq[Long](2) === (1L to 16L))
   }
 
   test("token-budget mix: two-phase cut equals the single-window formulation") {
