@@ -225,6 +225,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("queue envelope decode over a live TCP socket transport end-to-end") {
+    // S4 with a real unbounded network transport, not a file/memory
+    // stand-in: a local server plays the queue (reference
+    // consumer/get_data.py:128-165 — a batch of {formId,data} messages,
+    // ack = batch completion), Spark's socket source consumes it live,
+    // and the same envelope decode splits records from dead letters.
+    val server = new java.net.ServerSocket(0)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq(
+        """{"formId":"demo_case","data":{"meta/instanceID":"su1","age":"30"}}""",
+        """definitely not json""",
+        """{"formId":"demo_case","data":{"meta/instanceID":"su2","age":"41"}}""")
+        .foreach(out.println)
+      out.flush()
+      // hold the connection open until the query has drained it — EOF
+      // mid-read would fail the source, which is not what's under test
+      done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val decoded = FormSource.decodeEnvelopes(
+      spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", server.getLocalPort)
+        .load())
+    val q = decoded.writeStream.format("memory").queryName("sock_envelopes")
+      .outputMode("append").start()
+    try {
+      // socket delivery is asynchronous: poll until all three lines land
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sock_envelopes").count() < 3 &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val out = spark.table("sock_envelopes")
+      val good = FormSource.envelopeRecords(out, "demo_case")
+        .collect().map(r => r.getString(0) -> r.getMap[String, String](1)("age"))
+      assert(good.sorted.toSeq === Seq("su1" -> "30", "su2" -> "41"))
+      assert(FormSource.envelopeDeadLetter(out)
+        .collect().map(_.getString(2)).toSeq === Seq("malformed envelope"))
+    } finally {
+      done.countDown()
+      q.stop()
+      server.close()
+    }
+  }
+
   test("jdbc source reads a partitioned table into form shape (embedded Derby)") {
     // Derby ships with Spark (hive-metastore dependency), so S3's JDBC scan
     // is testable in-JVM: partitioned read → canonical (uuid, data)

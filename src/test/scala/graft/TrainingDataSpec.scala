@@ -257,6 +257,43 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("approx corpus stats honor sketch error bounds against the exact tier") {
+    // 60k docs across two uneven strata, spread token counts, thousands of
+    // distinct sources — enough mass that HLL++ and t-digest errors are
+    // meaningfully exercised, not trivially zero
+    val d = spark.range(0, 60000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 5 = 0 THEN 'de' ELSE 'en' END AS lang",
+      "concat('s', id % 4001) AS source",
+      "CAST((id * 7919) % 10007 + 1 AS BIGINT) AS n_tokens")
+    val exact = CorpusStats.stats(d, "lang", "n_tokens", "source")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val accuracy = 100 // rank error 1/accuracy = 1% — tight but testable
+    val approx = CorpusStats.approxStats(d, "lang", "n_tokens", "source",
+      accuracy)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact-rank quantile envelope for the t-digest bound: value at
+    // rank 0.5 ± 1/accuracy
+    val env = d.groupBy("lang").agg(
+      percentile(col("n_tokens"), lit(0.5 - 1.0 / accuracy)).as("lo"),
+      percentile(col("n_tokens"), lit(0.5 + 1.0 / accuracy)).as("hi"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for (lang <- Seq("en", "de")) {
+      val (e, a) = (exact(lang), approx(lang))
+      assert(a._2 === e._2, s"$lang n_docs must be exact")
+      assert(a._3 === e._3, s"$lang total_tokens must be exact")
+      // HLL++ at default precision documents ~2% rsd; allow 3 sigma
+      val rsdBound = 0.06 * e._4
+      assert(math.abs(a._4 - e._4) <= rsdBound,
+        s"$lang distinct ${a._4} vs exact ${e._4} beyond ${rsdBound}")
+      val (lo, hi) = env(lang)
+      assert(a._5 >= lo && a._5 <= hi,
+        s"$lang approx median ${a._5} outside exact-rank envelope [$lo, $hi]")
+    }
+  }
+
   test("connected components converge on chains and mark canonical survivors") {
     // a 5-vertex chain (needs several propagation rounds), a separate pair,
     // and a duplicate edge — components = min reachable id
