@@ -31,13 +31,76 @@ object ExportSink {
       }
       .start()
   }
+
+  /** [[start]] specialised to the reference's row-POST export
+    * (consul_export.py:85-115): each exported row serialises to one JSON
+    * object and ships via [[HttpPublisher]] — checkpointed resume and
+    * at-least-once delivery included. */
+  def startJsonHttp(spark: SparkSession, dataPath: String, checkpoint: String,
+                    endpoint: String,
+                    headers: Map[String, String] = Map.empty): StreamingQuery = {
+    val schema = spark.read.parquet(dataPath).schema
+    spark.readStream.schema(schema).parquet(dataPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(to_json(struct(col("*"))).as("body"))
+          .foreachPartition { (rows: Iterator[Row]) =>
+            HttpPublisher.jsonPoster(endpoint, "POST", headers)(
+              rows.map(_.getString(0)))
+          }
+      }
+      .start()
+  }
+}
+
+/** JSON-over-HTTP publisher — the S10/P6 transport (reference
+  * `libs.hermes('/publish', 'PUT', data)` against `HERMES_API_ROOT`,
+  * config.py:57-59). Pure JDK (`HttpURLConnection`), so it runs
+  * executor-side with a string-only closure and no extra dependency.
+  *
+  * Delivery contract is AT-LEAST-ONCE, inherited from Spark: a non-2xx
+  * response throws, the task retries, and every body in the partition is
+  * re-sent — receivers dedup on the body's `id` (the reference's alert id
+  * plays the same role). Endpoint and auth are caller-supplied; nothing is
+  * read from the environment.
+  */
+object HttpPublisher {
+
+  /** One partition's worth of JSON bodies → one HTTP request each.
+    * Returned closure captures only strings, so it ships to executors. */
+  def jsonPoster(endpoint: String, method: String = "PUT",
+                 headers: Map[String, String] = Map.empty):
+      Iterator[String] => Unit = { bodies =>
+    bodies.foreach { body =>
+      val conn = new java.net.URL(endpoint).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod(method)
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val out = conn.getOutputStream
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val code = conn.getResponseCode
+        if (code < 200 || code >= 300)
+          throw new java.io.IOException(
+            s"publish to $endpoint returned HTTP $code")
+        // drain so the connection is reusable by the JVM's keep-alive pool
+        val in = conn.getInputStream
+        try { while (in.read() != -1) () } finally in.close()
+      } finally conn.disconnect()
+    }
+  }
 }
 
 /** S10/P6 — alert notification sink (reference send_alerts.py:17-31 +
   * util/__init__.py:495-589): individual alerts younger than 7 days render
-  * message templates and publish to per-level topics. The HTTP publisher is
-  * out of analytic scope (stubbed); filtering, recency gate, topic fan-out
-  * and template interpolation are real.
+  * message templates and publish to per-level topics; one publish per alert
+  * carries the full topic list (the reference's single hermes PUT with
+  * `topics: [...]`), shipped by [[HttpPublisher]].
   */
 object AlertNotifier {
 
@@ -63,4 +126,28 @@ object AlertNotifier {
     recent.select(explode(array(topics: _*)).as("n"))
       .select(col("n.topic"), col("n.uuid"), col("n.message"))
   }
+
+  /** Per-alert publish bodies: the level-exploded notifications fold back
+    * to ONE JSON body per alert uuid with the full topic list — the
+    * reference's single `/publish` PUT per alert (util/__init__.py:584-589:
+    * `{"from": sender, "topics": [...], "id": ..., "message": ...}`).
+    * Topic list is sorted for deterministic bodies; the message is the
+    * lexicographic min (one text per alert, as in the reference). */
+  def publishBodies(notifications: DataFrame, sender: String): DataFrame =
+    notifications.groupBy(col("uuid"))
+      .agg(sort_array(collect_list(col("topic"))).as("topics"),
+        min(col("message")).as("message"))
+      .select(to_json(struct(
+        lit(sender).as("from"), col("topics"),
+        col("uuid").as("id"), col("message"))).as("body"))
+
+  /** Publish every notification body over HTTP — executor-side, one
+    * request per alert, at-least-once (see [[HttpPublisher]]). */
+  def publish(notifications: DataFrame, endpoint: String, sender: String,
+              headers: Map[String, String] = Map.empty): Unit =
+    publishBodies(notifications, sender)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        HttpPublisher.jsonPoster(endpoint, "PUT", headers)(
+          rows.map(_.getString(0)))
+      }
 }

@@ -505,6 +505,81 @@ class StreamingSpec extends AnyFunSuite {
       ("clinic-4-cmd_1", "u1"), ("district-3-cmd_1", "u1")))
   }
 
+  /** A tiny in-JVM HTTP endpoint collecting (method, body) pairs. */
+  private def withHttpServer[T](status: Int = 200)(
+      f: (String, java.util.concurrent.ConcurrentLinkedQueue[(String, String)]) => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      received.add(ex.getRequestMethod -> body)
+      val resp = "ok".getBytes
+      ex.sendResponseHeaders(status, resp.length)
+      val os = ex.getResponseBody
+      os.write(resp); os.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/publish", received)
+    finally server.stop(0)
+  }
+
+  test("alert publisher PUTs one JSON body per alert to a live HTTP endpoint") {
+    val notifications = Seq(
+      ("clinic-4-cmd_1", "u1", "Alert cmd_1 at 4 on 2016-04-17"),
+      ("district-3-cmd_1", "u1", "Alert cmd_1 at 3 on 2016-04-17"),
+      ("clinic-9-cmd_2", "u2", "Alert cmd_2 at 9 on 2016-04-18"))
+      .toDF("topic", "uuid", "message")
+    withHttpServer() { (endpoint, received) =>
+      graft.sinks.AlertNotifier.publish(notifications, endpoint,
+        sender = "abacus-test", headers = Map("authorization" -> "Bearer k"))
+      val got = received.toArray(Array.empty[(String, String)]).toSeq
+      assert(got.map(_._1).distinct === Seq("PUT"))
+      val bodies = got.map(_._2).sorted
+      assert(bodies.length === 2) // one publish per alert, not per topic
+      assert(bodies.exists(b =>
+        b.contains("\"id\":\"u1\"") &&
+          b.contains("\"topics\":[\"clinic-4-cmd_1\",\"district-3-cmd_1\"]") &&
+          b.contains("\"from\":\"abacus-test\"")))
+      assert(bodies.exists(b =>
+        b.contains("\"id\":\"u2\"") && b.contains("clinic-9-cmd_2")))
+    }
+  }
+
+  test("alert publisher surfaces non-2xx responses as task failures") {
+    val notifications = Seq(("t", "u", "m")).toDF("topic", "uuid", "message")
+    withHttpServer(status = 500) { (endpoint, _) =>
+      val e = intercept[Exception] {
+        graft.sinks.AlertNotifier.publish(notifications, endpoint, "s")
+      }
+      // at-least-once: the failure must propagate (task retry), not vanish
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("json export sink POSTs each exported row with checkpointed resume") {
+    val dataDir = tmpDir()
+    val ckpt = tmpDir()
+    Seq(("a", 1L), ("b", 2L)).toDF("uuid", "n")
+      .write.mode("append").parquet(dataDir)
+    withHttpServer() { (endpoint, received) =>
+      val q1 = graft.sinks.ExportSink.startJsonHttp(spark, dataDir, ckpt, endpoint)
+      q1.awaitTermination()
+      val first = received.toArray(Array.empty[(String, String)]).toSeq
+      assert(first.map(_._1).distinct === Seq("POST"))
+      assert(first.map(_._2).count(_.contains("\"uuid\":\"a\"")) === 1)
+      assert(first.size === 2)
+      // new rows only on resume — the offset log is the export marker
+      Seq(("c", 3L)).toDF("uuid", "n").write.mode("append").parquet(dataDir)
+      val q2 = graft.sinks.ExportSink.startJsonHttp(spark, dataDir, ckpt, endpoint)
+      q2.awaitTermination()
+      val all = received.toArray(Array.empty[(String, String)]).toSeq
+      assert(all.size === 3)
+      assert(all.map(_._2).count(_.contains("\"uuid\":\"c\"")) === 1)
+    }
+  }
+
   test("step monitor records query executions like step_monitoring") {
     val m = graft.monitoring.StepMonitor.install(spark)
     Seq(1, 2, 3).toDF("x").count()
