@@ -51,4 +51,42 @@ object Packing {
     packed.groupBy(col("bucket"), col("example_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCountCol)).as("n_tokens"))
+
+  /** Split long documents into fixed-token-window chunks with overlap —
+    * the context-window prep step for documents longer than the training
+    * sequence length (each chunk re-reads `overlap` tokens of its
+    * predecessor so no span is ever cut without context).
+    *
+    * Chunk starts step by `maxTokens - overlap`; the last chunk is the
+    * first one whose window reaches the document's end (no degenerate
+    * final sliver: a doc of maxTokens+1 tokens yields 2 chunks, not a
+    * 1-token tail... it yields chunks starting at 0 and stride, the second
+    * covering the remainder). Documents at or under `maxTokens` pass
+    * through as their own single chunk.
+    *
+    * Shape: tokenize once, then a generated chunk-index array explodes
+    * into slices — pure codegen'd projection + explode, no shuffle, no
+    * state; order within a doc is the chunk index. Output: all input
+    * columns plus (chunk_id, chunk_text, chunk_tokens). */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    // number of chunks = ceil(max(n - overlap, 1) / stride); min 1
+    val n = size(toks)
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("chunk_tokens", size(col("__chunk")))
+      .drop("__toks", "__chunk")
+  }
 }

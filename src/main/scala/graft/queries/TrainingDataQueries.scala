@@ -151,6 +151,24 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup of an ingest batch against corpus history: the
+    // history (doc_id % 7 == 0) is Bloom-sketched once; the batch streams
+    // past the sketch and only the flagged sliver is confirmed exactly.
+    // The two-tier result provably equals the plain anti-join the oracle
+    // runs.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val docs = Tables.documents(s, dir)
+        .withColumn("digest", md5(col("text")))
+      val history = docs.filter(col("doc_id") % 7 === 0)
+      val batch = docs.filter(col("doc_id") % 7 =!= 0)
+      val sk = IncrementalDedup.sketch(history, "digest",
+        expectedItems = 100000L)
+      IncrementalDedup.filterUnseenExact(batch, history, "digest", sk)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir),
         threshold = 0.4, blockCol = "label")
@@ -257,6 +275,17 @@ object TrainingDataQueries extends QueryPack {
         .select(col("doc_id"), col("bucket"), col("example_id"),
           col("n_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-token-window chunking with overlap: long documents split into
+    // training-length windows, each re-reading 8 tokens of context.
+    "chunk_documents" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.chunkDocuments(Tables.documents(s, dir), maxTokens = 40,
+        overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // Deterministic stratified sampling: downsample English, keep German
@@ -524,6 +553,13 @@ object TrainingDataQueries extends QueryPack {
          |             ',' ORDER BY doc_id) AS doc_ids
          |FROM rk GROUP BY 1 HAVING count(*) > 1 ORDER BY sim""".stripMargin,
 
+    "dedup_incremental" ->
+      """SELECT doc_id FROM documents b
+        |WHERE doc_id % 7 <> 0
+        |  AND md5(b.text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, label,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -688,6 +724,19 @@ object TrainingDataQueries extends QueryPack {
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
          |SELECT doc_id, bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS example_id, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // maxTokens=40, overlap=8 → stride 32; chunk count ceil((n-8)/32) min 1
+    "chunk_documents" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t,
+         |        greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 32) AS INT), 1) AS nc
+         |      FROM toks),
+         |ch AS (SELECT doc_id, CAST(unnest(range(nc)) AS INT) AS chunk_id, t
+         |       FROM c)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(t[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' ') AS chunk_text,
+         |  CAST(len(t[chunk_id * 32 + 1 : chunk_id * 32 + 40]) AS INT) AS chunk_tokens
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Hex thresholds are Sampling.thresholdHex's exact output:
     // 0.1->19999999, 0.25->40000000, 0.5->80000000, 1.0->'g' (admits all);

@@ -257,6 +257,53 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("document chunking windows tokens with overlap and passes short docs through") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 toks
+      2L -> "a b c",                                   // under the window
+      3L -> "")                                        // empty
+    val out = Packing.chunkDocuments(d, maxTokens = 4, overlap = 1)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("chunk_tokens"))
+      .as[(Long, Int, String, Int)].collect().sorted.toSeq
+    assert(out === Seq(
+      // stride 3: starts 0,3,6 — each chunk re-reads 1 token of context
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b c", 3),
+      (3L, 0, "", 0)))
+    // boundary: exactly maxTokens stays one chunk; one more token rolls
+    val edge = docs(7L -> "w x y z", 8L -> "v w x y z")
+    val counts = Packing.chunkDocuments(edge, maxTokens = 4, overlap = 1)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts === Map(7L -> 1L, 8L -> 2L))
+  }
+
+  test("incremental dedup: sketch never re-admits a dup; exact tier equals anti-join") {
+    val history = (1 to 300).map(i => (i.toLong, s"hist doc $i"))
+      .toDF("doc_id", "text").withColumn("digest", md5(col("text")))
+    // batch: 100 true dups of history + 400 genuinely new docs
+    val batch = ((1001 to 1100).map(i => (i.toLong, s"hist doc ${i - 1000}")) ++
+      (2001 to 2400).map(i => (i.toLong, s"new doc $i")))
+      .toDF("doc_id", "text").withColumn("digest", md5(col("text")))
+    val sk = IncrementalDedup.sketch(history, "digest",
+      expectedItems = 1000L, fpp = 0.01)
+    // sketch-only tier: every true dup gone (no false negatives)...
+    val sketchKept = IncrementalDedup.filterUnseen(batch, sk, "digest")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sketchKept.forall(_ >= 2001L))
+    // ...and over-drop stays near fpp (generous 10x bound on 400 draws)
+    assert(sketchKept.size >= 360)
+    // exact tier: precisely the anti-join's rows
+    val exactKept = IncrementalDedup.filterUnseenExact(batch, history,
+      "digest", sk).select("doc_id").as[Long].collect().sorted.toSeq
+    val oracle = batch.join(history.select("digest"), Seq("digest"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exactKept === oracle)
+    assert(exactKept === (2001L to 2400L))
+  }
+
   test("approx corpus stats honor sketch error bounds against the exact tier") {
     // 60k docs across two uneven strata, spread token counts, thousands of
     // distinct sources — enough mass that HLL++ and t-digest errors are
