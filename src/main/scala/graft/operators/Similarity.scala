@@ -197,4 +197,29 @@ object Similarity {
       .groupBy(col(groupCol), col("pos"))
       .agg((sum(floor(col("v").cast("double") * lit(1e9)).cast("long"))
         .cast("double") / (count(lit(1)) * lit(1e9))).as("mean"))
+
+  /** Recall@k of an approximate top-k result against exact ground truth —
+    * the acceptance measurement every ANN index tuning loop runs (probe
+    * widths, LSH bits) before an index goes live.
+    *
+    * Both inputs are (query_id, rank, neighbor_id, ...) frames as produced
+    * by [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]]. Per query:
+    * |approx ∩ exact-top-k| / min(k, |exact|) — the denominator uses the
+    * truth list's size so queries with fewer than k real neighbors aren't
+    * penalized. Ground truth is usually computed on a small query SAMPLE
+    * (truth is the quadratic side); the join here is id-only and
+    * sample-sized, nowhere near corpus scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truthSize = e.groupBy("query_id").agg(count(lit(1)).as("__n"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    truthSize.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("recall"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.config._
 import graft.operators.DataPipeline
 import graft.sinks.UpsertWriter
-import graft.sources.{FakeData, FormSource}
+import graft.sources.{CorpusIO, FakeData, FormSource}
 import graft.streaming.StreamingPipeline
 import java.nio.file.Files
 
@@ -275,6 +275,33 @@ class StreamingSpec extends AnyFunSuite {
       q.stop()
       server.close()
     }
+  }
+
+  test("jsonl corpus io round-trips and dead-letters malformed lines") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/shard.jsonl"),
+      """{"doc_id":1,"text":"alpha","lang":"en","source":"s1"}
+        |{"doc_id":2,"text":"beta"}
+        |{definitely not json
+        |""".stripMargin)
+    val (good, dead) = CorpusIO.readJsonl(spark, dir)
+    val rows = good.orderBy("doc_id")
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    // missing metadata stays good with nulls; only unparseable lines fail
+    assert(rows === Seq((1L, "alpha", Some("en"), Some("s1")),
+      (2L, "beta", None, None)))
+    assert(dead.as[String].collect().toSeq === Seq("{definitely not json"))
+    // write round-trip with bounded shards
+    val out = tmpDir() + "/out"
+    CorpusIO.writeJsonl(good, out, maxRecordsPerFile = 1L)
+    val (back, dead2) = CorpusIO.readJsonl(spark, out)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      good.orderBy("doc_id").collect().toSeq)
+    assert(dead2.count() === 0)
+    // maxRecordsPerFile honored: 2 rows → at least 2 data files
+    val shards = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(shards >= 2)
   }
 
   test("jdbc source reads a partitioned table into form shape (embedded Derby)") {

@@ -257,6 +257,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("ANN recall@k measures approximate results against exact ground truth") {
+    val exact = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L),              // only 2 true neighbors
+      (3L, 1, 30L), (3L, 2, 31L), (3L, 3, 32L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq(
+      (1L, 1, 10L), (1L, 2, 12L), (1L, 3, 99L), // 2/3
+      (2L, 1, 21L), (2L, 2, 20L),               // 2/2 (order-insensitive)
+      (3L, 1, 98L), (3L, 2, 97L), (3L, 3, 96L)) // 0/3
+      .toDF("query_id", "rank", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact, k = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(r === Map(1L -> 2.0 / 3, 2L -> 1.0, 3L -> 0.0))
+    // tuning loop property on real vectors: widening IVF probes can only
+    // help recall
+    val e = (1 to 40).map(i => (i.toLong,
+      Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") <= 5)
+    val truth = Similarity.bruteForceTopK(e, queries, k = 3)
+    def meanRecall(nProbe: Int): Double = {
+      val ann = Similarity.ivfTopK(e, queries, k = 3, numCells = 8, nProbe = nProbe)
+      Similarity.recallAtK(ann, truth, k = 3)
+        .agg(avg(col("recall"))).as[Double].collect()(0)
+    }
+    val narrow = meanRecall(1)
+    val wide = meanRecall(8)
+    assert(wide >= narrow)
+    assert(wide === 1.0) // probing every cell IS exhaustive search
+  }
+
   test("document chunking windows tokens with overlap and passes short docs through") {
     val d = docs(
       1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 toks
