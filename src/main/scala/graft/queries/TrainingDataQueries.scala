@@ -254,6 +254,22 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (native codegen'd expression) — the
+    // corpus is ASCII, so decomposed sequences (e+U+0301, A+U+030A) are
+    // appended identically in both engines to give normalization real
+    // work; n_composed counts the code points composition removed.
+    "text_nfc" -> ((s, dir) => {
+      import graft.functions.NfcNormalize
+      val t = concat(col("text"),
+        lit(" cafe\u0301"), lit(" angstrom A\u030A"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(NfcNormalize.nfc(t).cast("binary")).as("nfc_md5"),
+          (length(t) - length(NfcNormalize.nfc(t))).cast("long")
+            .as("n_composed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-label embedding centroids (clustering/reporting surface):
     // elementwise means, decimal-summed for engine-stable determinism.
     "embedding_centroids" -> ((s, dir) => {
@@ -677,6 +693,14 @@ object TrainingDataQueries extends QueryPack {
         |  len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
         |  len(regexp_extract_all(text, '<[^<>]+>')) AS n_tags
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_nfc" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' angstrom A' || chr(778) AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS nfc_md5,
+        |  CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS n_composed
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_scrub_pii" ->
       """WITH p AS (SELECT doc_id,

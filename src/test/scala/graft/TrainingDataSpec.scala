@@ -257,6 +257,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("NFC normalization composes decomposed sequences; ASCII passes untouched") {
+    import graft.functions.NfcNormalize
+    val d = docs(
+      1L -> "cafe\u0301 latte", // decomposed e + combining acute
+      2L -> "caf\u00e9 latte",  // precomposed - same canonical content
+      3L -> "plain ascii")
+    val out = d.select(col("doc_id"), NfcNormalize.nfc(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === out(2L))
+    assert(out(3L) === "plain ascii")
+    // the dedup motivation: canonically-equal docs share a digest
+    val digests = d.select(
+      md5(NfcNormalize.nfc(col("text")).cast("binary")).as("h"))
+      .distinct().count()
+    assert(digests === 2)
+    // fast paths return the SAME instance (no allocation)
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(NfcNormalize.norm(ascii) eq ascii)
+    val normalized = org.apache.spark.unsafe.types.UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.norm(normalized) eq normalized)
+  }
+
   test("ANN recall@k measures approximate results against exact ground truth") {
     val exact = Seq(
       (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
