@@ -225,6 +225,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest filters against the corpus-history sketch per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.IncrementalDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the sketch is built ONCE from the batch-side history and embeds in
+    // the streaming plan as a literal — per-batch dedup against 100 TB of
+    // prior corpus with no state store and no history access at runtime
+    val history = Seq((1L, "old doc a"), (2L, "old doc b"))
+      .toDF("doc_id", "text").withColumn("digest", md5(col("text")))
+    val sk = IncrementalDedup.sketch(history, "digest", expectedItems = 100L)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("digest", md5(col("text")))
+    val q = IncrementalDedup.filterUnseen(stream, sk, "digest")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "old doc a"), (11L, "fresh doc"))
+      q.processAllAvailable()
+      input.addData((12L, "old doc b"), (13L, "another fresh"))
+      q.processAllAvailable()
+      val kept = spark.table("inc_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept === Seq(11L, 13L))
+    } finally q.stop()
+  }
+
   test("queue envelope decode over a live TCP socket transport end-to-end") {
     // S4 with a real unbounded network transport, not a file/memory
     // stand-in: a local server plays the queue (reference
