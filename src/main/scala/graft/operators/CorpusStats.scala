@@ -50,4 +50,35 @@ object CorpusStats {
         approx_count_distinct(col(distinctCol)).as("n_distinct"),
         percentile_approx(col(tokenCountCol), lit(0.5), lit(accuracy))
           .cast("double").as("median_tokens"))
+
+  /** Per-group length-band outlier filter (the Gopher-style drop): keep
+    * documents whose `tokenCountCol` lies inside the [loQ, hiQ] percentile
+    * band of their OWN group — absolute cutoffs misfire across languages
+    * whose documents tokenize to very different lengths, per-group bands
+    * don't.
+    *
+    * Two tiers, same contract as [[stats]]/[[approxStats]]: `exact = true`
+    * uses interpolated percentiles (gate-checkable; per-group value sets
+    * must fit an aggregation buffer), `exact = false` uses t-digest
+    * sketches at `accuracy` — the 100 TB path, one streaming pass. Either
+    * way the band frame is one row per group and broadcasts; the corpus
+    * pass is a broadcast join + filter, no second shuffle. */
+  def lengthBandFilter(docs: DataFrame, groupCol: String,
+                       tokenCountCol: String, loQ: Double, hiQ: Double,
+                       exact: Boolean = true,
+                       accuracy: Int = 10000): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
+      s"need 0 <= loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    def q(p: Double) =
+      if (exact) percentile(col(tokenCountCol), lit(p))
+      else percentile_approx(col(tokenCountCol), lit(p), lit(accuracy))
+        .cast("double")
+    val bands = docs.groupBy(col(groupCol))
+      .agg(q(loQ).as("__lo"), q(hiQ).as("__hi"))
+    docs.join(broadcast(bands), Seq(groupCol))
+      .filter(col(tokenCountCol) >= col("__lo") &&
+        col(tokenCountCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+      .select(docs.columns.map(col).toSeq: _*)
+  }
 }

@@ -376,6 +376,19 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Per-language length-band outlier filter: keep docs inside their own
+    // language's [10%, 90%] token-count percentile band.
+    "length_band_filter" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      CorpusStats.lengthBandFilter(docs, "lang", "n_tokens",
+        loQ = 0.1, hiQ = 0.9)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted training mix under per-language token budgets: hash-ordered
     // prefix per stratum, hard budget caps, absent strata dropped.
     "corpus_mix" -> ((s, dir) => {
@@ -845,6 +858,17 @@ object TrainingDataQueries extends QueryPack {
          |       count(DISTINCT source) AS n_distinct,
          |       quantile_cont(n_tokens, 0.5) AS median_tokens
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "length_band_filter" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens
+         |      FROM toks JOIN documents USING (doc_id)),
+         |b AS (SELECT lang, quantile_cont(n_tokens, 0.1) AS lo,
+         |        quantile_cont(n_tokens, 0.9) AS hi
+         |      FROM d GROUP BY 1)
+         |SELECT doc_id, lang, n_tokens FROM d JOIN b USING (lang)
+         |WHERE n_tokens >= lo AND n_tokens <= hi
+         |ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->
       s"""WITH $toksCte,

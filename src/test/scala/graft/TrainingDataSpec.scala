@@ -358,6 +358,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(exactKept === (2001L to 2400L))
   }
 
+  test("length-band filter drops per-group outliers, tiers agree on bulk data") {
+    // group g: tokens 1..10 — p25=3.25, p75=7.75 → keep 4..7
+    val d = ((1 to 10).map(i => (i.toLong, "g", i.toLong)) :+
+      ((99L, "h", 1000L))) // singleton group: its own band keeps it
+      .toDF("doc_id", "lang", "n_tokens")
+    val kept = CorpusStats.lengthBandFilter(d, "lang", "n_tokens",
+      loQ = 0.25, hiQ = 0.75)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(4L, 5L, 6L, 7L, 99L))
+    // exact and sketch tiers agree on a smooth distribution
+    val big = spark.range(0, 20000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS lang",
+      "CAST((id * 7919) % 997 AS BIGINT) AS n_tokens")
+    val e = CorpusStats.lengthBandFilter(big, "lang", "n_tokens", 0.1, 0.9)
+      .count()
+    val a = CorpusStats.lengthBandFilter(big, "lang", "n_tokens", 0.1, 0.9,
+      exact = false).count()
+    assert(math.abs(e - a) <= e / 100) // within 1% of each other
+  }
+
   test("approx corpus stats honor sketch error bounds against the exact tier") {
     // 60k docs across two uneven strata, spread token counts, thousands of
     // distinct sources — enough mass that HLL++ and t-digest errors are
