@@ -180,4 +180,25 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token").asc)
       .limit(topK)
   }
+
+  /** Per-GROUP top-K tokens (heavy hitters per language/source/domain) —
+    * the per-stratum vocabulary report behind tokenizer-coverage and
+    * contamination checks. One aggregation keyed by (group, token), then a
+    * rank window per group over the aggregate (already shrunk to distinct
+    * tokens — the window never sees the corpus). Deterministic tiebreak:
+    * count desc, token asc. */
+  def vocabularyPerGroup(docs: DataFrame, groupCol: String, topK: Int,
+                         textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("term_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("term_freq").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

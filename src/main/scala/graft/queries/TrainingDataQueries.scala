@@ -365,6 +365,13 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("term_freq").desc, col("token").asc)
     }),
 
+    // Per-language top-5 tokens (group-wise heavy hitters).
+    "vocab_per_lang" -> ((s, dir) => {
+      TextAnalysis.vocabularyPerGroup(Tables.documents(s, dir), "lang",
+        topK = 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Per-language corpus report: doc count, token volume, source
     // diversity, exact median document length.
     "corpus_stats" -> ((s, dir) => {
@@ -848,6 +855,18 @@ object TrainingDataQueries extends QueryPack {
          |       FROM tok GROUP BY 1)
          |SELECT token, term_freq, doc_freq FROM tf JOIN df USING (token)
          |ORDER BY term_freq DESC, token LIMIT 50""".stripMargin,
+
+    "vocab_per_lang" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT lang, unnest(t) AS token
+         |        FROM toks JOIN documents USING (doc_id)),
+         |c AS (SELECT lang, token, count(*) AS term_freq
+         |      FROM tok GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY term_freq DESC, token) AS INT) AS rank
+         |      FROM c)
+         |SELECT lang, token, term_freq, rank FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH $toksCte,

@@ -202,6 +202,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === drawn)
   }
 
+  test("token-budget mix invariants hold under random budgets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val docs = (1 to 120).map(i =>
+      (i.toLong, if (i % 3 == 0) "de" else "en", (i % 13 + 1).toLong))
+    val df = docs.toDF("doc_id", "lang", "n_tokens")
+    val tokensOf = docs.map(d => d._1 -> d._3).toMap
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val drawOf = df.select(col("doc_id"),
+        Sampling.draw(col("doc_id"), "pb").as("h"))
+      .as[(Long, String)].collect().toMap
+    val budgetGen = Gen.zip(Gen.choose(0L, 800L), Gen.choose(0L, 300L))
+    val prop = forAll(budgetGen) { case (bEn, bDe) =>
+      val budgets = Map("en" -> bEn, "de" -> bDe)
+      val kept = Sampling.tokenBudgetMix(df, "lang", budgets,
+        tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "pb")
+        .select("doc_id").as[Long].collect().toSet
+      // reference model: per stratum, the maximal draw-ordered prefix
+      // whose running token sum stays within the budget (tokens are >= 1
+      // here, so filter(cum <= budget) == the takeWhile prefix)
+      val expected = docs.groupBy(_._2).flatMap { case (l, ds) =>
+        budgets.get(l).toSeq.flatMap { b =>
+          var cum = 0L
+          ds.sortBy(d => (drawOf(d._1), d._1))
+            .takeWhile { d => cum += d._3; cum <= b }.map(_._1)
+        }
+      }.toSet
+      val capped = kept.groupBy(langOf).forall { case (l, ids) =>
+        ids.toSeq.map(tokensOf).sum <= budgets(l) }
+      Prop(kept == expected && capped)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash groups bound the per-group id sample while counting all members") {
     // 20 identical docs share one sketch; the sample must cap at
     // sampleSize smallest ids while n_docs counts the whole group
