@@ -73,6 +73,9 @@ object Packing {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
+    val reserved = Seq("chunk_id", "chunk_text", "chunk_tokens", "__toks", "__chunk")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by chunkDocuments")
     val stride = maxTokens - overlap
     val toks = TextAnalysis.tokens(col(textCol))
     // number of chunks = ceil(max(n - overlap, 1) / stride); min 1
