@@ -69,6 +69,9 @@ object CorpusStats {
                        accuracy: Int = 10000): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ,
       s"need 0 <= loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    val reserved = Seq("__lo", "__hi")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by lengthBandFilter")
     def q(p: Double) =
       if (exact) percentile(col(tokenCountCol), lit(p))
       else percentile_approx(col(tokenCountCol), lit(p), lit(accuracy))

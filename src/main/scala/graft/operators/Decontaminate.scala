@@ -38,13 +38,21 @@ object Decontaminate {
     * a quality-filter decision, not a decontamination one.
     *
     * @param benchmark the eval corpus; must carry `textCol`.
-    * @param maxBroadcastGrams guard on the broadcast: the benchmark's
-    *        distinct-gram count is measured first (one cheap pass over the
-    *        small side), and only a set at most this size is broadcast; a
-    *        larger one falls back to a shuffled join instead of silently
-    *        building a multi-GB broadcast relation on the driver. The
-    *        default (5M grams ≈ tens of MB hashed) is comfortably inside
-    *        executor broadcast budgets. */
+    * @param maxBroadcastGrams guard on the broadcast. The guard metric is
+    *        the benchmark's total TOKEN count — a one-aggregation pass
+    *        over the small side, and a strict upper bound on its distinct
+    *        gram count (each k-gram starts at a token) — so the expensive
+    *        shingle+distinct pipeline is never computed twice. Only a
+    *        benchmark under the bound is broadcast; a larger one falls
+    *        back to a shuffled join instead of silently building a
+    *        multi-GB broadcast relation on the driver. Conservative by
+    *        construction: over-estimating gram count can only demote a
+    *        broadcast to a (correct) shuffle join. The default (5M ≈ tens
+    *        of MB hashed) is comfortably inside executor broadcast
+    *        budgets. NOTE: the guard runs a Spark action at
+    *        plan-construction time (the broadcast decision cannot be
+    *        deferred); construct overlap()/scrub() plans only when you
+    *        mean to run them. */
   def overlap(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
               idCol: String = "doc_id", textCol: String = "text",
               maxBroadcastGrams: Long = 5000000L): DataFrame = {
@@ -52,11 +60,12 @@ object Decontaminate {
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
     val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
       .select(xxhash64(col("shingle")).as("g")).distinct()
-    // the guard re-derives the (small) benchmark gram set once more for the
-    // join — cheaper than managing a persisted relation's lifetime
+    val benchTokens = benchmark
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val marked = benchGrams.withColumn("__hit", lit(1))
     val joined =
-      if (benchGrams.count() <= maxBroadcastGrams)
+      if (benchTokens <= maxBroadcastGrams)
         trainGrams.join(broadcast(marked), Seq("g"), "left")
       else trainGrams.join(marked, Seq("g"), "left")
     joined

@@ -77,7 +77,10 @@ object Packing {
     require(!docs.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by chunkDocuments")
     val stride = maxTokens - overlap
-    val toks = TextAnalysis.tokens(col(textCol))
+    // null text (a JSONL line without the field) chunks like empty text —
+    // one ("", 0) chunk — instead of a poisoned (null, -1) row that would
+    // silently corrupt downstream token accounting
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     // number of chunks = ceil(max(n - overlap, 1) / stride); min 1
     val n = size(toks)
     val nChunks = greatest(

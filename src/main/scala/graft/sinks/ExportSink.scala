@@ -69,14 +69,22 @@ object ExportSink {
 object HttpPublisher {
 
   /** One partition's worth of JSON bodies → one HTTP request each.
-    * Returned closure captures only strings, so it ships to executors. */
+    * Returned closure captures only strings/ints, so it ships to
+    * executors. Timeouts are MANDATORY: HttpURLConnection's defaults are
+    * infinite, and a half-open endpoint would otherwise hang the task
+    * forever instead of failing into the retry path the at-least-once
+    * contract depends on. */
   def jsonPoster(endpoint: String, method: String = "PUT",
-                 headers: Map[String, String] = Map.empty):
+                 headers: Map[String, String] = Map.empty,
+                 connectTimeoutMs: Int = 10000,
+                 readTimeoutMs: Int = 60000):
       Iterator[String] => Unit = { bodies =>
     bodies.foreach { body =>
       val conn = new java.net.URL(endpoint).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       try {
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
         conn.setRequestMethod(method)
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")
@@ -88,7 +96,10 @@ object HttpPublisher {
         if (code < 200 || code >= 300)
           throw new java.io.IOException(
             s"publish to $endpoint returned HTTP $code")
-        // drain so the connection is reusable by the JVM's keep-alive pool
+        // drain the response so the exchange completes cleanly before the
+        // connection is torn down (disconnect below opts out of keep-alive
+        // deliberately: publishes are batch-bounded, leaked sockets on
+        // executors are worse than a handshake per request)
         val in = conn.getInputStream
         try { while (in.read() != -1) () } finally in.close()
       } finally conn.disconnect()
@@ -123,23 +134,40 @@ object AlertNotifier {
           lit(" at "), col(level).cast("string"), lit(" on "),
           col("date").cast("date").cast("string")).as("message"))
     }
-    recent.select(explode(array(topics: _*)).as("n"))
-      .select(col("n.topic"), col("n.uuid"), col("n.message"))
+    // alert_message is LEVEL-FREE (clinic-anchored, like the reference's
+    // single text_message per alert) — the one body [[publishBodies]]
+    // ships to every topic; `message` stays per-level for per-topic
+    // consumers
+    val alertMessage = concat(
+      lit("Alert "), element_at(col("variables"), "alert_reason"),
+      lit(" at clinic "), col("clinic").cast("string"), lit(" on "),
+      col("date").cast("date").cast("string"))
+    recent.select(explode(array(topics: _*)).as("n"),
+        alertMessage.as("alert_message"))
+      .select(col("n.topic"), col("n.uuid"), col("n.message"),
+        col("alert_message"))
   }
 
   /** Per-alert publish bodies: the level-exploded notifications fold back
     * to ONE JSON body per alert uuid with the full topic list — the
     * reference's single `/publish` PUT per alert (util/__init__.py:584-589:
     * `{"from": sender, "topics": [...], "id": ..., "message": ...}`).
-    * Topic list is sorted for deterministic bodies; the message is the
-    * lexicographic min (one text per alert, as in the reference). */
-  def publishBodies(notifications: DataFrame, sender: String): DataFrame =
+    * Topic list is sorted for deterministic bodies. The body's message is
+    * the LEVEL-FREE `alert_message` (identical across a uuid's rows) —
+    * never a per-level `message`, which names one level and would reach
+    * every other level's subscribers wrong. Frames without alert_message
+    * (pre-assembled notification feeds) fall back to min(message). */
+  def publishBodies(notifications: DataFrame, sender: String): DataFrame = {
+    val msgCol =
+      if (notifications.columns.contains("alert_message")) "alert_message"
+      else "message"
     notifications.groupBy(col("uuid"))
       .agg(sort_array(collect_list(col("topic"))).as("topics"),
-        min(col("message")).as("message"))
+        min(col(msgCol)).as("message"))
       .select(to_json(struct(
         lit(sender).as("from"), col("topics"),
         col("uuid").as("id"), col("message"))).as("body"))
+  }
 
   /** Publish every notification body over HTTP — executor-side, one
     * request per alert, at-least-once (see [[HttpPublisher]]). */

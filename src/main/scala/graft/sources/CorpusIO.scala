@@ -33,23 +33,38 @@ object CorpusIO {
   /** Read JSONL under `path` with an explicit schema. Returns
     * (good rows in schema order, dead letter (raw line)). A line that
     * parses but misses fields stays good with nulls — absent metadata is
-    * normal in scraped corpora; only unparseable lines dead-letter. */
+    * normal in scraped corpora; only unparseable lines dead-letter.
+    *
+    * The two frames are INDEPENDENT lazy reads of the same files — not a
+    * cached corrupt-column split: caching the parsed corpus to serve the
+    * split would pin a full-corpus cache per call for the session's
+    * lifetime (an ingest loop over many shard dirs would accumulate them
+    * until executors thrash). Good rows drop malformed lines at the scan;
+    * dead letters re-scan as text and keep exactly the non-blank lines
+    * `from_json` cannot parse — the same line set PERMISSIVE would have
+    * marked corrupt. The corpus pays a second (cheap, projected) pass only
+    * if the dead-letter frame is actually consumed. */
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType = DocumentSchema): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"$CorruptCol is reserved by readJsonl")
-    val withCorrupt = spark.read
-      .schema(schema.add(StructField(CorruptCol, StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
+    val good = spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
       .json(path)
-      // the corrupt-column contract needs the raw line materialized before
-      // the split, or pruning drops it and every row looks clean
-      .cache()
-    val good = withCorrupt.filter(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
-    val dead = withCorrupt.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw"))
+    // from_json PERMISSIVE yields a null-FIELDED struct for malformed
+    // input, never a null struct — corruption is detected via its
+    // corrupt-record column, exactly like the file reader would
+    val parsed = from_json(col("value"),
+      schema.add(StructField(CorruptCol, StringType)),
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol))
+    val dead = spark.read.text(path)
+      // the json reader skips blank lines entirely — they are not corrupt
+      .filter(length(trim(col("value"))) > 0)
+      .filter(parsed.getField(CorruptCol).isNotNull)
+      .select(col("value").as("raw"))
     (good, dead)
   }
 

@@ -552,11 +552,14 @@ class StreamingSpec extends AnyFunSuite {
       ("u3", 4, 3, "2016-04-17", Map("tot_1" -> "1")))
       .toDF("uuid", "clinic", "district", "d", "variables")
       .withColumn("date", col("d").cast("timestamp")).drop("d")
-    val out = graft.sinks.AlertNotifier.notifications(data, asOf = "2016-04-20",
-        levels = Seq("clinic", "district"))
-      .select("topic", "uuid").as[(String, String)].collect().toSet
+    val notif = graft.sinks.AlertNotifier.notifications(data, asOf = "2016-04-20",
+      levels = Seq("clinic", "district"))
+    val out = notif.select("topic", "uuid").as[(String, String)].collect().toSet
     assert(out === Set(
       ("clinic-4-cmd_1", "u1"), ("district-3-cmd_1", "u1")))
+    // alert_message is level-free: identical on every row of the alert
+    val msgs = notif.select("alert_message").distinct().as[String].collect()
+    assert(msgs.toSeq === Seq("Alert cmd_1 at clinic 4 on 2016-04-17"))
   }
 
   /** A tiny in-JVM HTTP endpoint collecting (method, body) pairs. */
@@ -580,11 +583,17 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("alert publisher PUTs one JSON body per alert to a live HTTP endpoint") {
+    // shaped like AlertNotifier.notifications: per-level message AND the
+    // level-free alert_message the body must carry — a per-level message
+    // in the shared body would reach other levels' subscribers wrong
     val notifications = Seq(
-      ("clinic-4-cmd_1", "u1", "Alert cmd_1 at 4 on 2016-04-17"),
-      ("district-3-cmd_1", "u1", "Alert cmd_1 at 3 on 2016-04-17"),
-      ("clinic-9-cmd_2", "u2", "Alert cmd_2 at 9 on 2016-04-18"))
-      .toDF("topic", "uuid", "message")
+      ("clinic-4-cmd_1", "u1", "Alert cmd_1 at 4 on 2016-04-17",
+        "Alert cmd_1 at clinic 4 on 2016-04-17"),
+      ("district-3-cmd_1", "u1", "Alert cmd_1 at 3 on 2016-04-17",
+        "Alert cmd_1 at clinic 4 on 2016-04-17"),
+      ("clinic-9-cmd_2", "u2", "Alert cmd_2 at 9 on 2016-04-18",
+        "Alert cmd_2 at clinic 9 on 2016-04-18"))
+      .toDF("topic", "uuid", "message", "alert_message")
     withHttpServer() { (endpoint, received) =>
       graft.sinks.AlertNotifier.publish(notifications, endpoint,
         sender = "abacus-test", headers = Map("authorization" -> "Bearer k"))
@@ -595,7 +604,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(bodies.exists(b =>
         b.contains("\"id\":\"u1\"") &&
           b.contains("\"topics\":[\"clinic-4-cmd_1\",\"district-3-cmd_1\"]") &&
-          b.contains("\"from\":\"abacus-test\"")))
+          b.contains("\"from\":\"abacus-test\"") &&
+          b.contains("\"message\":\"Alert cmd_1 at clinic 4 on 2016-04-17\"")))
       assert(bodies.exists(b =>
         b.contains("\"id\":\"u2\"") && b.contains("clinic-9-cmd_2")))
     }
