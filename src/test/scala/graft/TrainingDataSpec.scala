@@ -370,6 +370,45 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(counts === Map(7L -> 1L, 8L -> 2L))
   }
 
+  test("chunking invariants: full coverage, exact overlap, budget cap (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      n <- Gen.choose(0, 60)         // tokens in the doc
+      m <- Gen.choose(1, 12)         // maxTokens
+      o <- Gen.choose(0, m - 1)      // overlap
+    } yield (n, m, o)
+    val prop = forAll(gen) { case (n, m, o) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Packing.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), maxTokens = m, overlap = o)
+        .select("chunk_id", "chunk_text", "chunk_tokens")
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      val stride = m - o
+      val covered = chunks.flatMap { case (id, _, len) =>
+        (id * stride) until (id * stride + len) }.toSet
+      Prop.all(
+        // every chunk stays within budget
+        Prop(chunks.forall(_._3 <= m)) :| "budget",
+        // chunks jointly cover every token exactly once per owning window
+        Prop(covered == (0 until n).toSet) :| "coverage",
+        // chunk text is the exact token window
+        Prop(chunks.forall { case (id, text, _) =>
+          val toks = (id * stride until math.min(id * stride + m, n))
+            .map(i => s"t${i + 1}")
+          text == toks.mkString(" ")
+        }) :| "window",
+        // no degenerate trailing chunk: every chunk but the last is full,
+        // and an empty doc still yields exactly one empty chunk
+        Prop(chunks.init.forall(_._3 == m)) :| "full-prefix",
+        Prop(n > 0 || chunks == Seq((0, "", 0))) :| "empty-doc")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental dedup: sketch never re-admits a dup; exact tier equals anti-join") {
     val history = (1 to 300).map(i => (i.toLong, s"hist doc $i"))
       .toDF("doc_id", "text").withColumn("digest", md5(col("text")))
