@@ -77,6 +77,38 @@ object Decontaminate {
         col("n_matched").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** The reverse report — per-BENCHMARK-item contamination: for each eval
+    * document, how many training documents share at least one k-gram with
+    * it and how many (train doc, gram) hits there are in total. This is
+    * the view an eval owner consumes ([[overlap]] is the corpus-scrub
+    * view): an eval item most of the corpus collides with is unusable
+    * regardless of scrubbing and should be retired from the suite.
+    *
+    * Same scale shape as [[overlap]] — the benchmark's (id, gram) set
+    * broadcasts, the corpus streams past it; the only exchange is the
+    * final benchmark-id-keyed aggregation (bounded by the eval suite's
+    * size). Benchmark items with zero hits are included with zero counts —
+    * for an eval report, "clean" is a result, not an absence. */
+  def evalReport(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val trainGrams = Dedup.shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id").as("__train_id"), xxhash64(col("shingle")).as("g"))
+    val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
+      .select(col("doc_id").as("__bench_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+    val hits = trainGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("__bench_id"))
+      .agg(countDistinct(col("__train_id")).as("n_contaminating_docs"),
+        count(lit(1)).as("n_shared_grams"))
+    benchmark.select(col(idCol).as("__bench_id"))
+      .join(hits, Seq("__bench_id"), "left")
+      .select(col("__bench_id").as(idCol),
+        coalesce(col("n_contaminating_docs"), lit(0L))
+          .as("n_contaminating_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** The decontaminated corpus: `docs` minus every document whose k-gram
     * overlap with `benchmark` reaches `minMatched` shared k-grams. The
     * anti-join runs on ids only — document payloads never shuffle.

@@ -340,6 +340,18 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Reverse decontamination report: per benchmark item, how much of the
+    // training corpus collides with it (zero-hit items included — clean is
+    // a result).
+    "decontaminate_report" -> ((s, dir) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Decontaminate.evalReport(train, bench, k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level duplicated-line removal (CCNet pass). The corpus has no
     // newlines, so a multi-line view is derived by turning ' table ' into
     // line breaks — a literal left-to-right replace both engines agree on.
@@ -816,6 +828,20 @@ object TrainingDataQueries extends QueryPack {
          |  USING (shingle)
          |GROUP BY 1 HAVING count(b.shingle) > 0
          |ORDER BY 1""".stripMargin,
+
+    "decontaminate_report" ->
+      s"""WITH $shinglesCte,
+         |t AS (SELECT doc_id AS tid, shingle FROM sh WHERE doc_id % 97 <> 0),
+         |b AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 97 = 0),
+         |h AS (SELECT bid,
+         |        count(DISTINCT tid) AS hits_docs, count(*) AS hits_grams
+         |      FROM b JOIN t USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(hits_docs, 0) AS BIGINT) AS n_contaminating_docs,
+         |  CAST(coalesce(hits_grams, 0) AS BIGINT) AS n_shared_grams
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d
+         |LEFT JOIN h ON d.doc_id = h.bid
+         |ORDER BY d.doc_id""".stripMargin,
 
     "line_dedup" ->
       """WITH lined AS (SELECT doc_id,

@@ -104,6 +104,20 @@ class TrainingDataSpec extends AnyFunSuite {
       .toLowerCase.contains("strategy=broadcast"))
   }
 
+  test("reverse decontamination reports per-benchmark-item contamination") {
+    val train = docs(
+      1L -> "alpha beta gamma delta",     // shares "beta gamma delta"
+      2L -> "beta gamma delta echo",      // shares it too
+      3L -> "nothing in common here")
+    val bench = docs(
+      100L -> "zzz beta gamma delta qqq", // hit by docs 1 and 2
+      101L -> "totally clean eval item")  // zero hits — still reported
+    val out = Decontaminate.evalReport(train, bench, k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(100L -> ((2L, 2L)), 101L -> ((0L, 0L))))
+  }
+
   test("decontamination matches sub-k documents on whole-text equality") {
     // documented conservative semantics: an empty/short benchmark row
     // matches exactly-equal short training docs via the whole-doc gram
