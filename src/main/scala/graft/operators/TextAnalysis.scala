@@ -15,6 +15,13 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Token COUNT without materializing the token array — the native
+    * [[graft.functions.TokenCount]] byte-scan (spec-checked equivalent to
+    * `size(tokens(text))`). Use at count-only call sites; they dominate
+    * the corpus reporting/mixing paths. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCount.tokenCount(text)
+
   /** Token count under a BPE-ish regex lexer: word pieces, digit runs,
     * single punctuation. */
   def regexTokenCount(text: Column): Column =

@@ -45,7 +45,7 @@ object TrainingDataQueries extends QueryPack {
     "text_token_count" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
         .orderBy(col("doc_id"))
     }),
@@ -285,7 +285,7 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.{Packing, TextAnalysis}
       val docs = Tables.documents(s, dir)
         .withColumn("n_tokens",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          TextAnalysis.tokenCount(col("text")).cast("long"))
       Packing.packByBudget(docs, "n_tokens", budget = 2048,
         keyCol = "doc_id", numBuckets = 8)
         .select(col("doc_id"), col("bucket"), col("example_id"),
@@ -390,7 +390,7 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.CorpusStats
       val docs = Tables.documents(s, dir)
         .withColumn("n_tokens",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          TextAnalysis.tokenCount(col("text")).cast("long"))
       CorpusStats.stats(docs, "lang", "n_tokens", "source")
         .orderBy(col("lang"))
     }),
@@ -401,7 +401,7 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.CorpusStats
       val docs = Tables.documents(s, dir)
         .withColumn("n_tokens",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          TextAnalysis.tokenCount(col("text")).cast("long"))
       CorpusStats.lengthBandFilter(docs, "lang", "n_tokens",
         loQ = 0.1, hiQ = 0.9)
         .select(col("doc_id"), col("lang"), col("n_tokens"))
@@ -414,7 +414,7 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.Sampling
       val docs = Tables.documents(s, dir)
         .withColumn("n_tokens",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          TextAnalysis.tokenCount(col("text")).cast("long"))
       Sampling.tokenBudgetMix(docs, "lang",
         Map("en" -> 2000L, "de" -> 1000L, "fr" -> 800L),
         tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "m1")

@@ -307,6 +307,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("native token count equals split-based tokens on arbitrary strings (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.TokenCount
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u00df', '\u00a0')) // multi-byte; NBSP is NOT \s
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    // static tier: byte scan == Java regex split semantics, char-exact
+    val statProp = forAll(strGen) { s =>
+      Prop(TokenCount.count(UTF8String.fromString(s)) ===
+        s.split("\\s+").count(_.nonEmpty))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), statProp)
+    assert(res.passed, res.status.toString)
+    // engine tier: the codegen'd expression equals size(tokens(text))
+    val sample = Seq("", "  ", "a", " a\tb\nc ", "é 中ß", "x y",
+      "many  runs\r\nof  ws", (1 to 50).map(_ => "tok").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = sample.toDF("doc_id", "text")
+    val both = df.select(
+        TextAnalysis.tokenCount(col("text")).as("fast"),
+        size(TextAnalysis.tokens(col("text"))).as("ref"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (f, r) => f == r })
+  }
+
   test("NFC normalization composes decomposed sequences; ASCII passes untouched") {
     import graft.functions.NfcNormalize
     val d = docs(
