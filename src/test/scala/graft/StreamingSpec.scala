@@ -225,6 +225,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text quality scoring and token counting run on an unbounded stream") {
+    // the text-analysis surface is pure projections — this spec pins that
+    // property: introducing a sort/window into these ops would break
+    // unbounded execution and fail here, not in production
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val scored = stream
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("lang", TextAnalysis.predictedLangFromTokens(
+        TextAnalysis.tokens(lower(col("text")))))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val q = scored.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      input.addData(
+        (1L, "the cat sat of the mat and the dog", t0),
+        (2L, "der hund ist und der ist gut", t0),
+        (3L, "the quick brown fox of the farm", t0))
+      q.processAllAvailable()
+      val out = spark.table("quality_stream")
+        .select("lang", "n_docs", "n_tokens")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out("en") === ((2L, 16L)))
+      assert(out("de") === ((1L, 7L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest filters against the corpus-history sketch per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.IncrementalDedup
