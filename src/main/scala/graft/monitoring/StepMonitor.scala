@@ -13,9 +13,7 @@ import scala.jdk.CollectionConverters._
   * a monitoring sink.
   */
 class StepMonitor extends QueryExecutionListener {
-
-  final case class StepRecord(step: String, startMs: Long, durationMs: Long,
-                              error: Option[String])
+  import StepMonitor.StepRecord
 
   private val records = new ConcurrentLinkedQueue[StepRecord]()
 
@@ -40,6 +38,9 @@ class StepMonitor extends QueryExecutionListener {
 }
 
 object StepMonitor {
+  final case class StepRecord(step: String, startMs: Long, durationMs: Long,
+                              error: Option[String])
+
   /** Install a monitor on the session and return it. */
   def install(spark: SparkSession): StepMonitor = {
     val m = new StepMonitor

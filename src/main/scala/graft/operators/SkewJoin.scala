@@ -62,7 +62,7 @@ object SkewJoin {
         require(hashable.nonEmpty,
           "saltedJoin needs a hashable non-key column on the skewed side to " +
             "scatter rows within a key; add one (e.g. a row id) or pass scatterBy")
-        xxhash64(hashable.map(col): _*)
+        xxhash64(hashable.toIndexedSeq.map(col): _*)
     }
     val scatter = pmod(scatterExpr, lit(saltBuckets.toLong)).cast("int")
     val s = skewed.withColumn("__salt", scatter)

@@ -86,7 +86,7 @@ object UpsertWriter {
     val current = spark.read.parquet(path).filter(prune)
     val newKeys = batch.select(keys.map(col): _*).distinct()
     val merged = current.join(newKeys, keys, "left_anti")
-      .unionByName(batch.select(current.columns.map(col): _*))
+      .unionByName(batch.select(current.columns.toIndexedSeq.map(col): _*))
     val tmp = path + ".tmp"
     merged.repartition(partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp)
