@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** The broadcast-guard metric: the benchmark's total token count — a
+    * strict upper bound on its distinct gram count (every k-gram starts
+    * at a token), measured with the allocation-free native counter in one
+    * aggregation. Runs a Spark action (the broadcast decision can't be
+    * deferred to execution). */
+  private def benchTokenCount(benchmark: DataFrame, textCol: String): Long =
+    benchmark
+      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+
   /** Per-training-document contamination counts against `benchmark`.
     *
     * Output: (idCol, n_shingles, n_matched, contamination) — distinct
@@ -60,12 +70,9 @@ object Decontaminate {
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
     val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
       .select(xxhash64(col("shingle")).as("g")).distinct()
-    val benchTokens = benchmark
-      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val marked = benchGrams.withColumn("__hit", lit(1))
     val joined =
-      if (benchTokens <= maxBroadcastGrams)
+      if (benchTokenCount(benchmark, textCol) <= maxBroadcastGrams)
         trainGrams.join(broadcast(marked), Seq("g"), "left")
       else trainGrams.join(marked, Seq("g"), "left")
     joined
@@ -84,20 +91,28 @@ object Decontaminate {
     * view): an eval item most of the corpus collides with is unusable
     * regardless of scrubbing and should be retired from the suite.
     *
-    * Same scale shape as [[overlap]] — the benchmark's (id, gram) set
-    * broadcasts, the corpus streams past it; the only exchange is the
+    * Same scale shape as [[overlap]], including the broadcast guard — the
+    * benchmark's (id, gram) set broadcasts only under `maxBroadcastGrams`
+    * (token-count-metered; this relation keeps the bench id, so a gram
+    * shared by B items appears B times — the same token-sum bound still
+    * holds since each occurrence starts at a distinct (item, token)) and
+    * falls back to a shuffle join past it. The only other exchange is the
     * final benchmark-id-keyed aggregation (bounded by the eval suite's
     * size). Benchmark items with zero hits are included with zero counts —
     * for an eval report, "clean" is a result, not an absence. */
   def evalReport(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
-                 idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBroadcastGrams: Long = 5000000L): DataFrame = {
     val trainGrams = Dedup.shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id").as("__train_id"), xxhash64(col("shingle")).as("g"))
     val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
       .select(col("doc_id").as("__bench_id"), xxhash64(col("shingle")).as("g"))
       .distinct()
-    val hits = trainGrams.join(broadcast(benchGrams), Seq("g"))
+    val benchSide =
+      if (benchTokenCount(benchmark, textCol) <= maxBroadcastGrams)
+        broadcast(benchGrams)
+      else benchGrams
+    val hits = trainGrams.join(benchSide, Seq("g"))
       .groupBy(col("__bench_id"))
       .agg(countDistinct(col("__train_id")).as("n_contaminating_docs"),
         count(lit(1)).as("n_shared_grams"))

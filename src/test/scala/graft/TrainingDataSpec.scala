@@ -102,6 +102,16 @@ class TrainingDataSpec extends AnyFunSuite {
       maxBroadcastGrams = 0L)
     assert(!fallback.queryExecution.optimizedPlan.toString
       .toLowerCase.contains("strategy=broadcast"))
+    // the reverse report honors the same guard
+    def reportCanon(maxGrams: Long) =
+      Decontaminate.evalReport(train, bench, k = 3,
+        maxBroadcastGrams = maxGrams)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(reportCanon(0L) === reportCanon(Long.MaxValue))
+    val reportFallback = Decontaminate.evalReport(train, bench, k = 3,
+      maxBroadcastGrams = 0L)
+    assert(!reportFallback.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("strategy=broadcast"))
   }
 
   test("reverse decontamination reports per-benchmark-item contamination") {
