@@ -14,12 +14,76 @@ import org.apache.spark.sql.SparkSession
   * FIXED alphabetical order with a GC + settle before each, so adding a
   * query to the suite no longer reshuffles every other query's JIT/GC
   * neighborhood and round-over-round per-query deltas are attributable
-  * to plans. Per-run timings go to stderr for diagnosis. */
+  * to plans.
+  *
+  * The JSON line is built to be TRUSTWORTHY AS AN ARTIFACT, not just a
+  * number: a prior round's driver run recorded a 6× skew on two queries
+  * that two clean paired re-runs could not reproduce — environmental
+  * load, invisible in the artifact itself. So the line now carries the
+  * evidence to adjudicate that in place:
+  *  - `runs`: per-query warm + every timed run (ms precision), so a
+  *    median hiding one 20 s outlier run is visible;
+  *  - `loadavg`: /proc/loadavg (1/5/15-min) before and after the suite —
+  *    a 1-min load far above the Spark core count means another workload
+  *    shared the machine;
+  *  - `tainted` + `foreign_jvms`: true when OTHER live JVM processes
+  *    (not this process or its sbt ancestry) are detected at start or
+  *    end — concurrent sbt/test/Spark JVMs are exactly what skewed the
+  *    prior artifact;
+  *  - all times rounded to ms so the line stays short enough to survive
+  *    line-truncating log capture (a full-precision line once lost its
+  *    tail queries to a `tail -c` cut).
+  */
 object Bench {
+
+  /** ms precision: benchmark noise floor is far above 1 ms, and full
+    * 17-digit doubles tripled the artifact line length. */
+  private def ms(t: Double): Double = math.rint(t * 1000) / 1000
+
+  /** (1, 5, 15)-minute load averages; zeros when /proc is unreadable. */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(0.0, 0.0, 0.0) }
+
+  /** This pid plus its ancestry (the sbt/shell chain that launched us) —
+    * the processes that are ALLOWED to be JVMs during a bench. */
+  private def selfAndAncestors(): Set[Long] = {
+    def ppid(pid: Long): Option[Long] =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/$pid/stat")))
+        // fields after the parenthesised comm (which may contain spaces)
+        Some(stat.substring(stat.lastIndexOf(')') + 2).split(" ")(1).toLong)
+      } catch { case _: Throwable => None }
+    var acc = Set(ProcessHandle.current().pid())
+    var p = ppid(acc.head)
+    while (p.exists(x => x > 1 && !acc(x))) { acc += p.get; p = ppid(p.get) }
+    acc
+  }
+
+  /** Live `java` processes that are neither this JVM nor its launcher
+    * chain. Any hit means timings share cores with another workload. */
+  private def foreignJvms(): Seq[Long] = {
+    val mine = selfAndAncestors()
+    Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+      .toSeq
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      .filterNot(mine)
+      .filter { pid =>
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/$pid/comm"))).trim == "java")
+          .getOrElse(false)
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val loadBefore = loadavg()
+    val jvmsBefore = foreignJvms()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,16 +115,25 @@ object Bench {
         t
       }
       val warm = once()
-      val times = Seq.fill(timedRuns)(once()).sorted
-      val median = times(times.length / 2)
+      val times = Seq.fill(timedRuns)(once())
+      val median = times.sorted.apply(times.length / 2)
       System.err.println(
         f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} median=$median%7.2fs")
-      name -> median
+      (name, ms(median), ms(warm), times.map(ms))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    val jvmsAfter = foreignJvms()
+    val foreign = (jvmsBefore ++ jvmsAfter).distinct.sorted
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runs = results.map { case (k, _, w, ts) =>
+      s"\"" + k + "\":{\"warm\":" + w + ",\"t\":[" + ts.mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val total = ms(results.map(_._2).sum)
+    val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"loadavg":$load,"tainted":${foreign.nonEmpty},""" +
+      s""""foreign_jvms":[${foreign.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

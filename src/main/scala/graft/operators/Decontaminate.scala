@@ -22,11 +22,27 @@ object Decontaminate {
     * strict upper bound on its distinct gram count (every k-gram starts
     * at a token), measured with the allocation-free native counter in one
     * aggregation. Runs a Spark action (the broadcast decision can't be
-    * deferred to execution). */
+    * deferred to execution) — but only ONCE per (benchmark plan, textCol):
+    * the result is memoized against the DataFrame's analyzed plan, so
+    * re-constructing overlap/evalReport/scrub plans over the same
+    * benchmark (explain loops, scrub after overlap) pays the job once.
+    * The memo holds the plan weakly — entries die with the DataFrame. */
+  private val guardMemo = new java.util.WeakHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Map[String, Long]]()
+
   private def benchTokenCount(benchmark: DataFrame, textCol: String): Long =
-    benchmark
-      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    guardMemo.synchronized {
+      val plan = benchmark.queryExecution.analyzed
+      val known = Option(guardMemo.get(plan)).getOrElse(Map.empty)
+      known.getOrElse(textCol, {
+        val n = benchmark
+          .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+          .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+        guardMemo.put(plan, known + (textCol -> n))
+        n
+      })
+    }
 
   /** Per-training-document contamination counts against `benchmark`.
     *

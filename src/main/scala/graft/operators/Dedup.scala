@@ -251,14 +251,21 @@ object Dedup {
     * and `doc_ids` — a BOUNDED sample of the `sampleSize` smallest member
     * ids, not the full membership. A degenerate sketch (near-empty docs all
     * hashing to one group) would otherwise make one output row carry the
-    * whole class; the rank filter runs BEFORE the collect, so the
-    * aggregation buffer is bounded too, not just the emitted row. The rank
-    * window sorts within each sketch partition (spillable), riding the same
-    * exchange as the group aggregation. Full membership, when needed,
-    * is a join back on `sim` — not a wide row. */
+    * whole class. The sample is a TWO-PHASE cut so no single task ever
+    * sorts a whole sketch group: phase 1 ranks within (sim, id-hash
+    * sub-partition) — a degenerate sketch's membership spreads over
+    * `samplePartitions` tasks — and keeps only ranks ≤ sampleSize (the
+    * global sampleSize smallest ids are each among their own
+    * sub-partition's smallest sampleSize, so the union provably contains
+    * them); phase 2 merges the ≤ samplePartitions × sampleSize survivors
+    * per sketch and slices the final sampleSize. Counts and keep_id
+    * aggregate per (sim, sub-partition) first, riding phase 1's exchange,
+    * then fold in a second aggregation over the already-tiny per-bucket
+    * rows. Full membership, when needed, is a join back on `sim` — not a
+    * wide row. */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", bits: Int = 16,
-                    sampleSize: Int = 16): DataFrame = {
+                    sampleSize: Int = 16, samplePartitions: Int = 16): DataFrame = {
     val perToken = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tk"))
       .select(col("doc_id"), md5(col("tk").cast("binary")).as("h"))
@@ -271,15 +278,22 @@ object Dedup {
     val sim = (1 to bits).map(j =>
       when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))).reduce(_ + _)
     val rn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sim")).orderBy(col("doc_id"))
+      .partitionBy(col("sim"), col("__pfx")).orderBy(col("doc_id"))
     bitSums.select(col("doc_id"), sim.as("sim"))
+      .withColumn("__pfx", pmod(xxhash64(col("doc_id")), lit(samplePartitions.toLong)))
       .withColumn("__rn", row_number().over(rn))
+      // phase 1: per (sim, sub-partition) — rides the window's exchange;
+      // collect_list skips nulls: only the sampleSize lowest-ranked ids of
+      // each sub-partition ever enter the buffer
+      .groupBy(col("sim"), col("__pfx"))
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__min"),
+        collect_list(when(col("__rn") <= sampleSize, col("doc_id"))).as("__ids"))
+      // phase 2: ≤ samplePartitions rows per sketch — the merge buffer is
+      // bounded by samplePartitions × sampleSize regardless of group size
       .groupBy(col("sim"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
-        // collect_list skips nulls: only the sampleSize lowest-ranked ids
-        // ever enter the buffer
-        sort_array(collect_list(when(col("__rn") <= sampleSize,
-          col("doc_id")))).as("doc_ids"))
+      .agg(sum(col("__n")).as("n_docs"), min(col("__min")).as("keep_id"),
+        slice(sort_array(flatten(collect_list(col("__ids")))), 1, sampleSize)
+          .as("doc_ids"))
       .filter(col("n_docs") > 1)
   }
 
@@ -295,8 +309,15 @@ object Dedup {
     * ever matter). Each round is one join + one min-aggregation — shuffle
     * volume is O(edges), never materializing anything quadratic.
     *
-    * Driver involvement is ONE count-based convergence probe per round (no
-    * data collected); every round ends in an eager localCheckpoint so the
+    * Per-round cost is ONE materialization job: labels carry their
+    * previous value through the min-aggregation (`min` skips the nulls the
+    * propagated branch contributes), so the convergence probe is a scalar
+    * aggregation over the just-checkpointed blocks — a cache scan, not the
+    * extra join-plus-count job a naive probe runs. Round 1 is folded into
+    * initialization: with identity labels, one propagation round IS
+    * `min(id, min(neighbors))`, a single aggregation over the edge list —
+    * no join, no probe (labels always change on round 1).
+    * Every round ends in an eager localCheckpoint so the
     * logical plan — not just the data — stays round-sized (persist alone
     * leaves analysis re-walking every previous round's nested plan).
     * localCheckpoint trades fault tolerance for speed: its blocks do not
@@ -345,29 +366,40 @@ object Dedup {
         .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
     if (!callerPersisted) p.unpersist()
-    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    // round 1 folded into initialization: the symmetric closure makes every
+    // vertex a `src`, so min(src, min(dst)) IS the first propagation round —
+    // one aggregation over edges replaces the old identity-label round's
+    // checkpoint + join + probe (labels always change on round 1 anyway)
+    var labels = checkpointed(edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("comp")))
     // Each round ends in an EAGER localCheckpoint: caching alone is not
     // enough for iterative plans — the logical plan still nests every
     // previous round, so driver-side analysis/optimization grows per round
     // and dominates small-graph wall time (measured 5.6 s for 264 edges).
     // The checkpoint truncates lineage to the materialized blocks, keeping
-    // planning O(1) per round; it also makes the convergence probe (exact
-    // changed-label count — labels only ever decrease, zero = fixed point)
-    // a join of two materialized relations.
-    var iter = 0
+    // planning O(1) per round. The convergence probe (exact changed-label
+    // count — labels only ever decrease, zero = fixed point) rides the same
+    // aggregation: the self branch carries `prev`, the propagated branch
+    // contributes null there, and min() ignores nulls — so `prev` survives
+    // the groupBy and the probe is a scalar agg over the checkpointed
+    // blocks instead of a second join job per round.
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = checkpointed(labels.unionByName(propagated)
-        .groupBy("id").agg(min("comp").as("comp")))
+        // null "prev" OF COMP'S OWN TYPE (ids may be long or string): the
+        // when(false) trick types the null without naming the type
+        .select(col("dst").as("id"), col("comp"),
+          when(lit(false), col("comp")).as("prev"))
+      val self = labels.select(col("id"), col("comp"),
+        col("comp").as("prev"))
+      val next = checkpointed(self.unionByName(propagated)
+        .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev")))
       val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev"))
-        .count()
-      labels = next
+        .agg(coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)))
+        .head().getLong(0)
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }

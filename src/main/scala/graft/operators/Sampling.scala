@@ -109,6 +109,11 @@ object Sampling {
     * for trillion-document strata. `drawPrefixLen = 0` keeps the legacy
     * single-window path (fine for small strata, required reading for the
     * semantics).
+    *
+    * NULL keys: a null `keyCol` has no md5 draw; it is coalesced to the
+    * empty string, so null-keyed rows sort FIRST within their stratum
+    * (matching ascending-nulls-first in the single-window formulation) and
+    * share one draw — both paths keep the identical set of them.
     */
   def tokenBudgetMix(docs: DataFrame, strataCol: String,
                      budgets: Map[String, Long], tokenCountCol: String,
@@ -124,10 +129,16 @@ object Sampling {
       case (acc, (stratum, b)) =>
         when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
+    // a NULL key draws null; coalesce to "" so null-keyed rows keep the
+    // single-window semantics in the bucketed path too ("" sorts before
+    // every hex digit, exactly where ascending-nulls-first put them, and
+    // becomes a joinable "" bucket instead of a null one the inner
+    // equi-join would silently drop)
+    val theDraw = coalesce(draw(col(keyCol), salt), lit(""))
     val W = org.apache.spark.sql.expressions.Window
     if (drawPrefixLen == 0) {
       val w = W.partitionBy(col(strataCol))
-        .orderBy(draw(col(keyCol), salt), col(keyCol))
+        .orderBy(theDraw, col(keyCol))
         .rowsBetween(W.unboundedPreceding, 0)
       docs
         .withColumn("__cum", sum(col(tokenCountCol)).over(w))
@@ -135,7 +146,7 @@ object Sampling {
         .drop("__cum")
     } else {
       val withDraw = docs
-        .withColumn("__draw", draw(col(keyCol), salt))
+        .withColumn("__draw", theDraw)
         .withColumn("__bkt", substring(col("__draw"), 1, drawPrefixLen))
       // phase 1: bucket token sums + base offsets; the window runs over the
       // strata × 16^drawPrefixLen aggregate, never over documents

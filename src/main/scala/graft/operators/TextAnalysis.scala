@@ -190,21 +190,44 @@ object TextAnalysis {
 
   /** Per-GROUP top-K tokens (heavy hitters per language/source/domain) —
     * the per-stratum vocabulary report behind tokenizer-coverage and
-    * contamination checks. One aggregation keyed by (group, token), then a
-    * rank window per group over the aggregate (already shrunk to distinct
-    * tokens — the window never sees the corpus). Deterministic tiebreak:
-    * count desc, token asc. */
+    * contamination checks. One aggregation keyed by (group, token), then
+    * the TWO-PHASE heavy-hitter cut: rank within (group, xxhash64(token)
+    * mod `buckets`) sub-partitions first, keep each sub-partition's top-K,
+    * then rank the ≤ buckets × K survivors per group. EXACT, not
+    * approximate: a group's global top-K token is top-K within its own
+    * bucket under the same (count desc, token asc) order, so the bucket
+    * union provably contains the global top-K. A single-window-per-group
+    * formulation funnels each group's whole distinct-token set (10⁸⁺ for
+    * a web-scale language: typos, numbers, URL fragments) through ONE
+    * sort task; the bucketed cut caps any task's sort at the largest
+    * (group, bucket) slice and the final window at buckets × K rows.
+    * Deterministic tiebreak: count desc, token asc. `buckets = 1`
+    * degenerates to the single-window plan (the small-group fast path —
+    * one exchange fewer; spec-checked identical output). */
   def vocabularyPerGroup(docs: DataFrame, groupCol: String, topK: Int,
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         buckets: Int = 64): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val counts = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("term_freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
+    val W = org.apache.spark.sql.expressions.Window
+    val pruned =
+      if (buckets == 1) counts
+      else {
+        val bw = W.partitionBy(col(groupCol), col("__bkt"))
+          .orderBy(col("term_freq").desc, col("token").asc)
+        counts
+          .withColumn("__bkt", pmod(xxhash64(col("token")), lit(buckets.toLong)))
+          .withColumn("__brank", row_number().over(bw))
+          .filter(col("__brank") <= topK)
+          .drop("__bkt", "__brank")
+      }
+    val w = W.partitionBy(col(groupCol))
       .orderBy(col("term_freq").desc, col("token").asc)
-    counts
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }

@@ -914,4 +914,58 @@ class TrainingDataSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
     assert((round.getWidth, round.getHeight) === ((50, 20)))
   }
+
+  test("per-group vocabulary: bucketed heavy-hitter cut equals the single window") {
+    // many distinct tokens per group so the 64 buckets are well populated,
+    // engineered frequency ties so the (count desc, token asc) tiebreak is
+    // exercised across bucket boundaries
+    val rows = (1 to 300).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // tok{i%40} appears with varied multiplicity; heavy hitters tok0..tok4
+      val body = (0 to i % 40).map(j => s"tok$j").mkString(" ")
+      (i.toLong, lang, body)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    def run(buckets: Int) =
+      TextAnalysis.vocabularyPerGroup(d, "lang", topK = 7, buckets = buckets)
+        .select("lang", "token", "term_freq", "rank")
+        .as[(String, String, Long, Int)].collect().sortBy(r => (r._1, r._4))
+        .toSeq
+    val window = run(1)
+    assert(window.nonEmpty && window.count(_._1 == "en") === 7)
+    assert(run(64) === window)   // the gate's default
+    assert(run(3) === window)    // buckets ≪ distinct tokens: heavy pruning
+    assert(run(1000) === window) // buckets ≫ distinct tokens: ~no pruning
+  }
+
+  test("token-budget mix keeps null-keyed rows in both formulations") {
+    // a null key has no md5 draw; it must sort first (nulls-first order)
+    // and survive the two-phase path's bucket join rather than vanish
+    val d: Seq[(Option[Long], Long, String, Long)] =
+      (1 to 60).map(i => (Some(i.toLong), i.toLong, "en", (i % 7 + 1).toLong)) :+
+        ((None, 999L, "en", 5L))
+    val df = d.toDF("key", "rid", "lang", "n_tokens")
+    def kept(prefixLen: Int): Set[Long] =
+      Sampling.tokenBudgetMix(df, "lang", Map("en" -> 80L),
+        tokenCountCol = "n_tokens", keyCol = "key", salt = "nk",
+        drawPrefixLen = prefixLen)
+        .select("rid").as[Long].collect().toSet
+    val single = kept(0)
+    // the null-keyed row sorts first and consumes budget in BOTH paths
+    assert(single.contains(999L))
+    assert(kept(2) === single)
+  }
+
+  test("simhash degenerate group: sample spans hash sub-partitions exactly") {
+    // 200 identical docs in ONE sketch group — far more members than any
+    // single sub-partition's sample; the merged slice must still be the
+    // sampleSize smallest ids and n_docs the full count
+    val d = docs((1 to 200).map(i => (i.toLong, "all the same text")): _*)
+    val g = Dedup.simhashGroups(d, sampleSize = 10, samplePartitions = 4)
+      .select(col("n_docs"), col("keep_id"), col("doc_ids")).collect()
+    assert(g.length === 1)
+    assert(g(0).getLong(0) === 200L)
+    assert(g(0).getLong(1) === 1L)
+    assert(g(0).getSeq[Long](2) === (1L to 10L))
+  }
 }
