@@ -40,7 +40,34 @@ object TrainingDataQueries extends QueryPack {
   private def sqDistSql(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
 
+  /** Fixture subword vocabulary for the `text_token_subword` gate:
+    * multi-character subwords over the synthetic corpus's lexicon, with
+    * deliberate gaps (no standalone `d`, `g`, …) so the one-code-point UNK
+    * path is exercised. ONE definition feeds both the Spark trie and the
+    * generated DuckDB `VALUES` list — they cannot drift. */
+  private[queries] val SubwordVocab: Seq[String] = Seq(
+    "table", "tab", "ta", "the", "a", "scan", "sca", "val", "value", "ue",
+    "row", "key", "agg", "spark", "spa", "rk", "window", "wind", "ow",
+    "batch", "bat", "ch", "er", "or", "ar", "st", "str", "eam", "line",
+    "li", "ne", "fast", "fa", "sl", "slow", "big", "sm", "all", "gr",
+    "oup", "data", "da", "que", "ry", "jo", "in", "co", "lumn", "fil",
+    "ter", "so", "rt", "ha", "sh", "me", "rge", "part", "pa", "ve",
+    "ctor", "cu", "stomer", "qu")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Subword (BPE/WordPiece-shaped) token counts under greedy
+    // longest-match against the fixture vocabulary — the counting pass
+    // budget arithmetic should run on where whitespace counts mislead
+    // (CJK, code).
+    "text_token_subword" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SubwordTokenCount
+            .subwordTokenCount(col("text"), SubwordVocab)
+            .cast("long").as("n_subword"))
+        .orderBy(col("doc_id"))
+    }),
 
     "text_token_count" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -424,6 +451,36 @@ object TrainingDataQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // greedy longest-match reimplemented as a recursive CTE: each step
+    // advances by the longest vocab entry matching at `pos` (or 1 char for
+    // UNK) and counts 1 — the per-word fixpoint row count is the subword
+    // count. The VALUES list is generated from the same Seq the Spark trie
+    // compiles from.
+    "text_token_subword" -> {
+      val values = SubwordVocab.map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+         |vocab(v) AS (VALUES $values),
+         |w AS (SELECT doc_id, w, row_number() OVER () AS wid
+         |      FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+         |m AS (
+         |  SELECT wid, doc_id, w, CAST(1 AS BIGINT) AS pos,
+         |         CAST(0 AS BIGINT) AS cnt
+         |  FROM w
+         |  UNION ALL
+         |  SELECT wid, doc_id, w,
+         |    pos + coalesce((SELECT max(length(v)) FROM vocab
+         |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
+         |    cnt + 1
+         |  FROM m WHERE pos <= length(w)
+         |),
+         |f AS (SELECT wid, any_value(doc_id) AS doc_id, max(cnt) AS wcnt
+         |      FROM m GROUP BY 1),
+         |per_doc AS (SELECT doc_id, sum(wcnt) AS n FROM f GROUP BY 1)
+         |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_subword
+         |FROM documents LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "text_token_count" ->
       s"""WITH $toksCte
          |SELECT doc_id, len(t) AS n_tokens,

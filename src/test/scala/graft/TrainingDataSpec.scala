@@ -956,6 +956,79 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept(2) === single)
   }
 
+  test("subword token count: greedy longest-match with UNK fallback") {
+    import graft.functions.SubwordTokenCount.subwordTokenCount
+    val vocab = Seq("table", "ta", "the", "a", "scan", "or", "er", "so",
+      "rt", "str", "eam")
+    val d = Seq(
+      (1L, "the"), (2L, "table"), (3L, "sort"), (4L, "stream"),
+      (5L, "order"), (6L, "zzz"), (7L, "the table sort stream order zzz"),
+      (8L, ""), (9L, "   \t\n "))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), subwordTokenCount(col("text"), vocab))
+      .as[(Long, Int)].collect().toMap
+    // greedy: "table" beats "ta"+?; "sort"=so+rt; "stream"=str+eam;
+    // "order"=or+UNK(d)+er; "zzz"=3 UNKs — cross-checked against the
+    // DuckDB recursive-CTE oracle formulation
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3,
+      6L -> 3, 7L -> 12, 8L -> 0, 9L -> 0))
+  }
+
+  test("subword token count: UNK advances one code point, not one byte") {
+    import graft.functions.SubwordTokenCount.subwordTokenCount
+    // é is 2 UTF-8 bytes, 𝄞 (U+1D11E) is 4 — each must count as ONE unk;
+    // a multi-byte vocab entry must match whole
+    val d = Seq((1L, "héllo"), (2L, "𝄞𝄞"), (3L, "héllo"), (4L, "naïve"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        subwordTokenCount(col("text"), Seq("llo", "h", "naïve")))
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 1))
+  }
+
+  test("subword token count matches a reference fold on random strings (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.SubwordTokenCount.subwordTokenCount
+    val vocab = Seq("ab", "abc", "bc", "a", "x", "xyz", "日本", "語")
+    def ref(text: String): Int =
+      text.split("[ \t\n\f\r]+").filter(_.nonEmpty).map { w =>
+        var i = 0; var c = 0
+        while (i < w.length) {
+          val lens = vocab.filter(v => w.startsWith(v, i)).map(_.length)
+          c += 1
+          i += (if (lens.nonEmpty) lens.max
+                else Character.charCount(w.codePointAt(i)))
+        }
+        c
+      }.sum
+    val piece = Gen.oneOf("a", "b", "c", "ab", "abc", "x", "yz", "日",
+      "本", "語", "日本語", "é", "𝄞", " ", "\t", "\n", "  ")
+    val textGen = Gen.listOf(piece).map(_.mkString)
+    val prop = forAll(textGen) { t =>
+      val got = Seq(Tuple1(t)).toDF("text")
+        .select(subwordTokenCount(col("text"), vocab)).as[Int].head()
+      Prop(got == ref(t)) :| s"text='$t' got=$got want=${ref(t)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("token-budget mix runs unchanged on a subword count column") {
+    import graft.functions.SubwordTokenCount.subwordTokenCount
+    val d = (1 to 30).map(i => (i.toLong, "en", "the table sort stream"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_sub",
+        subwordTokenCount(col("text"), Seq("the", "table", "so", "rt",
+          "str", "eam")).cast("long"))
+    // each doc counts 1+1+2+2 = 6 subword tokens; budget 45 keeps 7 docs
+    val kept = Sampling.tokenBudgetMix(d, "lang", Map("en" -> 45L),
+      tokenCountCol = "n_sub", keyCol = "doc_id", salt = "sw")
+      .select("doc_id").as[Long].collect()
+    assert(kept.length === 7)
+  }
+
   test("simhash degenerate group: sample spans hash sub-partitions exactly") {
     // 200 identical docs in ONE sketch group — far more members than any
     // single sub-partition's sample; the merged slice must still be the
