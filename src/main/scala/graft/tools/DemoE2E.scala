@@ -12,6 +12,15 @@ import graft.sources.FakeData
   * alerts) over N generated demo_case rows. The reference processes 15k-row
   * chunks record-at-a-time; this runs the whole corpus as one plan.
   *
+  * Besides the console summary, writes a STEP-TIMING ARTIFACT (one JSON
+  * file, path from GRAFT_STEP_TIMINGS or /tmp/graft_demo_e2e_steps.json):
+  * per-step durations (generate, analyze, optimize, physical, materialize,
+  * alerts) plus the [[graft.monitoring.StepMonitor]] query-execution
+  * records — the reference persists the same shape to its step_monitoring
+  * table (process_steps/__init__.py:49-57), and a per-step file makes a
+  * regression in ONE step visible round-over-round where the end-to-end
+  * number would average it away.
+  *
   * Usage: runMain graft.tools.DemoE2E [nRows]
   */
 object DemoE2E {
@@ -30,6 +39,8 @@ object DemoE2E {
       b.config("spark.sql.codegen.wholeStage", "false")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val monitor = graft.monitoring.StepMonitor.install(spark)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
     val codesDir = "/root/reference/meerkat_abacus/country_config/variable_codes"
     val catalog = CodesCsv.load(spark,
@@ -64,8 +75,10 @@ object DemoE2E {
     // CollapseProject inline the map construction into every downstream
     // column reference
     val formPath = s"/tmp/graft_demo_e2e_form_$n"
+    val tGen = System.nanoTime()
     FakeData.form(spark, "demo_case", fields, n, seed = 1L)
       .write.mode("overwrite").parquet(formPath)
+    steps += ("generate" -> (System.nanoTime() - tGen) / 1e9)
     val form = spark.read.parquet(formPath)
 
     val cfg = DataPipeline.EngineConfig(
@@ -87,27 +100,57 @@ object DemoE2E {
 
     val t0 = System.nanoTime()
     val result = DataPipeline.process(spark, Map("demo_case" -> form), cfg)
+    steps += ("construct" -> (System.nanoTime() - t0) / 1e9)
     def phase(name: String)(f: => Any): Unit = {
       val t = System.nanoTime(); f
-      println(f"PHASE $name ${(System.nanoTime() - t) / 1e9}%.2f s")
+      val secs = (System.nanoTime() - t) / 1e9
+      steps += (name -> secs)
+      println(f"PHASE $name $secs%.2f s")
     }
     phase("analyze")(result.data.queryExecution.analyzed)
     phase("optimize")(result.data.queryExecution.optimizedPlan)
     phase("physical")(result.data.queryExecution.executedPlan)
     // materialization barrier, as production would write `data` out here
     result.data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tMat = System.nanoTime()
     val rows = result.data.count()
+    steps += ("materialize" -> (System.nanoTime() - tMat) / 1e9)
     val elapsed = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
     val alerts = MultipleAlerts.dailyThreshold(result.data, "cmd_1", 3).count()
     val alertSecs = (System.nanoTime() - t1) / 1e9
+    steps += ("alerts" -> alertSecs)
 
     val withAlert = result.data
       .filter(element_at(col("variables"), "alert") === "1").count()
     println(f"DEMO_E2E rows_in=$n rows_out=$rows individual_alerts=$withAlert " +
       f"threshold_alerts=$alerts pipeline_s=$elapsed%.2f alerts_s=$alertSecs%.2f " +
       f"rows_per_s=${rows / elapsed}%.0f")
+    writeStepArtifact(n, rows, elapsed, steps.toSeq, monitor.snapshot)
     spark.stop()
+  }
+
+  /** One JSON file: the named step durations plus every query execution
+    * the listener saw — small, diffable round-over-round. */
+  private def writeStepArtifact(n: Int, rows: Long, totalSecs: Double,
+                                steps: Seq[(String, Double)],
+                                execs: Seq[graft.monitoring.StepMonitor.StepRecord]): Unit = {
+    def ms(s: Double) = math.rint(s * 1000) / 1000
+    val path = sys.env.getOrElse("GRAFT_STEP_TIMINGS",
+      "/tmp/graft_demo_e2e_steps.json")
+    val stepJson = steps.map { case (k, v) => s"""{"step":"$k","secs":${ms(v)}}""" }
+      .mkString("[", ",", "]")
+    val execJson = execs.map { r =>
+      val err = r.error.map(e => "\"" +
+        e.replace("\\", "\\\\").replace("\"", "\\\"").take(120) + "\"")
+        .getOrElse("null")
+      s"""{"action":"${r.step}","start_ms":${r.startMs},"duration_ms":${r.durationMs},"error":$err}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"rows_in":$n,"rows_out":$rows,"total_s":${ms(totalSecs)},""" +
+        s""""steps":$stepJson,"query_executions":$execJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    println(s"STEP_TIMINGS $path")
   }
 }

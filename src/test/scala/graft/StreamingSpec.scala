@@ -481,6 +481,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === Map("u1" -> "a", "u2" -> "B", "u3" -> "c"))
   }
 
+  test("upsert crash-safety: a failed stage write leaves the live store intact and a retry converges") {
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case", "v1"), ("u2", "case", "v1"))
+      .toDF("uuid", "type", "payload")
+    UpsertWriter.upsert(spark, v1, path)
+    // inject a mid-write executor failure: raise_error fires while the
+    // STAGE directory is being written, before any swap — the shape of a
+    // codec/disk fault killing the job between stage and promote
+    val bad = Seq(("u2", "case", "v2"), ("u3", "case", "v2"))
+      .toDF("uuid", "type", "payload")
+      .withColumn("payload", when(col("uuid") === "u3",
+        raise_error(lit("injected write failure"))).otherwise(col("payload")))
+    intercept[Exception] { UpsertWriter.upsert(spark, bad, path) }
+    // recovery contract 1: the live store never saw the failed batch
+    val after = spark.read.parquet(path)
+      .select("uuid", "payload").as[(String, String)].collect().toMap
+    assert(after === Map("u1" -> "v1", "u2" -> "v1"))
+    // recovery contract 2: a plain retry (stale .tmp leftovers and all)
+    // converges to the merged state
+    val good = Seq(("u2", "case", "v2"), ("u3", "case", "v2"))
+      .toDF("uuid", "type", "payload")
+    UpsertWriter.upsert(spark, good, path)
+    val healed = spark.read.parquet(path)
+      .select("uuid", "payload").as[(String, String)].collect().toMap
+    assert(healed === Map("u1" -> "v1", "u2" -> "v2", "u3" -> "v2"))
+  }
+
+  test("partitioned upsert crash-safety: failed batch never reaches live partitions") {
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case", 2015, "a"), ("u2", "case", 2016, "b"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v1, path)
+    val bad = Seq(("u2", "case", 2016, "B"), ("u3", "case", 2016, "boom"))
+      .toDF("uuid", "type", "epi_year", "v")
+      .withColumn("v", when(col("v") === "boom",
+        raise_error(lit("injected write failure"))).otherwise(col("v")))
+    intercept[Exception] { UpsertWriter.upsertPartitioned(spark, bad, path) }
+    val after = spark.read.parquet(path).select(col("uuid"), col("v"))
+      .as[(String, String)].collect().toMap
+    assert(after === Map("u1" -> "a", "u2" -> "b"))
+    val good = Seq(("u2", "case", 2016, "B"), ("u3", "case", 2016, "c"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, good, path)
+    val healed = spark.read.parquet(path).select(col("uuid"), col("v"))
+      .as[(String, String)].collect().toMap
+    assert(healed === Map("u1" -> "a", "u2" -> "B", "u3" -> "c"))
+  }
+
   test("partitioned upsert handles empty batches and null partition values") {
     val path = tmpDir() + "/store2"
     val v1 = Seq(("u1", "case", Some(2015), "a"), ("u2", "case", None, "b"))
@@ -643,6 +691,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(bodies.exists(b =>
         b.contains("\"id\":\"u2\"") && b.contains("clinic-9-cmd_2")))
     }
+  }
+
+  test("http publisher fails within readTimeout on an accept-then-stall endpoint") {
+    // a raw socket that accepts the connection and reads the request but
+    // NEVER responds — the half-open shape that hangs a task forever when
+    // timeouts are left at HttpURLConnection's infinite defaults
+    val server = new java.net.ServerSocket(0)
+    val stall = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = s.getInputStream
+        while (in.read() != -1) () // drain until the client gives up
+      } catch { case _: Throwable => () }
+    })
+    stall.setDaemon(true)
+    stall.start()
+    try {
+      val poster = graft.sinks.HttpPublisher.jsonPoster(
+        s"http://127.0.0.1:${server.getLocalPort}/publish", "PUT",
+        connectTimeoutMs = 2000, readTimeoutMs = 500)
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException] { poster(Iterator("{}")) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // the failure lands into the at-least-once retry path promptly —
+      // generous bound, but orders of magnitude under "hangs forever"
+      assert(elapsed < 10.0,
+        f"stalled endpoint took $elapsed%.1f s to fail — readTimeout not enforced")
+    } finally server.close()
   }
 
   test("alert publisher surfaces non-2xx responses as task failures") {
