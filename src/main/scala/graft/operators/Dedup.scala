@@ -57,40 +57,66 @@ object Dedup {
     * shingle, so cost is Σ posting-list².
     *
     * @param maxShingleDf skew guard: drop shingles whose document frequency
-    *        exceeds this cap BEFORE the self-join. A stop-shingle ("in the
+    *        exceeds this cap BEFORE pair generation. A stop-shingle ("in the
     *        beginning", boilerplate headers) with document frequency f costs
-    *        f² join rows — one shingle in 1M docs is 10¹² candidate rows at
+    *        f² pair rows — one shingle in 1M docs is 10¹² candidate rows at
     *        corpus scale. Dropped shingles leave both the intersection and
     *        the per-doc sizes, so pairs whose overlap is only boilerplate
-    *        fall below threshold (the standard stop-shingle Jaccard). The
-    *        DF count rides the same shingle-keyed shuffle the join needs —
-    *        zero extra exchanges. With a cap above the corpus's max DF the
-    *        output is exactly the unguarded result (spec-verified). */
+    *        fall below threshold (the standard stop-shingle Jaccard).
+    *        Setting the cap also switches pair generation to the cheaper
+    *        POSTING-LIST formulation (per-shingle doc lists, pairs exploded
+    *        as a projection — the cap bounds the list buffers); without a
+    *        cap the postings self-join runs instead, which never buffers a
+    *        hot shingle's membership. With a cap above the corpus's max DF
+    *        the output is exactly the unguarded result (spec-verified). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
-    // join on a 64-bit shingle hash instead of the shingle string: same pair
-    // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume and
-    // long-vs-string comparisons in the join. Persisted: the self-join +
-    // counts would otherwise re-run the tokenize/shingle pipeline three
-    // times (postings are tiny relative to the corpus — ids + hashes).
+    // pair on a 64-bit shingle hash instead of the shingle string: same pair
+    // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume.
     val raw = shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val guarded = maxShingleDf match {
-      case None => raw
+    val (common, counts) = maxShingleDf match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-        raw.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= cap).drop("__df")
+        // POSTING-LIST formulation: one aggregation builds each shingle's
+        // document list; the DF guard is a plain size filter on it, and
+        // candidate pairs EXPLODE out of the list as a projection — no
+        // window, no self-join, two fewer exchanges than the join
+        // formulation. The aggregation buffer is bounded by the caller's
+        // cap... almost: one overflowing stop-shingle buffers cap+ entries
+        // before the filter drops it, which is exactly the memory the
+        // caller budgeted for pair generation anyway (a bucket of f docs
+        // is f·8 bytes buffered vs f² join rows downstream — the buffer
+        // is never the binding constraint). Persisted: pairs and per-doc
+        // counts both read it, and it is ~10× smaller than the postings.
+        val byShingle = raw.groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("__ds"))
+          .filter(size(col("__ds")) <= cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val common = byShingle
+          .select(explode(unorderedPairs(col("__ds"))).as("__p"))
+          .groupBy(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val counts = byShingle.select(explode(col("__ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        (common, counts)
+      case None =>
+        // unguarded: the postings SELF-JOIN (shuffle keyed on the shingle,
+        // cost Σ posting-list²) — no per-shingle buffering at all, for
+        // callers who cannot bound the hot-shingle document frequency.
+        // Persisted: the self-join + counts would otherwise re-run the
+        // tokenize/shingle pipeline three times.
+        val postings = raw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = postings.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val common = postings.as("p1")
+          .join(postings.as("p2"), col("p1.shingle") === col("p2.shingle") &&
+            col("p1.doc_id") < col("p2.doc_id"))
+          .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+        (common, counts)
     }
-    val postings = guarded
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = postings.as("p1")
-      .join(postings.as("p2"), col("p1.shingle") === col("p2.shingle") &&
-        col("p1.doc_id") < col("p2.doc_id"))
-      .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
     common
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
@@ -101,6 +127,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
+
+  /** All unordered pairs of an array column's elements as (a, b) structs,
+    * canonically (min, max)-ordered — the projection-side pair generator
+    * the posting-list dedup formulations explode. O(len²) output, which is
+    * why every caller caps the list size first. */
+  private def unorderedPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + 2, greatest(size(ds) - i - 1, lit(0))),
+        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
 
   /** Fixed per-permutation universal-hash constants (odd multipliers +
     * offsets) for [[minhashes]]. Mirrored VERBATIM by the DuckDB oracle —
@@ -154,11 +189,13 @@ object Dedup {
     *        quadratic — b docs emit b²/2 candidate pairs inside the bucket
     *        regardless of corpus-side banding. Oversized buckets are almost
     *        always a degenerate content class, not genuine near-dups of one
-    *        another; real members still pair through their other bands. The
-    *        size count rides the (band, sig)-keyed shuffle the self-join
-    *        needs — zero extra exchanges. With a cap above the corpus's max
-    *        bucket size the output is exactly the unguarded result
-    *        (spec-verified). */
+    *        another; real members still pair through their other bands.
+    *        Setting the cap switches to the posting-list formulation (one
+    *        (band, sig) aggregation with cap-bounded list buffers, pairs
+    *        exploded as a projection); without it the bucket self-join
+    *        runs, which never buffers a bucket's membership. With a cap
+    *        above the corpus's max bucket size the output is exactly the
+    *        unguarded result (spec-verified). */
   /** (band, signature) structs over a wide minhash row — the ONE definition
     * of the banding scheme, shared by the pair join and the skew stats so
     * they can never drift apart. */
@@ -175,26 +212,32 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       k: Int = 3, maxBucketSize: Option[Int] = None): DataFrame = {
     val mh = minhashes(docs, numHashes, idCol, textCol, k)
-    // persisted for the same reason as in jaccardPairs: both sides of the
-    // bucket self-join would re-run shingling + the signature aggregation
     val rawBands = mh.select(col("doc_id"),
         explode(array(bandStructs(numHashes, bandSize): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val guardedBands = maxBucketSize match {
-      case None => rawBands
+    maxBucketSize match {
       case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("sig"))
-        rawBands.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= cap).drop("__bn")
+        // posting-list formulation (see jaccardPairs): one (band, sig)
+        // aggregation, size-capped lists, pairs exploded as a projection —
+        // replaces the window guard + bucket self-join and their exchanges
+        rawBands.groupBy(col("band"), col("sig"))
+          .agg(collect_list(col("doc_id")).as("__ds"))
+          .filter(size(col("__ds")) <= cap)
+          .select(explode(unorderedPairs(col("__ds"))).as("__p"))
+          .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
+          .distinct()
+      case None =>
+        // unguarded: bucket self-join, no per-bucket buffering. Persisted —
+        // both join sides would re-run shingling + the signature
+        // aggregation otherwise.
+        val bands = rawBands
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bands.as("b1")
+          .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
+            col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
+          .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+          .distinct()
     }
-    val bands = guardedBands
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.as("b1")
-      .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
-        col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
-      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
-      .distinct()
   }
 
   /** Skew counters for the [[jaccardPairs]] guard: one row with the max
