@@ -69,6 +69,48 @@ object SubwordTokenCount {
   def subwordTokenCount(text: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.column(SubwordTokenCount(
       GraftColumnBridge.expression(text), vocab))
+
+  /** The SEGMENTATION twin of [[subwordTokenCount]]: the pieces themselves,
+    * in document order. `size(subwordTokens(t, v)) ==
+    * subwordTokenCount(t, v)` by construction (spec-enforced). */
+  def subwordTokens(text: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(SubwordTokenize(
+      GraftColumnBridge.expression(text), vocab))
+}
+
+/** Subword SEGMENTATION under the same greedy longest-match walk as
+  * [[SubwordTokenCount]] — emits the pieces instead of their count, for
+  * the pipelines that feed the segments onward (vocab coverage reports,
+  * per-piece statistics, actual tokenization). Counting stays the separate
+  * allocation-free expression: budget arithmetic should never pay for
+  * piece materialization. One byte-array copy per row; the pieces are
+  * zero-copy views into it. */
+case class SubwordTokenize(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"subword_tokens expects string, got ${child.dataType}")
+
+  @transient private lazy val trie = SubwordTrie.build(vocab)
+
+  override protected def nullSafeEval(input: Any): Any =
+    trie.segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("subwordTrie", trie,
+      classOf[SubwordTrie].getName)
+    defineCodeGen(ctx, ev, c => s"$trieRef.segment($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Immutable byte trie with open-addressed long→int transitions: key is
@@ -136,6 +178,39 @@ final class SubwordTrie private (keys: Array[Long], vals: Array[Int],
       }
     }
     count
+  }
+
+  /** The same greedy walk as [[countTokens]], emitting the pieces
+    * (Java-callable from generated code). One `getBytes` copy per row;
+    * every piece is a zero-copy `UTF8String.fromBytes` view into it. */
+  def segment(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        var node = 0
+        var j = i
+        var lastEnd = -1
+        var walking = true
+        while (walking && j < n && !isWs(bytes(j))) {
+          val nxt = child(node, bytes(j))
+          if (nxt < 0) walking = false
+          else {
+            node = nxt
+            j += 1
+            if (terminal(node)) lastEnd = j
+          }
+        }
+        val end = if (lastEnd > i) lastEnd
+                  else math.min(i + charLen(bytes(i)), n)
+        out += UTF8String.fromBytes(bytes, i, end - i)
+        i = end
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
 

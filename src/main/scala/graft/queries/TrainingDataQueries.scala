@@ -69,6 +69,16 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The segmentation twin: the pieces themselves, space-joined so the
+    // whole segmentation is one comparable string per document.
+    "text_subword_segments" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", graft.functions.SubwordTokenCount
+            .subwordTokens(col("text"), SubwordVocab)).as("segments"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_token_count" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -477,6 +487,38 @@ object TrainingDataQueries extends QueryPack {
          |      FROM m GROUP BY 1),
          |per_doc AS (SELECT doc_id, sum(wcnt) AS n FROM f GROUP BY 1)
          |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_subword
+         |FROM documents LEFT JOIN per_doc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same recursive walk, carrying the matched piece per step; pieces
+    // re-join in (word, step) order — the whole-document segmentation.
+    "text_subword_segments" -> {
+      val values = SubwordVocab.map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+         |vocab(v) AS (VALUES $values),
+         |w AS (SELECT doc_id, w, row_number() OVER () AS wid
+         |      FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+         |m AS (
+         |  SELECT wid, doc_id, w, CAST(1 AS BIGINT) AS pos,
+         |         CAST(0 AS BIGINT) AS step, CAST(NULL AS VARCHAR) AS piece
+         |  FROM w
+         |  UNION ALL
+         |  SELECT wid, doc_id, w,
+         |    pos + coalesce((SELECT max(length(v)) FROM vocab
+         |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
+         |    step + 1,
+         |    substr(w, CAST(pos AS INT),
+         |      CAST(coalesce((SELECT max(length(v)) FROM vocab
+         |                     WHERE v = substr(w, CAST(pos AS INT), length(v))), 1) AS INT))
+         |  FROM m WHERE pos <= length(w)
+         |),
+         |wp AS (SELECT wid, any_value(doc_id) AS doc_id,
+         |         string_agg(piece, ' ' ORDER BY step) AS pieces
+         |       FROM m WHERE piece IS NOT NULL GROUP BY 1),
+         |per_doc AS (SELECT doc_id, string_agg(pieces, ' ' ORDER BY wid) AS segs
+         |            FROM wp GROUP BY 1)
+         |SELECT doc_id, coalesce(segs, '') AS segments
          |FROM documents LEFT JOIN per_doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },

@@ -21,6 +21,39 @@ object UpsertWriter {
     f.delete()
   }
 
+  /** RECOVERY CONTRACT (spec-covered): a failure at any point leaves the
+    * store recoverable —
+    *  1. during the stage write: the live directory is untouched; a plain
+    *     retry overwrites the partial `.tmp` and converges;
+    *  2. between move-aside and promote in [[swapDir]] (live dir gone,
+    *     `.old` holds the data): [[restoreInterrupted]] renames `.old`
+    *     back before the next upsert reads the store — no history loss;
+    *  3. after promote, before `.old` cleanup: the live dir is already the
+    *     new state; the stale `.old` is deleted by the next swap.
+    */
+  private def restoreInterrupted(target: java.io.File): Unit = {
+    val old = new java.io.File(target.getPath + ".old")
+    if (!target.exists() && old.exists() && !old.renameTo(target))
+      throw new java.io.IOException(
+        s"found interrupted swap ($old exists, $target missing) but could not restore")
+  }
+
+  /** Partition-tree recovery for [[upsertPartitioned]]: restore any
+    * interrupted per-partition swap under `root`, and DELETE stale `.old`
+    * directories whose live twin survived — inside a partitioned layout a
+    * leftover `epi_year=2015.old` directory would otherwise be discovered
+    * as a bogus partition VALUE ("2015.old") and resurrect replaced rows
+    * into full-store reads. */
+  private def restoreInterruptedTree(root: java.io.File): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory) {
+        if (f.getName.endsWith(".old")) {
+          val live = new java.io.File(f.getPath.stripSuffix(".old"))
+          if (live.exists()) rm(f) else restoreInterrupted(live)
+        } else restoreInterruptedTree(f)
+      }
+    }
+
   /** Promote `tmp` into `target`: rename the live directory ASIDE first,
     * promote, then delete the old copy — a failed rename restores the
     * original and throws instead of silently losing the store. */
@@ -39,6 +72,10 @@ object UpsertWriter {
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
              keys: Seq[String] = Seq("uuid", "type")): Unit = {
     val dir = new java.io.File(path)
+    // a crash between move-aside and promote left the store at `.old`;
+    // restore it BEFORE the existence check or the merge would treat the
+    // store as fresh and drop all history
+    restoreInterrupted(dir)
     val exists = dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet"))
     val merged =
       if (!exists) batch
@@ -72,6 +109,9 @@ object UpsertWriter {
         .write.partitionBy(partitionCols: _*).parquet(path)
       return
     }
+    // heal any interrupted per-partition swap BEFORE reading the store —
+    // a missing live partition would silently read as "no previous rows"
+    restoreInterruptedTree(root)
     val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return // empty micro-batch: nothing to merge
     // null-safe equality: a null partition value must select the

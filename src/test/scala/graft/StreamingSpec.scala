@@ -529,6 +529,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(healed === Map("u1" -> "a", "u2" -> "B", "u3" -> "c"))
   }
 
+  test("upsert heals a swap interrupted between move-aside and promote") {
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case", "v1")).toDF("uuid", "type", "payload")
+    UpsertWriter.upsert(spark, v1, path)
+    // simulate the crash window: the live dir was moved aside but the
+    // promote never happened — the store exists only as `.old`
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val v2 = Seq(("u2", "case", "v2")).toDF("uuid", "type", "payload")
+    UpsertWriter.upsert(spark, v2, path)
+    // without recovery this would have treated the store as FRESH and
+    // dropped u1's history
+    val out = spark.read.parquet(path)
+      .select("uuid", "payload").as[(String, String)].collect().toMap
+    assert(out === Map("u1" -> "v1", "u2" -> "v2"))
+  }
+
+  test("partitioned upsert heals wedged partition swaps and clears stale .old dirs") {
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case", 2015, "a"), ("u2", "case", 2016, "b"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v1, path)
+    // wedge one partition mid-swap (live gone, .old holds the data) and
+    // plant a stale .old next to a surviving live partition — the stale
+    // copy must NOT be discovered as a bogus "2016.old" partition value
+    val p2015 = new java.io.File(s"$path/type=case/epi_year=2015")
+    assert(p2015.renameTo(new java.io.File(p2015.getPath + ".old")))
+    val p2016 = new java.io.File(s"$path/type=case/epi_year=2016")
+    val stale = new java.io.File(p2016.getPath + ".old")
+    assert(stale.mkdirs())
+    java.nio.file.Files.copy(
+      p2016.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      new java.io.File(stale, "part-stale.parquet").toPath)
+    val v2 = Seq(("u3", "case", 2016, "c")).toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v2, path)
+    val out = spark.read.parquet(path).select(col("uuid"), col("v"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("u1" -> "a", "u2" -> "b", "u3" -> "c"))
+    assert(!new java.io.File(p2015.getPath + ".old").exists())
+    assert(!stale.exists())
+  }
+
   test("partitioned upsert handles empty batches and null partition values") {
     val path = tmpDir() + "/store2"
     val v1 = Seq(("u1", "case", Some(2015), "a"), ("u2", "case", None, "b"))

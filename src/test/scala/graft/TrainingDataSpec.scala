@@ -1015,6 +1015,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("subword segmentation emits the greedy pieces; size equals the count") {
+    import graft.functions.SubwordTokenCount.{subwordTokenCount, subwordTokens}
+    val vocab = Seq("table", "ta", "the", "a", "scan", "or", "er", "so",
+      "rt", "str", "eam", "naïve")
+    val d = Seq(
+      (1L, "the table sort stream order zzz"),
+      (2L, "naïve héllo"), (3L, ""), (4L, "  \t "))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        subwordTokens(col("text"), vocab).as("p"),
+        subwordTokenCount(col("text"), vocab).as("n"))
+      .as[(Long, Seq[String], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === Seq("the", "table", "so", "rt", "str", "eam",
+      "or", "d", "er", "z", "z", "z"))
+    assert(out(2L)._1 === Seq("naïve", "h", "é", "l", "l", "o"))
+    assert(out(3L)._1 === Seq.empty)
+    assert(out(4L)._1 === Seq.empty)
+    // the two expressions are the same walk: |pieces| == count, always
+    assert(out.values.forall { case (p, n) => p.length == n })
+  }
+
   test("token-budget mix runs unchanged on a subword count column") {
     import graft.functions.SubwordTokenCount.subwordTokenCount
     val d = (1 to 30).map(i => (i.toLong, "en", "the table sort stream"))
