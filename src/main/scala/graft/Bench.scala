@@ -115,19 +115,27 @@ object Bench {
         t
       }
       val warm = once()
+      // large plans are often STILL JIT-compiling during their first timed
+      // runs when they execute early in the JVM's life (observed: a 5 s
+      // first contact followed by 2.9→2.3→1.8 s timed runs — the median
+      // lands mid-warmup and swings >30% between paired benches). One
+      // extra warm pass for anything whose first contact was slow keeps
+      // the medians attributable to plans.
+      val warm2 = if (warm > 2.0) once() else -1.0
       val times = Seq.fill(timedRuns)(once())
       val median = times.sorted.apply(times.length / 2)
       System.err.println(
         f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} median=$median%7.2fs")
-      (name, ms(median), ms(warm), times.map(ms))
+      (name, ms(median), (ms(warm), if (warm2 < 0) None else Some(ms(warm2))), times.map(ms))
     }
     val loadAfter = loadavg()
     val jvmsAfter = foreignJvms()
     val foreign = (jvmsBefore ++ jvmsAfter).distinct.sorted
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, w, ts) =>
-      s"\"" + k + "\":{\"warm\":" + w + ",\"t\":[" + ts.mkString(",") + "]}"
+    val runs = results.map { case (k, _, (w, w2), ts) =>
+      val warm2 = w2.map(x => ",\"warm2\":" + x).getOrElse("")
+      s"\"" + k + "\":{\"warm\":" + w + warm2 + ",\"t\":[" + ts.mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
     val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
