@@ -100,11 +100,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // taint is sampled per query, not just at the suite's ends — a
+    // concurrent JVM that starts and exits mid-suite is exactly the r7
+    // skew scenario the flag exists for
+    val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
+    foreignSeen ++= jvmsBefore
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // quiesce before each query: collect the previous query's garbage so
       // its GC debt isn't billed to this one's timings
       System.gc()
       Thread.sleep(100)
+      foreignSeen ++= foreignJvms()
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -129,8 +135,8 @@ object Bench {
       (name, ms(median), (ms(warm), if (warm2 < 0) None else Some(ms(warm2))), times.map(ms))
     }
     val loadAfter = loadavg()
-    val jvmsAfter = foreignJvms()
-    val foreign = (jvmsBefore ++ jvmsAfter).distinct.sorted
+    foreignSeen ++= foreignJvms()
+    val foreign = foreignSeen.toSeq
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, (w, w2), ts) =>

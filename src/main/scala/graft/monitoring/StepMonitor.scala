@@ -25,8 +25,9 @@ class StepMonitor extends QueryExecutionListener {
 
   override def onFailure(funcName: String, qe: QueryExecution,
                          exception: Exception): Unit =
+    // Option(), not Some(): getMessage is null for bare NPEs and friends
     records.add(StepRecord(funcName, System.currentTimeMillis(), 0L,
-      Some(exception.getMessage)))
+      Option(exception.getMessage).orElse(Some(exception.getClass.getName))))
 
   def snapshot: Seq[StepRecord] = records.asScala.toSeq
 

@@ -31,18 +31,26 @@ object Decontaminate {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Map[String, Long]]()
 
-  private def benchTokenCount(benchmark: DataFrame, textCol: String): Long =
-    guardMemo.synchronized {
-      val plan = benchmark.queryExecution.analyzed
-      val known = Option(guardMemo.get(plan)).getOrElse(Map.empty)
-      known.getOrElse(textCol, {
-        val n = benchmark
-          .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
-          .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-        guardMemo.put(plan, known + (textCol -> n))
-        n
-      })
+  private def benchTokenCount(benchmark: DataFrame, textCol: String): Long = {
+    val plan = benchmark.queryExecution.analyzed
+    val cached = guardMemo.synchronized {
+      Option(guardMemo.get(plan)).getOrElse(Map.empty).get(textCol)
     }
+    cached.getOrElse {
+      // the Spark action runs OUTSIDE the lock: holding it across a job
+      // would serialize every decontaminate caller in the JVM behind one
+      // benchmark's aggregation (two racing callers compute twice — the
+      // results are identical, last write wins)
+      val n = benchmark
+        .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      guardMemo.synchronized {
+        val known = Option(guardMemo.get(plan)).getOrElse(Map.empty)
+        guardMemo.put(plan, known + (textCol -> n))
+      }
+      n
+    }
+  }
 
   /** Per-training-document contamination counts against `benchmark`.
     *

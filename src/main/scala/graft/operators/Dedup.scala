@@ -95,6 +95,11 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val common = byShingle
           .select(explode(unorderedPairs(col("__ds"))).as("__p"))
+          // duplicate doc_id rows put the same id in one list twice; the
+          // self-join formulation's strict < never pairs an id with itself,
+          // so drop (x, x) here too — the cap/no-cap equivalence is a
+          // documented contract
+          .filter(col("__p.a") =!= col("__p.b"))
           .groupBy(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
           .agg(count(lit(1)).as("n_common"))
         val counts = byShingle.select(explode(col("__ds")).as("doc_id"))
@@ -224,6 +229,7 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("__ds"))
           .filter(size(col("__ds")) <= cap)
           .select(explode(unorderedPairs(col("__ds"))).as("__p"))
+          .filter(col("__p.a") =!= col("__p.b")) // see jaccardPairs
           .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
           .distinct()
       case None =>

@@ -468,23 +468,26 @@ object TrainingDataQueries extends QueryPack {
     // compiles from.
     "text_token_subword" -> {
       val values = SubwordVocab.map(v => s"('$v')").mkString(", ")
+      // the word key is (doc_id, list ordinal) — NOT row_number() OVER ()
+      // without an ORDER BY, whose assignment order is not guaranteed once
+      // the scan parallelizes
       s"""WITH RECURSIVE $toksCte,
          |vocab(v) AS (VALUES $values),
-         |w AS (SELECT doc_id, w, row_number() OVER () AS wid
-         |      FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+         |w AS (SELECT doc_id, u[1] AS w, u[2] AS widx
+         |      FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+         |            FROM toks)),
          |m AS (
-         |  SELECT wid, doc_id, w, CAST(1 AS BIGINT) AS pos,
+         |  SELECT doc_id, widx, w, CAST(1 AS BIGINT) AS pos,
          |         CAST(0 AS BIGINT) AS cnt
          |  FROM w
          |  UNION ALL
-         |  SELECT wid, doc_id, w,
+         |  SELECT doc_id, widx, w,
          |    pos + coalesce((SELECT max(length(v)) FROM vocab
          |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
          |    cnt + 1
          |  FROM m WHERE pos <= length(w)
          |),
-         |f AS (SELECT wid, any_value(doc_id) AS doc_id, max(cnt) AS wcnt
-         |      FROM m GROUP BY 1),
+         |f AS (SELECT doc_id, widx, max(cnt) AS wcnt FROM m GROUP BY 1, 2),
          |per_doc AS (SELECT doc_id, sum(wcnt) AS n FROM f GROUP BY 1)
          |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_subword
          |FROM documents LEFT JOIN per_doc USING (doc_id)
@@ -495,16 +498,18 @@ object TrainingDataQueries extends QueryPack {
     // re-join in (word, step) order — the whole-document segmentation.
     "text_subword_segments" -> {
       val values = SubwordVocab.map(v => s"('$v')").mkString(", ")
+      // word key = (doc_id, list ordinal), see text_token_subword
       s"""WITH RECURSIVE $toksCte,
          |vocab(v) AS (VALUES $values),
-         |w AS (SELECT doc_id, w, row_number() OVER () AS wid
-         |      FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+         |w AS (SELECT doc_id, u[1] AS w, u[2] AS widx
+         |      FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+         |            FROM toks)),
          |m AS (
-         |  SELECT wid, doc_id, w, CAST(1 AS BIGINT) AS pos,
+         |  SELECT doc_id, widx, w, CAST(1 AS BIGINT) AS pos,
          |         CAST(0 AS BIGINT) AS step, CAST(NULL AS VARCHAR) AS piece
          |  FROM w
          |  UNION ALL
-         |  SELECT wid, doc_id, w,
+         |  SELECT doc_id, widx, w,
          |    pos + coalesce((SELECT max(length(v)) FROM vocab
          |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
          |    step + 1,
@@ -513,10 +518,10 @@ object TrainingDataQueries extends QueryPack {
          |                     WHERE v = substr(w, CAST(pos AS INT), length(v))), 1) AS INT))
          |  FROM m WHERE pos <= length(w)
          |),
-         |wp AS (SELECT wid, any_value(doc_id) AS doc_id,
+         |wp AS (SELECT doc_id, widx,
          |         string_agg(piece, ' ' ORDER BY step) AS pieces
-         |       FROM m WHERE piece IS NOT NULL GROUP BY 1),
-         |per_doc AS (SELECT doc_id, string_agg(pieces, ' ' ORDER BY wid) AS segs
+         |       FROM m WHERE piece IS NOT NULL GROUP BY 1, 2),
+         |per_doc AS (SELECT doc_id, string_agg(pieces, ' ' ORDER BY widx) AS segs
          |            FROM wp GROUP BY 1)
          |SELECT doc_id, coalesce(segs, '') AS segments
          |FROM documents LEFT JOIN per_doc USING (doc_id)

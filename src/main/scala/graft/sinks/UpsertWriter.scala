@@ -21,34 +21,45 @@ object UpsertWriter {
     f.delete()
   }
 
+  /** The move-aside artifact for `target`: an UNDERSCORE-prefixed sibling.
+    * Spark's file listing treats `_`-prefixed paths as hidden, so even a
+    * stale artifact is invisible to readers; and no legitimate partition
+    * directory can collide with it — partition dirs are `col=value`, and a
+    * suffix convention like `<dir>.old` WOULD collide ('.': not
+    * percent-escaped, so a value literally ending in ".old" produces a
+    * directory the healer would destroy or rename). */
+  private def asideFor(target: java.io.File): java.io.File = {
+    val abs = target.getAbsoluteFile
+    new java.io.File(abs.getParentFile, "_old_" + abs.getName)
+  }
+
   /** RECOVERY CONTRACT (spec-covered): a failure at any point leaves the
     * store recoverable —
     *  1. during the stage write: the live directory is untouched; a plain
     *     retry overwrites the partial `.tmp` and converges;
     *  2. between move-aside and promote in [[swapDir]] (live dir gone,
-    *     `.old` holds the data): [[restoreInterrupted]] renames `.old`
+    *     `_old_<dir>` holds the data): [[restoreInterrupted]] renames it
     *     back before the next upsert reads the store — no history loss;
-    *  3. after promote, before `.old` cleanup: the live dir is already the
-    *     new state; the stale `.old` is deleted by the next swap.
+    *  3. after promote, before aside cleanup: the live dir is already the
+    *     new state; the stale aside is hidden from readers (`_` prefix)
+    *     and deleted by the next swap or tree heal.
     */
   private def restoreInterrupted(target: java.io.File): Unit = {
-    val old = new java.io.File(target.getPath + ".old")
+    val old = asideFor(target)
     if (!target.exists() && old.exists() && !old.renameTo(target))
       throw new java.io.IOException(
         s"found interrupted swap ($old exists, $target missing) but could not restore")
   }
 
   /** Partition-tree recovery for [[upsertPartitioned]]: restore any
-    * interrupted per-partition swap under `root`, and DELETE stale `.old`
-    * directories whose live twin survived — inside a partitioned layout a
-    * leftover `epi_year=2015.old` directory would otherwise be discovered
-    * as a bogus partition VALUE ("2015.old") and resurrect replaced rows
-    * into full-store reads. */
+    * interrupted per-partition swap under `root`, and delete stale aside
+    * directories whose live twin survived. */
   private def restoreInterruptedTree(root: java.io.File): Unit =
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory) {
-        if (f.getName.endsWith(".old")) {
-          val live = new java.io.File(f.getPath.stripSuffix(".old"))
+        if (f.getName.startsWith("_old_")) {
+          val live = new java.io.File(f.getParentFile,
+            f.getName.stripPrefix("_old_"))
           if (live.exists()) rm(f) else restoreInterrupted(live)
         } else restoreInterruptedTree(f)
       }
@@ -58,7 +69,7 @@ object UpsertWriter {
     * promote, then delete the old copy — a failed rename restores the
     * original and throws instead of silently losing the store. */
   private def swapDir(tmp: java.io.File, target: java.io.File): Unit = {
-    val old = new java.io.File(target.getPath + ".old")
+    val old = asideFor(target)
     if (old.exists()) rm(old)
     if (target.exists() && !target.renameTo(old))
       throw new java.io.IOException(s"could not move $target aside to $old")

@@ -127,7 +127,18 @@ object DemoE2E {
     println(f"DEMO_E2E rows_in=$n rows_out=$rows individual_alerts=$withAlert " +
       f"threshold_alerts=$alerts pipeline_s=$elapsed%.2f alerts_s=$alertSecs%.2f " +
       f"rows_per_s=${rows / elapsed}%.0f")
-    writeStepArtifact(n, rows, elapsed, steps.toSeq, monitor.snapshot)
+    // QueryExecutionListener delivery is async: poll until the record
+    // count is stable so the artifact doesn't drop the last actions
+    var snap = monitor.snapshot
+    val deadline = System.currentTimeMillis() + 3000
+    var settled = false
+    while (!settled && System.currentTimeMillis() < deadline) {
+      Thread.sleep(150)
+      val again = monitor.snapshot
+      settled = again.size == snap.size
+      snap = again
+    }
+    writeStepArtifact(n, rows, elapsed, steps.toSeq, snap)
     spark.stop()
   }
 
@@ -137,15 +148,25 @@ object DemoE2E {
                                 steps: Seq[(String, Double)],
                                 execs: Seq[graft.monitoring.StepMonitor.StepRecord]): Unit = {
     def ms(s: Double) = math.rint(s * 1000) / 1000
+    // truncate BEFORE escaping (truncating after can cut an escape pair in
+    // half), and escape every control char — Spark stage-failure messages
+    // carry newlines that would break the JSON line otherwise
+    def jstr(s: String): String = "\"" + s.take(120).flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val path = sys.env.getOrElse("GRAFT_STEP_TIMINGS",
       "/tmp/graft_demo_e2e_steps.json")
     val stepJson = steps.map { case (k, v) => s"""{"step":"$k","secs":${ms(v)}}""" }
       .mkString("[", ",", "]")
     val execJson = execs.map { r =>
-      val err = r.error.map(e => "\"" +
-        e.replace("\\", "\\\\").replace("\"", "\\\"").take(120) + "\"")
-        .getOrElse("null")
-      s"""{"action":"${r.step}","start_ms":${r.startMs},"duration_ms":${r.durationMs},"error":$err}"""
+      val err = r.error.map(jstr).getOrElse("null")
+      s"""{"action":${jstr(r.step)},"start_ms":${r.startMs},"duration_ms":${r.durationMs},"error":$err}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"rows_in":$n,"rows_out":$rows,"total_s":${ms(totalSecs)},""" +

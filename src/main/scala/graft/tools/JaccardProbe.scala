@@ -25,6 +25,10 @@ object JaccardProbe {
 
     def time(name: String)(f: => Long): Unit = {
       f // warm
+      // drop any INTERNAL persists the warm pass left (jaccardPairs caches
+      // its posting lists) — otherwise the timed pass reads the warm run's
+      // cache and understates exactly the expensive stages
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")

@@ -534,8 +534,9 @@ class StreamingSpec extends AnyFunSuite {
     val v1 = Seq(("u1", "case", "v1")).toDF("uuid", "type", "payload")
     UpsertWriter.upsert(spark, v1, path)
     // simulate the crash window: the live dir was moved aside but the
-    // promote never happened — the store exists only as `.old`
-    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    // promote never happened — the store exists only as the aside artifact
+    val dir = new java.io.File(path)
+    assert(dir.renameTo(new java.io.File(dir.getParentFile, "_old_" + dir.getName)))
     val v2 = Seq(("u2", "case", "v2")).toDF("uuid", "type", "payload")
     UpsertWriter.upsert(spark, v2, path)
     // without recovery this would have treated the store as FRESH and
@@ -550,13 +551,15 @@ class StreamingSpec extends AnyFunSuite {
     val v1 = Seq(("u1", "case", 2015, "a"), ("u2", "case", 2016, "b"))
       .toDF("uuid", "type", "epi_year", "v")
     UpsertWriter.upsertPartitioned(spark, v1, path)
-    // wedge one partition mid-swap (live gone, .old holds the data) and
-    // plant a stale .old next to a surviving live partition — the stale
-    // copy must NOT be discovered as a bogus "2016.old" partition value
+    // wedge one partition mid-swap (live gone, the aside holds the data)
+    // and plant a stale aside next to a surviving live partition — the
+    // stale copy must stay invisible to reads (underscore prefix) and be
+    // cleaned by the heal
     val p2015 = new java.io.File(s"$path/type=case/epi_year=2015")
-    assert(p2015.renameTo(new java.io.File(p2015.getPath + ".old")))
+    val aside2015 = new java.io.File(p2015.getParentFile, "_old_" + p2015.getName)
+    assert(p2015.renameTo(aside2015))
     val p2016 = new java.io.File(s"$path/type=case/epi_year=2016")
-    val stale = new java.io.File(p2016.getPath + ".old")
+    val stale = new java.io.File(p2016.getParentFile, "_old_" + p2016.getName)
     assert(stale.mkdirs())
     java.nio.file.Files.copy(
       p2016.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
@@ -566,8 +569,24 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.read.parquet(path).select(col("uuid"), col("v"))
       .as[(String, String)].collect().toMap
     assert(out === Map("u1" -> "a", "u2" -> "b", "u3" -> "c"))
-    assert(!new java.io.File(p2015.getPath + ".old").exists())
+    assert(!aside2015.exists())
     assert(!stale.exists())
+  }
+
+  test("partitioned upsert never confuses a partition VALUE ending in .old with a swap artifact") {
+    // '.' is not percent-escaped in partition paths, so a string value
+    // literally ending in ".old" writes a directory like type=case.old —
+    // the heal must leave it alone (the aside convention is the
+    // underscore-prefixed sibling, which no col=value dir can collide with)
+    val path = tmpDir() + "/store"
+    val v1 = Seq(("u1", "case.old", 2015, "a"), ("u2", "case", 2015, "b"))
+      .toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v1, path)
+    val v2 = Seq(("u2", "case", 2015, "B")).toDF("uuid", "type", "epi_year", "v")
+    UpsertWriter.upsertPartitioned(spark, v2, path)
+    val out = spark.read.parquet(path).select(col("uuid"), col("type"), col("v"))
+      .as[(String, String, String)].collect().toSet
+    assert(out === Set(("u1", "case.old", "a"), ("u2", "case", "B")))
   }
 
   test("partitioned upsert handles empty batches and null partition values") {

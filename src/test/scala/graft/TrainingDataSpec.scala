@@ -956,6 +956,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept(2) === single)
   }
 
+  test("capped pair generation never emits self-pairs for duplicate doc_id rows") {
+    // the same doc_id appearing twice puts the id in a posting list twice;
+    // the strict < of the self-join formulation never pairs an id with
+    // itself, and the posting-list formulation must agree
+    val d = Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(d, threshold = 0.1, maxShingleDf = Some(100))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.jaccardPairs(d, threshold = 0.1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    assert(capped === Set((1L, 2L)))
+    val lshCapped = Dedup.minhashLshPairs(d, maxBucketSize = Some(100))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshUncapped = Dedup.minhashLshPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lshCapped === lshUncapped)
+    assert(!lshCapped.exists(p => p._1 == p._2))
+  }
+
   test("subword token count: greedy longest-match with UNK fallback") {
     import graft.functions.SubwordTokenCount.subwordTokenCount
     val vocab = Seq("table", "ta", "the", "a", "scan", "or", "er", "so",
