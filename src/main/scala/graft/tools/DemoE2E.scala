@@ -14,12 +14,20 @@ import graft.sources.FakeData
   *
   * Besides the console summary, writes a STEP-TIMING ARTIFACT (one JSON
   * file, path from GRAFT_STEP_TIMINGS or /tmp/graft_demo_e2e_steps.json):
-  * per-step durations (generate, analyze, optimize, physical, materialize,
-  * alerts) plus the [[graft.monitoring.StepMonitor]] query-execution
-  * records — the reference persists the same shape to its step_monitoring
-  * table (process_steps/__init__.py:49-57), and a per-step file makes a
-  * regression in ONE step visible round-over-round where the end-to-end
-  * number would average it away.
+  * per-step durations (generate, construct, analyze, optimize, physical,
+  * materialize, alerts) plus the [[graft.monitoring.StepMonitor]]
+  * query-execution records — the reference persists the same shape to its
+  * step_monitoring table (process_steps/__init__.py:49-57), and a per-step
+  * file makes a regression in ONE step visible round-over-round where the
+  * end-to-end number would average it away.
+  *
+  * Reading `construct`: it is NOT pure driver time. ToCodes' stage
+  * barriers call `queryExecution.toRdd`, and under AQE finalizing an
+  * adaptive plan EXECUTES the exchange stages below the barrier (the
+  * visit-control window's shuffle) — so `construct` scales with data
+  * (measured 8 s at 100k rows, 18 s at 1M) and `materialize` covers only
+  * the stages above the last barrier. The artifact exists to make exactly
+  * this kind of attribution visible.
   *
   * Usage: runMain graft.tools.DemoE2E [nRows]
   */
