@@ -360,12 +360,14 @@ object Dedup {
     *
     * Per-round cost is ONE materialization job: labels carry their
     * previous value through the min-aggregation (`min` skips the nulls the
-    * propagated branch contributes), so the convergence probe is a scalar
-    * aggregation over the just-checkpointed blocks — a cache scan, not the
-    * extra join-plus-count job a naive probe runs. Round 1 is folded into
-    * initialization: with identity labels, one propagation round IS
-    * `min(id, min(neighbors))`, a single aggregation over the edge list —
-    * no join, no probe (labels always change on round 1).
+    * propagated branch contributes), and the convergence probe OBSERVES
+    * that job (`Dataset.observe` riding the eager checkpoint — delivery is
+    * spec-pinned) instead of running any job of its own; if the metric is
+    * ever missing, a scalar aggregation over the checkpointed blocks is
+    * the exact fallback. Round 1 is folded into initialization: with
+    * identity labels, one propagation round IS `min(id, min(neighbors))`,
+    * a single aggregation over the edge list — no join, no probe (labels
+    * always change on round 1).
     * Every round ends in an eager localCheckpoint so the
     * logical plan — not just the data — stays round-sized (persist alone
     * leaves analysis re-walking every previous round's nested plan).
@@ -443,11 +445,23 @@ object Dedup {
           when(lit(false), col("comp")).as("prev"))
       val self = labels.select(col("id"), col("comp"),
         col("comp").as("prev"))
+      // the probe OBSERVES the checkpoint's own materialization job
+      // (CollectMetrics accumulates during the eager count) — zero extra
+      // jobs per round; if the metric hasn't been delivered (getOrEmpty
+      // is non-blocking modulo a 100 ms grace), fall back to a scalar
+      // aggregation over the just-checkpointed blocks
+      val obs = org.apache.spark.sql.Observation()
       val next = checkpointed(self.unionByName(propagated)
-        .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev")))
-      val changed = next
-        .agg(coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)))
-        .head().getLong(0)
+        .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev"))
+        .observe(obs, sum(when(col("comp") < col("prev"), 1L)).as("changed")))
+      val changed = org.apache.spark.sql.GraftColumnBridge
+        .observedOrEmpty(obs).get("changed") match {
+        case Some(n: java.lang.Long) => n.longValue()
+        case Some(null)              => 0L // empty graph: sum over no rows
+        case _ => next
+          .agg(coalesce(sum(when(col("comp") < col("prev"), 1L)), lit(0L)))
+          .head().getLong(0)
+      }
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1

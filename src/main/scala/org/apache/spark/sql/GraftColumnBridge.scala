@@ -11,6 +11,11 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`; `get()` blocks forever if the metric event never
+    * arrives — wrong failure mode for a probe that has a cheap fallback). */
+  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+
   /** Does `c` reference a column of this name anywhere in its tree?
     *
     * Spark 4 Columns are lazy `ColumnNode` trees, converted to Catalyst

@@ -577,6 +577,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("observed metrics are delivered by the eager localCheckpoint job") {
+    // the BSP convergence probe rides the checkpoint's materialization via
+    // Dataset.observe; if that delivery ever breaks, connectedComponents
+    // stays CORRECT (scalar-agg fallback) but silently pays one extra job
+    // per round — this spec pins the zero-extra-job mechanism
+    val obs = org.apache.spark.sql.Observation()
+    Seq(1L, 2L, 3L).toDF("x")
+      .observe(obs, sum(col("x")).as("s"))
+      .localCheckpoint(true)
+    val got = org.apache.spark.sql.GraftColumnBridge.observedOrEmpty(obs)
+    assert(got.get("s") === Some(6L))
+  }
+
   test("keep list drops exactly the non-canonical cluster members") {
     val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "x", 11L -> "y")
     val pairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
