@@ -477,6 +477,90 @@ object Dedup {
       (col("comp") === col("id")).as("is_canonical"))
   }
 
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", Algorithm 2) — the long-path upgrade over
+    * [[connectedComponents]]' min-label propagation: label propagation
+    * needs O(diameter) rounds (an adversarial 10⁶-node chain is 10⁶
+    * rounds), star contraction converges in O(log² n) regardless of
+    * diameter. Near-dup clusters are near-cliques, so the BSP default
+    * stays the right tool there; reach for this when the pair graph can
+    * contain long chains (transitive similarity at loose thresholds,
+    * entity-resolution edges).
+    *
+    * One round = large-star (every node hangs its LARGER neighbors onto
+    * its closed-neighborhood min) then small-star (smaller neighbors and
+    * itself onto the min). Each is one aggregation + one join over the
+    * edge set — O(edges) shuffle per op, nothing quadratic; every op ends
+    * in the same eager-checkpoint discipline as the BSP (O(1) planning per
+    * round). Fixpoint = the edge set is a star forest (leaf → component
+    * min); convergence is checked by edge-set equality (two counts + a
+    * union-distinct count over checkpointed frames — |A|==|B|==|A∪B| ⇔
+    * A==B).
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (id, component, is_canonical), only ids that appear in `pairs`,
+    * component = min reachable id (spec-checked equal on random graphs). */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String = "a",
+                               bCol: String = "b", maxIter: Int = 20,
+                               reliableCheckpoints: Boolean = false): DataFrame = {
+    def checkpointed(df: DataFrame): DataFrame =
+      if (!reliableCheckpoints) df.localCheckpoint(true)
+      else {
+        val cached = df.persist()
+        val out = cached.checkpoint(true)
+        cached.unpersist()
+        out
+      }
+    // canonical (larger, smaller) direction, self-loops and dups dropped
+    var edges = checkpointed(pairs
+      .select(col(aCol).as("x"), col(bCol).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct())
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: group the SYMMETRIC view by node, hang larger
+      // neighbors onto min(closed neighborhood)
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = checkpointed(sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      // small-star: large-star output is already (larger → smaller)-
+      // directed, which IS small-star's grouping form; smaller neighbors
+      // and the node itself hang onto the min
+      val ssMin = ls.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val next = checkpointed(ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+      val nNext = next.count()
+      converged = nNext == edges.count() &&
+        next.unionByName(edges).distinct().count() == nNext
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIter rounds")
+    // fixpoint is a star forest: every leaf holds one (leaf → center)
+    // edge; centers are their own component
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+      .select(col("id"), col("component"),
+        (col("component") === col("id")).as("is_canonical"))
+  }
+
   /** The deduplicated corpus: every document except non-canonical cluster
     * members — the terminal step of the dedup pipeline (detectors → pairs
     * → [[connectedComponents]] → keep list). A left-anti join against the

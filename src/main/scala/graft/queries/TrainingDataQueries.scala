@@ -169,6 +169,27 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Same pair graph through the O(log² n)-round star-contraction
+    // implementation — the long-chain-safe alternative; one oracle checks
+    // both (the cluster map is algorithm-independent).
+    "dedup_components_stars" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      Dedup.connectedComponentsStars(jp.unionByName(ep))
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"),
+          col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The terminal dedup artifact: the corpus with non-canonical cluster
     // members dropped (same pair sources as dedup_components).
     "dedup_keep" -> ((s, dir) => {
@@ -460,6 +481,31 @@ object TrainingDataQueries extends QueryPack {
     })
   )
 
+  /** One oracle for BOTH connected-components implementations (min-label
+    * BSP and star contraction): the cluster map is a function of the pair
+    * graph, not of the algorithm. */
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |jp AS (SELECT doc_a AS a, doc_b AS b
+       |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+       |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+       |ep AS (SELECT a, b FROM (
+       |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+       |         FROM documents) WHERE a <> b),
+       |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
+       |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
+       |walk(id, lab) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)
+       |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component,
+       |       (min(lab) = id) AS is_canonical
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     // greedy longest-match reimplemented as a recursive CTE: each step
     // advances by the longest vocab entry matching at `pos` (or 1 char for
@@ -632,27 +678,10 @@ object TrainingDataQueries extends QueryPack {
     // min-label closure as a recursive CTE: seed every edge endpoint with
     // its own id, propagate along (symmetric) edges, take the min label —
     // set-semantics UNION terminates the recursion at the fixed point.
-    "dedup_components" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         |jp AS (SELECT doc_a AS a, doc_b AS b
-         |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
-         |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
-         |ep AS (SELECT a, b FROM (
-         |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
-         |         FROM documents) WHERE a <> b),
-         |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
-         |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
-         |walk(id, lab) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)
-         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component,
-         |       (min(lab) = id) AS is_canonical
-         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_components" -> componentsOracle,
+    // the star-contraction implementation must produce the identical
+    // cluster map — one oracle, two engines' worth of evidence
+    "dedup_components_stars" -> componentsOracle,
 
     "dedup_jaccard" ->
       s"""WITH $shinglesCte,

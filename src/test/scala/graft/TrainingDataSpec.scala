@@ -577,6 +577,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star-contraction components equal min-label BSP on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
+    val prop = forAll(edgeGen) { es =>
+      val real = es.filter { case (a, b) => a != b }
+      if (real.isEmpty) Prop(true)
+      else {
+        val pairs = real.toDF("a", "b")
+        def toMap(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, Long, Boolean)].collect()
+            .map { case (id, c, can) => id -> ((c, can)) }.toMap
+        val bsp = toMap(Dedup.connectedComponents(pairs, maxIter = 100))
+        val stars = toMap(Dedup.connectedComponentsStars(pairs))
+        Prop(stars == bsp) :| s"stars=$stars bsp=$bsp edges=$real"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("star contraction converges on a chain far longer than its round budget") {
+    // a 60-vertex path: diameter 59 — min-label BSP at its default
+    // maxIter=25 correctly throws (the documented contract), while star
+    // contraction needs O(log^2 n) rounds regardless of diameter
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] { Dedup.connectedComponents(chain).count() }
+    val out = Dedup.connectedComponentsStars(chain)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length === 60)
+    assert(out.forall(_._2 == 1L))
+    assert(out.count(_._3) === 1)
+  }
+
   test("observed metrics are delivered by the eager localCheckpoint job") {
     // the BSP convergence probe rides the checkpoint's materialization via
     // Dataset.observe; if that delivery ever breaks, connectedComponents
