@@ -521,6 +521,7 @@ object Dedup {
       .distinct())
     var iter = 0
     var converged = false
+    var nEdges = edges.count() // carried across rounds: |prev| is |next| of the round before
     while (!converged && iter < maxIter) {
       // large-star: group the SYMMETRIC view by node, hang larger
       // neighbors onto min(closed neighborhood)
@@ -544,9 +545,10 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct())
       val nNext = next.count()
-      converged = nNext == edges.count() &&
+      converged = nNext == nEdges &&
         next.unionByName(edges).distinct().count() == nNext
       edges = next
+      nEdges = nNext
       iter += 1
     }
     if (!converged)
