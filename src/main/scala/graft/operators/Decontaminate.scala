@@ -26,7 +26,15 @@ object Decontaminate {
     * the result is memoized against the DataFrame's analyzed plan, so
     * re-constructing overlap/evalReport/scrub plans over the same
     * benchmark (explain loops, scrub after overlap) pays the job once.
-    * The memo holds the plan weakly — entries die with the DataFrame. */
+    * The memo holds the plan weakly — entries die with the DataFrame.
+    * Staleness caveat: the key is the ANALYZED plan (structural equality),
+    * not the data. If the files under a benchmark path change while an old
+    * DataFrame keeps a structurally equal plan alive, a re-lookup returns
+    * the count measured from the OLD data and the broadcast guard decides
+    * on a stale size — acceptable for a size heuristic (mis-deciding costs
+    * performance, never correctness: both join strategies are exact), but
+    * drop all references to the old frame (or use a fresh session) if a
+    * benchmark is rewritten in place and grows past the guard. */
   private val guardMemo = new java.util.WeakHashMap[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     Map[String, Long]]()

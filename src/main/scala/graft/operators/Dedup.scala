@@ -20,6 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Persisted intermediates (shingle postings / posting lists / LSH band
+    * signatures) that the RETURNED pair frames still reference lazily — the
+    * functions below cannot unpersist them before the caller has run a job,
+    * so in a long-lived driver each call parks cached blocks for the
+    * session lifetime (Spark's CacheManager holds the plan strongly; the
+    * ContextCleaner never reclaims it). Call
+    * [[releaseIntermediateCaches]] after materializing pair results to
+    * drop them; re-running a pair frame afterwards stays correct (it
+    * recomputes from source). */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate cache parked by [[jaccardPairs]] /
+    * [[minhashLshPairs]] calls so far; returns how many were released.
+    * Safe at any time — pair frames still held by the caller recompute
+    * from source on their next action. */
+  def releaseIntermediateCaches(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      n += 1
+      df = trackedCaches.poll()
+    }
+    n
+  }
+
   /** Shingles from an already-materialized token array. IMPORTANT: pass a
     * bound column, not an expression — Catalyst does not CSE across
     * higher-order-function lambdas, so an inline `tokens(text)` here would
@@ -89,10 +122,9 @@ object Dedup {
         // is f·8 bytes buffered vs f² join rows downstream — the buffer
         // is never the binding constraint). Persisted: pairs and per-doc
         // counts both read it, and it is ~10× smaller than the postings.
-        val byShingle = raw.groupBy(col("shingle"))
+        val byShingle = persistTracked(raw.groupBy(col("shingle"))
           .agg(collect_list(col("doc_id")).as("__ds"))
-          .filter(size(col("__ds")) <= cap)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .filter(size(col("__ds")) <= cap))
         val common = byShingle
           .select(explode(unorderedPairs(col("__ds"))).as("__p"))
           // duplicate doc_id rows put the same id in one list twice; the
@@ -111,8 +143,7 @@ object Dedup {
         // callers who cannot bound the hot-shingle document frequency.
         // Persisted: the self-join + counts would otherwise re-run the
         // tokenize/shingle pipeline three times.
-        val postings = raw
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val postings = persistTracked(raw)
         val counts = postings.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"))
         val common = postings.as("p1")
@@ -236,8 +267,7 @@ object Dedup {
         // unguarded: bucket self-join, no per-bucket buffering. Persisted —
         // both join sides would re-run shingling + the signature
         // aggregation otherwise.
-        val bands = rawBands
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = persistTracked(rawBands)
         bands.as("b1")
           .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
             col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
@@ -383,10 +413,20 @@ object Dedup {
     * Output: (id, component, is_canonical) where component = min id
     * reachable, is_canonical marks the survivor a keep-list retains.
     * Only ids appearing in `pairs` are emitted (singletons are trivially
-    * canonical and usually vastly outnumber members — callers anti-join). */
+    * canonical and usually vastly outnumber members — callers anti-join).
+    *
+    * `maxIter` counts TOTAL propagation rounds including the one folded
+    * into initialization — but convergence is only observable from round
+    * 2 onward (the probe rides each round's label update), so the minimum
+    * usable budget is 2: a graph already at fixpoint after the folded
+    * round still needs one probe round to prove it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 25,
                           reliableCheckpoints: Boolean = false): DataFrame = {
+    require(maxIter >= 2,
+      s"maxIter=$maxIter: the budget counts the round folded into " +
+        "initialization, and convergence is first observable on round 2 — " +
+        "pass maxIter >= 2")
     def checkpointed(df: DataFrame): DataFrame =
       if (!reliableCheckpoints) df.localCheckpoint(true)
       else {
@@ -500,7 +540,8 @@ object Dedup {
     *
     * Output contract is identical to [[connectedComponents]]:
     * (id, component, is_canonical), only ids that appear in `pairs`,
-    * component = min reachable id (spec-checked equal on random graphs). */
+    * component = min reachable id, self-loop-only ids kept as canonical
+    * singletons (spec-checked equal on random graphs incl. self-loops). */
   def connectedComponentsStars(pairs: DataFrame, aCol: String = "a",
                                bCol: String = "b", maxIter: Int = 20,
                                reliableCheckpoints: Boolean = false): DataFrame = {
@@ -512,13 +553,27 @@ object Dedup {
         cached.unpersist()
         out
       }
+    // pairs is read twice below (edges + self-loop ids) — persist for the
+    // two materializing jobs unless the caller already did, then release
+    val callerPersisted =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerPersisted) pairs else pairs.persist()
     // canonical (larger, smaller) direction, self-loops and dups dropped
-    var edges = checkpointed(pairs
+    var edges = checkpointed(p
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct())
+    // ids whose ONLY edges are self-loops (a, a) would otherwise vanish
+    // with the filter above, while [[connectedComponents]] keeps them as
+    // canonical singletons (the symmetric closure makes (a, a) a real
+    // vertex there) — capture them now and re-attach any the star forest
+    // doesn't surface. Checkpointed: referenced after the loop, long
+    // after p is unpersisted.
+    val selfIds = checkpointed(p.filter(col(aCol) === col(bCol))
+      .select(col(aCol).as("id")).distinct())
+    if (!callerPersisted) p.unpersist()
     var iter = 0
     var converged = false
     var nEdges = edges.count() // carried across rounds: |prev| is |next| of the round before
@@ -556,9 +611,16 @@ object Dedup {
         s"connectedComponentsStars did not converge in $maxIter rounds")
     // fixpoint is a star forest: every leaf holds one (leaf → center)
     // edge; centers are their own component
-    edges.select(col("u").as("id"), col("v").as("component"))
-      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+    val members =
+      edges.select(col("u").as("id"), col("v").as("component"))
+        .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+        .distinct()
+    // self-loop-only ids come back as their own singleton components
+    // (identical to the BSP's output for (a, a) inputs)
+    val singletons = selfIds
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.unionByName(singletons)
       .select(col("id"), col("component"),
         (col("component") === col("id")).as("is_canonical"))
   }

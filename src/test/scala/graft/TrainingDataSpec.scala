@@ -580,24 +580,62 @@ class TrainingDataSpec extends AnyFunSuite {
   test("star-contraction components equal min-label BSP on random graphs (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
+    // self-loops INCLUDED (1..30 × 1..30 collides often): both variants
+    // must keep self-loop-only ids as canonical singletons
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
     val prop = forAll(edgeGen) { es =>
-      val real = es.filter { case (a, b) => a != b }
-      if (real.isEmpty) Prop(true)
-      else {
-        val pairs = real.toDF("a", "b")
-        def toMap(df: org.apache.spark.sql.DataFrame) =
-          df.as[(Long, Long, Boolean)].collect()
-            .map { case (id, c, can) => id -> ((c, can)) }.toMap
-        val bsp = toMap(Dedup.connectedComponents(pairs, maxIter = 100))
-        val stars = toMap(Dedup.connectedComponentsStars(pairs))
-        Prop(stars == bsp) :| s"stars=$stars bsp=$bsp edges=$real"
-      }
+      val pairs = es.toDF("a", "b")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Boolean)].collect()
+          .map { case (id, c, can) => id -> ((c, can)) }.toMap
+      val bsp = toMap(Dedup.connectedComponents(pairs, maxIter = 100))
+      val stars = toMap(Dedup.connectedComponentsStars(pairs))
+      Prop(stars == bsp) :| s"stars=$stars bsp=$bsp edges=$es"
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("self-loop-only ids survive both component variants as singletons") {
+    // (7,7) has no real neighbors: the BSP's symmetric closure keeps it, and
+    // the star variant must re-attach it after dropping the self-loop edge;
+    // (1,1) ALSO has a real edge and must not be duplicated
+    val pairs = Seq((1L, 2L), (1L, 1L), (7L, 7L)).toDF("a", "b")
+    val want = Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 7L -> ((7L, true)))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect()
+        .map { case (id, c, can) => id -> ((c, can)) }.toMap
+    assert(toMap(Dedup.connectedComponents(pairs)) === want)
+    assert(toMap(Dedup.connectedComponentsStars(pairs)) === want)
+  }
+
+  test("connectedComponents rejects a round budget below the observable minimum") {
+    // maxIter counts the round folded into initialization; convergence is
+    // first observable on round 2, so maxIter=1 can never succeed — it must
+    // fail fast at the API, not report a phantom non-convergence
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
+  test("releaseIntermediateCaches drops the pair pipelines' parked caches") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w q r")
+    Dedup.releaseIntermediateCaches() // drain anything parked by other specs
+    // capped jaccard + uncapped jaccard + uncapped LSH each park one cache
+    Dedup.jaccardPairs(d, 0.5, maxShingleDf = Some(10)).count()
+    Dedup.jaccardPairs(d, 0.5).count()
+    Dedup.minhashLshPairs(d).count()
+    assert(Dedup.releaseIntermediateCaches(blocking = true) === 3)
+    assert(Dedup.releaseIntermediateCaches() === 0)
+    // released frames recompute from source — correctness is unaffected
+    assert(Dedup.jaccardPairs(d, 0.5, maxShingleDf = Some(10)).count() ===
+      Dedup.jaccardPairs(d, 0.5).count())
+    Dedup.releaseIntermediateCaches()
   }
 
   test("star contraction converges on a chain far longer than its round budget") {
