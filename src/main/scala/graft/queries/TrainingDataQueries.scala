@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -30,6 +30,31 @@ object TrainingDataQueries extends QueryPack {
        |              THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
        |              ELSE [array_to_string(t, ' ')] END)) AS shingle
        |       FROM toks)""".stripMargin
+
+  /** Shared DuckDB CTE chain: maximal duplicated 5-gram spans per document
+    * (mirrors SubstringDedup.duplicatedSpans at k=5, minCount=2 — interval
+    * merge over duplicated k-gram start positions; all-integer math). */
+  private val substrSpansCte =
+    s"""$toksCte,
+       |g5 AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+5], ' ') AS gram
+       |       FROM (SELECT doc_id, t,
+       |               unnest(range(CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS pos
+       |             FROM toks)),
+       |dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+       |hit5 AS (SELECT doc_id, pos, pos + 5 AS e FROM g5 JOIN dup5 USING (gram)),
+       |mrg5 AS (SELECT doc_id, pos, e,
+       |           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+       |         FROM hit5),
+       |flg5 AS (SELECT doc_id, pos, e,
+       |           CASE WHEN runmax IS NULL OR pos > runmax THEN 1 ELSE 0 END AS nf
+       |         FROM mrg5),
+       |grp5 AS (SELECT doc_id, pos, e,
+       |           sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS UNBOUNDED PRECEDING) AS gid
+       |         FROM flg5),
+       |spans5 AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+       |           FROM grp5 GROUP BY doc_id, gid)""".stripMargin
 
   /** DuckDB left-fold dot product over double lists (matches Spark's
     * aggregate(zip_with(...)) accumulation order). */
@@ -117,6 +142,22 @@ object TrainingDataQueries extends QueryPack {
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    // Exact substring dedup (ExactSubstr, Lee et al. 2022): maximal token
+    // spans whose 5-grams occur at least twice corpus-wide, merged per doc.
+    "dedup_substring_spans" -> ((s, dir) => {
+      SubstringDedup.duplicatedSpans(Tables.documents(s, dir), k = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // The scrubbed corpus: duplicated spans removed, every document kept
+    // (untouched documents pass through with whitespace normalized).
+    "dedup_substring_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SubstringDedup.scrubSpans(docs,
+        SubstringDedup.duplicatedSpans(docs, k = 5))
+        .orderBy(col("doc_id"))
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
@@ -629,6 +670,26 @@ object TrainingDataQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_substring_spans" ->
+      s"""WITH $substrSpansCte
+         |SELECT doc_id, CAST(span_start AS INT) AS span_start,
+         |       CAST(span_end AS INT) AS span_end
+         |FROM spans5 ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_substring_scrub" ->
+      s"""WITH $substrSpansCte,
+         |tokpos AS (SELECT doc_id, pos, t[pos+1] AS tok
+         |           FROM (SELECT doc_id, t, unnest(range(len(t))) AS pos FROM toks)),
+         |keep AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+         |         LEFT JOIN spans5 sp ON p.doc_id = sp.doc_id
+         |           AND p.pos >= sp.span_start AND p.pos < sp.span_end
+         |         WHERE sp.doc_id IS NULL),
+         |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+         |            FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.txt, '') AS text_dedup
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $toksCte,

@@ -638,6 +638,53 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("substring dedup: duplicated k-gram spans merge into maximal regions") {
+    val d = docs(
+      1L -> "a b c d e f",     // shares grams 0..2 with doc 2 → span [0,5)
+      2L -> "a b c d e",       // whole doc duplicated → [0,5)
+      3L -> "x x x x",         // WITHIN-doc repeat ("x x x" twice) → [0,4)
+      4L -> "q w e",           // unique gram → no span
+      5L -> "s t")             // shorter than k → no grams, never flagged
+    val out = SubstringDedup.duplicatedSpans(d, k = 3)
+      .as[(Long, Int, Int)].collect().sorted
+    assert(out.toSeq === Seq((1L, 0, 5), (2L, 0, 5), (3L, 0, 4)))
+  }
+
+  test("substring dedup: touching spans merge, disjoint spans stay separate") {
+    // "a b c" at pos 0 and 3: spans [0,3) and [3,6) touch → one region
+    val touching = docs(1L -> "a b c a b c")
+    assert(SubstringDedup.duplicatedSpans(touching, k = 3)
+      .as[(Long, Int, Int)].collect().toSeq === Seq((1L, 0, 6)))
+    // duplicated 3-grams at pos 0 and 4 of a 7-token doc: [0,3) vs [4,7)
+    // leave token 3 clean between two separate spans
+    val disjoint = docs(
+      1L -> "a b c m x y z",
+      2L -> "a b c n x y z")
+    assert(SubstringDedup.duplicatedSpans(disjoint, k = 3)
+      .as[(Long, Int, Int)].collect().sorted.toSeq ===
+      Seq((1L, 0, 3), (1L, 4, 7), (2L, 0, 3), (2L, 4, 7)))
+  }
+
+  test("substring scrub removes exactly the flagged spans and keeps every doc") {
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e",
+      3L -> "x x x x",
+      4L -> "q  w   e")        // untouched doc: whitespace normalized only
+    val out = SubstringDedup.scrubSpans(d,
+      SubstringDedup.duplicatedSpans(d, k = 3))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "f", 2L -> "", 3L -> "", 4L -> "q w e"))
+    // hand-built disjoint spans: kept tokens are those outside every span
+    val spans = Seq((7L, 1, 3), (7L, 5, 7))
+      .toDF("doc_id", "span_start", "span_end")
+    val scrubbed = SubstringDedup.scrubSpans(
+      docs(7L -> "p q r s t u v w"), spans)
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed === Map(7L -> "p s t w"))
+  }
+
   test("star contraction converges on a chain far longer than its round budget") {
     // a 60-vertex path: diameter 59 — min-label BSP at its default
     // maxIter=25 correctly throws (the documented contract), while star
