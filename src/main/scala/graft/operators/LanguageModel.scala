@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring for corpus quality filtering — the
+  * distributed core of CCNet-style perplexity filtering (Wenzek et al.
+  * 2020: score web text under an LM trained on a trusted corpus, keep the
+  * low-perplexity band). A full Kneser-Ney KenLM doesn't fit a shuffle
+  * engine's sweet spot, but the filtering signal survives simplification:
+  * an add-k-smoothed n-gram model IS two aggregations, and scoring IS one
+  * equi-join — both linear, both AQE-friendly.
+  *
+  * Scale shape (100 TB):
+  *  - training is ONE groupBy over the corpus's (context, token)
+  *    transitions with map-side partial aggregation (hot n-grams — exactly
+  *    the frequent ones — collapse before the shuffle); context totals
+  *    derive from the MODEL (model-sized, not corpus-sized);
+  *  - scoring shuffles corpus transitions against the model in a single
+  *    (context, token) equi-join; the context-total join rides the same
+  *    key prefix, and AQE broadcasts the model side when the trusted
+  *    corpus is small (the common CCNet shape: Wikipedia-sized model,
+  *    web-sized corpus);
+  *  - the vocabulary size is a one-row broadcast, never a driver action.
+  *
+  * Determinism contract (oracle parity): each transition's log-probability
+  * is quantized to integer MICRO-NATS (round(ln(p)·10⁶) as int64) before
+  * the per-document sum, so aggregation order cannot perturb the result —
+  * the sum is exact integer math in any engine. Perplexity follows as
+  * exp(-lm_score / 1e6 / n_trans) when a float is wanted downstream.
+  */
+object LanguageModel {
+
+  /** Corpus transitions: one row per n-gram occurrence, context = the
+    * n-1 preceding tokens joined by single spaces. Documents shorter than
+    * n tokens emit nothing. */
+  def transitions(corpus: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n=$n: a language model needs at least bigrams")
+    corpus
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("__toks")) >= n,
+          // i = 1-based slice position of the LAST context token; the
+          // predicted token sits at i+1
+          transform(sequence(lit(n - 1), size(col("__toks")) - 1),
+            i => struct(
+              concat_ws(" ", slice(col("__toks"), i - (n - 2), lit(n - 1)))
+                .as("context"),
+              element_at(col("__toks"), i + 1).as("token"))))
+          .otherwise(array().cast(
+            "array<struct<context:string,token:string>>"))).as("__t"))
+      .select(col("doc_id"), col("__t.context").as("context"),
+        col("__t.token").as("token"))
+  }
+
+  /** Train: (context, token, cnt) counts over the corpus's transitions —
+    * the whole model. Everything scoring needs (context totals, vocabulary
+    * size) derives from this frame, so it is also the natural persistence
+    * unit (write it as parquet partitioned-by-nothing; it is tiny next to
+    * the corpus that produced it). */
+  def ngramCounts(corpus: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    transitions(corpus, n, idCol, textCol)
+      .groupBy(col("context"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score documents under a trained model ([[ngramCounts]] output).
+    *
+    * Per transition: p = (c + k) / (c_ctx + k·V) where c is the model
+    * count for (context, token), c_ctx the model's context total, and V
+    * the model vocabulary (distinct predicted tokens). Unseen contexts
+    * back off to p = 1/V; add-k keeps every probability finite. The
+    * per-transition quantized log-prob (micro-nats, see object doc) sums
+    * exactly per document.
+    *
+    * Output, one row per input document (short docs score zero):
+    * (doc_id, n_trans, n_hit, lm_score) — transition count, transitions
+    * the model has seen (c > 0), and the total micro-nat log-probability
+    * (≤ 0; closer to 0 = more predictable text). */
+  def scoreDocuments(docs: DataFrame, model: DataFrame, n: Int = 2,
+                     addK: Double = 1.0, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(addK > 0, s"addK=$addK: smoothing mass must be positive")
+    val ctot = model.groupBy(col("context")).agg(sum(col("cnt")).as("__ctot"))
+    val vocab = model.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__vocab"))
+    val term: Column = round(
+      log((coalesce(col("cnt"), lit(0L)) + lit(addK)) /
+        (coalesce(col("__ctot"), lit(0L)) + lit(addK) * col("__vocab")))
+        * lit(1e6)).cast("long")
+    val scored = transitions(docs, n, idCol, textCol)
+      .join(model, Seq("context", "token"), "left")
+      .join(ctot, Seq("context"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("cnt"), term.as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("__term")).as("lm_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{Dedup, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -142,6 +142,15 @@ object TrainingDataQueries extends QueryPack {
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
+    // score every document under it (micro-nat quantized log-probs — see
+    // LanguageModel's determinism contract).
+    "lm_score_bigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LanguageModel.scoreDocuments(docs, LanguageModel.ngramCounts(docs))
+        .orderBy(col("doc_id"))
     }),
 
     // Exact substring dedup (ExactSubstr, Lee et al. 2022): maximal token
@@ -670,6 +679,31 @@ object TrainingDataQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "lm_score_bigram" ->
+      s"""WITH $toksCte,
+         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+         |sc AS (SELECT r.doc_id, cn.c AS c,
+         |         CAST(round(ln((coalesce(cn.c, 0) + 1.0)
+         |                       / (coalesce(ct.ct, 0) + 1.0 * voc.v))
+         |                    * 1000000) AS BIGINT) AS term
+         |       FROM tr r
+         |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+         |       LEFT JOIN ctot ct ON r.ctx = ct.ctx
+         |       CROSS JOIN voc),
+         |agg AS (SELECT doc_id, count(*) AS n_trans,
+         |          CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |          CAST(sum(term) AS BIGINT) AS lm_score
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
+         |       coalesce(a.n_hit, 0) AS n_hit,
+         |       coalesce(a.lm_score, 0) AS lm_score
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH $substrSpansCte

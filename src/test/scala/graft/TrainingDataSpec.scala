@@ -638,6 +638,49 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("bigram LM: counts, add-1 scores, and short-doc zeroes by hand") {
+    val train = docs(1L -> "a b a b", 2L -> "a b")
+    val model = LanguageModel.ngramCounts(train)
+    val counts = model.as[(String, String, Long)].collect().toSet
+    // transitions: doc1 (a,b)(b,a)(a,b), doc2 (a,b)
+    assert(counts === Set(("a", "b", 3L), ("b", "a", 1L)))
+    // V = distinct predicted tokens = {a, b} = 2; context totals a=3, b=1
+    def micronats(c: Long, ctot: Long): Long =
+      math.round(math.log((c + 1.0) / (ctot + 1.0 * 2)) * 1e6)
+    val ab = micronats(3, 3) // p = 4/5
+    val ba = micronats(1, 1) // p = 2/3
+    val out = LanguageModel.scoreDocuments(
+      docs(1L -> "a b a b", 2L -> "a b", 3L -> "solo"), model)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 3L, 2 * ab + ba)))
+    assert(out(2L) === ((1L, 1L, ab)))
+    assert(out(3L) === ((0L, 0L, 0L))) // < n tokens: no transitions, kept
+  }
+
+  test("bigram LM: unseen contexts back off to 1/V and count as misses") {
+    val model = LanguageModel.ngramCounts(docs(1L -> "a b"))
+    // V = {b} = 1; (z, z) unseen: p = (0+1)/(0+1·1) = 1 → 0 micro-nats
+    val out = LanguageModel.scoreDocuments(docs(9L -> "z z"), model)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((9L, 1L, 0L, 0L)))
+    // a LAST token is never a context: (b, q) above also backs off. Train
+    // "a b c" so context b is real; then (b, q) is seen-context/unseen-token
+    val model2 = LanguageModel.ngramCounts(docs(1L -> "a b c"))
+    val out2 = LanguageModel.scoreDocuments(docs(8L -> "a b q"), model2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // V = {b, c} = 2; (a,b): p = (1+1)/(1+2); (b,q): p = (0+1)/(1+2)
+    val ab = math.round(math.log(2.0 / 3) * 1e6)
+    val bq = math.round(math.log(1.0 / 3) * 1e6)
+    assert(out2 === Seq((8L, 2L, 1L, ab + bq)))
+  }
+
+  test("trigram LM contexts are the two preceding tokens") {
+    val tr = LanguageModel.transitions(docs(1L -> "a b c d"), n = 3)
+      .as[(Long, String, String)].collect().toSet
+    assert(tr === Set((1L, "a b", "c"), (1L, "b c", "d")))
+  }
+
   test("substring dedup: duplicated k-gram spans merge into maximal regions") {
     val d = docs(
       1L -> "a b c d e f",     // shares grams 0..2 with doc 2 → span [0,5)
