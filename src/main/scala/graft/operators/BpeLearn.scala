@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary learning (Sennrich et al.
+  * 2016) — the merge-table side of training a subword tokenizer on the
+  * corpus the engine is already processing.
+  *
+  * BPE is inherently sequential in its MERGES (merge m+1's counts depend
+  * on merge m having been applied), so the distribution boundary is drawn
+  * where the data is: each round is one full-parallel pair-count
+  * aggregation + one map over the word table, and only the single winning
+  * pair crosses the driver (O(1) rows per merge). The state the loop
+  * iterates on is the WORD-FREQUENCY table — vocabulary-sized (millions of
+  * rows), not corpus-sized — because [[wordFrequencies]] collapses the
+  * corpus first with one map-side-combined aggregation; a 100 TB corpus
+  * and a 1 GB corpus iterate over the same-shaped state.
+  *
+  * Scale notes:
+  *  - pair counting explodes adjacent piece pairs weighted by word count —
+  *    O(total pieces) rows per round, keyed on (left, right) with partial
+  *    aggregation; the argmax is a sort-limit(1), which Spark executes as
+  *    a per-partition top-1 + driver merge (TakeOrderedAndProject), not a
+  *    global sort;
+  *  - each round's new segmentation is eagerly localCheckpointed — the
+  *    HOF-fold rewrite would otherwise nest one lambda layer per merge
+  *    and planning would grow quadratically (same discipline as
+  *    [[Dedup.connectedComponents]]);
+  *  - applying the learned merges to UNSEEN text at serving time is a
+  *    different operation (encode in merge order, or the standard
+  *    greedy-longest-match deployment); feed the learned symbol set to
+  *    [[graft.functions.SubwordTokenCount]]'s trie for the codegen'd
+  *    scale path.
+  */
+object BpeLearn {
+
+  /** One learned merge: rank = order learned (0-based), `left`+`right` →
+    * the concatenated symbol, weight = the pair's corpus frequency when
+    * it won. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         merged: String, weight: Long)
+
+  /** (word, cnt) frequencies — the corpus collapse that makes the learning
+    * loop vocabulary-sized. */
+  def wordFrequencies(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation: one single-character piece per code unit, plus
+    * the end-of-word marker as its own trailing symbol (the classic setup
+    * — the marker lets a merged symbol distinguish word-final from
+    * word-internal occurrences). */
+  private def initialPieces(word: Column, endOfWord: Option[String]): Column = {
+    val chars = transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+    endOfWord match {
+      case Some(m) => concat(chars, array(lit(m)))
+      case None    => chars
+    }
+  }
+
+  /** Greedy left-to-right application of ONE merge to a pieces array: a
+    * fold that joins the accumulator's last piece with the next element
+    * when they form the pair — non-overlapping by construction ("a a a"
+    * under (a,a) → ["aa", "a"], like the reference implementation). */
+  private def applyMerge(pieces: Column, left: String, right: String): Column =
+    aggregate(pieces, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merges from a corpus. Stops early when no pair
+    * reaches `minFrequency` (the reference's --min-frequency floor: a
+    * merge seen once generalizes to nothing).
+    *
+    * Deterministic: ties on pair weight break lexicographically on
+    * (left, right), so the merge sequence is a pure function of the
+    * corpus. */
+  def learn(corpus: DataFrame, numMerges: Int, textCol: String = "text",
+            minFrequency: Long = 2L,
+            endOfWord: Option[String] = Some("</w>")): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    val words = wordFrequencies(corpus, textCol)
+    var st = words
+      .select(col("cnt"), initialPieces(col("word"), endOfWord).as("pieces"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val best = st
+        .select(col("cnt"), explode(
+          when(size(col("pieces")) >= 2,
+            transform(sequence(lit(1), size(col("pieces")) - 1),
+              i => struct(element_at(col("pieces"), i).as("l"),
+                element_at(col("pieces"), i + 1).as("r"))))
+            .otherwise(array().cast(
+              "array<struct<l:string,r:string>>"))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case Some(row) if row.getLong(2) >= minFrequency =>
+          val (l, r, w) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(rank, l, r, l + r, w)
+          st = st.select(col("cnt"),
+            applyMerge(col("pieces"), l, r).as("pieces")).localCheckpoint(true)
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    merges.result()
+  }
+
+  /** The learned merge table as a DataFrame (rank, left, right, merged,
+    * weight) — the persistable artifact, and the gate surface. */
+  def learnTable(spark: SparkSession, corpus: DataFrame, numMerges: Int,
+                 textCol: String = "text", minFrequency: Long = 2L,
+                 endOfWord: Option[String] = Some("</w>")): DataFrame = {
+    import spark.implicits._
+    learn(corpus, numMerges, textCol, minFrequency, endOfWord).toDF()
+  }
+
+  /** Segment a word column under an ordered merge list — reference
+    * semantics (apply each merge corpus-wide in learned order). Builds one
+    * fold layer PER MERGE: right for validation and modest merge counts;
+    * encode big vocabularies at serving time with the trie instead (see
+    * object doc). */
+  def segmentWords(words: DataFrame, merges: Seq[Merge],
+                   wordCol: String = "word",
+                   endOfWord: Option[String] = Some("</w>")): DataFrame = {
+    val init = initialPieces(col(wordCol), endOfWord)
+    val pieces = merges.foldLeft(init) { (acc, m) =>
+      applyMerge(acc, m.left, m.right)
+    }
+    words.withColumn("pieces", pieces)
+  }
+}

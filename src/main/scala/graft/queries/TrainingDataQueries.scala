@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -55,6 +55,51 @@ object TrainingDataQueries extends QueryPack {
        |         FROM flg5),
        |spans5 AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
        |           FROM grp5 GROUP BY doc_id, gid)""".stripMargin
+
+  /** Merge count for the `bpe_merges` gate — ONE constant feeds both the
+    * Spark learner and the generated DuckDB oracle below. */
+  private[queries] val BpeMergeCount = 8
+
+  /** Generated DuckDB oracle for BPE learning: the merge loop is
+    * sequential, so for the FIXED gate merge count it unrolls into chained
+    * CTE layers — each layer counts adjacent piece pairs, takes the
+    * (weight desc, left, right) argmax, and re-segments via a
+    * string-encoded greedy fold (pieces joined by single spaces; tokens
+    * are whitespace-split so pieces never contain one). Mirrors
+    * BpeLearn.learn with endOfWord = "</w>". */
+  private def bpeOracle: String = {
+    val base = Seq(
+      toksCte,
+      """wf AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
+      """seg0 AS (SELECT cnt,
+        |           array_to_string(list_transform(range(len(word)),
+        |             i -> word[i+1:i+1]), ' ') || ' </w>' AS s
+        |         FROM wf)""".stripMargin)
+    val layers = (0 until BpeMergeCount).flatMap { k =>
+      val pair =
+        s"""p$k AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
+           |        FROM (SELECT cnt, parts[i+1] AS l, parts[i+2] AS r
+           |              FROM (SELECT cnt, parts, unnest(range(len(parts) - 1)) AS i
+           |                    FROM (SELECT cnt, string_split(s, ' ') AS parts
+           |                          FROM seg$k)))
+           |        GROUP BY 1, 2)""".stripMargin
+      val best = s"b$k AS (SELECT l, r, w FROM p$k ORDER BY w DESC, l, r LIMIT 1)"
+      val reseg = if (k == BpeMergeCount - 1) Nil else Seq(
+        s"""seg${k + 1} AS (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+           |  CASE WHEN acc = b.l AND x = b.r THEN b.l || b.r
+           |       WHEN len(acc) > len(b.l) AND acc[len(acc)-len(b.l):] = ' ' || b.l AND x = b.r
+           |         THEN acc[1:len(acc)-len(b.l)-1] || ' ' || b.l || b.r
+           |       ELSE acc || ' ' || x END) AS s
+           |  FROM seg$k, b$k b)""".stripMargin)
+      Seq(pair, best) ++ reseg
+    }
+    val selects = (0 until BpeMergeCount).map { k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, w AS weight FROM b$k"""
+    }
+    (base ++ layers).mkString("WITH ", ",\n", "\n") +
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
 
   /** DuckDB left-fold dot product over double lists (matches Spark's
     * aggregate(zip_with(...)) accumulation order). */
@@ -142,6 +187,13 @@ object TrainingDataQueries extends QueryPack {
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    // BPE vocabulary learning: first 8 merges over the corpus's word
+    // frequencies (deterministic — ties break lexicographically).
+    "bpe_merges" -> ((s, dir) => {
+      BpeLearn.learnTable(s, Tables.documents(s, dir),
+        numMerges = BpeMergeCount).orderBy(col("rank"))
     }),
 
     // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
@@ -679,6 +731,8 @@ object TrainingDataQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "bpe_merges" -> bpeOracle,
 
     "lm_score_bigram" ->
       s"""WITH $toksCte,

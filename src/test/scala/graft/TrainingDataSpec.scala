@@ -638,6 +638,92 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  // Plain-Scala reference BPE (Sennrich et al.): the oracle the
+  // distributed learner is property-checked against.
+  private def refBpeMerges(corpus: Seq[String], m: Int,
+                           minFreq: Long = 2L): List[(String, String, Long)] = {
+    def applyM(ps: List[String], l: String, r: String): List[String] =
+      ps.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val words = corpus.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs = words.map { case (w, c) =>
+      (w.map(_.toString).toList :+ "</w>") -> c }.toList
+    var out = List.empty[(String, String, Long)]
+    var done = false
+    while (out.size < m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ps, c) <- segs; Seq(a, b) <- ps.sliding(2) if ps.size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      val best = counts.toSeq
+        .sortBy { case ((l, r), w) => (-w, l, r) }.headOption
+      best match {
+        case Some(((l, r), w)) if w >= minFreq =>
+          out = out :+ ((l, r, w))
+          segs = segs.map { case (ps, c) => applyM(ps, l, r) -> c }
+        case _ => done = true
+      }
+    }
+    out
+  }
+
+  test("BPE learning matches the reference implementation by hand") {
+    // classic corpus shape: "low" ×3 + "lower" ×1 share the "lo"/"low" stem
+    val corpus = Seq("low low low lower", "low newest newest")
+    val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = BpeLearn.learn(docs(d: _*), numMerges = 5)
+      .map(m => (m.left, m.right, m.weight))
+    assert(got === refBpeMerges(corpus, 5))
+    // greedy within-word repeats: "a a a" under (a, a) merges left-first
+    val rep = BpeLearn.learn(docs(1L -> "aaa aaa"), numMerges = 2)
+    assert(rep.map(m => (m.left, m.right, m.weight)) ===
+      refBpeMerges(Seq("aaa aaa"), 2))
+  }
+
+  test("BPE learning equals the reference on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(ws => Seq(ws.mkString(" "))))
+    val prop = forAll(corpusGen) { corpus =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = BpeLearn.learn(docs(d: _*), numMerges = 4)
+        .map(m => (m.left, m.right, m.weight))
+      val want = refBpeMerges(corpus, 4)
+      Prop(got == want) :| s"got=$got want=$want corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("BPE early-stops below the minimum pair frequency") {
+    // every word unique, every pair weight 1 < minFrequency=2 → no merges
+    assert(BpeLearn.learn(docs(1L -> "ab cd ef"), numMerges = 3).isEmpty)
+  }
+
+  test("BPE segmentation applies learned merges in order") {
+    val corpus = docs(1L -> "low low low lower lowest")
+    val merges = BpeLearn.learn(corpus, numMerges = 3)
+    val segs = BpeLearn.segmentWords(
+      Seq("low", "lowest", "x").toDF("word"), merges)
+      .as[(String, Seq[String])].collect().toMap
+    // reference: replay the same merges locally
+    def applyAll(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") { (ps, m) =>
+        ps.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == m.left && x == m.right)
+            acc.init :+ m.merged
+          else acc :+ x
+        }
+      }
+    for ((w, ps) <- segs) assert(ps.toList === applyAll(w), s"word=$w")
+  }
+
   test("bigram LM: counts, add-1 scores, and short-doc zeroes by hand") {
     val train = docs(1L -> "a b a b", 2L -> "a b")
     val model = LanguageModel.ngramCounts(train)
