@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the trainer
+  * behind every coarse quantizer in this family ([[Similarity.ivfTopK]]
+  * consumes the centroid table as its cell structure; product-quantization
+  * codebooks and embedding-space corpus clustering are the same loop).
+  *
+  * Determinism contract (the whole point of this variant): every source of
+  * run-to-run or engine-to-engine drift is pinned —
+  *  - init is the k lowest-id vectors (no random restarts; callers wanting
+  *    k-means++ seed externally and pass the result to [[lloyd]]);
+  *  - assignment ties break to the lowest cell id;
+  *  - the centroid mean uses the fixed-point discipline of
+  *    [[Similarity.centroids]]: per-dimension sums of floor(v·10⁹) longs
+  *    (exact integer addition in any order), divided once in double —
+  *    bit-identical regardless of partition order or engine;
+  *  - distances are [[Similarity.sqDist]] left folds (fixed accumulation
+  *    order).
+  * A fixed iteration budget (no data-dependent stopping) keeps the whole
+  * trajectory a pure function of (vectors, k, iters).
+  *
+  * Scale shape (100 TB): centroids are k×dim — broadcast; one Lloyd round
+  * is a narrow corpus pass (broadcast join + per-vector argmin rides one
+  * aggregation keyed by vec_id) plus a (cell, pos)-keyed mean aggregation
+  * whose output is centroid-sized. Nothing corpus-sized ever sits on the
+  * driver; each round's centroid table is eagerly checkpointed so plan
+  * depth stays O(1) per iteration (the [[Dedup.connectedComponents]]
+  * discipline).
+  *
+  * Empty cells keep their previous centroid (the standard no-reseed
+  * choice, and the only deterministic one without a distance-to-cell
+  * re-ranking pass).
+  */
+object KMeans {
+
+  private def toDouble(arr: Column): Column = arr.cast("array<double>")
+
+  /** Deterministic seed centroids: the k lowest-id vectors, cells numbered
+    * 0..k-1 in id order. Output (cell, centroid). */
+  def initCentroids(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    // k rows: the single-partition window is fine AFTER the TakeOrdered cut
+    val w = Window.orderBy(col(idCol))
+    vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), toDouble(col(vecCol)).as("centroid"))
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"), col("centroid"))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cell, dist) — squared L2, ties
+    * to the lowest cell id. `centroids` is (cell, centroid) as produced by
+    * [[initCentroids]] / [[fit]]; it is broadcast (k×dim). */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
+      .select(col("vec_id"), col("__m.cell").as("cell"), col("__m.d").as("dist"))
+
+  /** One Lloyd round: assign every vector, recompute per-cell fixed-point
+    * means, keep the previous centroid for cells that lost every member. */
+  def lloyd(vectors: DataFrame, centroids: DataFrame,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val members = vectors
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"),
+        first(col("__v")).as("__v"))
+      .select(col("__m.cell").as("cell"), col("__v"))
+    val means = members
+      .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(floor(col("v") * lit(1e9)).cast("long")).cast("double") /
+        (count(lit(1)) * lit(1e9))).as("mean"))
+    val rebuilt = means
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x("mean")).as("__new"))
+    centroids.join(rebuilt, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("__new"), col("centroid")).as("centroid"))
+  }
+
+  /** Train: `iters` Lloyd rounds from the deterministic seed. Output
+    * (cell, centroid) — feed to [[assign]] for the final clustering or to
+    * an IVF index as its coarse quantizer. */
+  def fit(vectors: DataFrame, k: Int, iters: Int = 3,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    var cents = initCentroids(vectors, k, idCol, vecCol).localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = lloyd(vectors, cents, idCol, vecCol).localCheckpoint(true)
+    cents
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -110,6 +110,45 @@ object TrainingDataQueries extends QueryPack {
   private def sqDistSql(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
 
+  /** k and iteration budget for the kmeans gates — ONE pair of constants
+    * feeds the Spark trainer and the generated DuckDB oracle. */
+  private[queries] val KmeansK = 8
+  private[queries] val KmeansIters = 3
+
+  /** Generated DuckDB CTE chain replaying KMeans.fit: Lloyd is sequential,
+    * so the FIXED iteration budget unrolls into one CTE layer per round —
+    * broadcast-shaped assignment (argmin by left-fold squared L2, ties to
+    * the lowest cell), fixed-point per-dimension means (exact integer
+    * sums of floor(v·10⁹), one double division), empty cells carrying the
+    * previous centroid. The final table is cent$KmeansIters. */
+  private def kmeansCtes: String = {
+    val base = Seq(
+      """emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)""".stripMargin,
+      s"""cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+         |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $KmeansK))""".stripMargin)
+    val iters = (0 until KmeansIters).flatMap { i =>
+      Seq(
+        s"""asg$i AS (SELECT e.vec_id, e.v, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+           |          FROM emb e, cent$i c)""".stripMargin,
+        s"""best$i AS (SELECT vec_id, v, cell FROM (
+           |            SELECT vec_id, v, cell,
+           |              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+           |            FROM asg$i) WHERE rn = 1)""".stripMargin,
+        s"""mean$i AS (SELECT cell, pos,
+           |             CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE)
+           |               / (count(*) * 1e9) AS mv
+           |           FROM (SELECT cell, CAST(unnest(range(len(v))) AS INT) AS pos,
+           |                        unnest(v) AS x
+           |                 FROM best$i)
+           |           GROUP BY 1, 2)""".stripMargin,
+        s"newc$i AS (SELECT cell, list(mv ORDER BY pos) AS c FROM mean$i GROUP BY cell)",
+        s"""cent${i + 1} AS (SELECT o.cell, coalesce(n.c, o.c) AS c
+           |                 FROM cent$i o LEFT JOIN newc$i n USING (cell))""".stripMargin)
+    }
+    (base ++ iters).mkString(",\n")
+  }
+
   /** Fixture subword vocabulary for the `text_token_subword` gate:
     * multi-character subwords over the synthetic corpus's lexicon, with
     * deliberate gaps (no standalone `d`, `g`, …) so the one-code-point UNK
@@ -187,6 +226,21 @@ object TrainingDataQueries extends QueryPack {
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+    }),
+
+    // Deterministic Lloyd k-means: trained centroids (flattened to one row
+    // per dimension) and the final hard assignment over the embeddings.
+    "kmeans_centroids" -> ((s, dir) => {
+      KMeans.fit(Tables.embeddings(s, dir), k = KmeansK, iters = KmeansIters)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "mean")))
+        .orderBy(col("cell"), col("pos"))
+    }),
+
+    "kmeans_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
     }),
 
     // BPE vocabulary learning: first 8 merges over the corpus's word
@@ -733,6 +787,21 @@ object TrainingDataQueries extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "bpe_merges" -> bpeOracle,
+
+    "kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+         |SELECT cell, CAST(unnest(range(len(c))) AS INT) AS pos, unnest(c) AS mean
+         |FROM cent$KmeansIters ORDER BY cell, pos""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes,
+         |fin AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |        FROM emb e, cent$KmeansIters c)
+         |SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM fin) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "lm_score_bigram" ->
       s"""WITH $toksCte,

@@ -638,6 +638,43 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("kmeans: Lloyd trajectory and final assignment by hand (1-D)") {
+    // ids 0..3 at 0, 1, 10, 11; k=2 seeds cells at [0.0] and [1.0].
+    // Round 1: {0} vs {1,10,11} → means 0 and 22/3; round 2: {0,1} vs
+    // {10,11} → 0.5 and 10.5; round 3: fixed point.
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(10.0)),
+      (3L, Seq(11.0))).toDF("vec_id", "embedding")
+    val cents = KMeans.fit(vecs, k = 2, iters = 3)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(cents === Map(0 -> Seq(0.5), 1 -> Seq(10.5)))
+    val asg = KMeans.assign(vecs, KMeans.fit(vecs, k = 2, iters = 3))
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(asg === Map(0L -> ((0, 0.25)), 1L -> ((0, 0.25)),
+      2L -> ((1, 0.25)), 3L -> ((1, 0.25))))
+    // one intermediate round, checked against the hand trajectory
+    val after1 = KMeans.fit(vecs, k = 2, iters = 1)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(after1(0) === Seq(0.0))
+    assert(after1(1) === Seq(22.0e9.floor / (3 * 1e9))) // fixed-point 22/3
+  }
+
+  test("kmeans: empty cells keep their previous centroid") {
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(1.0))).toDF("vec_id", "embedding")
+    val far = Seq((0, Seq(0.4)), (1, Seq(100.0))).toDF("cell", "centroid")
+    val out = KMeans.lloyd(vecs, far)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(out === Map(0 -> Seq(0.5), 1 -> Seq(100.0)))
+  }
+
+  test("kmeans: equidistant vectors break ties to the lowest cell") {
+    val vecs = Seq((7L, Seq(0.5))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.0)), (1, Seq(1.0))).toDF("cell", "centroid")
+    val out = KMeans.assign(vecs, cents)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out === Seq((7L, 0, 0.25)))
+  }
+
   // Plain-Scala reference BPE (Sennrich et al.): the oracle the
   // distributed learner is property-checked against.
   private def refBpeMerges(corpus: Seq[String], m: Int,
