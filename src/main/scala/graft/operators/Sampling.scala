@@ -173,4 +173,39 @@ object Sampling {
         .select(docs.columns.map(col).toSeq: _*)
     }
   }
+
+  /** Per-group row cap — the CommonCrawl-style per-domain quota: keep at
+    * most `maxPerGroup` rows per group, chosen deterministically by hash
+    * draw (ties broken by the key), so the kept set is a uniform per-group
+    * sample and a pure function of the corpus.
+    *
+    * Scale shape: a single per-group window funnels a hot domain's
+    * millions of rows through one task. `subPartitions > 1` runs the rank
+    * as an exact two-phase funnel (the [[TextAnalysis.vocabularyPerGroup]]
+    * trick): top-maxPerGroup within (group, key-hash sub-partition) —
+    * parallelism groups × subPartitions — then top-maxPerGroup of the
+    * bounded survivors (≤ subPartitions·maxPerGroup rows per group). A row
+    * in a group's global top-maxPerGroup by (draw, key) is necessarily in
+    * its sub-partition's top-maxPerGroup, so the two-phase cut equals the
+    * single-window one (spec-enforced). */
+  def groupCap(df: DataFrame, groupCol: String, maxPerGroup: Int,
+               keyCol: String, salt: String = "",
+               subPartitions: Int = 1): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup=$maxPerGroup")
+    require(subPartitions >= 1, s"subPartitions=$subPartitions")
+    val W = org.apache.spark.sql.expressions.Window
+    val d = coalesce(draw(col(keyCol), salt), lit(""))
+    val funneled =
+      if (subPartitions == 1) df
+      else {
+        val w1 = W.partitionBy(col(groupCol),
+            pmod(xxhash64(col(keyCol)), lit(subPartitions.toLong)))
+          .orderBy(d.asc, col(keyCol).asc)
+        df.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= maxPerGroup).drop("__r1")
+      }
+    val w = W.partitionBy(col(groupCol)).orderBy(d.asc, col(keyCol).asc)
+    funneled.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxPerGroup).drop("__r")
+  }
 }

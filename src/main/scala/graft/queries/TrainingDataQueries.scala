@@ -530,6 +530,17 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source quota cap (CommonCrawl-style per-domain cap): at most 10
+    // docs per source, hash-chosen; the skew-safe two-phase funnel is on
+    // (subPartitions=4) and must equal the plain per-group window.
+    "sample_group_cap" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.groupCap(Tables.documents(s, dir), "source",
+        maxPerGroup = 10, keyCol = "doc_id", salt = "gc", subPartitions = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/val/test assignment by cumulative hash ranges —
     // the same doc lands in the same split in every reprocessing run
     // (leak-free eval sets).
@@ -1148,6 +1159,15 @@ object TrainingDataQueries extends QueryPack {
     // Hex thresholds are Sampling.thresholdHex's exact output:
     // 0.1->19999999, 0.25->40000000, 0.5->80000000, 1.0->'g' (admits all);
     // the draw is the first 8 md5 hex digits of "<doc_id>:<salt>".
+    // the oracle is the SINGLE-window formulation — the Spark side runs the
+    // two-phase funnel, so parity also proves the funnel exact
+    "sample_group_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':gc'), 1, 8), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8) <

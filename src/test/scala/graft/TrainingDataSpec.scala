@@ -638,6 +638,43 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("group cap: two-phase funnel equals the single window (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val rowsGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("web", "books", "code"))))
+    val prop = forAll(rowsGen) { rows =>
+      val df = rows.distinct.toDF("doc_id", "source")
+      def keep(sub: Int) =
+        Sampling.groupCap(df, "source", maxPerGroup = 3,
+          keyCol = "doc_id", salt = "t", subPartitions = sub)
+          .as[(Long, String)].collect().toSet
+      val want = keep(1)
+      Prop(keep(4) == want && keep(7) == want) :| s"single=$want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("group cap keeps at most the quota per group, deterministically") {
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.groupCap(df, "source", maxPerGroup = 5,
+      keyCol = "doc_id", salt = "x", subPartitions = 4)
+      .as[(Long, String)].collect()
+    assert(out.groupBy(_._2).forall(_._2.length == 5))
+    // pure function of the corpus: a second run keeps the identical set
+    val again = Sampling.groupCap(df, "source", maxPerGroup = 5,
+      keyCol = "doc_id", salt = "x", subPartitions = 4)
+      .as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+    // groups under quota pass through whole
+    val small = Sampling.groupCap(df, "source", maxPerGroup = 100,
+      keyCol = "doc_id", salt = "x").count()
+    assert(small === 50)
+  }
+
   test("kmeans: Lloyd trajectory and final assignment by hand (1-D)") {
     // ids 0..3 at 0, 1, 10, 11; k=2 seeds cells at [0.0] and [1.0].
     // Round 1: {0} vs {1,10,11} → means 0 and 22/3; round 2: {0,1} vs
