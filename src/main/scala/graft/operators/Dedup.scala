@@ -32,16 +32,17 @@ object Dedup {
   private val trackedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def persistTracked(df: DataFrame): DataFrame = {
+  private[operators] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedCaches.add(p)
     p
   }
 
   /** Unpersist every intermediate cache parked by [[jaccardPairs]] /
-    * [[minhashLshPairs]] calls so far; returns how many were released.
-    * Safe at any time — pair frames still held by the caller recompute
-    * from source on their next action. */
+    * [[minhashLshPairs]] / [[SubstringDedup.duplicatedSpans]] calls so
+    * far; returns how many were released. Safe at any time — pair frames
+    * still held by the caller recompute from source on their next
+    * action. */
   def releaseIntermediateCaches(blocking: Boolean = false): Int = {
     var n = 0
     var df = trackedCaches.poll()

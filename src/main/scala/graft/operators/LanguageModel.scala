@@ -83,15 +83,24 @@ object LanguageModel {
                      addK: Double = 1.0, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(addK > 0, s"addK=$addK: smoothing mass must be positive")
-    val ctot = model.groupBy(col("context")).agg(sum(col("cnt")).as("__ctot"))
-    val vocab = model.select(col("token")).distinct()
+    // the model is read three times (scoring join, context totals,
+    // vocabulary) and deliberately left UNCACHED: persisting it showed no
+    // win in an sf0.1 bench (the two extra reads are cheap aggregations,
+    // and the cache boundary hides the size estimates AQE uses to
+    // broadcast the scoring join). Callers scoring many batches against
+    // one model should write the model once and read it back — a
+    // parquet-backed model is the production shape, and scan-backed reads
+    // give every downstream aggregation pushdown + accurate stats.
+    val m = model
+    val ctot = m.groupBy(col("context")).agg(sum(col("cnt")).as("__ctot"))
+    val vocab = m.select(col("token")).distinct()
       .agg(count(lit(1)).as("__vocab"))
     val term: Column = round(
       log((coalesce(col("cnt"), lit(0L)) + lit(addK)) /
         (coalesce(col("__ctot"), lit(0L)) + lit(addK) * col("__vocab")))
         * lit(1e6)).cast("long")
     val scored = transitions(docs, n, idCol, textCol)
-      .join(model, Seq("context", "token"), "left")
+      .join(m, Seq("context", "token"), "left")
       .join(ctot, Seq("context"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("cnt"), term.as("__term"))

@@ -67,7 +67,10 @@ object SubstringDedup {
                       textCol: String = "text", k: Int = 5,
                       minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount=$minCount: below 2 every gram matches")
-    val occ = kgramOccurrences(docs, idCol, textCol, k)
+    // occurrences feed BOTH the duplicated-gram aggregation and the join
+    // back — persist so tokenize/shingle/hash runs once, tracked in the
+    // shared registry (Dedup.releaseIntermediateCaches drops it)
+    val occ = Dedup.persistTracked(kgramOccurrences(docs, idCol, textCol, k))
     // grams hit by the occurrence threshold; count(*) not count(distinct
     // doc): a passage pasted twice into ONE document is duplicated text
     val dup = occ.groupBy(col("gram"))
