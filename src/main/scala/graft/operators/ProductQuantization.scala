@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the compression layer that makes
+  * billion-vector ANN affordable: split each d-dim embedding into `m`
+  * contiguous subvectors, train an independent k-means codebook per
+  * subspace ([[KMeans]] — already deterministic), and store each vector as
+  * `m` small cell ids instead of d floats. A 64-dim float vector at m=8,
+  * k=256 compresses 256 bytes → 8 bytes; distance evaluation against a
+  * query becomes `m` table lookups (ADC) instead of d multiplies.
+  *
+  * Scale shape (100 TB of embeddings):
+  *  - training runs on a SAMPLE (codebooks need thousands of vectors per
+  *    cell, not the corpus) — pass a sampled frame to [[fit]]; the m
+  *    sub-trainings iterate over that sample only;
+  *  - encoding is the corpus-sized pass: ONE broadcast of all m codebooks
+  *    (m·k·(d/m) doubles = k·d — kilobytes) and one narrow projection per
+  *    vector; the per-subspace argmin runs as a fold over the broadcast
+  *    list inside the row, so encoding never shuffles the corpus at all;
+  *  - ADC scoring broadcasts the per-query lookup tables the same way.
+  *
+  * Determinism: inherits [[KMeans]]' contract (fixed seeds, fixed-point
+  * means, lowest-cell tie-breaks) per subspace; encoding ties also break
+  * to the lowest cell id.
+  */
+object ProductQuantization {
+
+  private def toDouble(arr: Column): Column = arr.cast("array<double>")
+
+  /** Slice subspace `j` (0-based) of `m` equal blocks out of a d-dim
+    * vector column (d must divide evenly by m — validated in [[fit]]). */
+  private def subVec(vec: Column, j: Int, subDim: Int): Column =
+    slice(vec, j * subDim + 1, subDim)
+
+  /** Train per-subspace codebooks: returns (subspace, cell, centroid) —
+    * subspace j's centroids live in that subspace's d/m dims. `dim` is the
+    * full vector dimensionality (validated against divisibility, not
+    * inferred — schema metadata doesn't carry array lengths). Train on a
+    * deterministic sample at corpus scale ([[Sampling.bernoulli]]). */
+  def fit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible into m=$m blocks")
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val sub = vectors.select(col(idCol),
+        subVec(toDouble(col(vecCol)), j, subDim).as("__sub"))
+      KMeans.fit(sub, k, iters, idCol, "__sub")
+        .select(lit(j).as("subspace"), col("cell"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode the corpus against trained codebooks: (vec_id, codes) where
+    * codes[j] = nearest cell of subspace j (squared L2, ties to the lowest
+    * cell). The codebooks collapse to ONE broadcast row of
+    * `array<array<array<double>>>` (subspace → cell → centroid) and the
+    * whole encode is a narrow projection — per-subspace argmin folds over
+    * the in-row broadcast literal; the corpus never shuffles. */
+  def encode(vectors: DataFrame, codebooks: DataFrame, m: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // (subspace → cells ordered by id) as one nested-array row; sort_array
+    // on (subspace|cell, centroid) structs pins the nesting order
+    val packed = broadcast(codebooks
+      .groupBy(col("subspace"))
+      .agg(transform(array_sort(collect_list(struct(col("cell"), col("centroid")))),
+        c => c("centroid")).as("__cells"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("__cells")))),
+        s => s("__cells")).as("__books")))
+    val subDim = size(element_at(element_at(col("__books"), 1), 1))
+    val codes = transform(sequence(lit(1), lit(m)), j => {
+      val cells = element_at(col("__books"), j)
+      val sub = slice(toDouble(col("__v")), (j - lit(1)) * subDim + lit(1), subDim)
+      // argmin over cells: fold carrying (best dist, best 0-based cell)
+      aggregate(
+        sequence(lit(1), size(cells)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
+        (acc, i) => {
+          val d = Similarity.sqDist(sub, element_at(cells, i))
+          when(d < acc("d"), struct(d.as("d"), (i - 1).cast("int").as("cell")))
+            .otherwise(acc)
+        },
+        acc => acc("cell"))
+    })
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(packed)
+      .select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: score PQ codes against full-precision
+    * query vectors via per-query lookup tables — the table for query q is
+    * table[j][c] = sqDist(q's subspace j, codebook[j][c]), so a candidate's
+    * approximate distance is m table lookups + m-1 adds. Tables for the
+    * (small) query set broadcast like the codebooks; scoring is a narrow
+    * pass over the codes plus one per-query top-k window. */
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+              m: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // (query_id, tables: subspace → cell → dist); the subspace width comes
+    // off each codebook row (size of its centroid) — no driver action
+    val cellDists = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__q"))
+      .crossJoin(codebooks)
+      .withColumn("__d", Similarity.sqDist(
+        slice(col("__q"),
+          col("subspace") * size(col("centroid")) + lit(1),
+          size(col("centroid"))),
+        col("centroid")))
+    val tables = broadcast(cellDists
+      .groupBy(col("query_id"), col("subspace"))
+      .agg(transform(array_sort(collect_list(struct(col("cell"), col("__d")))),
+        c => c("__d")).as("__dists"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("__dists")))),
+        s => s("__dists")).as("__tables")))
+    import org.apache.spark.sql.expressions.Window
+    val approx = codes.join(tables)
+      .withColumn("adc_dist", aggregate(
+        sequence(lit(1), lit(m)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("__tables"), j),
+          element_at(col("codes"), j) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    approx
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -115,38 +115,77 @@ object TrainingDataQueries extends QueryPack {
   private[queries] val KmeansK = 8
   private[queries] val KmeansIters = 3
 
-  /** Generated DuckDB CTE chain replaying KMeans.fit: Lloyd is sequential,
-    * so the FIXED iteration budget unrolls into one CTE layer per round —
+  /** Generated DuckDB CTE chain replaying KMeans.fit over `vecSql` (a
+    * double-list expression over `embeddings`): Lloyd is sequential, so
+    * the FIXED iteration budget unrolls into one CTE layer per round —
     * broadcast-shaped assignment (argmin by left-fold squared L2, ties to
     * the lowest cell), fixed-point per-dimension means (exact integer
     * sums of floor(v·10⁹), one double division), empty cells carrying the
-    * previous centroid. The final table is cent$KmeansIters. */
-  private def kmeansCtes: String = {
+    * previous centroid. All CTE names carry prefix `t` so several
+    * trainings (the PQ subspaces) can share one statement; the final
+    * table is `${t}cent$iters`. */
+  private def kmeansCtesFor(t: String, vecSql: String, k: Int,
+                            iters: Int): String = {
     val base = Seq(
-      """emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings)""".stripMargin,
-      s"""cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
-         |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $KmeansK))""".stripMargin)
-    val iters = (0 until KmeansIters).flatMap { i =>
+      s"""${t}emb AS (SELECT vec_id, $vecSql AS v FROM embeddings)""",
+      s"""${t}cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+         |          FROM (SELECT vec_id, v FROM ${t}emb ORDER BY vec_id LIMIT $k))""".stripMargin)
+    val rounds = (0 until iters).flatMap { i =>
       Seq(
-        s"""asg$i AS (SELECT e.vec_id, e.v, c.cell, ${sqDistSql("e.v", "c.c")} AS d
-           |          FROM emb e, cent$i c)""".stripMargin,
-        s"""best$i AS (SELECT vec_id, v, cell FROM (
+        s"""${t}asg$i AS (SELECT e.vec_id, e.v, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+           |          FROM ${t}emb e, ${t}cent$i c)""".stripMargin,
+        s"""${t}best$i AS (SELECT vec_id, v, cell FROM (
            |            SELECT vec_id, v, cell,
            |              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-           |            FROM asg$i) WHERE rn = 1)""".stripMargin,
-        s"""mean$i AS (SELECT cell, pos,
+           |            FROM ${t}asg$i) WHERE rn = 1)""".stripMargin,
+        s"""${t}mean$i AS (SELECT cell, pos,
            |             CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE)
            |               / (count(*) * 1e9) AS mv
            |           FROM (SELECT cell, CAST(unnest(range(len(v))) AS INT) AS pos,
            |                        unnest(v) AS x
-           |                 FROM best$i)
+           |                 FROM ${t}best$i)
            |           GROUP BY 1, 2)""".stripMargin,
-        s"newc$i AS (SELECT cell, list(mv ORDER BY pos) AS c FROM mean$i GROUP BY cell)",
-        s"""cent${i + 1} AS (SELECT o.cell, coalesce(n.c, o.c) AS c
-           |                 FROM cent$i o LEFT JOIN newc$i n USING (cell))""".stripMargin)
+        s"${t}newc$i AS (SELECT cell, list(mv ORDER BY pos) AS c FROM ${t}mean$i GROUP BY cell)",
+        s"""${t}cent${i + 1} AS (SELECT o.cell, coalesce(n.c, o.c) AS c
+           |                 FROM ${t}cent$i o LEFT JOIN ${t}newc$i n USING (cell))""".stripMargin)
     }
-    (base ++ iters).mkString(",\n")
+    (base ++ rounds).mkString(",\n")
+  }
+
+  private def kmeansCtes: String = kmeansCtesFor("",
+    "list_transform(embedding, x -> CAST(x AS DOUBLE))", KmeansK, KmeansIters)
+
+  /** PQ gate constants: 2 subspaces × 32 dims, 4 cells, 2 Lloyd rounds. */
+  private[queries] val PqM = 2
+  private[queries] val PqSubDim = 32
+  private[queries] val PqK = 4
+  private[queries] val PqIters = 2
+
+  /** Generated oracle for [[graft.operators.ProductQuantization]] codes:
+    * one unrolled k-means chain per subspace over the sliced embedding,
+    * then the per-subspace nearest-cell assignment, flattened to
+    * (vec_id, subspace, code). */
+  private def pqOracle: String = {
+    val trainings = (0 until PqM).map { j =>
+      val lo = j * PqSubDim + 1
+      val hi = (j + 1) * PqSubDim
+      kmeansCtesFor(s"s$j",
+        s"list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE))",
+        PqK, PqIters)
+    }
+    val assigns = (0 until PqM).map { j =>
+      s"""fin$j AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |          FROM s${j}emb e, s${j}cent$PqIters c),
+         |b$j AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |          FROM fin$j) WHERE rn = 1)""".stripMargin
+    }
+    "WITH " + (trainings ++ assigns).mkString(",\n") + "\n" +
+      (0 until PqM).map(j =>
+        s"SELECT vec_id, $j AS subspace, cell AS code FROM b$j")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY vec_id, subspace"
   }
 
   /** Fixture subword vocabulary for the `text_token_subword` gate:
@@ -241,6 +280,18 @@ object TrainingDataQueries extends QueryPack {
       KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
         .select(col("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Product quantization: per-subspace codebooks (KMeans) + corpus codes,
+    // flattened to (vec_id, subspace, code) for the oracle compare.
+    "pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val books = ProductQuantization.fit(e, dim = 64, m = PqM, k = PqK,
+        iters = PqIters)
+      ProductQuantization.encode(e, books, m = PqM)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+        .orderBy(col("vec_id"), col("subspace"))
     }),
 
     // BPE vocabulary learning: first 8 merges over the corpus's word
@@ -798,6 +849,8 @@ object TrainingDataQueries extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "bpe_merges" -> bpeOracle,
+
+    "pq_codes" -> pqOracle,
 
     "kmeans_centroids" ->
       s"""WITH $kmeansCtes

@@ -638,6 +638,60 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("product quantization: codebooks, codes, and ADC by hand (2-D, m=2)") {
+    // two 2-dim subspaces; per subspace k=2 k-means over 4 points
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(1.0, 1.0, 11.0, 11.0)),
+      (2L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (3L, Seq(11.0, 11.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val books = ProductQuantization.fit(vecs, dim = 4, m = 2, k = 2, iters = 3)
+    val b = books.as[(Int, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // subspace 0 (dims 0-1): points (0,0),(1,1),(10,10),(11,11), seeds the
+    // two lowest-id subvectors (0,0),(1,1) — Lloyd settles at (0.5,0.5)
+    // and (10.5,10.5). Subspace 1 (dims 2-3) sees the same point set with
+    // seeds (10,10),(11,11); round 1 pulls cell 0's mean to (11/3, 11/3),
+    // round 2 hands (10,10) to cell 1 — cell 0 DRIFTS to the (0,0)/(1,1)
+    // cluster and the final centroids match subspace 0's.
+    assert(b === Map(
+      (0, 0) -> Seq(0.5, 0.5), (0, 1) -> Seq(10.5, 10.5),
+      (1, 0) -> Seq(0.5, 0.5), (1, 1) -> Seq(10.5, 10.5)))
+    val codes = ProductQuantization.encode(vecs, books, m = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes === Map(
+      0L -> Seq(0, 1), 1L -> Seq(0, 1), 2L -> Seq(1, 0), 3L -> Seq(1, 0)))
+    // ADC for query 0: vec0/vec1 share codes [0,1] → adc 0.5+0.5 = 1.0
+    // each, tie broken by vec_id; vec2/vec3 are far in both subspaces
+    val adc = ProductQuantization.adcTopK(
+      ProductQuantization.encode(vecs, books, m = 2),
+      vecs.filter(col("vec_id") === 0L), books, m = 2, k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(adc.map(r => (r._2, r._3, r._4)).toSeq ===
+      Seq((1, 0L, 1.0), (2, 1L, 1.0)))
+  }
+
+  test("product quantization: encode matches per-subspace kmeans assign") {
+    // random-ish deterministic vectors; encode's in-row argmin must equal
+    // running KMeans.assign per subspace on the sliced vectors
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq.tabulate(6)(d => ((i * 7 + d * 3) % 11).toDouble))
+    }.toDF("vec_id", "embedding")
+    val m = 3
+    val books = ProductQuantization.fit(vecs, dim = 6, m = m, k = 4, iters = 2)
+    val codes = ProductQuantization.encode(vecs, books, m = m)
+      .as[(Long, Seq[Int])].collect().toMap
+    for (j <- 0 until m) {
+      val sub = vecs.select(col("vec_id"),
+        slice(col("embedding"), j * 2 + 1, 2).as("embedding"))
+      val want = KMeans.assign(sub,
+        books.filter(col("subspace") === j).select(col("cell"), col("centroid")))
+        .as[(Long, Int, Double)].collect().map(r => r._1 -> r._2).toMap
+      for ((id, cs) <- codes)
+        assert(cs(j) === want(id), s"vec $id subspace $j")
+    }
+  }
+
   test("group cap: two-phase funnel equals the single window (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
