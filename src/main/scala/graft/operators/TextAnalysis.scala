@@ -63,6 +63,62 @@ object TextAnalysis {
       "quality_score" -> score)
   }
 
+  /** Gopher-rule quality gate (Rae et al. 2021, appendix A — the published
+    * heuristic battery most production corpus filters start from), as one
+    * narrow projection over a materialized token column. Every metric is
+    * exact integer counting or a single double division of exact ints —
+    * deterministic across engines. Rules (a document must pass ALL):
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-to-word ratio (# and ... occurrences / words) below 0.1;
+    *  - at least 80% of words contain an alphabetic character;
+    *  - at least 2 hits from the 8-stopword list (the "natural language"
+    *    tripwire — tables and code rarely contain them).
+    * Thresholds are the paper's; bounds are inclusive where the paper
+    * states inclusive ranges. */
+  def gopherColumns(text: Column, toks: Column,
+                    minWords: Int = 50, maxWords: Int = 100000): Seq[(String, Column)] = {
+    val nWords = size(toks)
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = when(nWords > 0,
+      charSum.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    // non-overlapping occurrence counts via replace-and-diff — identical
+    // left-to-right greedy semantics in Spark and DuckDB
+    val nHash = length(text) - length(regexp_replace(text, lit("#"), lit("")))
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, lit("\\.\\.\\."), lit("")))) / 3).cast("int")
+    val symbolRatio = when(nWords > 0,
+      (nHash + nEllipsis).cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val alphaFrac = when(nWords > 0,
+      nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks,
+      t => gopherStop.map(s => lower(t) === s).reduce(_ || _)))
+    val keep = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolRatio < 0.1 && alphaFrac >= 0.8 && nStop >= 2
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_word_ratio" -> symbolRatio,
+      "alpha_word_frac" -> alphaFrac,
+      "n_gopher_stopwords" -> nStop,
+      "gopher_keep" -> keep)
+  }
+
+  /** Per-document Gopher rule evaluation: (id, metrics…, gopher_keep). */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__toks"))
+    val cols = gopherColumns(col("__text"), col("__toks"), minWords, maxWords)
+      .map { case (n, c) => c.as(n) }
+    base.select(col("doc_id") +: cols: _*)
+  }
+
   /** Marker-word language scores; prediction = argmax with lexical tiebreak.
     * An n-gram-frequency heuristic in the same shape real lang-ID uses —
     * marker lists stand in for trained n-gram tables. */

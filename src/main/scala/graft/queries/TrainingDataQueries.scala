@@ -581,6 +581,13 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher heuristic battery (Rae et al. 2021): per-doc rule metrics and
+    // the composite keep flag.
+    "quality_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherRules(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source quota cap (CommonCrawl-style per-domain cap): at most 10
     // docs per source, hash-chosen; the skew-safe two-phase funnel is on
     // (subPartitions=4) and must equal the plain per-group window.
@@ -1212,6 +1219,38 @@ object TrainingDataQueries extends QueryPack {
     // Hex thresholds are Sampling.thresholdHex's exact output:
     // 0.1->19999999, 0.25->40000000, 0.5->80000000, 1.0->'g' (admits all);
     // the draw is the first 8 md5 hex digits of "<doc_id>:<salt>".
+    "quality_gopher" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT d.doc_id,
+         |        len(t) AS n_words,
+         |        coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS char_sum,
+         |        len(d.text) - len(replace(d.text, '#', '')) AS n_hash,
+         |        CAST((len(d.text) - len(replace(d.text, '...', ''))) / 3 AS INT) AS n_ell,
+         |        len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |        len(list_filter(t, x -> list_contains(
+         |          ['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stop
+         |      FROM toks JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id,
+         |        CAST(n_words AS INT) AS n_words,
+         |        CASE WHEN n_words > 0
+         |             THEN CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |             ELSE 0.0 END AS mean_word_len,
+         |        CASE WHEN n_words > 0
+         |             THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |             ELSE 0.0 END AS symbol_word_ratio,
+         |        CASE WHEN n_words > 0
+         |             THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |             ELSE 0.0 END AS alpha_word_frac,
+         |        CAST(n_stop AS INT) AS n_gopher_stopwords
+         |      FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |       alpha_word_frac, n_gopher_stopwords,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_word_ratio < 0.1 AND alpha_word_frac >= 0.8
+         |        AND n_gopher_stopwords >= 2) AS gopher_keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // the oracle is the SINGLE-window formulation — the Spark side runs the
     // two-phase funnel, so parity also proves the funnel exact
     "sample_group_cap" ->

@@ -638,6 +638,42 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("gopher rules: each tripwire fails exactly the offending doc") {
+    val good = ("the be " + Seq.fill(48)("word").mkString(" "))   // 50 words
+    val short = "the be cat"                                      // word floor
+    val symbols = ("the be " + Seq.fill(48)("#tag").mkString(" "))// 48 '#' / 50
+    val numeric = ("the be " + Seq.fill(48)("1234").mkString(" "))// alpha 2/50
+    val noStop = Seq.fill(50)("word").mkString(" ")               // 0 stopwords
+    val longWords = ("the be " +
+      Seq.fill(48)("w" * 12).mkString(" "))                       // mean > 10
+    val d = docs(1L -> good, 2L -> short, 3L -> symbols,
+      4L -> numeric, 5L -> noStop, 6L -> longWords)
+    val out = TextAnalysis.gopherRules(d)
+      .select(col("doc_id"), col("gopher_keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    // spot-check the metrics behind doc 1 and doc 3's verdicts
+    val m = TextAnalysis.gopherRules(d)
+      .as[(Long, Int, Double, Double, Double, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === 50)                    // n_words
+    assert(m(1L)._3 === (3 + 2 + 48 * 4) / 50.0) // mean word len
+    assert(m(3L)._4 === 48 / 50.0)             // symbol-to-word ratio
+    assert(m(1L)._6 === 2)                     // stopword hits
+  }
+
+  test("gopher rules: ellipsis counting is non-overlapping like replace") {
+    // "....." (5 dots) contains ONE non-overlapping '...' occurrence
+    val d = docs(1L -> ("the be " + Seq.fill(48)("word").mkString(" ") +
+      " ....."))
+    val r = TextAnalysis.gopherRules(d)
+      .as[(Long, Int, Double, Double, Double, Int, Boolean)].collect().head
+    // 51 words now; 1 ellipsis / 51 words
+    assert(r._2 === 51)
+    assert(r._4 === 1 / 51.0)
+  }
+
   test("product quantization: codebooks, codes, and ADC by hand (2-D, m=2)") {
     // two 2-dim subspaces; per subspace k=2 k-means over 4 points
     val vecs = Seq(
