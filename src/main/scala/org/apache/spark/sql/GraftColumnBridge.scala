@@ -16,6 +16,13 @@ object GraftColumnBridge {
     * arrives — wrong failure mode for a probe that has a cheap fallback). */
   def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 
+  /** DataFrame over a logical plan (`Dataset.ofRows` is `private[sql]`) —
+    * for probes that time SUB-plans of a query (e.g. the pipeline below a
+    * gate's global sort) without rebuilding them from the API. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Does `c` reference a column of this name anywhere in its tree?
     *
     * Spark 4 Columns are lazy `ColumnNode` trees, converted to Catalyst
