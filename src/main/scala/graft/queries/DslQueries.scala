@@ -62,7 +62,7 @@ object DslQueries extends QueryPack {
       val out = ToCodes(df, partCatalog, new FlatResolver(df.columns.toSet))
       out.select(col("p_partkey"), explode(col("variables")).as(Seq("code", "value")))
         .select(col("p_partkey"), col("code"))
-        .orderBy(col("p_partkey"), col("code"))
+        .localCheckpoint(true).orderBy(col("p_partkey"), col("code"))
     }),
 
     "dsl_calc" -> ((s, dir) => {
@@ -74,7 +74,7 @@ object DslQueries extends QueryPack {
       df.filter(c.applicable)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           c.value.as("calc_value"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .localCheckpoint(true).orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
     }),
 
     "dsl_value_date" -> ((s, dir) => {
@@ -87,7 +87,7 @@ object DslQueries extends QueryPack {
       val c = VariableCompiler.compile(code, new FlatResolver(Set("datestr")))
       df.filter(c.applicable)
         .select(col("o_orderkey"), c.value.as("iso_date"))
-        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true).orderBy(col("o_orderkey"))
     }),
 
     "dsl_to_date_between" -> ((s, dir) => {
@@ -102,7 +102,7 @@ object DslQueries extends QueryPack {
         EpiWeek.StartDay(0))
       df.filter(c.applicable)
         .select(col("o_orderkey"))
-        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true).orderBy(col("o_orderkey"))
     }),
 
     // The reference's canonical downstream query (docs/source/index.rst:75-77):
@@ -147,7 +147,7 @@ object DslQueries extends QueryPack {
           element_at(col("categories"), "band").as("band_src"),
           element_at(col("categories"), "seen").as("seen_src"))
         .filter(col("var_winner").isNotNull)
-        .orderBy(col("p_partkey"))
+        .localCheckpoint(true).orderBy(col("p_partkey"))
     }),
 
     "dsl_to_codes_alert" -> ((s, dir) => {

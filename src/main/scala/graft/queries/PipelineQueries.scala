@@ -91,7 +91,7 @@ object PipelineQueries extends QueryPack {
           d(col("data"), "user_id").cast("long").as("user_id"),
           d(col("data"), "event_type").as("event_type"),
           d(col("data"), "value").cast("double").as("value_r"))
-        .orderBy(col("event_id"))
+        .localCheckpoint(true).orderBy(col("event_id"))
     }),
 
     // P2 through InitialVisitControl: earliest visit per identifier tuple
@@ -107,7 +107,7 @@ object PipelineQueries extends QueryPack {
           d(col("data"), "user_id").cast("long").as("user_id"),
           d(col("data"), "event_type").as("event_type"),
           d(col("data"), "visit").as("visit"))
-        .orderBy(col("event_id"))
+        .localCheckpoint(true).orderBy(col("event_id"))
     }),
 
     // P3 through ToDataType: conditional multicast — equality conditions only,
@@ -130,7 +130,7 @@ object PipelineQueries extends QueryPack {
       ToDataType.union(formDf, "orders", types)
         .select(col("type"),
           d(col("data"), "o_orderkey").cast("long").as("o_orderkey"))
-        .orderBy(col("type"), col("o_orderkey"))
+        .localCheckpoint(true).orderBy(col("type"), col("o_orderkey"))
     }),
 
     // P4 "to-links" through AddLinks.linkMatches: equality link, matches
@@ -153,7 +153,7 @@ object PipelineQueries extends QueryPack {
         .select(col("uuid").cast("long").as("o_orderkey"),
           size(col("__linked")).cast("long").as("n_links"),
           concat_ws(",", col("__linked")).as("items"))
-        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true).orderBy(col("o_orderkey"))
     }),
 
     // P4 "alert_match" through AddLinks: linked value == last-N chars of the
@@ -177,7 +177,7 @@ object PipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n_matches"),
           min(col("o_orderkey")).as("first_match"),
           max(col("o_orderkey")).as("last_match"))
-        .orderBy(col("c_custkey"))
+        .localCheckpoint(true).orderBy(col("c_custkey"))
     }),
 
     // A1 through MultipleAlerts.dailyThreshold.
@@ -185,7 +185,7 @@ object PipelineQueries extends QueryPack {
       MultipleAlerts.dailyThreshold(eventsData(s, dir), "any", 5)
         .select(col("clinic").as("user_id"), col("day"), col("n"),
           concat_ws(",", col("uuids")).as("uuids"))
-        .orderBy(col("user_id"), col("day"))
+        .localCheckpoint(true).orderBy(col("user_id"), col("day"))
     }),
 
     // A2 through MultipleAlerts.weeklyThreshold (international epi weeks).
@@ -193,7 +193,7 @@ object PipelineQueries extends QueryPack {
       MultipleAlerts.weeklyThreshold(eventsData(s, dir), "any", 20)
         .select(col("clinic").as("user_id"), col("epi_year"), col("epi_week"),
           col("n"), concat_ws(",", col("uuids")).as("uuids"))
-        .orderBy(col("user_id"), col("epi_year"), col("epi_week"))
+        .localCheckpoint(true).orderBy(col("user_id"), col("epi_year"), col("epi_week"))
     }),
 
     // A3 through MultipleAlerts.doubleDoubling — the reference spec: three
@@ -208,7 +208,7 @@ object PipelineQueries extends QueryPack {
         .select(col("clinic").as("user_id"), col("var_id").as("event_type"),
           col("epi_year"), col("epi_week"), col("n"),
           concat_ws(",", col("uuids")).as("uuids"))
-        .orderBy(col("user_id"), col("event_type"), col("epi_year"),
+        .localCheckpoint(true).orderBy(col("user_id"), col("event_type"), col("epi_year"),
           col("epi_week"))
     }),
 
@@ -231,7 +231,7 @@ object PipelineQueries extends QueryPack {
         .select(col("uuid").cast("long").as("event_id"),
           explode(col("variables")).as(Seq("code", "value")))
         .filter(col("code") =!= "evt")
-        .orderBy(col("event_id"), col("code"), col("value"))
+        .localCheckpoint(true).orderBy(col("event_id"), col("code"), col("value"))
     }),
 
     // Analytic window-function surface: running totals, ranks, quartiles —
@@ -250,7 +250,7 @@ object PipelineQueries extends QueryPack {
         .withColumn("quartile", ntile(4).over(wOrder))
         .select(col("event_id"), col("user_id"), col("running_value"),
           col("value_rank"), col("quartile"))
-        .orderBy(col("event_id"))
+        .localCheckpoint(true).orderBy(col("event_id"))
     }),
 
     // A5: hierarchical population rollup through the SHIPPED
@@ -356,7 +356,7 @@ object PipelineQueries extends QueryPack {
           map_contains_key(vars, "all_early").as("all_early"),
           element_at(vars, "first_part").cast("long").as("first_part"),
           element_at(vars, "last_part").cast("long").as("last_part"))
-        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true).orderBy(col("o_orderkey"))
     })
   )
 

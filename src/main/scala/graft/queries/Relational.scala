@@ -30,7 +30,7 @@ object Relational extends QueryPack {
             (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .localCheckpoint(true).orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     "q3_top_orders" -> ((s, dir) => {
@@ -118,7 +118,7 @@ object Relational extends QueryPack {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
+        .localCheckpoint(true).orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
 
@@ -126,7 +126,7 @@ object Relational extends QueryPack {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus").asc_nulls_first,
+        .localCheckpoint(true).orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -141,7 +141,7 @@ object Relational extends QueryPack {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
              sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
-        .orderBy(col("r_name"), col("n_name"))
+        .localCheckpoint(true).orderBy(col("r_name"), col("n_name"))
     })
   )
 

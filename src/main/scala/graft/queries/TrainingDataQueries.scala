@@ -214,7 +214,7 @@ object TrainingDataQueries extends QueryPack {
           graft.functions.SubwordTokenCount
             .subwordTokenCount(col("text"), SubwordVocab)
             .cast("long").as("n_subword"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // The segmentation twin: the pieces themselves, space-joined so the
@@ -224,7 +224,7 @@ object TrainingDataQueries extends QueryPack {
         .select(col("doc_id"),
           concat_ws(" ", graft.functions.SubwordTokenCount
             .subwordTokens(col("text"), SubwordVocab)).as("segments"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "text_token_count" -> ((s, dir) => {
@@ -232,7 +232,7 @@ object TrainingDataQueries extends QueryPack {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "text_quality" -> ((s, dir) => {
@@ -243,7 +243,7 @@ object TrainingDataQueries extends QueryPack {
         .map { case (n, c) => c.as(n) }
       withToks
         .select(col("doc_id") +: cols: _*)
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "text_langid" -> ((s, dir) => {
@@ -254,17 +254,17 @@ object TrainingDataQueries extends QueryPack {
       withToks
         .select(Seq(col("doc_id"),
           TextAnalysis.predictedLangFromTokens(col("__toks")).as("predicted")) ++ scores: _*)
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "dedup_exact" -> ((s, dir) => {
-      Dedup.exact(Tables.documents(s, dir)).orderBy(col("keep_id"))
+      Dedup.exact(Tables.documents(s, dir)).localCheckpoint(true).orderBy(col("keep_id"))
     }),
 
     // Deterministic Lloyd k-means: trained centroids (flattened to one row
@@ -279,7 +279,7 @@ object TrainingDataQueries extends QueryPack {
       val e = Tables.embeddings(s, dir)
       KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
         .select(col("vec_id"), col("cell"))
-        .orderBy(col("vec_id"))
+        .localCheckpoint(true).orderBy(col("vec_id"))
     }),
 
     // Product quantization: per-subspace codebooks (KMeans) + corpus codes,
@@ -291,14 +291,14 @@ object TrainingDataQueries extends QueryPack {
       ProductQuantization.encode(e, books, m = PqM)
         .select(col("vec_id"),
           posexplode(col("codes")).as(Seq("subspace", "code")))
-        .orderBy(col("vec_id"), col("subspace"))
+        .localCheckpoint(true).orderBy(col("vec_id"), col("subspace"))
     }),
 
     // BPE vocabulary learning: first 8 merges over the corpus's word
     // frequencies (deterministic — ties break lexicographically).
     "bpe_merges" -> ((s, dir) => {
       BpeLearn.learnTable(s, Tables.documents(s, dir),
-        numMerges = BpeMergeCount).orderBy(col("rank"))
+        numMerges = BpeMergeCount).localCheckpoint(true).orderBy(col("rank"))
     }),
 
     // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
@@ -314,7 +314,7 @@ object TrainingDataQueries extends QueryPack {
     // spans whose 5-grams occur at least twice corpus-wide, merged per doc.
     "dedup_substring_spans" -> ((s, dir) => {
       SubstringDedup.duplicatedSpans(Tables.documents(s, dir), k = 5)
-        .orderBy(col("doc_id"), col("span_start"))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("span_start"))
     }),
 
     // The scrubbed corpus: duplicated spans removed, every document kept
@@ -323,7 +323,7 @@ object TrainingDataQueries extends QueryPack {
       val docs = Tables.documents(s, dir)
       SubstringDedup.scrubSpans(docs,
         SubstringDedup.duplicatedSpans(docs, k = 5))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
@@ -332,7 +332,7 @@ object TrainingDataQueries extends QueryPack {
       // stop-shingle defense)
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.3,
         maxShingleDf = Some(1000))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -347,7 +347,7 @@ object TrainingDataQueries extends QueryPack {
       Dedup.simhashGroups(Tables.documents(s, dir))
         .select(col("sim"), col("n_docs"), col("keep_id"),
           concat_ws(",", col("doc_ids")).as("doc_ids"))
-        .orderBy(col("sim"))
+        .localCheckpoint(true).orderBy(col("sim"))
     }),
 
     "text_repetition" -> ((s, dir) => {
@@ -394,7 +394,7 @@ object TrainingDataQueries extends QueryPack {
         .select(col("id").cast("long").as("doc_id"),
           col("component").cast("long").as("component"),
           col("is_canonical"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // The terminal dedup artifact: the corpus with non-canonical cluster
@@ -413,7 +413,7 @@ object TrainingDataQueries extends QueryPack {
       val comps = Dedup.connectedComponents(jp.unionByName(ep))
       Dedup.applyKeepList(docs, comps)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Incremental dedup of an ingest batch against corpus history: the
@@ -431,19 +431,19 @@ object TrainingDataQueries extends QueryPack {
         expectedItems = 100000L)
       IncrementalDedup.filterUnseenExact(batch, history, "digest", sk)
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingDupPairs(Tables.embeddings(s, dir),
         threshold = 0.4, blockCol = "label")
-        .orderBy(col("vec_a"), col("vec_b"))
+        .localCheckpoint(true).orderBy(col("vec_a"), col("vec_b"))
     }),
 
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
-        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
     }),
 
     // IVF ANN: fixed seed-vector coarse quantizer, nProbe nearest cells
@@ -452,13 +452,13 @@ object TrainingDataQueries extends QueryPack {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 3,
         numCells = 16, nProbe = 4)
-        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
     }),
 
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 3, bits = 8)
-        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
     }),
 
     // gap-based sessionization via Spark's native session_window. Boundary
@@ -468,7 +468,7 @@ object TrainingDataQueries extends QueryPack {
     "sessionize" -> ((s, dir) => {
       import graft.operators.Sessionize
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "30 minutes")
-        .orderBy(col("user_id"), col("session_start"))
+        .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
     }),
 
     "multimodal_decode" -> ((s, dir) => {
@@ -480,7 +480,7 @@ object TrainingDataQueries extends QueryPack {
       Multimodal.resize(feats, maxDim = 512)
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("n_frames"), col("digest"), col("out_width"), col("out_height"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Corpus scrub pass: tag strip + email/URL redaction + whitespace
@@ -494,7 +494,7 @@ object TrainingDataQueries extends QueryPack {
         .select(Seq(col("doc_id"),
           md5(TextNormalize.scrub(col("text")).cast("binary")).as("scrub_md5")) ++
           counts: _*)
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Full PII scrub (emails, URLs, IPv4, phones). The corpus carries no
@@ -516,7 +516,7 @@ object TrainingDataQueries extends QueryPack {
         .select(Seq(col("doc_id"),
           md5(TextNormalize.scrubPii(pii).cast("binary")).as("scrub_md5")) ++
           counts: _*)
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Unicode NFC canonicalization (native codegen'd expression) — the
@@ -532,7 +532,7 @@ object TrainingDataQueries extends QueryPack {
           md5(NfcNormalize.nfc(t).cast("binary")).as("nfc_md5"),
           (length(t) - length(NfcNormalize.nfc(t))).cast("long")
             .as("n_composed"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Per-label embedding centroids (clustering/reporting surface):
@@ -540,7 +540,7 @@ object TrainingDataQueries extends QueryPack {
     "embedding_centroids" -> ((s, dir) => {
       import graft.operators.Similarity
       Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
-        .orderBy(col("label"), col("pos"))
+        .localCheckpoint(true).orderBy(col("label"), col("pos"))
     }),
 
     // Sequence packing: documents assigned to fixed-token-budget training
@@ -555,7 +555,7 @@ object TrainingDataQueries extends QueryPack {
         keyCol = "doc_id", numBuckets = 8)
         .select(col("doc_id"), col("bucket"), col("example_id"),
           col("n_tokens"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Fixed-token-window chunking with overlap: long documents split into
@@ -566,7 +566,7 @@ object TrainingDataQueries extends QueryPack {
         overlap = 8)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
           col("chunk_tokens"))
-        .orderBy(col("doc_id"), col("chunk_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // Deterministic stratified sampling: downsample English, keep German
@@ -578,14 +578,14 @@ object TrainingDataQueries extends QueryPack {
         Map("en" -> 0.1, "de" -> 1.0, "fr" -> 0.5),
         keyCol = "doc_id", defaultFraction = 0.25, salt = "s1")
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Gopher heuristic battery (Rae et al. 2021): per-doc rule metrics and
     // the composite keep flag.
     "quality_gopher" -> ((s, dir) => {
       TextAnalysis.gopherRules(Tables.documents(s, dir))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Per-source quota cap (CommonCrawl-style per-domain cap): at most 10
@@ -608,7 +608,7 @@ object TrainingDataQueries extends QueryPack {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         keyCol = "doc_id", salt = "sp")
         .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Benchmark decontamination: training docs sharing any 3-gram with the
@@ -620,7 +620,7 @@ object TrainingDataQueries extends QueryPack {
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       Decontaminate.overlap(train, bench, k = 3)
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Reverse decontamination report: per benchmark item, how much of the
@@ -657,14 +657,14 @@ object TrainingDataQueries extends QueryPack {
     // frequency, token-ascending tiebreak.
     "vocab_topk" -> ((s, dir) => {
       TextAnalysis.vocabulary(Tables.documents(s, dir), topK = 50)
-        .orderBy(col("term_freq").desc, col("token").asc)
+        .localCheckpoint(true).orderBy(col("term_freq").desc, col("token").asc)
     }),
 
     // Per-language top-5 tokens (group-wise heavy hitters).
     "vocab_per_lang" -> ((s, dir) => {
       TextAnalysis.vocabularyPerGroup(Tables.documents(s, dir), "lang",
         topK = 5)
-        .orderBy(col("lang"), col("rank"))
+        .localCheckpoint(true).orderBy(col("lang"), col("rank"))
     }),
 
     // Per-language corpus report: doc count, token volume, source
@@ -675,7 +675,7 @@ object TrainingDataQueries extends QueryPack {
         .withColumn("n_tokens",
           TextAnalysis.tokenCount(col("text")).cast("long"))
       CorpusStats.stats(docs, "lang", "n_tokens", "source")
-        .orderBy(col("lang"))
+        .localCheckpoint(true).orderBy(col("lang"))
     }),
 
     // Per-language length-band outlier filter: keep docs inside their own
@@ -688,7 +688,7 @@ object TrainingDataQueries extends QueryPack {
       CorpusStats.lengthBandFilter(docs, "lang", "n_tokens",
         loQ = 0.1, hiQ = 0.9)
         .select(col("doc_id"), col("lang"), col("n_tokens"))
-        .orderBy(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // Weighted training mix under per-language token budgets: hash-ordered
