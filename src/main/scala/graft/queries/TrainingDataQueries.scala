@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, SemDedup, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -155,6 +155,10 @@ object TrainingDataQueries extends QueryPack {
   private def kmeansCtes: String = kmeansCtesFor("",
     "list_transform(embedding, x -> CAST(x AS DOUBLE))", KmeansK, KmeansIters)
 
+  /** Cosine threshold for the `semdedup_prune` gate — low vs the paper's
+    * ≥ 0.9 so the synthetic corpus actually exercises the drop path. */
+  private[queries] val SemDedupTau = 0.4
+
   /** PQ gate constants: 2 subspaces × 32 dims, 4 cells, 2 Lloyd rounds. */
   private[queries] val PqM = 2
   private[queries] val PqSubDim = 32
@@ -279,6 +283,14 @@ object TrainingDataQueries extends QueryPack {
       val e = Tables.embeddings(s, dir)
       KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
         .select(col("vec_id"), col("cell"))
+        .localCheckpoint(true).orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: k-means cells + in-cell cosine prune — kept=0 iff a
+    // lower-id vector in the same cell is within the threshold.
+    "semdedup_prune" -> ((s, dir) => {
+      SemDedup.prune(Tables.embeddings(s, dir), k = KmeansK,
+        iters = KmeansIters, threshold = SemDedupTau)
         .localCheckpoint(true).orderBy(col("vec_id"))
     }),
 
@@ -873,6 +885,24 @@ object TrainingDataQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM fin) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "semdedup_prune" ->
+      s"""WITH $kmeansCtes,
+         |fin AS (SELECT e.vec_id, e.v, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |        FROM emb e, cent$KmeansIters c),
+         |asg AS (SELECT vec_id, v, cell FROM (
+         |          SELECT vec_id, v, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |          FROM fin) WHERE rn = 1),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |        WHERE ${dotSql("a.v", "b.v")}
+         |              / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")}))
+         |              >= $SemDedupTau)
+         |SELECT a.vec_id, a.cell,
+         |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM asg a LEFT JOIN drp d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
 
     "lm_score_bigram" ->
       s"""WITH $toksCte,

@@ -802,6 +802,56 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out === Seq((7L, 0, 0.25)))
   }
 
+  test("semdedup: hand case — in-cell cosine prune keeps the lowest id") {
+    // Lloyd (k=2) converges to cells {0,1,2} (y-axis) and {3,4} (x≈10).
+    // Within the y-axis cell, v1 and v2 are colinear with v0 (cos = 1.0)
+    // → dropped; within the far cell cos(v3, v4) = 100/(10·√101) ≈ 0.995.
+    val vecs = Seq(
+      (0L, Seq(0.0, 1.0)), (1L, Seq(0.0, 2.0)), (2L, Seq(0.0, 3.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(10.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.prune(vecs, k = 2, iters = 3, threshold = 0.9)
+      .as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._2 === 1 && out(3L)._2 === 1) // cell minima always keep
+    assert(out(1L)._2 === 0 && out(2L)._2 === 0 && out(4L)._2 === 0)
+    assert(out(0L)._1 === out(1L)._1 && out(1L)._1 === out(2L)._1)
+    assert(out(3L)._1 === out(4L)._1)
+    assert(out(0L)._1 !== out(3L)._1)
+    // tighten the threshold past cos(v3, v4): v4 survives, colinears don't
+    val tight = SemDedup.prune(vecs, k = 2, iters = 3, threshold = 0.999)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("semdedup: dropped rows always have a lower-id in-cell witness") {
+    // invariants on a corpus with no engineered structure: every drop has
+    // a lower-id same-cell neighbor at/over the threshold, every keep has
+    // none, and threshold > 1 keeps everything (cosine can't exceed 1).
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq(math.sin(i * 1.7), math.cos(i * 0.9), math.sin(i * 0.3 + 1)))
+    }.toDF("vec_id", "embedding")
+    val tau = 0.8
+    val out = SemDedup.prune(vecs, k = 3, iters = 2, threshold = tau)
+      .as[(Long, Int, Int)].collect()
+    val cells = out.map(r => r._1 -> r._2).toMap
+    val raw = (0L until 40L).map { i =>
+      i -> Seq(math.sin(i * 1.7), math.cos(i * 0.9), math.sin(i * 0.3 + 1))
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { case (id, cell, kept) =>
+      val witness = (0L until id).exists(j =>
+        cells(j) == cell && cos(raw(j), raw(id)) >= tau)
+      assert(witness === (kept == 0), s"id=$id kept=$kept")
+    }
+    val all = SemDedup.prune(vecs, k = 3, iters = 2, threshold = 1.5)
+      .as[(Long, Int, Int)].collect()
+    assert(all.forall(_._3 == 1))
+  }
+
   // Plain-Scala reference BPE (Sennrich et al.): the oracle the
   // distributed learner is property-checked against.
   private def refBpeMerges(corpus: Seq[String], m: Int,
