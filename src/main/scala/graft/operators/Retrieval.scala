@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — TF-IDF statistics and BM25 top-k
+  * (Robertson & Zaragoza 2009, the Okapi BM25 formulation with the
+  * Lucene-style non-negative idf). Training-data pipelines use this for
+  * quality-by-retrievability scoring, nearest-document audits of benchmark
+  * contamination, and as the lexical leg of hybrid (BM25 + embedding)
+  * dedup candidates next to [[Similarity.bruteForceTopK]].
+  *
+  * Scale shape (100 TB): the posting table (doc, term, tf) is ONE groupBy
+  * over exploded tokens (map-side combine collapses repeats before the
+  * shuffle). Document frequencies reduce the posting table per term.
+  * Scoring never shuffles the corpus: query terms are a small set, so
+  * (query, term, df) is assembled query-side and BROADCAST against the
+  * posting table — candidates are exactly the postings of query terms, the
+  * inverted-index access pattern re-expressed as one broadcast equi-join.
+  * Corpus-level scalars (N, avgdl) ride a one-row broadcast
+  * ([[LanguageModel.scoreDocuments]]'s discipline), and the per-query
+  * top-k runs the [[Sampling.groupCap]] two-phase funnel so a query hitting
+  * a stop-word's posting list never sorts it in one task.
+  *
+  * Determinism contract (oracle parity): each (query, term, doc)
+  * contribution is quantized to integer MICRO-UNITS (round(idf·tfn·10⁶))
+  * BEFORE the per-(query, doc) sum — exact integer addition in any order,
+  * any engine. idf and the tf normalization are single double expressions
+  * with a fixed operation order, identical in SQL.
+  */
+object Retrieval {
+
+  /** Posting-list statistics: one row per (doc_id, term) with the term
+    * frequency and the document's token length. The persistence unit of a
+    * lexical index (write once, score many query batches). */
+  def docTermStats(corpus: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dlen"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+
+  /** BM25 top-k documents per query. `queries` is a small (query_id, text)
+    * set; its DISTINCT terms retrieve. Output one row per retained
+    * (query_id, rank, doc_id, n_terms, score_micro), rank by
+    * (score desc, doc_id) — ties fully deterministic. Documents sharing no
+    * term with the query never appear (score zero).
+    *
+    * `subPartitions` > 1 enables the exact two-phase top-k funnel (phase 1
+    * ranks within (query, doc-hash sub-partition) — a global top-k row is
+    * top-k in its sub-partition, so the cut is lossless). */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75, subPartitions: Int = 1,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(subPartitions >= 1, s"subPartitions=$subPartitions")
+    val dt = docTermStats(corpus, idCol, textCol)
+    val stats = corpus
+      .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dlen"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__dlen")).as("__tok_total"))
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+          .as("term"))
+    // postings of query terms only — df over this subset equals df over
+    // the full table (the semi-join keeps every posting of a kept term),
+    // and the vocabulary-wide aggregation never runs. Persisted through
+    // the shared tracked registry (it feeds both the df aggregation and
+    // the scoring join; callers release via
+    // [[Dedup.releaseIntermediateCaches]])
+    val dtq = Dedup.persistTracked(
+      dt.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"), "left_semi"))
+    val dfreq = dtq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // (query_id, term, df): query-sized — the broadcast side of the one
+    // corpus-touching join below
+    val qterms = qt.join(dfreq, Seq("term"))
+    val avgdl: Column = col("__tok_total").cast("double") /
+      col("__nd").cast("double")
+    val idf: Column = log(
+      ((col("__nd") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn: Column = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("dlen").cast("double") / avgdl)))
+    val contrib = dtq.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfn * lit(1e6)).cast("long").as("__c"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("score_micro"))
+    val funneled =
+      if (subPartitions == 1) scored
+      else {
+        val w1 = Window
+          .partitionBy(col("query_id"),
+            pmod(xxhash64(col("doc_id")), lit(subPartitions.toLong)))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)
+        scored.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= k).drop("__r1")
+      }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    funneled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score_micro"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, SemDedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -159,6 +159,15 @@ object TrainingDataQueries extends QueryPack {
     * ≥ 0.9 so the synthetic corpus actually exercises the drop path. */
   private[queries] val SemDedupTau = 0.4
 
+  /** Fixture query set + k for the `bm25_topk` gate: corpus-lexicon terms
+    * spanning common (high-df) and rare (`dup`) so the idf spread is real;
+    * ONE constant feeds the Spark frame and the generated VALUES list. */
+  private[queries] val Bm25QuerySet: Seq[(Int, String)] = Seq(
+    (0, "table scan fast"),
+    (1, "spark stream window dup"),
+    (2, "customer query join batch"))
+  private[queries] val Bm25K = 10
+
   /** PQ gate constants: 2 subspaces × 32 dims, 4 cells, 2 Lloyd rounds. */
   private[queries] val PqM = 2
   private[queries] val PqSubDim = 32
@@ -284,6 +293,19 @@ object TrainingDataQueries extends QueryPack {
       KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
         .select(col("vec_id"), col("cell"))
         .localCheckpoint(true).orderBy(col("vec_id"))
+    }),
+
+    // BM25 top-k retrieval: posting-table scoring of the fixture query
+    // set, micro-unit-quantized contributions, two-phase top-k funnel ON
+    // (the oracle is the single-window formulation, so parity doubles as
+    // funnel-exactness evidence).
+    "bm25_topk" -> ((s, dir) => {
+      val q = s.createDataFrame(Bm25QuerySet).toDF("query_id", "text")
+      val out = Retrieval.bm25TopK(Tables.documents(s, dir), q, k = Bm25K,
+        subPartitions = 4)
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
+      graft.operators.Dedup.releaseIntermediateCaches()
+      out
     }),
 
     // SemDeDup: k-means cells + in-cell cosine prune — kept=0 iff a
@@ -885,6 +907,45 @@ object TrainingDataQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM fin) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "bm25_topk" -> {
+      val values = Bm25QuerySet
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH $toksCte,
+         |q AS (SELECT * FROM (VALUES $values) AS t(query_id, qtext)),
+         |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+         |         regexp_split_to_array(qtext, '\\s+'), x -> x <> ''))) AS term
+         |       FROM q),
+         |dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
+         |dt AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |dtq AS (SELECT dt.doc_id, dt.term, dt.tf, dl.dlen
+         |        FROM dt JOIN dl USING (doc_id)
+         |        JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+         |stats AS (SELECT count(*) AS nd, CAST(sum(len(t)) AS BIGINT) AS tok_total
+         |          FROM toks),
+         |dfq AS (SELECT term, count(*) AS df FROM dtq GROUP BY 1),
+         |c AS (SELECT qt.query_id, dtq.doc_id,
+         |        CAST(round(
+         |          ln((CAST(s.nd - f.df AS DOUBLE) + 0.5)
+         |             / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         |          * ((CAST(dtq.tf AS DOUBLE) * (1.2 + 1.0))
+         |             / (CAST(dtq.tf AS DOUBLE)
+         |                + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dtq.dlen AS DOUBLE)
+         |                    / (CAST(s.tok_total AS DOUBLE) / CAST(s.nd AS DOUBLE))))))
+         |          * 1e6) AS BIGINT) AS c
+         |      FROM dtq JOIN qt USING (term) JOIN dfq f USING (term)
+         |      CROSS JOIN stats s),
+         |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         CAST(sum(c) AS BIGINT) AS score_micro
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, rank, doc_id, n_terms, score_micro
+         |FROM r WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "semdedup_prune" ->
       s"""WITH $kmeansCtes,

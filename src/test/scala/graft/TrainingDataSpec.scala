@@ -824,6 +824,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("bm25: matches a plain-Scala reference bit-exactly; funnel is exact") {
+    val corpus = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "c c c c"), (3L, "d d a c"),
+      (4L, "e"), (5L, "a a a a a a b"))
+    val queryset = Seq((0, "a c"), (1, "d"), (2, "zzz"))
+    val docs = corpus.toDF("doc_id", "text")
+    val qdf = queryset.toDF("query_id", "text")
+    val got = Retrieval.bm25TopK(docs, qdf, k = 3)
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq.sorted
+
+    // reference: same formula, same double op order, plain Scala
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val nd = corpus.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / nd.toDouble
+    val want = queryset.flatMap { case (qid, qtext) =>
+      val terms = qtext.split("\\s+").filter(_.nonEmpty).distinct
+      val perDoc = corpus.flatMap { case (did, _) =>
+        val tl = toks(did)
+        val contribs = terms.flatMap { term =>
+          val tf = tl.count(_ == term).toLong
+          if (tf == 0) None else {
+            val df = corpus.count { case (d2, _) => toks(d2).contains(term) }.toLong
+            val idf = math.log(((nd - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+            val tfn = (tf.toDouble * (1.2 + 1.0)) /
+              (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * (tl.size.toDouble / avgdl)))
+            Some(math.round(idf * tfn * 1e6))
+          }
+        }
+        if (contribs.isEmpty) None
+        else Some((did, contribs.length.toLong, contribs.sum))
+      }
+      perDoc.sortBy { case (did, _, s) => (-s, did) }.take(3).zipWithIndex
+        .map { case ((did, nt, s), i) => (qid, i + 1, did, nt, s) }
+    }.sorted
+    assert(got === want)
+    assert(!got.exists(_._1 === 2)) // no-hit query retrieves nothing
+    // the two-phase funnel is lossless
+    val funneled = Retrieval.bm25TopK(docs, qdf, k = 3, subPartitions = 4)
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq.sorted
+    assert(funneled === got)
+    graft.operators.Dedup.releaseIntermediateCaches()
+  }
+
   test("semdedup: dropped rows always have a lower-id in-cell witness") {
     // invariants on a corpus with no engineered structure: every drop has
     // a lower-id same-cell neighbor at/over the threshold, every keep has
