@@ -168,6 +168,10 @@ object TrainingDataQueries extends QueryPack {
     (2, "customer query join batch"))
   private[queries] val Bm25K = 10
 
+  /** Bucket width for the `dsir_weights` gate's hashed-n-gram feature
+    * space (small vs the paper's 10⁴ so collisions are exercised). */
+  private[queries] val DsirBuckets = 256
+
   /** PQ gate constants: 2 subspaces × 32 dims, 4 cells, 2 Lloyd rounds. */
   private[queries] val PqM = 2
   private[queries] val PqSubDim = 32
@@ -293,6 +297,16 @@ object TrainingDataQueries extends QueryPack {
       KMeans.assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
         .select(col("vec_id"), col("cell"))
         .localCheckpoint(true).orderBy(col("vec_id"))
+    }),
+
+    // DSIR importance weights: hashed unigram+bigram distributions on the
+    // en-language slice (target) vs the whole pool (raw); micro-nat
+    // quantized per-bucket log ratios, exact integer per-doc sums.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en"), numBuckets = DsirBuckets)
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // BM25 top-k retrieval: posting-table scoring of the fixture query
@@ -907,6 +921,40 @@ object TrainingDataQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM fin) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH $toksCte,
+         |grams AS (SELECT doc_id, unnest(list_concat(t,
+         |            CASE WHEN len(t) >= 2
+         |                 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |                 ELSE [] END)) AS gram
+         |          FROM toks),
+         |gb AS (SELECT g.doc_id,
+         |         CAST('0x' || substr(md5(gram || ':dsir'), 1, 6) AS BIGINT)
+         |           % $DsirBuckets AS bucket,
+         |         d.lang
+         |       FROM grams g JOIN documents d ON g.doc_id = d.doc_id),
+         |feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM gb GROUP BY 1, 2),
+         |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+         |       FROM gb WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM gb GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tc),
+         |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM rc),
+         |ratio AS (SELECT rc.bucket,
+         |            CAST(round((ln((CAST(coalesce(tc.ct, 0) AS DOUBLE) + 1.0)
+         |                           / (CAST(tt.tt AS DOUBLE) + 1.0 * ${DsirBuckets.toDouble}))
+         |                        - ln((CAST(rc.cr AS DOUBLE) + 1.0)
+         |                           / (CAST(rt.tr AS DOUBLE) + 1.0 * ${DsirBuckets.toDouble})))
+         |                       * 1e6) AS BIGINT) AS r
+         |          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+         |sc AS (SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feat,
+         |         CAST(sum(f.cnt * ratio.r) AS BIGINT) AS logw_micro
+         |       FROM feat f JOIN ratio USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_feat, 0) AS n_feat,
+         |       coalesce(sc.logw_micro, 0) AS logw_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "bm25_topk" -> {
       val values = Bm25QuerySet

@@ -824,6 +824,56 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("dsir: importance weights match a plain-Scala reference bit-exactly") {
+    val corpus = Seq(
+      (0L, "spark table scan join", "en"), (1L, "der die und ist", "de"),
+      (2L, "spark join fast", "en"), (3L, "la de y el", "es"),
+      (4L, "spark table join fast scan", "en"), (5L, "", "de"),
+      (6L, "der und spark", "de"))
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val B = 16
+    val got = Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        numBuckets = B)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+    def grams(t: String): Seq[String] = {
+      val ts = t.split("\\s+").filter(_.nonEmpty).toSeq
+      ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + ":dsir").getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val rawB = corpus.flatMap { case (_, t, _) => grams(t).map(bucket) }
+    val tgtB = corpus.filter(_._3 == "en")
+      .flatMap { case (_, t, _) => grams(t).map(bucket) }
+    val cr = rawB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tgtB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (rawB.size.toLong, tgtB.size.toLong)
+    val ratio = cr.map { case (b, c) =>
+      b -> math.round((math.log((ct.getOrElse(b, 0L).toDouble + 1.0) /
+        (tt.toDouble + 1.0 * B.toDouble)) -
+        math.log((c.toDouble + 1.0) / (tr.toDouble + 1.0 * B.toDouble))) * 1e6)
+    }
+    val want = corpus.map { case (id, t, _) =>
+      val bs = grams(t).map(bucket)
+      (id, bs.size.toLong, bs.map(ratio).sum)
+    }.sorted
+    assert(got === want)
+    // the empty document scores zero with zero features
+    assert(got.find(_._1 == 5L).get === ((5L, 0L, 0L)))
+    // identical text ⇒ identical weight regardless of the doc's own lang
+    val twin = Seq((10L, "spark join fast", "de"), (11L, "spark join fast", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tw = Dsir.importanceWeights(docs.unionByName(twin),
+        docs.filter(col("lang") === "en"), numBuckets = B)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(tw(10L) === tw(11L))
+    assert(tw(10L) === tw(2L))
+  }
+
   test("bm25: matches a plain-Scala reference bit-exactly; funnel is exact") {
     val corpus = Seq(
       (0L, "a b a"), (1L, "b c"), (2L, "c c c c"), (3L, "d d a c"),
