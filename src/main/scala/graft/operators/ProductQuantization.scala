@@ -89,6 +89,70 @@ object ProductQuantization {
       .select(col("vec_id"), codes.as("codes"))
   }
 
+  /** IVF-PQ top-k — the production billion-vector index shape (FAISS's
+    * IVFPQ): a coarse quantizer (trained [[KMeans]] centroids) routes each
+    * query to its `nProbe` nearest cells, and ADC scores ONLY the codes
+    * assigned there — candidate cost drops to |corpus|·nProbe/|cells| per
+    * query, each candidate costing m table lookups instead of d multiplies.
+    *
+    * Scale shape: both the coarse centroid table and the codebooks are
+    * KB-sized broadcasts; the corpus-side work is one assignment pass +
+    * one shuffle-free encode, both reusable across query batches (persist
+    * the (vec_id, cell, codes) frame as the index). The probe join is a
+    * broadcast of (query, cell) pairs; no corpus shuffle anywhere.
+    * Recall < 1 by construction (a true neighbor outside the probed cells,
+    * or ranked away by quantization error) — measure with
+    * [[Similarity.recallAtK]] before widening nProbe. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, coarse: DataFrame,
+                codebooks: DataFrame, m: Int, k: Int, nProbe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nProbe >= 1, s"k=$k nProbe=$nProbe")
+    val asg = KMeans.assign(corpus, coarse, idCol, vecCol)
+      .select(col("vec_id"), col("cell"))
+    val codes = encode(corpus, codebooks, m, idCol, vecCol)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__q"))
+      .join(broadcast(coarse))
+      .withColumn("__d", Similarity.sqDist(col("__q"), col("centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("cell")))
+    val cand = asg.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    // per-query ADC lookup tables, exactly the [[adcTopK]] construction
+    val cellDists = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__q"))
+      .crossJoin(codebooks)
+      .withColumn("__d", Similarity.sqDist(
+        slice(col("__q"),
+          col("subspace") * size(col("centroid")) + lit(1),
+          size(col("centroid"))),
+        col("centroid")))
+    val tables = broadcast(cellDists
+      .groupBy(col("query_id"), col("subspace"))
+      .agg(transform(array_sort(collect_list(struct(col("cell"), col("__d")))),
+        c => c("__d")).as("__dists"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("__dists")))),
+        s => s("__dists")).as("__tables")))
+    val approx = cand.join(codes, Seq("vec_id")).join(tables, Seq("query_id"))
+      .withColumn("adc_dist", aggregate(
+        sequence(lit(1), lit(m)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("__tables"), j),
+          element_at(col("codes"), j) + 1)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    approx
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+  }
+
   /** Asymmetric-distance (ADC) top-k: score PQ codes against full-precision
     * query vectors via per-query lookup tables — the table for query q is
     * table[j][c] = sqDist(q's subspace j, codebook[j][c]), so a candidate's

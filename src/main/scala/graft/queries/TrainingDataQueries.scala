@@ -205,6 +205,68 @@ object TrainingDataQueries extends QueryPack {
       "\nORDER BY vec_id, subspace"
   }
 
+  /** IVF-PQ gate constants: 4 trained coarse cells (2 Lloyd rounds),
+    * 2 probes, top-5 — the PQ codebooks reuse the `pq_codes` constants. */
+  private[queries] val IvfPqCoarseK = 4
+  private[queries] val IvfPqIters = 2
+  private[queries] val IvfPqNProbe = 2
+  private[queries] val IvfPqTopK = 5
+
+  /** Generated oracle for [[graft.operators.ProductQuantization.ivfPqTopK]]:
+    * one unrolled coarse k-means chain (prefix `c`) + the two per-subspace
+    * codebook chains of [[pqOracle]], then probe routing, candidate
+    * generation, and ADC scoring — the left-fold 0.0 + d₀ + d₁ matches the
+    * Spark `aggregate` accumulation order. */
+  private def ivfPqOracle: String = {
+    val coarse = kmeansCtesFor("c",
+      "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+      IvfPqCoarseK, IvfPqIters)
+    val trainings = (0 until PqM).map { j =>
+      val lo = j * PqSubDim + 1
+      val hi = (j + 1) * PqSubDim
+      kmeansCtesFor(s"s$j",
+        s"list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE))",
+        PqK, PqIters)
+    }
+    val codeAssigns = (0 until PqM).map { j =>
+      s"""fin$j AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |          FROM s${j}emb e, s${j}cent$PqIters c),
+         |b$j AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |          FROM fin$j) WHERE rn = 1)""".stripMargin
+    }
+    val search = Seq(
+      s"""cfin AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |         FROM cemb e, ccent$IvfPqIters c)""".stripMargin,
+      s"""casg AS (SELECT vec_id, cell FROM (
+         |           SELECT vec_id, cell,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |           FROM cfin) WHERE rn = 1)""".stripMargin,
+      s"""probes AS (SELECT vec_id AS query_id, cell FROM (
+         |             SELECT vec_id, cell,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS pr
+         |             FROM cfin WHERE vec_id < 5) WHERE pr <= $IvfPqNProbe)""".stripMargin,
+      """cand AS (SELECT p.query_id, a.vec_id
+        |         FROM casg a JOIN probes p ON a.cell = p.cell
+        |         WHERE a.vec_id <> p.query_id)""".stripMargin,
+      s"""adc AS (SELECT cand.query_id, cand.vec_id,
+         |          0.0${(0 until PqM).map(j =>
+                      s" + (${sqDistSql(s"q$j.v", s"c$j.c")})").mkString} AS adc_dist
+         |        FROM cand${(0 until PqM).map(j =>
+                      s"""
+         |        JOIN b$j ON b$j.vec_id = cand.vec_id
+         |        JOIN s${j}cent$PqIters c$j ON c$j.cell = b$j.cell
+         |        JOIN s${j}emb q$j ON q$j.vec_id = cand.query_id""").mkString})""".stripMargin)
+    "WITH " + ((Seq(coarse) ++ trainings ++ codeAssigns ++ search)
+      .mkString(",\n")) + "\n" +
+      s"""SELECT query_id, rank, vec_id AS neighbor_id, adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, vec_id) AS rank
+         |  FROM adc) WHERE rank <= $IvfPqTopK
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fixture subword vocabulary for the `text_token_subword` gate:
     * multi-character subwords over the synthetic corpus's lexicon, with
     * deliberate gaps (no standalone `d`, `g`, …) so the one-code-point UNK
@@ -340,6 +402,18 @@ object TrainingDataQueries extends QueryPack {
         .select(col("vec_id"),
           posexplode(col("codes")).as(Seq("subspace", "code")))
         .localCheckpoint(true).orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // IVF-PQ composed ANN: trained coarse router + per-subspace codebooks,
+    // ADC scoring restricted to the probed cells.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val coarse = KMeans.fit(e, k = IvfPqCoarseK, iters = IvfPqIters)
+      val books = ProductQuantization.fit(e, dim = 64, m = PqM, k = PqK,
+        iters = PqIters)
+      ProductQuantization.ivfPqTopK(e, e.filter(col("vec_id") < 5), coarse,
+        books, m = PqM, k = IvfPqTopK, nProbe = IvfPqNProbe)
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
     }),
 
     // BPE vocabulary learning: first 8 merges over the corpus's word
@@ -906,6 +980,8 @@ object TrainingDataQueries extends QueryPack {
     "bpe_merges" -> bpeOracle,
 
     "pq_codes" -> pqOracle,
+
+    "ann_ivfpq" -> ivfPqOracle,
 
     "kmeans_centroids" ->
       s"""WITH $kmeansCtes

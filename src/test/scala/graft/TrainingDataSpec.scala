@@ -824,6 +824,49 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("ivfpq: composition matches a plain-Scala rerank of probed candidates") {
+    val raw = (0L until 12L).map { i =>
+      (i, Seq((i % 5).toDouble + 0.1 * i, ((i * 3) % 7).toDouble - 0.05 * i))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val coarseDf = KMeans.fit(vecs, k = 3, iters = 2)
+    val booksDf = ProductQuantization.fit(vecs, dim = 2, m = 2, k = 2, iters = 2)
+    val got = ProductQuantization.ivfPqTopK(vecs,
+        vecs.filter(col("vec_id") < 3), coarseDf, booksDf,
+        m = 2, k = 4, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+
+    val coarse = coarseDf.as[(Int, Seq[Double])].collect().toMap
+    val books = booksDf.as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val byId = raw.toMap
+    def argmin(cands: Seq[(Int, Double)]): Int =
+      cands.minBy { case (c, d) => (d, c) }._1
+    def asg(v: Seq[Double]): Int =
+      argmin(coarse.toSeq.map { case (c, cent) => c -> sq(v, cent) })
+    def codes(v: Seq[Double]): Seq[Int] = (0 until 2).map { j =>
+      val sub = v.slice(j, j + 1)
+      argmin(books(j).zipWithIndex.map { case (cent, c) => c -> sq(sub, cent) })
+    }
+    val want = (0L until 3L).flatMap { q =>
+      val qv = byId(q)
+      val probed = coarse.toSeq.map { case (c, cent) => (c, sq(qv, cent)) }
+        .sortBy { case (c, d) => (d, c) }.take(2).map(_._1).toSet
+      val cand = raw.filter { case (id, v) => id != q && probed(asg(v)) }
+      val scored = cand.map { case (id, v) =>
+        val cs = codes(v)
+        val adc = (0 until 2).foldLeft(0.0) { (acc, j) =>
+          acc + sq(qv.slice(j, j + 1), books(j)(cs(j))) }
+        (id, adc)
+      }
+      scored.sortBy { case (id, d) => (d, id) }.take(4).zipWithIndex
+        .map { case ((id, d), i) => (q, i + 1, id, d) }
+    }.sorted
+    assert(got === want)
+  }
+
   test("dsir: importance weights match a plain-Scala reference bit-exactly") {
     val corpus = Seq(
       (0L, "spark table scan join", "en"), (1L, "der die und ist", "de"),
