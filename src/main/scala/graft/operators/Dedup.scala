@@ -559,13 +559,16 @@ object Dedup {
     val callerPersisted =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerPersisted) pairs else pairs.persist()
-    // canonical (larger, smaller) direction, self-loops and dups dropped
+    // canonical (larger, smaller) direction, self-loops and dups dropped;
+    // the initial edge count rides the checkpoint job via observe
+    val edgeObs = org.apache.spark.sql.Observation()
     var edges = checkpointed(p
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
-      .distinct())
+      .distinct()
+      .observe(edgeObs, count(lit(1)).as("n")))
     // ids whose ONLY edges are self-loops (a, a) would otherwise vanish
     // with the filter above, while [[connectedComponents]] keeps them as
     // canonical singletons (the symmetric closure makes (a, a) a real
@@ -577,7 +580,12 @@ object Dedup {
     if (!callerPersisted) p.unpersist()
     var iter = 0
     var converged = false
-    var nEdges = edges.count() // carried across rounds: |prev| is |next| of the round before
+    // carried across rounds: |prev| is |next| of the round before
+    var nEdges = org.apache.spark.sql.GraftColumnBridge
+      .observedOrEmpty(edgeObs).get("n") match {
+      case Some(n: java.lang.Long) => n.longValue()
+      case _                       => edges.count()
+    }
     while (!converged && iter < maxIter) {
       // large-star: group the SYMMETRIC view by node, hang larger
       // neighbors onto min(closed neighborhood)
@@ -595,12 +603,21 @@ object Dedup {
       // and the node itself hang onto the min
       val ssMin = ls.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // the edge count rides the checkpoint job via observe (the
+      // [[connectedComponents]] probe discipline — no count job of its
+      // own; scalar-aggregation fallback if the metric is ever missing)
+      val obs = org.apache.spark.sql.Observation()
       val next = checkpointed(ls.join(ssMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct())
-      val nNext = next.count()
+        .distinct()
+        .observe(obs, count(lit(1)).as("n")))
+      val nNext = org.apache.spark.sql.GraftColumnBridge
+        .observedOrEmpty(obs).get("n") match {
+        case Some(n: java.lang.Long) => n.longValue()
+        case _                       => next.count()
+      }
       converged = nNext == nEdges &&
         next.unionByName(edges).distinct().count() == nNext
       edges = next

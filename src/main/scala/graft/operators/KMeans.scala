@@ -101,4 +101,38 @@ object KMeans {
       cents = lloyd(vectors, cents, idCol, vecCol).localCheckpoint(true)
     cents
   }
+
+  /** One Lloyd round over MANY independent trainings at once: `vectors`
+    * carries a group key (e.g. a PQ subspace id) and `centroids` is
+    * (group, cell, centroid). Every aggregation below is keyed by the
+    * group, so each group's trajectory is bit-identical to running
+    * [[lloyd]] on its slice alone — but all groups share ONE broadcast,
+    * ONE assignment pass and ONE mean aggregation per round instead of a
+    * job chain per group ([[ProductQuantization.fit]] runs m=8+ subspace
+    * trainings as one loop this way). */
+  def lloydKeyed(vectors: DataFrame, centroids: DataFrame,
+                 groupCol: String = "subspace", idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val members = vectors
+      .select(col(groupCol), col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("__v"))
+      .join(broadcast(centroids), Seq(groupCol))
+      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
+      .groupBy(col(groupCol), col("vec_id"))
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"),
+        first(col("__v")).as("__v"))
+      .select(col(groupCol), col("__m.cell").as("cell"), col("__v"))
+    val means = members
+      .select(col(groupCol), col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("cell"), col("pos"))
+      .agg((sum(floor(col("v") * lit(1e9)).cast("long")).cast("double") /
+        (count(lit(1)) * lit(1e9))).as("mean"))
+    val rebuilt = means
+      .groupBy(col(groupCol), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x("mean")).as("__new"))
+    centroids.join(rebuilt, Seq(groupCol, "cell"), "left")
+      .select(col(groupCol), col("cell"),
+        coalesce(col("__new"), col("centroid")).as("centroid"))
+  }
 }

@@ -30,26 +30,46 @@ object ProductQuantization {
 
   private def toDouble(arr: Column): Column = arr.cast("array<double>")
 
-  /** Slice subspace `j` (0-based) of `m` equal blocks out of a d-dim
-    * vector column (d must divide evenly by m — validated in [[fit]]). */
-  private def subVec(vec: Column, j: Int, subDim: Int): Column =
-    slice(vec, j * subDim + 1, subDim)
-
   /** Train per-subspace codebooks: returns (subspace, cell, centroid) —
     * subspace j's centroids live in that subspace's d/m dims. `dim` is the
     * full vector dimensionality (validated against divisibility, not
     * inferred — schema metadata doesn't carry array lengths). Train on a
-    * deterministic sample at corpus scale ([[Sampling.bernoulli]]). */
+    * deterministic sample at corpus scale ([[Sampling.bernoulli]]).
+    *
+    * The m trainings run as ONE [[KMeans.lloydKeyed]] loop over
+    * (subspace, subvector) rows — every aggregation is keyed by subspace,
+    * so each codebook is bit-identical to training its slice alone
+    * (spec-checked against per-subspace [[KMeans.fit]]; the `pq_codes`
+    * oracle replays the per-subspace chains), while the job count per
+    * round is 1 instead of m. All subspaces share the k lowest-id seed
+    * vectors, so the seed cut is one TakeOrdered, no per-group window. */
   def fit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3,
           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible into m=$m blocks")
+    require(iters >= 1, s"iters=$iters")
     val subDim = dim / m
-    (0 until m).map { j =>
-      val sub = vectors.select(col(idCol),
-        subVec(toDouble(col(vecCol)), j, subDim).as("__sub"))
-      KMeans.fit(sub, k, iters, idCol, "__sub")
-        .select(lit(j).as("subspace"), col("cell"), col("centroid"))
-    }.reduce(_ unionByName _)
+    def explodeSubs(df: DataFrame, outCol: String): DataFrame =
+      df.select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__v"), j * lit(subDim) + lit(1), lit(subDim))))
+          .as(Seq("subspace", outCol)))
+    val base = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v"))
+    val exploded = explodeSubs(base.withColumn("cell", lit(0)), "__sub")
+      .select(col("subspace"), col("vec_id"), col("__sub"))
+    // seeds: the k lowest-id vectors, cells numbered in id order — the
+    // same ids seed every subspace, so one global TakeOrdered cut feeds
+    // all m seed sets
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val seedBase = base.orderBy(col("vec_id")).limit(k)
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+    var cents = explodeSubs(seedBase, "centroid")
+      .select(col("subspace"), col("cell"), col("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub")
+        .localCheckpoint(true)
+    cents
   }
 
   /** Encode the corpus against trained codebooks: (vec_id, codes) where
