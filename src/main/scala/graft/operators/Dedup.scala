@@ -654,4 +654,30 @@ object Dedup {
     docs.join(
       components.filter(!col("is_canonical")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** [[applyKeepList]] with a QUALITY keep rule: per duplicate cluster,
+    * keep the member maximizing `rank` (ties to the lowest id) instead of
+    * the canonical min-id — the production choice when near-duplicates
+    * differ in worth (keep the longest copy, the highest quality score,
+    * the newest crawl). `rank` is any NUMERIC expression over `docs`'
+    * columns (the tie-break negates it).
+    *
+    * Scale shape: the cluster-membership table is tiny next to the corpus;
+    * the rank join projects (id, rank) for MEMBER docs only, the winner is
+    * one component-keyed aggregation, and the corpus pays a single id-only
+    * anti-join — untouched documents (the overwhelming majority) pass
+    * through unexamined, exactly like [[applyKeepList]]. */
+  def applyKeepListBest(docs: DataFrame, components: DataFrame, rank: Column,
+                        idCol: String = "doc_id"): DataFrame = {
+    val members = components.select(col("id"), col("component"))
+    val scored = docs.select(col(idCol).as("id"), rank.as("__q"))
+      .join(members, Seq("id"))
+    val winners = scored.groupBy(col("component"))
+      .agg(min(struct(negate(col("__q")).as("nq"), col("id").as("id")))
+        .as("__w"))
+      .select(col("__w.id").as("id"))
+    val dropIds = members.select(col("id"))
+      .join(winners, Seq("id"), "left_anti")
+    docs.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -538,6 +538,27 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Quality keep rule over the same detector chain: per duplicate
+    // cluster keep the LONGEST member (token count, ties to lowest id)
+    // instead of the canonical min id.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      val comps = Dedup.connectedComponents(jp.unionByName(ep))
+      Dedup.applyKeepListBest(docs, comps,
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup of an ingest batch against corpus history: the
     // history (doc_id % 7 == 0) is Bloom-sketched once; the batch streams
     // past the sketch and only the flagged sliver is confirmed exactly.
@@ -1175,6 +1196,37 @@ object TrainingDataQueries extends QueryPack {
          |  UNION
          |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
          |drop_ids AS (SELECT id FROM walk GROUP BY id HAVING min(lab) <> id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jp AS (SELECT doc_a AS a, doc_b AS b
+         |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+         |ep AS (SELECT a, b FROM (
+         |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+         |         FROM documents) WHERE a <> b),
+         |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
+         |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
+         |walk(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         |memb AS (SELECT id, min(lab) AS comp FROM walk GROUP BY id),
+         |scored AS (SELECT m.id, m.comp, len(t.t) AS q
+         |           FROM memb m JOIN toks t ON t.doc_id = m.id),
+         |win AS (SELECT id FROM (
+         |          SELECT id, row_number() OVER (PARTITION BY comp
+         |            ORDER BY q DESC, id) AS rn
+         |          FROM scored) WHERE rn = 1),
+         |drop_ids AS (SELECT s.id FROM scored s
+         |             WHERE s.id NOT IN (SELECT id FROM win))
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
          |ORDER BY doc_id""".stripMargin,

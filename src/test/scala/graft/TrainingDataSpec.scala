@@ -824,6 +824,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("keep-best: quality rule keeps the longest member, ties to lowest id") {
+    // components: {1,2,3} and {10,11}; 4 is untouched (no edges)
+    val comps = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)
+    ).toDF("id", "component", "is_canonical")
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "a b c"),   // longest = 2
+      (10L, "x y"), (11L, "p q"),                     // tie → lowest id 10
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyKeepListBest(docs, comps,
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(2L, 10L, 4L))
+    // min-id rule for contrast: same clusters, different keepers
+    val minKept = Dedup.applyKeepList(docs, comps)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(minKept === Set(1L, 10L, 4L))
+  }
+
   test("ivfpq: composition matches a plain-Scala rerank of probed candidates") {
     val raw = (0L until 12L).map { i =>
       (i, Seq((i % 5).toDouble + 0.1 * i, ((i * 3) % 7).toDouble - 0.05 * i))
