@@ -116,6 +116,91 @@ object BpeLearn {
     merges.result()
   }
 
+  /** Greedy application of a BATCH of symbol-disjoint merges in one fold
+    * pass: the pairs share no symbol, so at most one can match at any
+    * position and one combined scan equals applying them sequentially in
+    * any order (a merged symbol is NEW — it cannot be a member of another
+    * batch pair, which were all drawn from the pre-batch symbol table). */
+  private def applyMergeBatch(pieces: Column,
+                              ms: Seq[(String, String)]): Column =
+    aggregate(pieces, array().cast("array<string>"),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        val chain = ms.foldLeft(when(lit(false), acc)) { case (w, (l, r)) =>
+          w.when(size(acc) > 0 && last === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        }
+        chain.otherwise(concat(acc, array(x)))
+      })
+
+  /** [[learn]]'s batched production shape: per round, take the top pair
+    * candidates and greedily accept up to `batchSize` of them that are
+    * pairwise SYMBOL-DISJOINT (no left/right in common), then apply the
+    * whole batch in one re-segmentation pass — driver round-trips and
+    * checkpoints drop from numMerges to ~numMerges/batchSize, the lever
+    * that makes 30k-merge vocabularies practical.
+    *
+    * Contract vs [[learn]]: batch counts are exact AT BATCH START, and
+    * batch members never perturb each other (disjointness), but a symbol
+    * minted mid-batch could have out-counted a LATER batch member in the
+    * strict sequential order — the standard large-vocab training trade.
+    * At `batchSize = 1` the selection degenerates to the argmax and the
+    * result is IDENTICAL to [[learn]] (spec-checked). Deterministic for
+    * any batchSize: candidate order is (weight desc, left, right) and the
+    * greedy scan is a pure function of it. */
+  def learnBatched(corpus: DataFrame, numMerges: Int, batchSize: Int,
+                   textCol: String = "text", minFrequency: Long = 2L,
+                   endOfWord: Option[String] = Some("</w>")): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val words = wordFrequencies(corpus, textCol)
+    var st = words
+      .select(col("cnt"), initialPieces(col("word"), endOfWord).as("pieces"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val want = math.min(numMerges - rank, batchSize)
+      // 3× headroom: conflicted candidates are skipped, not lost — the
+      // next round's fresh counts surface them again
+      val top = st
+        .select(col("cnt"), explode(
+          when(size(col("pieces")) >= 2,
+            transform(sequence(lit(1), size(col("pieces")) - 1),
+              i => struct(element_at(col("pieces"), i).as("l"),
+                element_at(col("pieces"), i + 1).as("r"))))
+            .otherwise(array().cast(
+              "array<struct<l:string,r:string>>"))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("cnt")).as("w"))
+        .orderBy(col("w").desc, col("l").asc, col("r").asc)
+        .limit(want * 3)
+        .collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = Seq.newBuilder[(String, String, Long)]
+      var n = 0
+      top.iterator.foreach { row =>
+        val (l, r, w) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (n < want && w >= minFrequency && !used(l) && !used(r)) {
+          batch += ((l, r, w)); used += l; used += r; n += 1
+        }
+      }
+      val accepted = batch.result()
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.foreach { case (l, r, w) =>
+          merges += Merge(rank, l, r, l + r, w); rank += 1
+        }
+        st = st.select(col("cnt"),
+          applyMergeBatch(col("pieces"),
+            accepted.map { case (l, r, _) => (l, r) }).as("pieces"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result()
+  }
+
   /** The learned merge table as a DataFrame (rank, left, right, merged,
     * weight) — the persistable artifact, and the gate surface. */
   def learnTable(spark: SparkSession, corpus: DataFrame, numMerges: Int,

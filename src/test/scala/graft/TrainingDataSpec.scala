@@ -1078,6 +1078,75 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(BpeLearn.learn(docs(1L -> "ab cd ef"), numMerges = 3).isEmpty)
   }
 
+  test("batched BPE at batchSize=1 is identical to the sequential learner") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(ws => Seq(ws.mkString(" "))))
+    val prop = forAll(corpusGen) { corpus =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val seq = BpeLearn.learn(docs(d: _*), numMerges = 4)
+      val b1 = BpeLearn.learnBatched(docs(d: _*), numMerges = 4, batchSize = 1)
+      Prop(seq == b1) :| s"seq=$seq b1=$b1 corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("batched BPE: symbol-disjoint batch matches a plain-Scala reference") {
+    // two independent frequent stems: ("l","o") and ("e","s") don't share
+    // symbols, so one batch of 2 accepts both; the third merge needs the
+    // next round's fresh counts
+    val corpus = Seq("lo lo lo lo es es es", "lo es lo es")
+    val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = BpeLearn.learnBatched(docs(d: _*), numMerges = 4, batchSize = 2)
+
+    // reference: replay the same batched rule locally
+    def refBatched(cs: Seq[String], m: Int, bs: Int): List[(String, String, Long)] = {
+      val words = cs.flatMap(_.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var segs = words.map { case (w, c) =>
+        (w.map(_.toString).toList :+ "</w>") -> c }.toList
+      var out = List.empty[(String, String, Long)]
+      var stop = false
+      while (out.size < m && !stop) {
+        val counts = segs.flatMap { case (ps, c) =>
+          ps.zip(ps.drop(1)).map(p => p -> c) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toList
+          .sortBy { case ((l, r), w) => (-w, l, r) }
+        val used = scala.collection.mutable.Set.empty[String]
+        val want = math.min(m - out.size, bs)
+        var n = 0
+        val batch = counts.take(want * 3).flatMap { case ((l, r), w) =>
+          if (n < want && w >= 2L && !used(l) && !used(r)) {
+            used += l; used += r; n += 1; Some((l, r, w))
+          } else None
+        }
+        if (batch.isEmpty) stop = true
+        else {
+          out = out ++ batch
+          segs = segs.map { case (ps, c) =>
+            ps.foldLeft(List.empty[String]) { (acc, x) =>
+              batch.find { case (l, r, _) => acc.nonEmpty &&
+                acc.last == l && x == r } match {
+                case Some((l, r, _)) => acc.init :+ (l + r)
+                case None            => acc :+ x
+              }
+            } -> c
+          }
+        }
+      }
+      out
+    }
+    assert(got.map(g => (g.left, g.right, g.weight)) ===
+      refBatched(corpus, 4, 2))
+    // ranks are acceptance order
+    assert(got.map(_.rank) === got.indices)
+  }
+
   test("BPE segmentation applies learned merges in order") {
     val corpus = docs(1L -> "low low low lower lowest")
     val merges = BpeLearn.learn(corpus, numMerges = 3)
