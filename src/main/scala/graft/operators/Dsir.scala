@@ -32,30 +32,37 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** The unigram+bigram gram array of a text column, in token order. */
+  private def gramArray(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    concat(
+      toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ",
+            element_at(toks, i),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** The md5-derived feature bucket of one gram (salted, so co-existing
+    * hash uses can't correlate). */
+  private def bucketOf(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(concat(gram, lit(":dsir"))
+        .cast("binary")), 1, 6), 16, 10).cast("long"),
+      lit(numBuckets.toLong))
+
   /** Hashed n-gram feature counts: (doc_id, bucket, cnt) — unigrams and
     * bigrams of the whitespace tokens, bucket = md5-derived hash of the
-    * gram (salted, so co-existing hash uses can't correlate) mod
-    * `numBuckets`. */
+    * gram mod `numBuckets`. */
   def hashedFeatures(docs: DataFrame, numBuckets: Int,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
-    val grams = docs
+    docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(concat(
-        col("__toks"),
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(1), size(col("__toks")) - 1),
-            i => concat_ws(" ",
-              element_at(col("__toks"), i),
-              element_at(col("__toks"), i + 1))))
-          .otherwise(array().cast("array<string>")))).as("gram"))
-    grams
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(concat(col("gram"), lit(":dsir"))
-            .cast("binary")), 1, 6), 16, 10).cast("long"),
-          lit(numBuckets.toLong)).as("bucket"))
+        explode(gramArray(col(textCol))).as("gram"))
+      .select(col("doc_id"), bucketOf(col("gram"), numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -67,26 +74,38 @@ object Dsir {
     *
     * Smoothing: p(b) = (c_b + addK) / (total + addK·numBuckets) on both
     * sides — every bucket has positive mass, the ratio is always finite. */
-  def importanceWeights(raw: DataFrame, target: DataFrame, numBuckets: Int,
-                        addK: Double = 1.0, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+  /** The trained model: (bucket, ratio) — each bucket's micro-nat log
+    * importance ratio under add-k smoothing, quantized ONCE (bucket-table
+    * sized work). Buckets never seen in `raw` are absent (they cannot
+    * occur in raw documents; stateless scoring of OTHER corpora treats
+    * them as zero-contribution, see [[scoreStateless]]). The natural
+    * persistence unit — write once, score many batches or a stream. */
+  def ratioTable(raw: DataFrame, target: DataFrame, numBuckets: Int,
+                 addK: Double = 1.0, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
     require(addK > 0, s"addK=$addK: smoothing mass must be positive")
-    val rawFeat = hashedFeatures(raw, numBuckets, idCol, textCol)
     val tgtCnt = hashedFeatures(target, numBuckets, idCol, textCol)
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("__ct"))
-    val rawCnt = rawFeat
+    val rawCnt = hashedFeatures(raw, numBuckets, idCol, textCol)
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("__cr"))
     val tgtTot = tgtCnt.agg(sum(col("__ct")).as("__tt"))
     val rawTot = rawCnt.agg(sum(col("__cr")).as("__tr"))
-    // bucket-sized ratio table, micro-nat quantized ONCE per bucket
-    val ratio = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+    rawCnt.join(tgtCnt, Seq("bucket"), "left")
       .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
       .select(col("bucket"), round(
         (log((coalesce(col("__ct"), lit(0L)).cast("double") + lit(addK)) /
           (col("__tt").cast("double") + lit(addK) * lit(numBuckets.toDouble))) -
           log((col("__cr").cast("double") + lit(addK)) /
             (col("__tr").cast("double") + lit(addK) * lit(numBuckets.toDouble))))
-          * lit(1e6)).cast("long").as("__ratio"))
+          * lit(1e6)).cast("long").as("ratio"))
+  }
+
+  def importanceWeights(raw: DataFrame, target: DataFrame, numBuckets: Int,
+                        addK: Double = 1.0, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val rawFeat = hashedFeatures(raw, numBuckets, idCol, textCol)
+    val ratio = ratioTable(raw, target, numBuckets, addK, idCol, textCol)
+      .withColumnRenamed("ratio", "__ratio")
     val scored = rawFeat.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feat"),
@@ -96,5 +115,41 @@ object Dsir {
       .select(col("doc_id"),
         coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+  }
+
+  /** Stateless scoring against a trained [[ratioTable]]: the model packs
+    * into ONE broadcast map row and each document's weight is an in-row
+    * fold over its gram array — no explode, no join shuffle, no
+    * aggregation state. Because it is a pure projection it runs UNCHANGED
+    * on a STREAMING frame (append mode, no watermark) — the scoring half
+    * of DSIR selection on an ingest stream, with the model trained once
+    * offline. Integer micro-nat sums in gram order equal the batch path's
+    * any-order sums exactly (spec-checked identical to
+    * [[importanceWeights]]). Grams whose bucket the model never saw
+    * (impossible when the model's own raw pool produced the document;
+    * possible on fresh stream content) contribute nothing and are
+    * excluded from n_feat — the batch path's inner-join semantics. */
+  def scoreStateless(docs: DataFrame, ratios: DataFrame, numBuckets: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets=$numBuckets")
+    val packed = broadcast(ratios
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("ratio")))).as("__m"))
+      .withColumn("__k", lit(1)))
+    val folded = aggregate(gramArray(col(textCol)),
+      struct(lit(0L).as("n"), lit(0L).as("s")),
+      (acc, g) => {
+        val r = element_at(col("__m"), bucketOf(g, numBuckets))
+        when(r.isNotNull,
+          struct((acc("n") + lit(1L)).as("n"), (acc("s") + r).as("s")))
+          .otherwise(acc)
+      })
+    docs.withColumn("__k", lit(1))
+      .join(packed, Seq("__k"))
+      .select(col(idCol).as("doc_id"),
+        folded.getField("n").as("n_feat"),
+        folded.getField("s").as("logw_micro"))
   }
 }

@@ -124,6 +124,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsir stateless scoring runs unchanged on an unbounded stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dsir
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val B = 16
+    // model trained ONCE on a static pool (target = the spark-y half)
+    val pool = Seq(
+      (0L, "spark table scan join"), (1L, "der die und ist"),
+      (2L, "spark join fast"), (3L, "la de y el"))
+      .toDF("doc_id", "text")
+    val ratios = Dsir.ratioTable(pool,
+      pool.filter(col("doc_id") === 0L || col("doc_id") === 2L),
+      numBuckets = B).localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val q = Dsir.scoreStateless(input.toDF().toDF("doc_id", "text"), ratios,
+        numBuckets = B)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "spark join fast"), (11L, "der die und ist"))
+      q.processAllAvailable()
+      input.addData((12L, "la de y el"))
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // scores equal the batch path run over the same texts
+      val want = Dsir.importanceWeights(pool,
+          pool.filter(col("doc_id") === 0L || col("doc_id") === 2L),
+          numBuckets = B)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed(10L) === want(2L)) // same text as pool doc 2
+      assert(streamed(11L) === want(1L))
+      assert(streamed(12L) === want(3L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per content digest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -938,6 +938,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tw(10L) === tw(2L))
   }
 
+  test("dsir: stateless map-fold scoring equals the batch join path") {
+    val corpus = Seq(
+      (0L, "spark table scan join", "en"), (1L, "der die und ist", "de"),
+      (2L, "spark join fast", "en"), (3L, "la de y el", "es"),
+      (4L, "", "de"), (5L, "der und spark", "de"))
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val B = 16
+    val tgt = docs.filter(col("lang") === "en")
+    val batch = Dsir.importanceWeights(docs, tgt, numBuckets = B)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val stateless = Dsir.scoreStateless(docs,
+        Dsir.ratioTable(docs, tgt, numBuckets = B), numBuckets = B)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(stateless === batch)
+    // a doc with model-unseen grams: unseen buckets contribute nothing
+    val fresh = Seq((9L, "zzz qqq spark")).toDF("doc_id", "text")
+    val f = Dsir.scoreStateless(fresh,
+        Dsir.ratioTable(docs, tgt, numBuckets = B), numBuckets = B)
+      .as[(Long, Long, Long)].collect().head
+    assert(f._2 <= 5L) // ≤ grams("zzz qqq spark") = 5, minus unseen buckets
+  }
+
   test("bm25: matches a plain-Scala reference bit-exactly; funnel is exact") {
     val corpus = Seq(
       (0L, "a b a"), (1L, "b c"), (2L, "c c c c"), (3L, "d d a c"),
