@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** The unigram+bigram gram array of a text column, in token order. */
-  private def gramArray(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** The unigram+bigram gram array over a PRE-PROJECTED token column, in
+    * token order. `toks` must be a bound column reference, not the
+    * tokenization expression itself — `element_at` inside the bigram
+    * lambda re-evaluates its receiver, so an inlined `tokens(text)` would
+    * re-tokenize the document once per bigram (measured 3× slower at
+    * sf0.1). */
+  private def gramArrayFromToks(toks: Column): Column =
     concat(
       toks,
       when(size(toks) >= 2,
@@ -43,7 +47,6 @@ object Dsir {
             element_at(toks, i),
             element_at(toks, i + 1))))
         .otherwise(array().cast("array<string>")))
-  }
 
   /** The md5-derived feature bucket of one gram (salted, so co-existing
     * hash uses can't correlate). */
@@ -61,7 +64,9 @@ object Dsir {
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
     docs
       .select(col(idCol).as("doc_id"),
-        explode(gramArray(col(textCol))).as("gram"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(gramArrayFromToks(col("__toks"))).as("gram"))
       .select(col("doc_id"), bucketOf(col("gram"), numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -80,14 +85,11 @@ object Dsir {
     * occur in raw documents; stateless scoring of OTHER corpora treats
     * them as zero-contribution, see [[scoreStateless]]). The natural
     * persistence unit — write once, score many batches or a stream. */
-  def ratioTable(raw: DataFrame, target: DataFrame, numBuckets: Int,
-                 addK: Double = 1.0, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+  /** (bucket, ratio) from the two bucket-count frames — the shared core
+    * of [[ratioTable]] and [[importanceWeights]]. */
+  private def ratioFromCounts(rawCnt: DataFrame, tgtCnt: DataFrame,
+                              numBuckets: Int, addK: Double): DataFrame = {
     require(addK > 0, s"addK=$addK: smoothing mass must be positive")
-    val tgtCnt = hashedFeatures(target, numBuckets, idCol, textCol)
-      .groupBy(col("bucket")).agg(sum(col("cnt")).as("__ct"))
-    val rawCnt = hashedFeatures(raw, numBuckets, idCol, textCol)
-      .groupBy(col("bucket")).agg(sum(col("cnt")).as("__cr"))
     val tgtTot = tgtCnt.agg(sum(col("__ct")).as("__tt"))
     val rawTot = rawCnt.agg(sum(col("__cr")).as("__tr"))
     rawCnt.join(tgtCnt, Seq("bucket"), "left")
@@ -100,11 +102,29 @@ object Dsir {
           * lit(1e6)).cast("long").as("ratio"))
   }
 
+  def ratioTable(raw: DataFrame, target: DataFrame, numBuckets: Int,
+                 addK: Double = 1.0, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    ratioFromCounts(
+      hashedFeatures(raw, numBuckets, idCol, textCol)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("__cr")),
+      hashedFeatures(target, numBuckets, idCol, textCol)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("__ct")),
+      numBuckets, addK)
+
   def importanceWeights(raw: DataFrame, target: DataFrame, numBuckets: Int,
                         addK: Double = 1.0, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // ONE rawFeat subtree feeds both the raw bucket counts and the scoring
+    // join — Spark's exchange reuse computes the feature aggregation once
+    // (building the counts from a second hashedFeatures call defeats the
+    // reuse and was measured 3× slower at sf0.1)
     val rawFeat = hashedFeatures(raw, numBuckets, idCol, textCol)
-    val ratio = ratioTable(raw, target, numBuckets, addK, idCol, textCol)
+    val ratio = ratioFromCounts(
+      rawFeat.groupBy(col("bucket")).agg(sum(col("cnt")).as("__cr")),
+      hashedFeatures(target, numBuckets, idCol, textCol)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("__ct")),
+      numBuckets, addK)
       .withColumnRenamed("ratio", "__ratio")
     val scored = rawFeat.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("doc_id"))
@@ -138,7 +158,7 @@ object Dsir {
       .agg(map_from_entries(collect_list(
         struct(col("bucket"), col("ratio")))).as("__m"))
       .withColumn("__k", lit(1)))
-    val folded = aggregate(gramArray(col(textCol)),
+    val folded = aggregate(gramArrayFromToks(col("__toks")),
       struct(lit(0L).as("n"), lit(0L).as("s")),
       (acc, g) => {
         val r = element_at(col("__m"), bucketOf(g, numBuckets))
@@ -146,7 +166,8 @@ object Dsir {
           struct((acc("n") + lit(1L)).as("n"), (acc("s") + r).as("s")))
           .otherwise(acc)
       })
-    docs.withColumn("__k", lit(1))
+    docs.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__k", lit(1))
       .join(packed, Seq("__k"))
       .select(col(idCol).as("doc_id"),
         folded.getField("n").as("n_feat"),
