@@ -156,6 +156,63 @@ object Decontaminate {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
   }
 
+  /** FUZZY contamination pairs — near-duplicate (training doc, benchmark
+    * item) pairs that exact k-gram counting under-reports when the leak is
+    * paraphrased or lightly edited: MinHash-LSH proposes candidates
+    * (shared band signature — [[Dedup.minhashLshPairs]]'s scheme, applied
+    * ACROSS the two frames), and every candidate pair is then verified
+    * with its exact shingle-set Jaccard. "LSH recall, exact precision":
+    * the output contains exactly the LSH-candidate pairs whose true
+    * Jaccard reaches `threshold` — band collisions below it are filtered
+    * out, near-dups the banding misses are missed (widen numHashes /
+    * shrink bandSize to trade).
+    *
+    * Scale shape: the benchmark's band table and gram set are tiny and
+    * BROADCAST (same token-count guard as [[overlap]]); the corpus pays
+    * one signature aggregation, and the verify stage touches ONLY
+    * candidate documents (gram postings semi-joined to the candidate id
+    * set before the intersection join) — the corpus-wide gram join of the
+    * exact path never runs.
+    *
+    * Output: (idCol, bench_id, n_common, jaccard), jaccard ≥ threshold. */
+  def fuzzyOverlap(docs: DataFrame, benchmark: DataFrame,
+                   threshold: Double = 0.5, numHashes: Int = 8,
+                   bandSize: Int = 2, k: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBroadcastGrams: Long = 5000000L): DataFrame = {
+    val bcast = benchTokenCount(benchmark, textCol) <= maxBroadcastGrams
+    def guard(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    def bands(src: DataFrame, outId: String): DataFrame =
+      Dedup.minhashes(src, numHashes, idCol, textCol, k)
+        .select(col("doc_id").as(outId),
+          explode(array(Dedup.bandStructs(numHashes, bandSize): _*)).as("bs"))
+        .select(col(outId), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands(docs, "__train_id")
+      .join(guard(bands(benchmark, "__bench_id")), Seq("band", "sig"))
+      .select(col("__train_id"), col("__bench_id")).distinct()
+    // verify: exact Jaccard over hashed distinct shingles, candidate docs only
+    val tg = Dedup.shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id").as("__train_id"), xxhash64(col("shingle")).as("g"))
+      .join(cand.select(col("__train_id")).distinct(), Seq("__train_id"),
+        "left_semi")
+    val bg = Dedup.shinglePostings(benchmark, idCol, textCol, k)
+      .select(col("doc_id").as("__bench_id"), xxhash64(col("shingle")).as("g"))
+    val na = tg.groupBy(col("__train_id")).agg(count(lit(1)).as("__na"))
+    val nb = bg.groupBy(col("__bench_id")).agg(count(lit(1)).as("__nb"))
+    val common = tg.join(guard(bg), Seq("g"))
+      .groupBy(col("__train_id"), col("__bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("__train_id", "__bench_id"), "left_semi")
+    common
+      .join(na, Seq("__train_id"))
+      .join(guard(nb), Seq("__bench_id"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("__na") + col("__nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__train_id").as(idCol), col("__bench_id").as("bench_id"),
+        col("n_common"), col("jaccard"))
+  }
+
   /** The decontaminated corpus: `docs` minus every document whose k-gram
     * overlap with `benchmark` reaches `minMatched` shared k-grams. The
     * anti-join runs on ids only — document payloads never shuffle.

@@ -234,9 +234,10 @@ object Dedup {
     *        above the corpus's max bucket size the output is exactly the
     *        unguarded result (spec-verified). */
   /** (band, signature) structs over a wide minhash row — the ONE definition
-    * of the banding scheme, shared by the pair join and the skew stats so
-    * they can never drift apart. */
-  private def bandStructs(numHashes: Int, bandSize: Int): Seq[Column] = {
+    * of the banding scheme, shared by the pair join, the skew stats and
+    * [[Decontaminate.fuzzyOverlap]]'s cross-frame candidates so they can
+    * never drift apart. */
+  private[operators] def bandStructs(numHashes: Int, bandSize: Int): Seq[Column] = {
     require(numHashes <= 10, "index-order concat assumes single-digit hash ids")
     (0 until numHashes / bandSize).map { b =>
       val parts = (b * bandSize until (b + 1) * bandSize)

@@ -766,6 +766,18 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Fuzzy decontamination: MinHash-LSH candidates across train × bench,
+    // each verified with its exact shingle-set Jaccard — catches
+    // paraphrased leaks the exact k-gram count under-reports.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      import graft.operators.Decontaminate
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 5 === 3)
+      val train = docs.filter(col("doc_id") % 5 =!= 3)
+      Decontaminate.fuzzyOverlap(train, bench, threshold = 0.5)
+        .localCheckpoint(true).orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Reverse decontamination report: per benchmark item, how much of the
     // training corpus collides with it (zero-hit items included — clean is
     // a result).
@@ -1558,6 +1570,38 @@ object TrainingDataQueries extends QueryPack {
          |  USING (shingle)
          |GROUP BY 1 HAVING count(b.shingle) > 0
          |ORDER BY 1""".stripMargin,
+
+    "decontaminate_fuzzy" ->
+      s"""WITH $shinglesCte,
+         |hs AS (SELECT doc_id,
+         |         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+         |       FROM sh),
+         |perm(i, pa, pb) AS (VALUES
+         |  (0, 981238597, 825377933), (1, 673562387, 743900233),
+         |  (2, 552963643, 621445373), (3, 413158523, 536870923),
+         |  (4, 316199399, 433024253), (5, 247073897, 362867483),
+         |  (6, 198491317, 297779117), (7, 153889403, 247073891)),
+         |mh AS (SELECT doc_id, i, min((pa * h + pb) % 268435456) AS mh
+         |       FROM hs CROSS JOIN perm GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |            md5(string_agg(CAST(i AS VARCHAR) || '|' || mh, ''
+         |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+         |         FROM bands t JOIN bands b ON t.band = b.band AND t.sig = b.sig
+         |         WHERE t.doc_id % 5 <> 3 AND b.doc_id % 5 = 3),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS tid, b.doc_id AS bid, count(*) AS nc
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |           WHERE a.doc_id % 5 <> 3 AND b.doc_id % 5 = 3 GROUP BY 1, 2),
+         |ver AS (SELECT c.tid, c.bid, m.nc,
+         |          CAST(m.nc AS DOUBLE) / CAST(x.n + y.n - m.nc AS DOUBLE) AS j
+         |        FROM cand c JOIN common m ON c.tid = m.tid AND c.bid = m.bid
+         |        JOIN cnt x ON c.tid = x.doc_id JOIN cnt y ON c.bid = y.doc_id)
+         |SELECT tid AS doc_id, bid AS bench_id, CAST(nc AS BIGINT) AS n_common,
+         |       j AS jaccard
+         |FROM ver WHERE j >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     "decontaminate_report" ->
       s"""WITH $shinglesCte,

@@ -824,6 +824,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tight === Map(0L -> 1, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("fuzzy decontamination: LSH candidates verified by exact jaccard") {
+    // train doc 1 is a light edit of bench doc 100 (high jaccard);
+    // train doc 2 shares nothing with the bench
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val train = Seq(
+      (1L, base + " tonight"),
+      (2L, "completely unrelated content about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val hits = Decontaminate.fuzzyOverlap(train, bench, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) === Seq((1L, 100L)))
+    val (_, _, nc, j) = hits.head
+    // exact jaccard by hand: shingle sets of the two texts
+    def shingles(t: String): Set[String] = {
+      val ts = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ts.size >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    }
+    val (sa, sb) = (shingles(base + " tonight"), shingles(base))
+    val inter = (sa & sb).size
+    assert(nc === inter.toLong)
+    assert(j === inter.toDouble / (sa.size + sb.size - inter).toDouble)
+    // a threshold above the true jaccard rejects the candidate
+    assert(Decontaminate.fuzzyOverlap(train, bench, threshold = j + 0.01)
+      .count() === 0L)
+  }
+
   test("keep-best: quality rule keeps the longest member, ties to lowest id") {
     // components: {1,2,3} and {10,11}; 4 is untouched (no edges)
     val comps = Seq(
