@@ -109,6 +109,58 @@ object ProductQuantization {
       .select(col("vec_id"), codes.as("codes"))
   }
 
+  /** Train the ENTIRE IVF-PQ index — coarse router + all m subspace
+    * codebooks — in ONE keyed Lloyd loop: the full-dimension coarse
+    * training rides the same broadcast/assignment/mean jobs as the
+    * subspace trainings, keyed as group -1 (every aggregation in
+    * [[KMeans.lloydKeyed]] is group-keyed, so each trajectory is
+    * bit-identical to training alone — the coarse rows' longer arrays and
+    * different cell count coexist with the slices in the same frame).
+    * Returns (coarse, codebooks) ready for [[ivfPqTopK]]. One iteration
+    * budget governs both (the common production choice); train on a
+    * sample at corpus scale. */
+  def ivfPqFit(vectors: DataFrame, dim: Int, m: Int, coarseK: Int, pqK: Int,
+               iters: Int = 3, idCol: String = "vec_id",
+               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible into m=$m blocks")
+    require(iters >= 1, s"iters=$iters")
+    val subDim = dim / m
+    def slices(df: DataFrame, outCol: String, upTo: Column): DataFrame =
+      df.select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__v"), j * lit(subDim) + lit(1), lit(subDim))))
+          .as(Seq("subspace", outCol)))
+        .filter(col("cell") <= upTo)
+    val base = vectors.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v"))
+    // one frame, m+1 groups: subspace slices plus the full vector as -1
+    def withFull(df: DataFrame, outCol: String): DataFrame =
+      slices(df, outCol, lit(Int.MaxValue)).unionByName(
+        df.select(col("vec_id"), col("cell"), lit(-1).as("subspace"),
+          col("__v").as(outCol)))
+    val exploded = withFull(base.withColumn("cell", lit(0)), "__sub")
+      .select(col("subspace"), col("vec_id"), col("__sub"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val maxK = math.max(coarseK, pqK)
+    val seedBase = base.orderBy(col("vec_id")).limit(maxK)
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+    // per-group seed budgets differ: slices keep pqK cells, coarse keeps
+    // coarseK — the same k-lowest-id discipline as the solo trainers
+    val seeds = slices(seedBase, "centroid", lit(pqK - 1)).unionByName(
+      seedBase.filter(col("cell") <= coarseK - 1)
+        .select(col("vec_id"), col("cell"), lit(-1).as("subspace"),
+          col("__v").as("centroid")))
+      .select(col("subspace"), col("cell"), col("centroid"))
+    var cents = seeds.localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub")
+        .localCheckpoint(true)
+    val coarse = cents.filter(col("subspace") === -1)
+      .select(col("cell"), col("centroid"))
+    val books = cents.filter(col("subspace") >= 0)
+    (coarse, books)
+  }
+
   /** IVF-PQ top-k — the production billion-vector index shape (FAISS's
     * IVFPQ): a coarse quantizer (trained [[KMeans]] centroids) routes each
     * query to its `nProbe` nearest cells, and ADC scores ONLY the codes

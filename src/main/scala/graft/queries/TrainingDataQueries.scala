@@ -408,9 +408,10 @@ object TrainingDataQueries extends QueryPack {
     // ADC scoring restricted to the probed cells.
     "ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val coarse = KMeans.fit(e, k = IvfPqCoarseK, iters = IvfPqIters)
-      val books = ProductQuantization.fit(e, dim = 64, m = PqM, k = PqK,
-        iters = PqIters)
+      // coarse router + all codebooks from ONE keyed Lloyd loop — the
+      // unchanged oracle (solo-training replay) is the bit-equality proof
+      val (coarse, books) = ProductQuantization.ivfPqFit(e, dim = 64,
+        m = PqM, coarseK = IvfPqCoarseK, pqK = PqK, iters = IvfPqIters)
       ProductQuantization.ivfPqTopK(e, e.filter(col("vec_id") < 5), coarse,
         books, m = PqM, k = IvfPqTopK, nProbe = IvfPqNProbe)
         .localCheckpoint(true).orderBy(col("query_id"), col("rank"))

@@ -873,6 +873,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(minKept === Set(1L, 10L, 4L))
   }
 
+  test("ivfpq: joint fit is bit-identical to the solo trainers") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq(math.sin(i * 0.7) * 3, math.cos(i * 1.3) * 2,
+        math.sin(i * 2.1) - 1, math.cos(i * 0.4) + 2))
+    }.toDF("vec_id", "embedding")
+    val (coarse, books) = ProductQuantization.ivfPqFit(vecs, dim = 4, m = 2,
+      coarseK = 3, pqK = 2, iters = 2)
+    val wantCoarse = KMeans.fit(vecs, k = 3, iters = 2)
+      .as[(Int, Seq[Double])].collect().toMap
+    val gotCoarse = coarse.as[(Int, Seq[Double])].collect().toMap
+    assert(gotCoarse === wantCoarse)
+    val wantBooks = ProductQuantization.fit(vecs, dim = 4, m = 2, k = 2,
+        iters = 2)
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    val gotBooks = books.as[(Int, Int, Seq[Double])].collect().toSet
+    assert(gotBooks === wantBooks)
+  }
+
   test("ivfpq: composition matches a plain-Scala rerank of probed candidates") {
     val raw = (0L until 12L).map { i =>
       (i, Seq((i % 5).toDouble + 0.1 * i, ((i * 3) % 7).toDouble - 0.05 * i))
