@@ -70,6 +70,83 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .select("doc_id", "lang", "n_tokens", "bucket", "example_id")
   }
 
+  /** The round-9 additions chained the way a curation run would chain
+    * them: fuzzy decontamination → near-dup clusters kept by QUALITY →
+    * DSIR importance weighting → per-language weight-band selection. */
+  private def runCurationPipeline(): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+    val bench = raw.filter(col("doc_id") % 5 === 3)
+    val train = raw.filter(col("doc_id") % 5 =!= 3)
+
+    // paraphrase-level benchmark scrub: LSH candidates, exact-Jaccard
+    // verified, contaminated ids dropped id-only
+    val fuzzyIds = Decontaminate.fuzzyOverlap(train, bench, threshold = 0.5)
+      .select(col("doc_id")).distinct()
+    val cleaned = train.join(fuzzyIds, Seq("doc_id"), "left_anti")
+
+    // near-dup clusters keep the LONGEST member, not the lowest id
+    val pairs = Dedup.jaccardPairs(cleaned, threshold = 0.3,
+      maxShingleDf = Some(1000))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deduped = Dedup.applyKeepListBest(cleaned,
+      Dedup.connectedComponents(pairs),
+      TextAnalysis.tokenCount(col("text")).cast("long"))
+
+    // target-likeness weighting (target = the en slice), then keep each
+    // language's central weight band — the "more like the target, minus
+    // the degenerate tails" selection
+    val weighted = deduped.join(
+      Dsir.importanceWeights(deduped, deduped.filter(col("lang") === "en"),
+        numBuckets = 64),
+      Seq("doc_id"))
+    CorpusStats.lengthBandFilter(weighted, "lang", "logw_micro",
+      loQ = 0.1, hiQ = 0.95)
+  }
+
+  test("curation pipeline: fuzzy decon → keep-best dedup → DSIR band") {
+    val out = runCurationPipeline()
+    val raw = Tables.documents(spark, sfDir)
+    val train = raw.filter(col("doc_id") % 5 =!= 3)
+    val rows = out.count()
+    assert(rows > 0 && rows < train.count())
+
+    // no kept doc is fuzzy-contaminated against the bench slice
+    val bench = raw.filter(col("doc_id") % 5 === 3)
+    val stillDirty = Decontaminate
+      .fuzzyOverlap(out.select("doc_id", "text"), bench, threshold = 0.5)
+      .count()
+    assert(stillDirty === 0L)
+
+    // keep-best: within every surviving near-dup cluster the kept doc is
+    // at least as long as any dropped member — verified on the pair list
+    val keptIds = out.select(col("doc_id")).as[Long].collect().toSet
+    val cleanedPairs = Dedup.jaccardPairs(
+        train.join(Decontaminate.fuzzyOverlap(train, bench, threshold = 0.5)
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+        threshold = 0.3, maxShingleDf = Some(1000))
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val lens = raw.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    cleanedPairs.foreach { case (a, b) =>
+      assert(!(keptIds(a) && keptIds(b)), s"near-dup pair ($a,$b) both kept")
+      if (keptIds(a) && !keptIds(b))
+        assert(lens(a) >= lens(b), s"kept $a shorter than dropped $b")
+      if (keptIds(b) && !keptIds(a))
+        assert(lens(b) >= lens(a), s"kept $b shorter than dropped $a")
+    }
+
+    // determinism: full chain digest-stable across runs
+    def digest(df: DataFrame): String = {
+      val cols = df.columns.sorted.map(col)
+      df.select(md5(concat_ws("|", cols: _*)).as("h"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))))
+        .as[String].collect()(0)
+    }
+    assert(digest(out) === digest(runCurationPipeline()))
+    Dedup.releaseIntermediateCaches()
+  }
+
   test("corpus pipeline composes end-to-end and is deterministic") {
     val out = runPipeline()
     val rows = out.count()
