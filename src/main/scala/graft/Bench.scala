@@ -16,23 +16,19 @@ import org.apache.spark.sql.SparkSession
   * neighborhood and round-over-round per-query deltas are attributable
   * to plans.
   *
-  * The JSON line is built to be TRUSTWORTHY AS AN ARTIFACT, not just a
-  * number: a prior round's driver run recorded a 6× skew on two queries
-  * that two clean paired re-runs could not reproduce — environmental
-  * load, invisible in the artifact itself. So the line now carries the
-  * evidence to adjudicate that in place:
-  *  - `runs`: per-query warm + every timed run (ms precision), so a
-  *    median hiding one 20 s outlier run is visible;
-  *  - `loadavg`: /proc/loadavg (1/5/15-min) before and after the suite —
-  *    a 1-min load far above the Spark core count means another workload
-  *    shared the machine;
-  *  - `tainted` + `foreign_jvms`: true when OTHER live JVM processes
-  *    (not this process or its sbt ancestry) are detected at start or
-  *    end — concurrent sbt/test/Spark JVMs are exactly what skewed the
-  *    prior artifact;
-  *  - all times rounded to ms so the line stays short enough to survive
-  *    line-truncating log capture (a full-precision line once lost its
-  *    tail queries to a `tail -c` cut).
+  * The bench evidence is built to be TRUSTWORTHY AS AN ARTIFACT, not
+  * just a number: a prior round's driver run recorded a 6× skew on two
+  * queries that two clean paired re-runs could not reproduce —
+  * environmental load, invisible in the artifact itself. The evidence
+  * (per-query warm + every timed run, before/after /proc/loadavg, a
+  * `tainted` flag with the foreign-JVM pid list sampled per query) is
+  * written to `bench_detail.json` in the working directory, and the
+  * stdout line stays COMPACT: metric/total/per-query medians/taint only.
+  * Round 8 carried the full runs evidence inline and the resulting
+  * ~12 KB line outran the driver's ~4 KB tail capture — the artifact
+  * recorded `parsed: null`, strictly worse than a short parseable line.
+  * All times round to ms; the noise floor is far above 1 ms and full
+  * 17-digit doubles tripled the line length.
   *
   * MEASUREMENT BASIS (since round 9): queries are forced via
   * `queryExecution.toRdd.count()` — full materialization of every output
@@ -162,9 +158,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
     val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"loadavg":$load,"tainted":${foreign.nonEmpty},""" +
-      s""""foreign_jvms":[${foreign.mkString(",")}],"sf":"$sfDir"}""")
+      s""""foreign_jvms":[${foreign.mkString(",")}],"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""tainted":${foreign.nonEmpty},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,70 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCountCol)).as("n_tokens"))
 
+  /** Deterministic global shuffle + shard assignment — the training-output
+    * prep step: order the corpus by an md5 hash draw (a reproducible
+    * permutation), number it 0..N-1, and deal positions round-robin into
+    * `numShards` shard files (shard = pos % numShards, pos_in_shard =
+    * pos / numShards — balanced to within one row by construction). The
+    * permutation is a pure function of (key, salt), so re-running the
+    * pipeline regenerates byte-identical shards, and a data loader reading
+    * shard k in pos_in_shard order replays a fixed slice of one global
+    * shuffle — epoch determinism without materializing an index.
+    *
+    * Scale shape: the global row number is the same inherently-sequential
+    * prefix shape as [[Sampling.tokenBudgetMix]], and gets the same
+    * TWO-PHASE cut: bucket rows by the first `drawPrefixLen` hex digits of
+    * the draw (a fixed-length prefix orders exactly like the full draw),
+    * count per bucket in one narrow aggregation, turn counts into exclusive
+    * base offsets with a window over that 16^drawPrefixLen-row aggregate,
+    * then rank within each bucket and add the base — parallelism
+    * 16^drawPrefixLen tasks instead of ONE. `drawPrefixLen = 0` keeps the
+    * single-window formulation (the semantics reference; spec-proven equal).
+    *
+    * NULL keys coalesce to the empty-string draw (sorts first, one shared
+    * draw), the [[Sampling.tokenBudgetMix]] convention. */
+  def shardAssign(df: DataFrame, numShards: Int, keyCol: String,
+                  salt: String = "", drawPrefixLen: Int = 2): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(drawPrefixLen >= 0 && drawPrefixLen <= 8,
+      s"drawPrefixLen must be in [0, 8], got $drawPrefixLen")
+    val reserved = Seq("shard", "pos_in_shard", "__draw", "__bkt", "__base", "__pos")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by shardAssign")
+    val W = Window
+    val theDraw = coalesce(Sampling.draw(col(keyCol), salt), lit(""))
+    val withPos =
+      if (drawPrefixLen == 0) {
+        val w = W.orderBy(col("__draw"), col(keyCol))
+        df.withColumn("__draw", theDraw)
+          .withColumn("__pos", row_number().over(w).cast("long") - 1)
+      } else {
+        val withDraw = df
+          .withColumn("__draw", theDraw)
+          .withColumn("__bkt", substring(col("__draw"), 1, drawPrefixLen))
+        // phase 1: per-bucket counts -> exclusive base offsets; the window
+        // runs over the <= 16^drawPrefixLen-row aggregate only
+        val wBase = W.orderBy(col("__bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val bases = withDraw.groupBy(col("__bkt"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
+          .select(col("__bkt"), col("__base"))
+        // phase 2: rank within the bucket, offset by its base
+        val wIn = W.partitionBy(col("__bkt"))
+          .orderBy(col("__draw"), col(keyCol))
+        withDraw.join(broadcast(bases), Seq("__bkt"))
+          .withColumn("__pos",
+            col("__base") + row_number().over(wIn).cast("long") - 1)
+      }
+    withPos
+      .withColumn("shard", (col("__pos") % numShards).cast("int"))
+      // floor(long/int) is exact here: __pos stays far under 2^52, where
+      // the double quotient cannot round across an integer boundary
+      .withColumn("pos_in_shard", floor(col("__pos") / numShards))
+      .select((df.columns.map(col) ++ Seq(col("shard"), col("pos_in_shard"))).toSeq: _*)
+  }
+
   /** Split long documents into fixed-token-window chunks with overlap —
     * the context-window prep step for documents longer than the training
     * sequence length (each chunk re-reads `overlap` tokens of its

@@ -113,4 +113,44 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         col("score_micro"))
   }
+
+  /** Per-document TF-IDF keyword extraction: the top-k most
+    * distinguishing terms of every document — the summarization /
+    * topic-tagging / index-pruning primitive (keep only each document's
+    * top terms in a lexical index and the posting table shrinks by the
+    * stop-word mass).
+    *
+    * idf = ln((N+1)/(df+1)), quantized ONCE per term to integer
+    * micro-nats on the vocabulary-sized (term, df) frame (the
+    * [[Dsir]] discipline — the only cross-engine float op runs at
+    * vocabulary scale, never per posting); a term's score is then the
+    * exact integer tf · idf_micro. Rank ties break by term.
+    *
+    * Scale shape: one posting aggregation (map-side combined), one
+    * term-keyed df reduction of it, a one-row N broadcast, and a term-keyed
+    * join back. The per-doc top-k window partitions by doc_id — bounded by
+    * a document's DISTINCT TERM COUNT (≤ its token count), so there is no
+    * hot-partition funnel to cut, unlike the per-query/per-group rank paths. */
+  def tfidfKeywords(corpus: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val dt = docTermStats(corpus, idCol, textCol)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val nd = corpus.agg(count(lit(1)).as("__nd"))
+    val idfMicro = floor(log(
+      (col("__nd") + 1).cast("double") / (col("df") + 1).cast("double"))
+      * 1e6).cast("long")
+    val idf = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("term"), idfMicro.as("__idf"))
+    val scored = dt.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * col("__idf")).as("score_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("score_micro"))
+  }
 }

@@ -174,6 +174,63 @@ object Sampling {
     }
   }
 
+  /** Temperature-flattened multilingual resampling (the mT5/XLM-R mixing
+    * rule, arXiv:1910.10683 §3.4.3 shape): reweight strata so the kept
+    * corpus's stratum shares are proportional to p_s^alpha, where p_s is
+    * the stratum's weight share (rows, or a weight column such as token
+    * counts). alpha = 1 keeps the natural distribution; alpha → 0 flattens
+    * toward uniform; the standard mT5 setting is alpha = 0.3–0.7.
+    *
+    * Downsampling-only formulation: the keep fraction per stratum is
+    * f_s = (p_min / p_s)^(1 - alpha) — the smallest stratum is kept whole
+    * and every larger stratum is cut toward it, which needs no duplication
+    * (upsampling a 100 TB corpus in place is the wrong tool; repeat epochs
+    * at the loader instead). Keeps are hash-gated per row by the same md5
+    * draw as [[bernoulli]], so the mix is a pure function of the corpus.
+    *
+    * Determinism: f_s is quantized to MICRO-PROBABILITIES
+    * (floor(f·10⁶), stratum-table-sized work) before the integer-exact
+    * threshold conversion, the [[graft.operators.Dsir]] micro-quantization
+    * discipline — the only cross-engine float op is pow() on a handful of
+    * stratum ratios, and a boundary-straddling ulp there is ~10⁻¹⁰ likely
+    * per stratum.
+    *
+    * Scale shape: ONE narrow aggregation over strata (map-side combined),
+    * a global min over that stratum-sized frame, a broadcast join of the
+    * per-stratum thresholds, and a pure filter — the corpus itself never
+    * shuffles. */
+  def temperatureMix(df: DataFrame, strataCol: String, alpha: Double,
+                     keyCol: String, weightCol: Option[String] = None,
+                     salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val reserved = Seq("__w", "__minw", "__thr")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by temperatureMix")
+    val W = org.apache.spark.sql.expressions.Window
+    val weight = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    // per-stratum weights; the empty-partition window runs over the
+    // strata-sized aggregate (a handful of rows), never over the corpus
+    val shares = df.groupBy(col(strataCol)).agg(weight.cast("double").as("__w"))
+      .withColumn("__minw", min(col("__w")).over(W.partitionBy()))
+    // f_s = (min/w)^(1-alpha) in micro-probability units; w >= minw > 0 so
+    // the ratio is in (0, 1] and the threshold in [0, 10^6]
+    val thrMicro = floor(pow(col("__minw") / col("__w"), lit(1.0 - alpha)) * 1e6)
+      .cast("long")
+    // micro-probability -> 8-hex-digit draw threshold. The scaling runs as
+    // DOUBLE multiply-then-divide with a floor — micro·2^32 ≈ 4.3·10^15
+    // stays under 2^53 so the product is exact, and the one rounded
+    // division is the same IEEE op in any engine (Spark's `/` has no
+    // integer-division form, so the oracle must mirror the double math,
+    // not `//`). f_s = 1 admits every row ("g" sorts after all hex digits)
+    val thrHex = when(thrMicro >= 1000000L, lit("g"))
+      .otherwise(format_string("%08x",
+        floor(thrMicro.cast("double") * 4294967296.0 / 1000000.0).cast("long")))
+    val thresholds = shares.select(col(strataCol), thrHex.as("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(draw(col(keyCol), salt) < col("__thr"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Per-group row cap — the CommonCrawl-style per-domain quota: keep at
     * most `maxPerGroup` rows per group, chosen deterministically by hash
     * draw (ties broken by the key), so the kept set is a uniform per-group

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension min-max) embedding quantization — the int8
+  * compression step ANN indexes and training-data stores run before PQ is
+  * worth its training cost: 4× smaller than float32 with one multiply-add
+  * per dimension to reconstruct.
+  *
+  * Codes are 256-bucket floors: code = floor((x − mn) / (mx − mn) · 256),
+  * clamped to 255 at x = mx (mn/mx the corpus-wide per-dimension extrema).
+  * The floor formulation avoids round-half ties entirely, and every input
+  * to it is cross-engine exact: min/max aggregation PICKS values (no
+  * accumulation), and subtraction/division/scaling are single IEEE ops —
+  * so codes are bit-stable across engines and cluster layouts.
+  *
+  * Scale shape: fit is one posexplode + groupBy(pos) aggregation —
+  * map-side combined, the shuffle carries dims × partitions rows, and the
+  * result is a dims-row frame. Encode COLLECTS that frame (dims-sized,
+  * the config-shaped driver collect the KMeans centroid loop also uses)
+  * into literal arrays and runs as a pure codegen'd projection — the
+  * corpus never shuffles.
+  */
+object ScalarQuant {
+
+  /** Per-dimension corpus extrema: (pos, mn, mx), dims rows. */
+  def fitMinMax(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Collected (mins, maxes) in dimension order — the broadcastable model. */
+  def collectStats(stats: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = stats.select(col("pos"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Quantization codes for one vector column given collected stats:
+    * array<int> of 0..255, one per dimension. A degenerate dimension
+    * (mx = mn) codes to 0. */
+  def encodeExpr(vec: Column, mins: Array[Double],
+                 maxes: Array[Double]): Column = {
+    val mn = typedlit(mins.toSeq)
+    val mx = typedlit(maxes.toSeq)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi === lo, lit(0))
+        .otherwise(least(lit(255),
+          floor((x - lo) / (hi - lo) * 256.0).cast("int")))
+    })
+  }
+
+  /** Midpoint reconstruction: mn + (code + 0.5) · (mx − mn) / 256 — the
+    * max absolute error per dimension is (mx − mn) / 512. */
+  def decodeExpr(codes: Column, mins: Array[Double],
+                 maxes: Array[Double]): Column = {
+    val mn = typedlit(mins.toSeq)
+    val mx = typedlit(maxes.toSeq)
+    transform(codes, (c, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      lo + (c.cast("double") + 0.5) * (hi - lo) / 256.0
+    })
+  }
+
+  /** Fit + encode in one call: the input plus a `codes` array<int> column.
+    * Runs the dims-sized stats aggregation eagerly (one narrow job), then
+    * encodes as a pure projection. */
+  def quantize(vectors: DataFrame, vecCol: String = "embedding",
+               outCol: String = "codes"): DataFrame = {
+    val (mins, maxes) = collectStats(fitMinMax(vectors, vecCol))
+    vectors.withColumn(outCol, encodeExpr(col(vecCol), mins, maxes))
+  }
+}

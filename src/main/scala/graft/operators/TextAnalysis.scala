@@ -155,6 +155,50 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))).cast("binary"))
 
+  /** Unicode-script profile per document — the pre-language-ID routing
+    * signal multilingual pipelines split on (a token-marker language model
+    * is useless on the wrong script, and mixed-script documents are a
+    * quality signal of their own): code-point counts for the four
+    * highest-volume scripts, ASCII digits, whitespace, and the remainder,
+    * plus the dominant script.
+    *
+    * Counting is `length(regexp_replace(text, [^class], ""))` — Spark's
+    * `length` counts CODE POINTS (UTF8String.numChars), matching DuckDB
+    * and Python semantics, so supplementary-plane CJK counts as 1. The
+    * digit class is ASCII [0-9] only (script=Common — Arabic-Indic digits
+    * are script=Arabic and would double-count against a \p{Nd} class).
+    * Classes are therefore disjoint and n_other is an exact remainder.
+    * Dominant-script ties break in fixed order latin > cyrillic > han >
+    * arabic; an all-zero profile is "none".
+    *
+    * Pure codegen'd projection — pipelines with the scan, no shuffle. */
+  def scriptColumns(text: Column): Seq[(String, Column)] = {
+    def cnt(cls: String): Column =
+      length(regexp_replace(text, s"[^$cls]", ""))
+    val lat = cnt("\\p{IsLatin}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val han = cnt("\\p{IsHan}")
+    val ara = cnt("\\p{IsArabic}")
+    val dig = cnt("0-9")
+    val spc = cnt("\\s")
+    val other = length(text) - lat - cyr - han - ara - dig - spc
+    val dominant =
+      when(lat + cyr + han + ara === 0, "none")
+        .when(lat >= cyr && lat >= han && lat >= ara, "latin")
+        .when(cyr >= han && cyr >= ara, "cyrillic")
+        .when(han >= ara, "han")
+        .otherwise("arabic")
+    Seq(
+      "n_latin" -> lat,
+      "n_cyrillic" -> cyr,
+      "n_han" -> han,
+      "n_arabic" -> ara,
+      "n_digit" -> dig,
+      "n_space" -> spc,
+      "n_other" -> other,
+      "dominant_script" -> dominant)
+  }
+
   /** Repetition features per document (the Gopher-rule staples a quality
     * filter thresholds on): duplicate-word fraction and the share of the
     * most frequent word bigram. Word stats are a narrow projection; the

@@ -859,6 +859,63 @@ object TrainingDataQueries extends QueryPack {
         tokenCountCol = "n_tokens", keyCol = "doc_id", salt = "m1")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-flattened multilingual mix (alpha = 0.5, token-weighted):
+    // the smallest language is kept whole, larger ones hash-downsample
+    // toward sqrt-share proportions.
+    "sample_temperature" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.temperatureMix(docs, "lang", alpha = 0.5, keyCol = "doc_id",
+        weightCol = Some("n_tokens"), salt = "tm")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle -> round-robin shard assignment; the
+    // two-phase (bucketed) global-position cut is on and must equal the
+    // single-window order.
+    "shard_assign" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.shardAssign(Tables.documents(s, dir), numShards = 4,
+        keyCol = "doc_id", salt = "sh")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Scalar int8 quantization: per-dimension min-max codes, flattened to
+    // (vec_id, pos, code) for the compare.
+    "embedding_quantize" -> ((s, dir) => {
+      import graft.operators.ScalarQuant
+      ScalarQuant.quantize(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+        .localCheckpoint(true).orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // Unicode-script profile over a mixed-script view (the ASCII corpus is
+    // augmented with Cyrillic/Han/Arabic digit transliterations of doc_id —
+    // an in-table derivation both engines compute identically).
+    "text_script" -> ((s, dir) => {
+      val aug = concat_ws(" ", col("text"),
+        translate(col("doc_id").cast("string"), "0123456789", "абвгдежзий"),
+        translate(col("doc_id").cast("string"), "0123456789", "零一二三四五六七八九"),
+        translate(col("doc_id").cast("string"), "0123456789", "ابتثجحخدذر"))
+      val withAug = Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("__aug"))
+      val cols = TextAnalysis.scriptColumns(col("__aug"))
+        .map { case (n, c) => c.as(n) }
+      withAug.select(col("doc_id") +: cols: _*)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Per-document TF-IDF keywords: top-5 distinguishing terms, micro-nat
+    // quantized idf, exact integer scores.
+    "tfidf_keywords" -> ((s, dir) => {
+      Retrieval.tfidfKeywords(Tables.documents(s, dir), k = 5)
+        .localCheckpoint(true).orderBy(col("doc_id"), col("rank"))
     })
   )
 
@@ -1703,6 +1760,96 @@ object TrainingDataQueries extends QueryPack {
          |WHERE cum <= CASE lang WHEN 'en' THEN 2000
          |                       WHEN 'de' THEN 1000
          |                       WHEN 'fr' THEN 800 END
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // f_s = (min_w / w_s)^0.5 quantized to micro-probabilities, then the
+    // micro->hex threshold mirrors Spark's double multiply-divide-floor
+    // (NOT integer //: Spark has no integer division, so both engines run
+    // the same IEEE ops)
+    "sample_temperature" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens
+         |      FROM toks JOIN documents USING (doc_id)),
+         |w AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS w FROM d GROUP BY 1),
+         |m AS (SELECT min(w) AS mw FROM w),
+         |thr AS (SELECT lang,
+         |          CAST(floor(pow(mw / w, 0.5) * 1e6) AS BIGINT) AS tm
+         |        FROM w, m),
+         |th AS (SELECT lang,
+         |         CASE WHEN tm >= 1000000 THEN 'g'
+         |              ELSE printf('%08x', CAST(floor(
+         |                CAST(tm AS DOUBLE) * 4294967296 / 1000000) AS BIGINT))
+         |         END AS h
+         |       FROM thr)
+         |SELECT doc_id, lang, n_tokens
+         |FROM d JOIN th USING (lang)
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':tm'), 1, 8) < h
+         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the SINGLE-window global order — the Spark side runs
+    // the two-phase bucketed position cut, so parity proves the cut exact
+    "shard_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':sh'), 1, 8) AS h
+        |     FROM documents),
+        |p AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY h, doc_id) - 1 AS pos FROM d)
+        |SELECT doc_id, CAST(pos % 4 AS INT) AS shard, pos // 4 AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+        |       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |     FROM embeddings),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1)
+        |SELECT vec_id, pos,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE least(255, CAST(floor((x - mn) / (mx - mn) * 256.0) AS INT))
+        |  END AS code
+        |FROM e JOIN st USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    // RE2 spells scripts \p{Latin}; Java spells them \p{IsLatin} — same
+    // Unicode script property. length() counts code points in both engines.
+    "text_script" ->
+      """WITH a AS (SELECT doc_id, concat_ws(' ', text,
+        |       translate(CAST(doc_id AS VARCHAR), '0123456789', 'абвгдежзий'),
+        |       translate(CAST(doc_id AS VARCHAR), '0123456789', '零一二三四五六七八九'),
+        |       translate(CAST(doc_id AS VARCHAR), '0123456789', 'ابتثجحخدذر')) AS s
+        |     FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(regexp_replace(s, '[^\p{Latin}]', '', 'g')) AS n_latin,
+        |  length(regexp_replace(s, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+        |  length(regexp_replace(s, '[^\p{Han}]', '', 'g')) AS n_han,
+        |  length(regexp_replace(s, '[^\p{Arabic}]', '', 'g')) AS n_arabic,
+        |  length(regexp_replace(s, '[^0-9]', '', 'g')) AS n_digit,
+        |  length(regexp_replace(s, '[^\s]', '', 'g')) AS n_space,
+        |  length(s) AS n
+        |  FROM a)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit, n_space,
+        |  n - n_latin - n_cyrillic - n_han - n_arabic - n_digit - n_space AS n_other,
+        |  CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_han >= n_arabic THEN 'han'
+        |       ELSE 'arabic' END AS dominant_script
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "tfidf_keywords" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT term, CAST(floor(ln(CAST(n + 1 AS DOUBLE)
+         |          / CAST(df + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS idfm
+         |        FROM (SELECT term, count(*) AS df FROM dt GROUP BY 1), nd),
+         |sc AS (SELECT doc_id, term, tf, tf * idfm AS score_micro
+         |       FROM dt JOIN idf USING (term))
+         |SELECT doc_id, rank, term, tf, score_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, term) AS rank FROM sc)
+         |WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin
   )
 }

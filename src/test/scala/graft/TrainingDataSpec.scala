@@ -1855,4 +1855,145 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(g(0).getLong(1) === 1L)
     assert(g(0).getSeq[Long](2) === (1L to 10L))
   }
+
+  test("temperature mix: alpha=1 keeps everything, smallest stratum always whole") {
+    val d = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val natural = Sampling.temperatureMix(d, "lang", alpha = 1.0,
+      keyCol = "doc_id").count()
+    assert(natural === 100L)
+    val flat = Sampling.temperatureMix(d, "lang", alpha = 0.5,
+      keyCol = "doc_id", salt = "t")
+    val byLang = flat.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // smallest stratum is never cut; the big one downsamples toward
+    // f = sqrt(20/80) = 0.5 (hash-gated, so approximately 40 of 80)
+    assert(byLang("small") === 20L)
+    assert(byLang("big") < 80L && byLang("big") > 20L)
+  }
+
+  test("temperature mix: kept set matches the per-stratum hand threshold") {
+    // 3:1 row weights, alpha=0.5 -> f_big = sqrt(1/3); replaying the exact
+    // micro-quantized threshold per row must reproduce the operator's keeps
+    val d = ((1 to 75).map(i => (i.toLong, "b")) ++
+      (76 to 100).map(i => (i.toLong, "s"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(d, "lang", alpha = 0.5,
+      keyCol = "doc_id", salt = "h").select("doc_id").as[Long].collect().sorted
+    val micro = math.floor(math.pow(25.0 / 75.0, 0.5) * 1e6).toLong
+    val thr = f"${math.floor(micro.toDouble * 4294967296.0 / 1000000.0).toLong}%08x"
+    val expected = d.withColumn("h",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":h"))
+          .cast("binary")), 1, 8))
+      .filter(when(col("lang") === "s", col("h") < lit("g"))
+        .otherwise(col("h") < lit(thr)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === expected.toSeq)
+  }
+
+  test("shard assign: bucketed cut equals the single-window order, shards balanced") {
+    val d = (1 to 503).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos_in_shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val single = Packing.shardAssign(d, numShards = 7, keyCol = "doc_id",
+      salt = "x", drawPrefixLen = 0)
+    val bucketed = Packing.shardAssign(d, numShards = 7, keyCol = "doc_id",
+      salt = "x", drawPrefixLen = 2)
+    assert(canon(bucketed) === canon(single))
+    // round-robin deal: shard sizes differ by at most 1, positions are
+    // contiguous 0..size-1 within every shard
+    val sizes = bucketed.groupBy("shard").count().as[(Int, Long)]
+      .collect().toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val positions = bucketed.select("shard", "pos_in_shard")
+      .as[(Int, Long)].collect().groupBy(_._1)
+    positions.foreach { case (_, ps) =>
+      assert(ps.map(_._2).sorted.toSeq === (0L until ps.length).toSeq)
+    }
+  }
+
+  test("shard assign: permutation is a pure function of (key, salt)") {
+    val d = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos_in_shard").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val a = m(Packing.shardAssign(d, 4, "doc_id", salt = "s1"))
+    val b = m(Packing.shardAssign(d.orderBy(rand(7)), 4, "doc_id", salt = "s1"))
+    val c = m(Packing.shardAssign(d, 4, "doc_id", salt = "s2"))
+    assert(a === b)   // input order can't matter
+    assert(a !== c)   // the salt re-shuffles
+  }
+
+  test("scalar quantization: code range, endpoints, reconstruction bound") {
+    val vecs = Seq(
+      (1L, Array(0.0f, -2.0f, 7.0f)),
+      (2L, Array(5.0f, -2.0f, 7.0f)),
+      (3L, Array(10.0f, -2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val q = ScalarQuant.quantize(vecs)
+    val codes = q.select("vec_id", "codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    // dim 0 spans [0,10]: min codes 0, max clamps to 255, mid = floor(128)
+    assert(codes(1L)(0) === 0 && codes(3L)(0) === 255)
+    assert(codes(2L)(0) === 128)
+    // degenerate dim 1 (all equal) codes to 0
+    assert(codes.values.forall(_.apply(1) == 0))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // midpoint reconstruction error bounded by range/512 per dimension
+    val (mins, maxes) = ScalarQuant.collectStats(ScalarQuant.fitMinMax(vecs))
+    val err = q.select(col("embedding").cast("array<double>").as("v"),
+        ScalarQuant.decodeExpr(col("codes"), mins, maxes).as("r"))
+      .select(aggregate(zip_with(col("v"), col("r"),
+        (a, b) => abs(a - b)), lit(0.0), (acc, x) => greatest(acc, x)))
+      .as[Double].collect().max
+    val worst = (0 until 3).map(i => (maxes(i) - mins(i)) / 512.0).max
+    assert(err <= worst + 1e-12)
+  }
+
+  test("script profile: counts and dominant script by hand") {
+    val d = Seq(
+      (1L, "abc где 中文 123 !"),   // latin 3, cyr 3, han 2, digit 3, space 4, other 1
+      (2L, ""),                      // all zero -> none
+      (3L, "ab вг"),                 // latin/cyrillic tie -> latin wins
+      (4L, "中中中 вг ج"),               // han 3 dominates
+      (5L, "中中 вг")).toDF("doc_id", "text") // cyr/han tie -> cyrillic
+    val out = d.select(col("doc_id") +:
+        TextAnalysis.scriptColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(r1.fieldIndex("n_latin")) === 3)
+    assert(r1.getInt(r1.fieldIndex("n_cyrillic")) === 3)
+    assert(r1.getInt(r1.fieldIndex("n_han")) === 2)
+    assert(r1.getInt(r1.fieldIndex("n_digit")) === 3)
+    assert(r1.getInt(r1.fieldIndex("n_space")) === 4)
+    assert(r1.getInt(r1.fieldIndex("n_other")) === 1)
+    assert(r1.getString(r1.fieldIndex("dominant_script")) === "latin")
+    assert(out(2L).getString(out(2L).fieldIndex("dominant_script")) === "none")
+    assert(out(3L).getString(out(3L).fieldIndex("dominant_script")) === "latin")
+    assert(out(4L).getString(out(4L).fieldIndex("dominant_script")) === "han")
+    assert(out(5L).getString(out(5L).fieldIndex("dominant_script")) === "cyrillic")
+  }
+
+  test("tfidf keywords: ubiquitous terms score zero, rare terms rank first") {
+    // "common" appears in every doc -> idf = floor(ln(4/4)*1e6) = 0;
+    // "rare" only in doc 1 -> idf = floor(ln(4/2)*1e6) > 0
+    val d = docs(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common other other"))
+    val out = Retrieval.tfidfKeywords(d, k = 2)
+      .select("doc_id", "rank", "term", "tf", "score_micro")
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).toSeq }
+    // doc 1: rare (idf ln(2) micro) beats common (score 0, tf 2)
+    val idfRare = math.floor(math.log(4.0 / 2.0) * 1e6).toLong
+    val idfOther = math.floor(math.log(4.0 / 3.0) * 1e6).toLong
+    assert(out(1L).map(t => (t._3, t._5)) ===
+      Seq(("rare", idfRare), ("common", 0L)))
+    // docs 2/3: other (positive idf) first, common scores 0
+    assert(out(2L).head._3 === "other")
+    assert(out(2L).head._5 === idfOther)
+    assert(out(3L).head._5 === 2 * idfOther)
+    assert(out.values.forall(_.filter(_._3 == "common").forall(_._5 == 0L)))
+  }
 }
