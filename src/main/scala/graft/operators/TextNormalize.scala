@@ -86,6 +86,47 @@ object TextNormalize {
       "n_ips" -> regexp_count(text, lit(Ipv4Pattern)),
       "n_phones" -> regexp_count(text, lit(PhonePattern)))
 
+  /** Targets of the mojibake repair pass: the high-frequency punctuation
+    * (curly quotes, dashes, ellipsis) and Latin-1 letters whose UTF-8
+    * bytes, mis-decoded as Windows-1252, produce the classic multi-char
+    * artifacts scraped corpora are full of. */
+  val MojibakeTargets: Seq[String] = Seq(
+    "’", "‘", "“", "”", "–", "—", "…",
+    "é", "è", "ê", "ë", "á", "à", "â",
+    "ä", "ó", "ò", "ô", "ö", "ú", "ù",
+    "û", "ü", "í", "ì", "î", "ï", "ñ",
+    "ç", "ß", " ")
+
+  /** Mis-decode a (correct) string the way the bug does: its UTF-8 bytes
+    * read back as Windows-1252 ("café" → "cafÃ©"). Exposed
+    * so fixtures and gates corrupt inputs with the EXACT corruption the
+    * repair inverts. */
+  def asMojibake(good: String): String =
+    new String(good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+
+  /** The repair table (ftfy's core case, arXiv:1905.01803 §2): each entry
+    * is GENERATED as the exact mis-decoding of one target code point, so a
+    * repair is precisely the inverse of the corruption. (Text that
+    * LEGITIMATELY contains an artifact sequence — e.g. prose about
+    * mojibake — is rewritten too; that is the standard ftfy trade, and the
+    * sequences are vanishingly rare as intentional content.) Ordered
+    * longest-artifact-first (then lexicographic — fully deterministic), so
+    * a three-char punctuation artifact is repaired before any shorter
+    * artifact that might be a prefix of it. */
+  val MojibakeTable: Seq[(String, String)] =
+    MojibakeTargets.map(good => asMojibake(good) -> good)
+      .sortBy { case (bad, _) => (-bad.length, bad) }
+
+  /** Repair double-encoded UTF-8 (mojibake): one literal `replace` per
+    * table entry, applied in table order (left-to-right non-overlapping —
+    * the same semantics in every engine). A fixed-size codegen'd
+    * projection; no regex engine involved. */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
   /** Corpus-level duplicated-line removal (the CCNet/Gopher line-dedup
     * pass): a line appearing in more than `maxDocFrequency` DISTINCT
     * documents is boilerplate (headers, navigation, license banners) and is

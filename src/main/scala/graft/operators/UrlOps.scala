@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain extraction — the grouping keys of every
+  * web-corpus pipeline stage that reasons per-site: per-domain quotas
+  * ([[Sampling.groupCap]]), domain-level quality priors, URL-keyed exact
+  * dedup (the first dedup tier of CommonCrawl-derived corpora, where the
+  * same page is fetched under utm-decorated variants).
+  *
+  * Everything is a pure projection over portable regex + array ops —
+  * codegen'd, engine-checkable, no shuffle. Parsing is regex-based (NOT
+  * `parse_url`, which other engines lack and whose Spark implementation
+  * is not codegen'd).
+  *
+  * Canonicalization rules (the de-facto crawl-dedup set):
+  *  - scheme and host lowercase; userinfo dropped;
+  *  - default ports stripped (`:80` for http, `:443` for https);
+  *  - fragment dropped;
+  *  - tracking parameters dropped (utm_*, fbclid, gclid, msclkid, ref,
+  *    mc_eid, mc_cid);
+  *  - surviving query parameters SORTED (byte order) — parameter order is
+  *    transport noise;
+  *  - empty path becomes "/".
+  */
+object UrlOps {
+
+  /** scheme://[userinfo@]hostport path [?query] [#fragment] */
+  private val P = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
+
+  /** Query-parameter names that identify campaigns/clicks, not content. */
+  val TrackingParams = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid|mc_cid)(=.*)?$"
+
+  /** Second-level public suffixes where the registered domain needs three
+    * labels (a pragmatic shortlist, not the full PSL — the full list is a
+    * data file, not logic; swap in a broadcast lookup to extend). */
+  val SecondLevelTlds: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au", "co.jp",
+    "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.sg",
+    "com.tr", "com.ar")
+
+  def scheme(url: Column): Column = lower(regexp_extract(url, P, 1))
+
+  /** Lowercased host with any port removed. */
+  def host(url: Column): Column =
+    lower(regexp_extract(regexp_extract(url, P, 2), "^([^:]*)", 1))
+
+  /** Port as a string, empty when absent. */
+  def port(url: Column): Column =
+    regexp_extract(regexp_extract(url, P, 2), ":([0-9]+)$", 1)
+
+  def path(url: Column): Column = regexp_extract(url, P, 3)
+
+  def query(url: Column): Column = regexp_extract(url, P, 4)
+
+  /** Registered domain: last two host labels, or three when the last two
+    * form a known second-level public suffix (`bbc.co.uk` → `bbc.co.uk`,
+    * `www.example.com` → `example.com`). */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", slice(labels, greatest(n - 1, lit(1)), lit(2)))
+    val isSecondLevel = SecondLevelTlds
+      .map(t => lastTwo === lit(t)).reduce(_ || _)
+    when(n <= 2, hostCol)
+      .when(isSecondLevel, concat_ws(".", slice(labels, n - 2, lit(3))))
+      .otherwise(lastTwo)
+  }
+
+  /** Canonical query string: tracking params dropped, survivors sorted. */
+  private def canonicalQuery(q: Column): Column =
+    array_join(array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike(TrackingParams))), "&")
+
+  /** The canonical URL (see object doc for the rule set). */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val h = host(url)
+    val p = port(url)
+    val keepPort = p =!= "" &&
+      !(sch === "http" && p === "80") && !(sch === "https" && p === "443")
+    val pathOrRoot = when(path(url) === "", "/").otherwise(path(url))
+    val q = canonicalQuery(query(url))
+    concat(sch, lit("://"), h,
+      when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
+      pathOrRoot,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+}

@@ -916,8 +916,51 @@ object TrainingDataQueries extends QueryPack {
     "tfidf_keywords" -> ((s, dir) => {
       Retrieval.tfidfKeywords(Tables.documents(s, dir), k = 5)
         .localCheckpoint(true).orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Mojibake repair over a corpus corrupted with the EXACT bug the table
+    // inverts (every doc gets a mis-decoded suffix; both engines append the
+    // same corrupted literal and must reproduce the same repaired text).
+    "text_fix_mojibake" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val corrupted = TextNormalize.asMojibake(MojibakePhrase)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextNormalize.fixMojibake(concat(col("text"), lit(corrupted)))
+            .as("fixed"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + domain extraction over synthesized URLs
+    // (scheme/port/query/fragment variation derived from doc_id — an
+    // in-table derivation both engines compute identically).
+    "url_normalize" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS").otherwise(lit("HTTP")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, ":443")
+          .when(col("doc_id") % 3 === 1, ":8080").otherwise(lit("")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "?utm_source=x&b=2&a=1&fbclid=zz")
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("__u"))
+        .select(col("doc_id"),
+          UrlOps.canonicalize(col("__u")).as("url"),
+          UrlOps.host(col("__u")).as("host"),
+          UrlOps.registeredDomain(UrlOps.host(col("__u"))).as("domain"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     })
   )
+
+  /** Repaired-form fixture for the `text_fix_mojibake` gate: curly quotes,
+    * dash, ellipsis, accented letters — every non-ASCII char is a repair
+    * target, so corrupt → fix must round-trip exactly. ONE constant feeds
+    * the Spark gate and the generated oracle. */
+  private[queries] val MojibakePhrase =
+    " café’s — naïve… “ok”"
 
   /** One oracle for BOTH connected-components implementations (min-label
     * BSP and star contraction): the cluster map is a function of the pair
@@ -1835,6 +1878,65 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN n_han >= n_arabic THEN 'han'
         |       ELSE 'arabic' END AS dominant_script
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // generated replace chain over the same table the Spark projection
+    // folds; the corrupted suffix is the same Scala-built literal
+    "text_fix_mojibake" -> {
+      def esc(s: String) = s.replace("'", "''")
+      val corrupted = esc(graft.operators.TextNormalize
+        .asMojibake(MojibakePhrase))
+      val chain = graft.operators.TextNormalize.MojibakeTable
+        .foldLeft(s"text || '$corrupted'") { case (acc, (bad, good)) =>
+          s"replace($acc, '${esc(bad)}', '${esc(good)}')"
+        }
+      s"""SELECT doc_id, $chain AS fixed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // full canonicalization replay: parse regex, tracking-param filter,
+    // param sort, default-port strip, domain extraction — RE2 spells the
+    // patterns exactly like Java here (no script classes involved)
+    "url_normalize" -> {
+      val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
+      val tracking = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid|mc_cid)(=.*)?$"
+      val slTlds = graft.operators.UrlOps.SecondLevelTlds
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+         |    || '://WWW.' || source || '.Example.COM'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+         |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+         |    || '/Path/' || CAST(doc_id AS VARCHAR)
+         |    || (CASE WHEN doc_id % 2 = 0
+         |             THEN '?utm_source=x&b=2&a=1&fbclid=zz' ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '$pat', 1)) AS sch,
+         |    lower(regexp_extract(regexp_extract(url, '$pat', 2), '^([^:]*)', 1)) AS h,
+         |    regexp_extract(regexp_extract(url, '$pat', 2), ':([0-9]+)$$', 1) AS pt,
+         |    regexp_extract(url, '$pat', 3) AS pa,
+         |    regexp_extract(url, '$pat', 4) AS q
+         |  FROM u),
+         |cq AS (SELECT doc_id, sch, h, pt, pa,
+         |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |      x -> x <> '' AND NOT regexp_matches(x, '$tracking'))), '&') AS cq
+         |  FROM p),
+         |lbl AS (SELECT *, string_split(h, '.') AS l FROM cq)
+         |SELECT doc_id,
+         |  sch || '://' || h
+         |  || (CASE WHEN pt <> '' AND NOT (sch = 'http' AND pt = '80')
+         |                AND NOT (sch = 'https' AND pt = '443')
+         |           THEN ':' || pt ELSE '' END)
+         |  || (CASE WHEN pa = '' THEN '/' ELSE pa END)
+         |  || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS url,
+         |  h AS host,
+         |  CASE WHEN len(l) <= 2 THEN h
+         |       WHEN array_to_string(l[-2:], '.') IN ($slTlds)
+         |         THEN array_to_string(l[-3:], '.')
+         |       ELSE array_to_string(l[-2:], '.') END AS domain
+         |FROM lbl ORDER BY doc_id""".stripMargin
+    },
 
     "tfidf_keywords" ->
       s"""WITH $toksCte,

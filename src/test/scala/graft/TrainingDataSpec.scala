@@ -1974,6 +1974,56 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(5L).getString(out(5L).fieldIndex("dominant_script")) === "cyrillic")
   }
 
+  test("url canonicalization: ports, params, fragments, userinfo, domains by hand") {
+    val urls = Seq(
+      (1L, "HTTP://User:pw@WWW.Example.COM:80/a/B?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://example.com:8080/p?gclid=1"),
+      (3L, "https://news.bbc.co.uk:443"),
+      (4L, "http://localhost/x"),
+      (5L, "https://a.b.example.com/p?z=1&y=2&utm_campaign=c")
+    ).toDF("id", "u")
+    val out = urls.select(col("id"),
+        UrlOps.canonicalize(col("u")).as("c"),
+        UrlOps.registeredDomain(UrlOps.host(col("u"))).as("d"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // default port + userinfo + fragment dropped, host lowercased, path
+    // case kept, tracking params dropped, survivors sorted
+    assert(out(1L)._1 === "http://www.example.com/a/B?a=1&b=2")
+    assert(out(1L)._2 === "example.com")
+    // non-default port kept; all-tracking query drops the "?" entirely
+    assert(out(2L)._1 === "https://example.com:8080/p")
+    // empty path becomes "/", :443 default for https, second-level TLD
+    assert(out(3L)._1 === "https://news.bbc.co.uk/")
+    assert(out(3L)._2 === "bbc.co.uk")
+    // single-label host is its own domain
+    assert(out(4L)._2 === "localhost")
+    assert(out(5L)._1 === "https://a.b.example.com/p?y=2&z=1")
+    assert(out(5L)._2 === "example.com")
+  }
+
+  test("mojibake repair inverts the corruption and leaves clean text alone") {
+    import graft.operators.TextNormalize
+    val clean = "café’s — naïve… “ok” ß straße"
+    val plainAscii = "no artifacts here 123"
+    val d = Seq(
+      (1L, TextNormalize.asMojibake(clean)),
+      (2L, clean),
+      (3L, plainAscii)).toDF("id", "t")
+    val fixed = d.select(col("id"), TextNormalize.fixMojibake(col("t")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fixed(1L) === clean)       // corrupt -> fix round-trips
+    assert(fixed(2L) === clean)       // already-clean text untouched
+    assert(fixed(3L) === plainAscii)
+    // longest-first ordering invariant: no earlier artifact is a proper
+    // prefix of a later one (else the early replace would corrupt the
+    // longer artifact before its own entry could match)
+    val bads = TextNormalize.MojibakeTable.map(_._1)
+    assert(bads.forall(_.length >= 2))
+    for (i <- bads.indices; j <- (i + 1) until bads.length)
+      assert(!bads(j).startsWith(bads(i)),
+        s"'${bads(i)}' (pos $i) prefixes later '${bads(j)}' (pos $j)")
+  }
+
   test("tfidf keywords: ubiquitous terms score zero, rare terms rank first") {
     // "common" appears in every doc -> idf = floor(ln(4/4)*1e6) = 0;
     // "rare" only in doc 1 -> idf = floor(ln(4/2)*1e6) > 0
