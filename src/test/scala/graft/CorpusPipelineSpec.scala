@@ -147,6 +147,82 @@ class CorpusPipelineSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  /** The web-crawl front half the round-9 additions enable, chained:
+    * URL canonicalization → URL-keyed fetch dedup → mojibake repair →
+    * script-profile routing → temperature-flattened language mix →
+    * deterministic shard assignment. */
+  private def runCrawlPipeline(): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+    // a crawl frame: every doc fetched under a tracking-decorated URL
+    // variant (doc_id/2 gives each canonical page exactly two fetch
+    // variants); EVEN fetches — the dedup survivors — carry a mojibake
+    // suffix, so the repair leg runs on text that actually reaches the
+    // output
+    val fetched = raw.select(
+      col("doc_id").as("fetch_id"), col("lang"),
+      concat(lit("https://WWW.site"), (col("doc_id") / lit(2)).cast("long").cast("string"),
+        lit(".Example.COM:443/page"),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed").otherwise(lit("?ref=tw")))
+        .as("url"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(TextNormalize.asMojibake(" café’s"))))
+        .otherwise(col("text")).as("text"))
+    val canon = fetched.withColumn("curl", UrlOps.canonicalize(col("url")))
+    // fetch dedup: one survivor per canonical URL (lowest fetch_id)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("curl"))
+    val kept = canon
+      .withColumn("__keep", min(col("fetch_id")).over(w))
+      .filter(col("__keep") === col("fetch_id")).drop("__keep")
+    // repair encodings, route by script, flatten the language mix, shard
+    val repaired = kept.withColumn("text",
+      TextNormalize.fixMojibake(col("text")))
+    // the corruption reached the survivors, and the repair removed it
+    // (artifact strings built with asMojibake, never typed by hand)
+    val eAcuteBad = TextNormalize.asMojibake("é")
+    assert(kept.filter(col("text").contains(eAcuteBad)).count() > 0)
+    assert(repaired.filter(col("text").contains(eAcuteBad)).count() === 0)
+    assert(repaired.filter(col("text").endsWith(" café’s")).count()
+      === repaired.count())
+    val routed = repaired.withColumn("script",
+      TextAnalysis.scriptColumns(col("text"))
+        .collectFirst { case ("dominant_script", c) => c }.get)
+    val mixed = Sampling.temperatureMix(routed, "lang", alpha = 0.5,
+      keyCol = "fetch_id", salt = "crawl")
+    Packing.shardAssign(mixed, numShards = 8, keyCol = "fetch_id",
+      salt = "crawl")
+      .select("fetch_id", "lang", "script", "curl", "shard", "pos_in_shard")
+  }
+
+  test("crawl pipeline: url dedup → mojibake fix → temperature mix → shards") {
+    val out = runCrawlPipeline()
+    val raw = Tables.documents(spark, sfDir)
+    val n = raw.count()
+    val rows = out.count()
+    // URL dedup halves the crawl (two variants per canonical page), the
+    // temperature mix drops more
+    assert(rows > 0 && rows <= n / 2 + 1)
+    // every canonical URL is tracking-free and appears exactly once
+    val urls = out.select("curl").as[String].collect()
+    assert(urls.distinct.length === urls.length)
+    assert(urls.forall(u => !u.contains("utm_") && !u.contains("ref=")))
+    assert(urls.forall(u => u.startsWith("https://www.site") &&
+      !u.contains(":443")))
+    // the ASCII corpus routes latin everywhere
+    assert(out.select("script").distinct().as[String].collect()
+      .toSeq === Seq("latin"))
+    // shards balanced to one row and positions contiguous per shard
+    val sizes = out.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // determinism across complete re-runs
+    def digest(df: DataFrame): String = {
+      val cols = df.columns.sorted.map(col)
+      df.select(md5(concat_ws("|", cols: _*)).as("h"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("h"))))))
+        .as[String].collect()(0)
+    }
+    assert(digest(out) === digest(runCrawlPipeline()))
+  }
+
   test("corpus pipeline composes end-to-end and is deterministic") {
     val out = runPipeline()
     val rows = out.count()

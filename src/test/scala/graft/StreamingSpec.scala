@@ -295,6 +295,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mojibake repair, script profile, url canonicalization and int8 encode stream") {
+    // the round's new curation ops are pure projections (mojibake replace
+    // chain, script regexp counts, URL canonicalization) or projections
+    // over a pre-collected model (scalar-quant encode against fixed stats)
+    // — all must run UNCHANGED on an unbounded stream in append mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{ScalarQuant, TextNormalize, UrlOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Seq[Float])]
+    val stream = input.toDF().toDF("doc_id", "text", "url", "embedding")
+    val mins = Array(0.0, -1.0); val maxes = Array(10.0, 1.0)
+    val out = stream.select(
+      col("doc_id"),
+      TextNormalize.fixMojibake(col("text")).as("fixed"),
+      graft.operators.TextAnalysis.scriptColumns(col("text"))
+        .collectFirst { case ("dominant_script", c) => c }.get
+        .as("script"),
+      UrlOps.canonicalize(col("url")).as("curl"),
+      ScalarQuant.encodeExpr(col("embedding"), mins, maxes).as("codes"))
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, TextNormalize.asMojibake("café"), "HTTP://A.Example.COM:80/x?utm_source=1&b=2", Seq(5.0f, 0.0f)),
+        (2L, "чистый текст", "https://b.co.uk/#f", Seq(0.0f, 1.0f)))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .as[(Long, String, String, String, Seq[Int])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(rows(1L) === (("café", "latin", "http://a.example.com/x?b=2", Seq(128, 128))))
+      assert(rows(2L) === (("чистый текст", "cyrillic", "https://b.co.uk/", Seq(0, 255))))
+    } finally q.stop()
+  }
+
   test("streaming ingest filters against the corpus-history sketch per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.IncrementalDedup
