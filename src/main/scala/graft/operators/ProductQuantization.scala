@@ -65,10 +65,10 @@ object ProductQuantization {
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
     var cents = explodeSubs(seedBase, "centroid")
       .select(col("subspace"), col("cell"), col("centroid"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters)
-      cents = KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub")
-        .localCheckpoint(true)
+    for (i <- 1 to iters)
+      cents = KMeans.maybeCheckpoint(
+        KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub"),
+        i, iters)
     cents
   }
 
@@ -151,10 +151,11 @@ object ProductQuantization {
         .select(col("vec_id"), col("cell"), lit(-1).as("subspace"),
           col("__v").as("centroid")))
       .select(col("subspace"), col("cell"), col("centroid"))
-    var cents = seeds.localCheckpoint(true)
-    for (_ <- 1 to iters)
-      cents = KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub")
-        .localCheckpoint(true)
+    var cents = seeds
+    for (i <- 1 to iters)
+      cents = KMeans.maybeCheckpoint(
+        KMeans.lloydKeyed(exploded, cents, "subspace", "vec_id", "__sub"),
+        i, iters)
     val coarse = cents.filter(col("subspace") === -1)
       .select(col("cell"), col("centroid"))
     val books = cents.filter(col("subspace") >= 0)
