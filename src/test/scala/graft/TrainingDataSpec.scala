@@ -2024,6 +2024,38 @@ class TrainingDataSpec extends AnyFunSuite {
         s"'${bads(i)}' (pos $i) prefixes later '${bads(j)}' (pos $j)")
   }
 
+  test("plan shapes: the new curation ops match their documented scale contracts") {
+    val d = (1 to 500).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    // temperatureMix: the ONLY hash exchange belongs to the strata-sized
+    // aggregate; the corpus side is scan → broadcast join → filter
+    val tmPlan = Sampling.temperatureMix(d, "lang", 0.5, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tmPlan).size === 1, tmPlan)
+    assert("BroadcastExchange".r.findAllIn(tmPlan).nonEmpty)
+    // shardAssign (bucketed): corpus-sized work shuffles ONCE for the
+    // per-bucket rank window; the count aggregate's exchange carries only
+    // partial-aggregated bucket rows, and the base window runs over the
+    // bucket aggregate, never the corpus
+    val saPlan = Packing.shardAssign(d.withColumn("text", lit("x")), 4,
+        "doc_id").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(saPlan).size <= 2, saPlan)
+    assert("BroadcastExchange".r.findAllIn(saPlan).nonEmpty)
+    // scalar-quant encode against a collected model: pure projection — no
+    // exchange of any kind
+    val vecs = (1 to 100).map(i => (i.toLong, Array(i.toFloat, -i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val encPlan = vecs.select(ScalarQuant.encodeExpr(col("embedding"),
+        Array(0.0, -100.0), Array(100.0, 0.0)).as("codes"))
+      .queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan)
+    // tfidf: the per-doc rank window partitions by doc_id (bounded
+    // partitions), never a global sort below the rank
+    val kwPlan = Retrieval.tfidfKeywords(docs((1L, "a b"), (2L, "b c")), 2)
+      .queryExecution.executedPlan.toString
+    assert(kwPlan.contains("windowspecdefinition(doc_id"), kwPlan)
+  }
+
   test("tfidf keywords: ubiquitous terms score zero, rare terms rank first") {
     // "common" appears in every doc -> idf = floor(ln(4/4)*1e6) = 0;
     // "rare" only in doc 1 -> idf = floor(ln(4/2)*1e6) > 0
