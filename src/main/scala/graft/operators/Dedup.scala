@@ -105,7 +105,38 @@ object Dedup {
     *        the output is exactly the unguarded result (spec-verified). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame = {
+                   k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame =
+    pairCounts(docs, idCol, textCol, k, maxShingleDf)
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+
+  /** Containment (overlap-coefficient) near-dup pairs:
+    * |A∩B| / min(|A|, |B|) ≥ threshold over the same distinct-shingle
+    * postings as [[jaccardPairs]]. Containment catches the pair family
+    * Jaccard structurally under-scores — a SHORT document embedded whole
+    * in a long one (quote expansion, article + appended boilerplate,
+    * chunk-of-parent): A ⊆ B gives containment 1.0 while jaccard =
+    * |A|/|B| can be arbitrarily small. Same plan shape as jaccardPairs
+    * (the shuffle key is the shingle; `maxShingleDf` applies identically)
+    * — only the final score differs. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame =
+    pairCounts(docs, idCol, textCol, k, maxShingleDf)
+      .withColumn("containment", col("n_common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+
+  /** Shared core of the posting-formulated pair scorers: candidate pairs
+    * with their intersection and per-doc distinct-shingle sizes —
+    * (doc_a < doc_b, n_common, n_a, n_b). See [[jaccardPairs]] for the
+    * formulation and the `maxShingleDf` skew-guard contract. */
+  private def pairCounts(docs: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, maxShingleDf: Option[Int]): DataFrame = {
     // pair on a 64-bit shingle hash instead of the shingle string: same pair
     // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume.
     val raw = shinglePostings(docs, idCol, textCol, k)
@@ -159,10 +190,6 @@ object Dedup {
         .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
       .join(counts.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
   /** All unordered pairs of an array column's elements as (a, b) structs,

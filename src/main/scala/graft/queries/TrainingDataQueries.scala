@@ -918,6 +918,23 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Containment near-dup pairs: |A∩B| / min(|A|,|B|) — the subset-pair
+    // detector Jaccard under-scores. Same postings machinery, DF guard on.
+    "dedup_containment" -> ((s, dir) => {
+      val out = Dedup.containmentPairs(Tables.documents(s, dir),
+        threshold = 0.6, maxShingleDf = Some(1000))
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
+      Dedup.releaseIntermediateCaches()
+      out
+    }),
+
+    // Character-entropy quality signal: micro-nat quantized contributions,
+    // exact integer per-doc sums.
+    "text_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Mojibake repair over a corpus corrupted with the EXACT bug the table
     // inverts (every doc gets a mis-decoded suffix; both engines append the
     // same corrupted literal and must reproduce the same repaired text).
@@ -1937,6 +1954,40 @@ object TrainingDataQueries extends QueryPack {
          |       ELSE array_to_string(l[-2:], '.') END AS domain
          |FROM lbl ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS n_common
+         |           FROM sh a JOIN sh b
+         |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+         |         AS containment
+         |FROM common JOIN cnt x ON doc_a = x.doc_id
+         |            JOIN cnt y ON doc_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |       unnest(list_transform(range(length(text)),
+        |         i -> text[i+1:i+1])) AS c
+        |     FROM documents WHERE length(text) > 0),
+        |pc AS (SELECT doc_id, n, c, count(*) AS k FROM ch GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, n, count(*) AS nd,
+        |         CAST(sum(CAST(floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) * 1e6)
+        |           AS BIGINT)) AS BIGINT) AS e
+        |       FROM pc GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(sc.nd, 0) AS BIGINT) AS n_distinct_chars,
+        |  coalesce(sc.e, 0) AS entropy_micro_nats
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "tfidf_keywords" ->
       s"""WITH $toksCte,

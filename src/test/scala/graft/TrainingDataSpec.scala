@@ -2024,6 +2024,41 @@ class TrainingDataSpec extends AnyFunSuite {
         s"'${bads(i)}' (pos $i) prefixes later '${bads(j)}' (pos $j)")
   }
 
+  test("containment pairs catch subset docs that jaccard under-scores") {
+    // B embeds A whole and adds a long tail: containment(A,B) = 1.0 while
+    // jaccard = |A|/|B| is small; C is unrelated
+    val a = "alpha beta gamma delta epsilon"
+    val tail = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val d = docs((1L, a), (2L, s"$a $tail"), (3L, "zeta eta theta iota kappa"))
+    val cont = Dedup.containmentPairs(d, threshold = 0.99)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0)
+    // jaccard at the same bar misses the subset pair entirely
+    assert(Dedup.jaccardPairs(d, threshold = 0.99).count() === 0L)
+    // capped formulation agrees with the unguarded one
+    val capped = Dedup.containmentPairs(d, threshold = 0.99,
+      maxShingleDf = Some(100)).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(capped === Seq((1L, 2L)))
+    Dedup.releaseIntermediateCaches()
+  }
+
+  test("char entropy: hand-computed micro-nat sums, degenerate and empty docs") {
+    val d = docs((1L, "aab"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+    val out = TextAnalysis.charEntropy(d)
+      .select("doc_id", "n_chars", "n_distinct_chars", "entropy_micro_nats")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    def term(c: Long, n: Long): Long =
+      math.floor((c.toDouble / n) * math.log(n.toDouble / c) * 1e6).toLong
+    assert(out(1L) === ((3L, 2L, term(2, 3) + term(1, 3))))
+    assert(out(2L) === ((4L, 4L, 4 * term(1, 4))))
+    assert(out(3L) === ((4L, 1L, 0L)))   // single-char flood: zero entropy
+    assert(out(4L) === ((0L, 0L, 0L)))   // empty doc present with zeros
+  }
+
   test("plan shapes: the new curation ops match their documented scale contracts") {
     val d = (1 to 500).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
       .toDF("doc_id", "lang")
