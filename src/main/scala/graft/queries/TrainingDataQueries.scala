@@ -605,6 +605,18 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
     }),
 
+    // Recall@k of the IVF index against brute-force ground truth — the
+    // index-quality measurement that gates nProbe widening; oracle replays
+    // both searches and the truth-sized-denominator recall join.
+    "ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(e, q, k = 3, numCells = 16, nProbe = 4),
+        Similarity.bruteForceTopK(e, q, k = 3), k = 3)
+        .localCheckpoint(true).orderBy(col("query_id"))
+    }),
+
     // gap-based sessionization via Spark's native session_window. Boundary
     // note: an event at exactly gap distance starts a new session in Spark
     // and merges in the lag-based oracle — unreachable with microsecond
@@ -1477,6 +1489,48 @@ object TrainingDataQueries extends QueryPack {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+         |           FROM embeddings),
+         |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.vv", "c.vv")} /
+         |           (sqrt(${dotSql("q.vv", "q.vv")}) * sqrt(${dotSql("c.vv", "c.vv")})) AS cos
+         |       FROM v q JOIN v c ON c.vec_id <> q.vec_id
+         |       WHERE q.vec_id < 10),
+         |exr AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rank FROM ex)
+         |        WHERE rank <= 3),
+         |c AS (SELECT vec_id AS cell, vv AS cv FROM v WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cell, ${sqDistSql("v.vv", "c.cv")} AS d FROM v, c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
+         |        WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 10),
+         |qd AS (SELECT q.query_id, q.qv, c.cell, ${sqDistSql("q.qv", "c.cv")} AS d FROM q, c),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn FROM qd)
+         |           WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, p.qv, a.vec_id FROM probes p
+         |         JOIN asg a USING (cell) WHERE a.vec_id <> p.query_id),
+         |apx AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         |          ${dotSql("cand.qv", "v.vv")} /
+         |            (sqrt(${dotSql("cand.qv", "cand.qv")}) * sqrt(${dotSql("v.vv", "v.vv")})) AS cos
+         |        FROM cand JOIN v ON cand.vec_id = v.vec_id),
+         |apxr AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rank FROM apx)
+         |         WHERE rank <= 3),
+         |tn AS (SELECT query_id, count(*) AS n FROM exr GROUP BY 1),
+         |h AS (SELECT e.query_id, count(*) AS hits
+         |      FROM exr e JOIN apxr a
+         |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |      GROUP BY 1)
+         |SELECT tn.query_id,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(tn.n AS DOUBLE) AS recall
+         |FROM tn LEFT JOIN h USING (query_id)
+         |ORDER BY tn.query_id""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
