@@ -329,6 +329,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl ingest dedups on CANONICAL url against the history sketch") {
+    // the incremental-crawl front door: the seen-set is keyed on the
+    // canonical URL, so a page refetched under a tracking-decorated or
+    // default-port variant is recognized as already crawled — composition
+    // of UrlOps.canonicalize (pure projection) with the history Bloom
+    // sketch (plan literal, no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{IncrementalDedup, UrlOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val history = Seq("https://a.example.com/page", "https://b.example.com/x?q=1")
+      .toDF("url").withColumn("curl", UrlOps.canonicalize(col("url")))
+    val sk = IncrementalDedup.sketch(history, "curl", expectedItems = 100L)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("fetch_id", "url")
+      .withColumn("curl", UrlOps.canonicalize(col("url")))
+    val q = IncrementalDedup.filterUnseen(stream, sk, "curl")
+      .writeStream.format("memory").queryName("crawl_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "HTTPS://A.Example.COM:443/page?utm_source=x"), // seen variant
+        (2L, "https://b.example.com/x?q=1&fbclid=z"),        // seen variant
+        (3L, "https://c.example.com/new"))                   // genuinely new
+      q.processAllAvailable()
+      val kept = spark.table("crawl_dedup").select("fetch_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept === Seq(3L))
+    } finally q.stop()
+  }
+
   test("streaming ingest filters against the corpus-history sketch per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.IncrementalDedup
