@@ -2024,6 +2024,27 @@ class TrainingDataSpec extends AnyFunSuite {
         s"'${bads(i)}' (pos $i) prefixes later '${bads(j)}' (pos $j)")
   }
 
+  test("learned BPE merges feed the greedy segmenter end-to-end") {
+    // the production sequencing: learn merges on the corpus, then segment
+    // the corpus with the learned pieces (+ single-char closure for UNK)
+    val text = "spark table scan spark table"
+    val d = docs((1 to 20).map(i => (i.toLong, text)): _*)
+    val merges = BpeLearn.learn(d, numMerges = 6, endOfWord = None)
+    assert(merges.nonEmpty)
+    val vocab = merges.map(_.merged) ++
+      text.replace(" ", "").distinct.map(_.toString)
+    val segs = d.limit(1).select(
+      graft.functions.SubwordTokenCount.subwordTokens(col("text"), vocab)
+        .as("p")).as[Seq[String]].collect().head
+    // segmentation reassembles the text exactly and actually uses the
+    // learned multi-char pieces (greedy longest-match finds them)
+    assert(segs.mkString === text.replace(" ", ""))
+    assert(segs.exists(_.length > 1))
+    // the most frequent pair merged first: every word occurrence of that
+    // merge's target string is coverable, so its pieces appear
+    assert(segs.exists(p => merges.exists(_.merged == p)))
+  }
+
   test("containment pairs catch subset docs that jaccard under-scores") {
     // B embeds A whole and adds a long tail: containment(A,B) = 1.0 while
     // jaccard = |A|/|B| is small; C is unrelated
