@@ -209,8 +209,13 @@ object Sampling {
     val W = org.apache.spark.sql.expressions.Window
     val weight = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
     // per-stratum weights; the empty-partition window runs over the
-    // strata-sized aggregate (a handful of rows), never over the corpus
+    // strata-sized aggregate (a handful of rows), never over the corpus.
+    // A stratum whose total weight is <= 0 (every doc zero-token, or a
+    // negative weight column) is dropped here: it cannot anchor p_min
+    // (ratio division by zero would NaN-poison every threshold) and there
+    // is nothing meaningful to sample from it.
     val shares = df.groupBy(col(strataCol)).agg(weight.cast("double").as("__w"))
+      .filter(col("__w") > 0)
       .withColumn("__minw", min(col("__w")).over(W.partitionBy()))
     // f_s = (min/w)^(1-alpha) in micro-probability units; w >= minw > 0 so
     // the ratio is in (0, 1] and the threshold in [0, 10^6]

@@ -212,40 +212,23 @@ object TextAnalysis {
     * once per (doc, char) row. The floor under-counts by at most
     * n_distinct micro-nats (≤ alphabet size — noise).
     *
-    * Scale shape: the character explode partial-aggregates map-side on
-    * (doc_id, char) — a document's characters sit in one input partition,
-    * so the shuffle carries at most n_distinct rows per doc, not its
-    * length. Output: (doc_id, n_chars, n_distinct_chars,
-    * entropy_micro_nats). Empty documents score 0 with 0 distinct. */
+    * Scale shape: entropy per document is a pure function of the document,
+    * so this is ONE native in-row scan ([[graft.functions.CharEntropyStats]]
+    * — the [[graft.functions.TokenCount]] pattern): no explode, no
+    * aggregation, no join, pipelines with the parquet scan. (The exploded
+    * (doc, char) aggregate formulation measured 4.0 s at sf0.1 against
+    * ~0.4 s for the scan — a ×length row blow-up plus three exchanges for
+    * a value computable in place.) Output: (doc_id, n_chars,
+    * n_distinct_chars, entropy_micro_nats); empty documents score 0. */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    // sequence(1, 0) counts DOWN (Spark defaults the step to -1 when
-    // start > stop), so empty text needs the explicit empty-array guard;
-    // Column.substr is code-point based, matching DuckDB's slicing
-    val charsOf = when(length(col(textCol)) === 0,
-      array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(col(textCol))),
-        i => col(textCol).substr(i, lit(1))))
-    val perChar = docs
+    val st = graft.functions.CharEntropyStats.charEntropyStats(col(textCol))
+    docs
+      .withColumn("__st", st)
       .select(col(idCol).as("doc_id"),
-        length(col(textCol)).cast("long").as("__n"),
-        explode(charsOf).as("__ch"))
-      .groupBy(col("doc_id"), col("__n"), col("__ch"))
-      .agg(count(lit(1)).as("__c"))
-    val contrib = floor(
-      (col("__c").cast("double") / col("__n").cast("double")) *
-        log(col("__n").cast("double") / col("__c").cast("double")) * 1e6)
-      .cast("long")
-    val scored = perChar
-      .groupBy(col("doc_id"))
-      .agg(first(col("__n")).as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        sum(contrib).as("entropy_micro_nats"))
-    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
-        coalesce(col("entropy_micro_nats"), lit(0L)).as("entropy_micro_nats"))
+        element_at(col("__st"), 1).as("n_chars"),
+        element_at(col("__st"), 2).as("n_distinct_chars"),
+        element_at(col("__st"), 3).as("entropy_micro_nats"))
   }
 
   /** Repetition features per document (the Gopher-rule staples a quality

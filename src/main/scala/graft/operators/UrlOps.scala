@@ -29,6 +29,13 @@ object UrlOps {
   /** scheme://[userinfo@]hostport path [?query] [#fragment] */
   private val P = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
 
+  /** True when the value is URL-shaped (scheme://...). Non-URL input fed
+    * to the extractors yields empty strings and [[canonicalize]] collapses
+    * it to the degenerate `"://" + "/"` shell — deterministic but
+    * meaningless, so crawl frames filter on this first. */
+  def isUrl(value: Column): Column =
+    value.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+
   /** Query-parameter names that identify campaigns/clicks, not content. */
   val TrackingParams = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid|mc_cid)(=.*)?$"
 

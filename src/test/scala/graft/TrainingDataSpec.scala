@@ -2001,6 +2001,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(5L)._2 === "example.com")
   }
 
+  test("temperature mix drops zero-weight strata instead of NaN-poisoning thresholds") {
+    // lang "z" has only zero-token docs: it can't anchor p_min and is
+    // dropped whole; the positive strata sample normally
+    val d = ((1 to 40).map(i => (i.toLong, "big", 10L)) ++
+      (41 to 50).map(i => (i.toLong, "small", 10L)) ++
+      (51 to 55).map(i => (i.toLong, "z", 0L)))
+      .toDF("doc_id", "lang", "w")
+    val kept = Sampling.temperatureMix(d, "lang", alpha = 0.5,
+      keyCol = "doc_id", weightCol = Some("w"), salt = "zg")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("z"))
+    assert(kept("small") === 10L)
+    assert(kept.getOrElse("big", 0L) > 0L)
+  }
+
+  test("isUrl gates url-shaped rows; non-URLs canonicalize to the documented shell") {
+    val d = Seq((1L, "https://a.example.com/x"), (2L, "not a url"),
+      (3L, "ftp://files.example.org/f"), (4L, "//missing.scheme/x"))
+      .toDF("id", "u")
+    val flags = d.select(col("id"), UrlOps.isUrl(col("u")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val shell = d.filter(!UrlOps.isUrl(col("u")))
+      .select(UrlOps.canonicalize(col("u"))).as[String].collect()
+    assert(shell.forall(_ === ":///"))
+  }
+
   test("mojibake repair inverts the corruption and leaves clean text alone") {
     import graft.operators.TextNormalize
     val clean = "café’s — naïve… “ok” ß straße"
