@@ -71,6 +71,9 @@ object Packing {
     * then rank within each bucket and add the base — parallelism
     * 16^drawPrefixLen tasks instead of ONE. `drawPrefixLen = 0` keeps the
     * single-window formulation (the semantics reference; spec-proven equal).
+    * SIZE BOUND: the per-bucket rank is a `row_number` (32-bit) — a bucket
+    * must stay under 2³¹ rows, so size drawPrefixLen ≥ ceil(log₁₆(N/2³¹))
+    * (2 hex digits cover half a trillion rows; 3 cover 8×10¹²).
     *
     * NULL keys coalesce to the empty-string draw (sorts first, one shared
     * draw), the [[Sampling.tokenBudgetMix]] convention. */

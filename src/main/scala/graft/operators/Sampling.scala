@@ -198,7 +198,8 @@ object Sampling {
     * Scale shape: ONE narrow aggregation over strata (map-side combined),
     * a global min over that stratum-sized frame, a broadcast join of the
     * per-stratum thresholds, and a pure filter — the corpus itself never
-    * shuffles. */
+    * shuffles. NULL-stratum rows drop (the inner equi-join never matches
+    * null — same contract as [[tokenBudgetMix]]'s unbudgeted strata). */
   def temperatureMix(df: DataFrame, strataCol: String, alpha: Double,
                      keyCol: String, weightCol: Option[String] = None,
                      salt: String = ""): DataFrame = {
