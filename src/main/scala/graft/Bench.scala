@@ -110,12 +110,17 @@ object Bench {
     val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
     foreignSeen ++= jvmsBefore
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // quiesce before each query: collect the previous query's garbage so
-      // its GC debt isn't billed to this one's timings
-      System.gc()
+      // settle before each query (GC itself happens per rep inside once())
       Thread.sleep(100)
       foreignSeen ++= foreignJvms()
       def once(): Double = {
+        // per-REP quiescence, not just per-query: collect the previous
+        // rep's garbage before starting the clock. Heavy allocators
+        // (posting-list pair explosions) otherwise hand each successive
+        // rep a fuller old gen — observed as monotonically degrading reps
+        // (2.6→6.9→17.4 s on dedup_containment) that billed rep N for
+        // rep N−1's GC debt.
+        System.gc()
         val t0 = System.nanoTime()
         // FULL materialization, not .count(): a count on top lets the
         // optimizer prune projections and eliminate unique-key left joins

@@ -157,14 +157,13 @@ object Dedup {
         val byShingle = persistTracked(raw.groupBy(col("shingle"))
           .agg(collect_list(col("doc_id")).as("__ds"))
           .filter(size(col("__ds")) <= cap))
-        val common = byShingle
-          .select(explode(unorderedPairs(col("__ds"))).as("__p"))
+        val common = pairStream(byShingle.select(col("__ds")))
           // duplicate doc_id rows put the same id in one list twice; the
           // self-join formulation's strict < never pairs an id with itself,
           // so drop (x, x) here too — the cap/no-cap equivalence is a
           // documented contract
-          .filter(col("__p.a") =!= col("__p.b"))
-          .groupBy(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
+          .filter(col("__a") =!= col("__b"))
+          .groupBy(col("__a").as("doc_a"), col("__b").as("doc_b"))
           .agg(count(lit(1)).as("n_common"))
         val counts = byShingle.select(explode(col("__ds")).as("doc_id"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -192,14 +191,26 @@ object Dedup {
         .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
   }
 
-  /** All unordered pairs of an array column's elements as (a, b) structs,
-    * canonically (min, max)-ordered — the projection-side pair generator
-    * the posting-list dedup formulations explode. O(len²) output, which is
-    * why every caller caps the list size first. */
-  private def unorderedPairs(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + 2, greatest(size(ds) - i - 1, lit(0))),
-        y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+  /** All unordered pairs of each row's `__ds` array, STREAMED as rows
+    * (`__a`, `__b`), canonically (min, max)-ordered — the pair generator
+    * the posting-list dedup formulations consume. Two pipelined generates
+    * (posexplode the list, then explode each element's tail slice) keep
+    * the peak per-row allocation O(f): the previous single-column
+    * formulation (`flatten(transform(transform(...)))`) materialized the
+    * ENTIRE f²/2-struct pair array per hot row before exploding it — a
+    * 1000-doc capped list is ~500k structs (~24 MB) held at once, and ×32
+    * concurrent tasks that transient spike was most of an 8 GB heap
+    * (observed: bench reps of `dedup_containment` monotonically degrading
+    * 2.6→6.9→17.4 s as GC debt accumulated). Output is identical; the
+    * O(f²) pair ROWS still stream through codegen one at a time. */
+  private def pairStream(lists: DataFrame): DataFrame =
+    lists
+      .select(col("__ds"), posexplode(col("__ds")).as(Seq("__i", "__x")))
+      .select(col("__x"),
+        explode(slice(col("__ds"), col("__i") + lit(2),
+          greatest(size(col("__ds")) - col("__i") - 1, lit(0)))).as("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
 
   /** Fixed per-permutation universal-hash constants (odd multipliers +
     * offsets) for [[minhashes]]. Mirrored VERBATIM by the DuckDB oracle —
@@ -285,12 +296,12 @@ object Dedup {
         // posting-list formulation (see jaccardPairs): one (band, sig)
         // aggregation, size-capped lists, pairs exploded as a projection —
         // replaces the window guard + bucket self-join and their exchanges
-        rawBands.groupBy(col("band"), col("sig"))
-          .agg(collect_list(col("doc_id")).as("__ds"))
-          .filter(size(col("__ds")) <= cap)
-          .select(explode(unorderedPairs(col("__ds"))).as("__p"))
-          .filter(col("__p.a") =!= col("__p.b")) // see jaccardPairs
-          .select(col("__p.a").as("doc_a"), col("__p.b").as("doc_b"))
+        pairStream(rawBands.groupBy(col("band"), col("sig"))
+            .agg(collect_list(col("doc_id")).as("__ds"))
+            .filter(size(col("__ds")) <= cap)
+            .select(col("__ds")))
+          .filter(col("__a") =!= col("__b")) // see jaccardPairs
+          .select(col("__a").as("doc_a"), col("__b").as("doc_b"))
           .distinct()
       case None =>
         // unguarded: bucket self-join, no per-bucket buffering. Persisted —
