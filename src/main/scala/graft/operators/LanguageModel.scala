@@ -115,4 +115,47 @@ object LanguageModel {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
   }
+
+  /** CCNet's head/middle/tail split: per LANGUAGE, documents are bucketed
+    * by perplexity terciles under a reference model — `head` is the most
+    * model-like third (kept for training as-is), `tail` the least (dropped
+    * or heavily filtered), `middle` in between. Perplexity here is the
+    * micro-nat [[scoreDocuments]] score normalized per transition
+    * (ppx = −lm_score / n_trans, higher = less predictable), so the split
+    * inherits the scoring contract's engine-exactness.
+    *
+    * Scale shape — the CCNet split WITHOUT a per-language sort: tercile
+    * CUTS come from one exact-percentile aggregation over the scored frame
+    * (language-keyed, map-side partials), joined back as a language-sized
+    * broadcast; the label is then a pure comparison projection. An
+    * `ntile(3)` window would need a total sort per language = one task per
+    * language holding that language's whole corpus; the threshold join
+    * never materializes an ordering. Cut ties (ppx exactly at a boundary)
+    * go down-bucket (`<=`), deterministic by construction.
+    *
+    * Documents with no transitions (shorter than the model order) have no
+    * perplexity and are excluded — routing them is a length-filter
+    * decision ([[graft.operators.CorpusStats.lengthBandFilter]] territory),
+    * not a perplexity one.
+    *
+    * Output: (doc_id, langCol, ppx, bucket ∈ head|middle|tail). */
+  def perplexityBuckets(docs: DataFrame, model: DataFrame, n: Int = 2,
+                        addK: Double = 1.0, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
+    val scored = scoreDocuments(docs, model, n, addK, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+      .select(col("doc_id"), col(langCol),
+        (-col("lm_score").cast("double") / col("n_trans").cast("double"))
+          .as("ppx"))
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile(col("ppx"), lit(1.0 / 3)).as("__c1"),
+        percentile(col("ppx"), lit(2.0 / 3)).as("__c2"))
+    scored.join(cuts, Seq(langCol))
+      .select(col("doc_id"), col(langCol), col("ppx"),
+        when(col("ppx") <= col("__c1"), lit("head"))
+          .when(col("ppx") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

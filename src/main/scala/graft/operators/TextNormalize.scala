@@ -181,4 +181,63 @@ object TextNormalize {
         col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** PER-DOMAIN boilerplate removal (the RefinedWeb / C4 site-template
+    * rule): a line is boilerplate for a domain when it appears in MORE THAN
+    * `maxDocShare` of that domain's documents — navigation bars, cookie
+    * banners, footers stamped onto every page of a site — and is stripped
+    * from that domain's documents only. The same line on a domain where it
+    * is rare survives, which is exactly what the GLOBAL document-frequency
+    * rule ([[dedupLines]]) cannot express: a corpus-wide cap either misses
+    * per-site templates (threshold too high) or scrubs legitimately common
+    * sentences everywhere (too low). Domains with fewer than
+    * `minDomainDocs` documents are exempt — a share threshold over three
+    * pages is noise, not evidence of a template.
+    *
+    * Scale shape: everything keys on (domain, 64-bit line hash) — the
+    * line-share aggregation, the hot-set anti join — so one shuffle family
+    * co-locates the whole decision and the line TEXT never shuffles except
+    * inside its own document's reassembly. Per-domain doc counts are a
+    * domain-sized frame joined onto the domain-keyed DF aggregation (AQE
+    * broadcasts it when small; the plan never assumes it is). Reassembly is
+    * the same contract-backed ordered collect as [[dedupLines]].
+    *
+    * Output: (idCol, domainCol, textCol scrubbed, n_lines, n_removed). */
+  def scrubBoilerplate(docs: DataFrame, maxDocShare: Double,
+                       minDomainDocs: Long = 5,
+                       idCol: String = "doc_id", domainCol: String = "source",
+                       textCol: String = "text",
+                       sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("__dom"), col("pos").as("__pos"),
+        col("col").as("__line"), xxhash64(col("col")).as("__lh"))
+    val domSizes = docs.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+    val hot = lines.select(col("__dom"), col("__id"), col("__lh")).distinct()
+      .groupBy(col("__dom"), col("__lh")).agg(count(lit(1)).as("__df"))
+      .join(domSizes, Seq("__dom"))
+      .filter(col("__nd") >= minDomainDocs &&
+        col("__df").cast("double") > col("__nd").cast("double") * maxDocShare)
+      .select(col("__dom"), col("__lh"))
+    val kept = lines.join(hot, Seq("__dom", "__lh"), "left_anti")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rebuilt = kept
+      .select(col("__id"), collect_list(col("__line")).over(w).as("__arr"),
+        count(lit(1)).over(w).as("n_kept"))
+      .groupBy("__id")
+      .agg(first(col("__arr")).as("__arr"), first(col("n_kept")).as("n_kept"))
+      .select(col("__id"), concat_ws(sep, col("__arr")).as(textCol),
+        col("n_kept"))
+    val totals = docs.select(col(idCol).as("__id"), col(domainCol),
+      size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .cast("long").as("n_lines"))
+    totals.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col(domainCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

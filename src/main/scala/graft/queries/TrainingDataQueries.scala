@@ -981,6 +981,63 @@ object TrainingDataQueries extends QueryPack {
           UrlOps.host(col("__u")).as("host"),
           UrlOps.registeredDomain(UrlOps.host(col("__u"))).as("domain"))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Per-domain boilerplate scrub (RefinedWeb/C4 site-template rule):
+    // lines in more than 4% of a domain's docs are that domain's template
+    // and are stripped from that domain only. Same derived multi-line view
+    // as line_dedup. At sf0.01 the threshold catches a small hot set
+    // (domain DF 2 of 25); the rule is share-based so a corpus 10× larger
+    // needs proportionally more repeats to fire — scale-correct semantics,
+    // exercised where the gate runs.
+    "boilerplate_scrub" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("replace(text, ' table ', '\n')").as("text"))
+      TextNormalize.scrubBoilerplate(lined, maxDocShare = 0.04,
+        minDomainDocs = 5)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail: per-language perplexity terciles under the
+    // corpus's own bigram model — threshold join, no per-language sort.
+    "ccnet_buckets" -> ((s, dir) => {
+      import graft.operators.LanguageModel
+      val docs = Tables.documents(s, dir)
+      LanguageModel.perplexityBuckets(docs, LanguageModel.ngramCounts(docs))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Segmentation → vocabulary ids (the learn → segment → ids → pack
+    // chain's id step): greedy pieces mapped through a broadcast id map
+    // in-row — zero shuffle; UNK pieces (not in vocab) map to 0. Ids are
+    // 1-based fixture positions, space-joined into one comparable string.
+    "tokenize_to_ids" -> ((s, dir) => {
+      val idMap = map(SubwordVocab.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(v), lit(i + 1)) }: _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SubwordTokenCount
+            .subwordTokens(col("text"), SubwordVocab).as("__p"))
+        .select(col("doc_id"),
+          concat_ws(" ", transform(col("__p"),
+            p => coalesce(element_at(idMap, p), lit(0)).cast("string")))
+            .as("token_ids"),
+          size(col("__p")).cast("long").as("n_ids"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe split: the split draw keys on the DOMAIN, so every doc
+    // of a domain lands in one split and near-dups within a site can never
+    // straddle train/val — the group-aware variant of sample_split.
+    "split_by_group" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.splitAssign(Tables.documents(s, dir),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        keyCol = "source", salt = "gs")
+        .select(col("doc_id"), col("source"), col("split"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     })
   )
 
@@ -2057,6 +2114,114 @@ object TrainingDataQueries extends QueryPack {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score_micro DESC, term) AS rank FROM sc)
          |WHERE rank <= 5
-         |ORDER BY doc_id, rank""".stripMargin
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    // per-domain line share rule; anti join expressed as LEFT JOIN + NULL
+    "boilerplate_scrub" ->
+      """WITH lined AS (SELECT doc_id, source,
+        |       string_split(replace(text, ' table ', chr(10)), chr(10)) AS l
+        |       FROM documents),
+        |lines AS (SELECT doc_id, source, unnest(list_transform(range(len(l)),
+        |       i -> {'pos': i, 'line': l[i+1]}), recursive := true) FROM lined),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |df AS (SELECT source, line, count(DISTINCT doc_id) AS d
+        |       FROM lines GROUP BY 1, 2),
+        |hot AS (SELECT source, line FROM df JOIN nd USING (source)
+        |        WHERE n_docs >= 5
+        |          AND CAST(d AS DOUBLE) > CAST(n_docs AS DOUBLE) * 0.04),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |         LEFT JOIN hot h ON l.source = h.source AND l.line = h.line
+        |         WHERE h.line IS NULL)
+        |SELECT l.doc_id, l.source,
+        |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text,
+        |       count(*) AS n_lines,
+        |       count(*) - count(k.line) AS n_removed
+        |FROM lines l LEFT JOIN kept k ON l.doc_id = k.doc_id AND l.pos = k.pos
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // lm_score_bigram's scoring chain + per-language tercile cuts; the
+    // tercile fractions are the SAME IEEE division (1/3 in doubles) both
+    // engines perform, and quantile_cont's interpolation matches Spark's
+    // exact percentile (lower + frac·(upper−lower))
+    "ccnet_buckets" ->
+      s"""WITH $toksCte,
+         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+         |sc AS (SELECT r.doc_id,
+         |         CAST(round(ln((coalesce(cn.c, 0) + 1.0)
+         |                       / (coalesce(ct.ct, 0) + 1.0 * voc.v))
+         |                    * 1000000) AS BIGINT) AS term
+         |       FROM tr r
+         |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+         |       LEFT JOIN ctot ct ON r.ctx = ct.ctx
+         |       CROSS JOIN voc),
+         |agg AS (SELECT doc_id, count(*) AS n_trans,
+         |          CAST(sum(term) AS BIGINT) AS lm_score
+         |        FROM sc GROUP BY 1),
+         |px AS (SELECT a.doc_id, d.lang,
+         |         -CAST(a.lm_score AS DOUBLE) / CAST(a.n_trans AS DOUBLE) AS ppx
+         |       FROM agg a JOIN documents d USING (doc_id)
+         |       WHERE a.n_trans > 0),
+         |cuts AS (SELECT lang,
+         |           quantile_cont(ppx, CAST(1 AS DOUBLE)/3) AS c1,
+         |           quantile_cont(ppx, CAST(2 AS DOUBLE)/3) AS c2
+         |         FROM px GROUP BY 1)
+         |SELECT p.doc_id, p.lang, p.ppx,
+         |       CASE WHEN p.ppx <= c.c1 THEN 'head'
+         |            WHEN p.ppx <= c.c2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM px p JOIN cuts c USING (lang)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    // the text_subword_segments recursive walk, pieces mapped to 1-based
+    // fixture ids (UNK → 0) — VALUES list generated from the same Seq
+    "tokenize_to_ids" -> {
+      val values = SubwordVocab.zipWithIndex
+        .map { case (v, i) => s"('$v', ${i + 1})" }.mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+         |vocab(v, id) AS (VALUES $values),
+         |w AS (SELECT doc_id, u[1] AS w, u[2] AS widx
+         |      FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+         |            FROM toks)),
+         |m AS (
+         |  SELECT doc_id, widx, w, CAST(1 AS BIGINT) AS pos,
+         |         CAST(0 AS BIGINT) AS step, CAST(NULL AS VARCHAR) AS piece
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, widx, w,
+         |    pos + coalesce((SELECT max(length(v)) FROM vocab
+         |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
+         |    step + 1,
+         |    substr(w, CAST(pos AS INT),
+         |      CAST(coalesce((SELECT max(length(v)) FROM vocab
+         |                     WHERE v = substr(w, CAST(pos AS INT), length(v))), 1) AS INT))
+         |  FROM m WHERE pos <= length(w)
+         |),
+         |wp AS (SELECT m.doc_id, m.widx,
+         |         string_agg(CAST(coalesce(vo.id, 0) AS VARCHAR), ' '
+         |           ORDER BY m.step) AS ids,
+         |         count(*) AS nw
+         |       FROM m LEFT JOIN vocab vo ON vo.v = m.piece
+         |       WHERE m.piece IS NOT NULL GROUP BY 1, 2),
+         |per_doc AS (SELECT doc_id, string_agg(ids, ' ' ORDER BY widx) AS token_ids,
+         |            CAST(sum(nw) AS BIGINT) AS n_ids FROM wp GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.token_ids, '') AS token_ids,
+         |       CAST(coalesce(p.n_ids, 0) AS BIGINT) AS n_ids
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // sample_split's CASE ladder with the draw keyed on the domain string
+    "split_by_group" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  substring(md5(source || ':gs'), 1, 8) AS h FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN h < 'e6666666' THEN 'train'
+        |       WHEN h < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

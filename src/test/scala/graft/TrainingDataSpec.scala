@@ -2161,4 +2161,64 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(3L).head._5 === 2 * idfOther)
     assert(out.values.forall(_.filter(_._3 == "common").forall(_._5 == 0L)))
   }
+
+  test("boilerplate scrub is domain-scoped: hot in A, rare in B survives in B") {
+    // domain A: 6 docs all carrying "NAV" (share 1.0 > 0.5 -> template);
+    // domain B: 6 docs, exactly one has "NAV" (share 1/6 -> content);
+    // domain C: 2 docs sharing "NAV" but below minDomainDocs -> exempt
+    val d = (
+      (1L to 6L).map(i => (i, "A", s"NAV\nbody a$i")) ++
+      (11L to 15L).map(i => (i, "B", s"body b$i")) :+ ((16L, "B", "NAV\nbody b16")) :+
+      ((21L, "C", "NAV\nbody c21")) :+ ((22L, "C", "NAV\nbody c22"))
+    ).toDF("doc_id", "source", "text")
+    val out = TextNormalize.scrubBoilerplate(d, maxDocShare = 0.5,
+      minDomainDocs = 5)
+      .select("doc_id", "source", "text", "n_lines", "n_removed")
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 14)
+    // A: NAV stripped everywhere, body kept
+    (1L to 6L).foreach { i =>
+      assert(out(i)._3 === s"body a$i"); assert(out(i)._5 === 1L)
+    }
+    // B: the one NAV carrier keeps it (rare on B)
+    assert(out(16L)._3 === "NAV\nbody b16"); assert(out(16L)._5 === 0L)
+    // C: domain too small for share evidence
+    assert(out(21L)._3 === "NAV\nbody c21"); assert(out(21L)._5 === 0L)
+  }
+
+  test("boilerplate scrub keeps all-template docs as empty text") {
+    val d = ((1L to 5L).map(i => (i, "A", "NAV")) :+ ((6L, "A", "NAV\nreal")))
+      .toDF("doc_id", "source", "text")
+    val out = TextNormalize.scrubBoilerplate(d, maxDocShare = 0.5,
+      minDomainDocs = 5)
+      .select("doc_id", "text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 6)
+    (1L to 5L).foreach(i => assert(out(i)._2 === ""))
+    assert(out(6L)._2 === "real")
+  }
+
+  test("ccnet buckets: per-language terciles, head most model-like, short docs excluded") {
+    // 9 'en' docs spanning predictability: repeated bigrams (predictable)
+    // through unique-word docs (surprising); 1-token doc has no transitions
+    val en = Seq(
+      (1L, "x x x x x x x x", "en"), (2L, "x x x x x x x y", "en"),
+      (3L, "x x x x x y x y", "en"), (4L, "x y x y x y x y", "en"),
+      (5L, "x y z x y z x z", "en"), (6L, "p q r s p q r s", "en"),
+      (7L, "p q r s t u v w", "en"), (8L, "a b c d e f g h", "en"),
+      (9L, "i j k l m n o pp", "en"), (10L, "solo", "en"))
+    val d = en.toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(d,
+        LanguageModel.ngramCounts(d))
+      .select("doc_id", "lang", "ppx", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(out.length === 9) // "solo" has no transitions
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").size === 3)
+    // tercile ordering: every head ppx <= every middle <= every tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
 }
