@@ -1028,6 +1028,20 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Snapshot delta between two corpus versions (recrawl step) — old/new
+    // derived from the one table by in-table rules both engines compute:
+    // doc_id%7==3 absent from old (-> added), %11==5 absent from new
+    // (-> removed), %5==0 rewritten in new (-> changed).
+    "corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 11 =!= 5)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.sources.CorpusIO.snapshotDiff(oldSnap, newSnap)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Leakage-safe split: the split draw keys on the DOMAIN, so every doc
     // of a domain lands in one split and near-dups within a site can never
     // straddle train/val — the group-aware variant of sample_split.
@@ -2213,6 +2227,22 @@ object TrainingDataQueries extends QueryPack {
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+        |           WHERE doc_id % 7 <> 3),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                 ELSE text END) AS new_hash
+        |      FROM documents WHERE doc_id % 11 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'removed'
+        |       WHEN o.old_hash <> n.new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.old_hash, n.new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // sample_split's CASE ladder with the draw keyed on the domain string
     "split_by_group" ->

@@ -79,4 +79,32 @@ object CorpusIO {
       .option("compression", compression)
       .mode("overwrite")
       .json(path)
+
+  /** Snapshot delta between two corpus versions (the recrawl/reprocess
+    * step: what must downstream recompute?): per document id,
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, content digest differs), `unchanged`.
+    *
+    * Scale shape: both sides reduce to (id, md5 digest) in narrow
+    * scan-side projections — the TEXT never joins — then ONE full-outer
+    * equi-join on the id. Two 100 TB snapshots diff at the cost of
+    * shuffling two id+16-byte-digest column sets; with both snapshots
+    * bucketed by id the exchange disappears entirely.
+    *
+    * Output: (idCol, status, old_hash, new_hash) — hashes kept so a
+    * downstream incremental pass can persist them as its next baseline. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def digests(df: DataFrame, hashCol: String) =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(hashCol))
+    digests(oldDocs, "old_hash")
+      .join(digests(newDocs, "new_hash"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
 }

@@ -2137,6 +2137,26 @@ class TrainingDataSpec extends AnyFunSuite {
     val kwPlan = Retrieval.tfidfKeywords(docs((1L, "a b"), (2L, "b c")), 2)
       .queryExecution.executedPlan.toString
     assert(kwPlan.contains("windowspecdefinition(doc_id"), kwPlan)
+    // perplexityBuckets: tercile cuts come from an aggregation + threshold
+    // join — NO window anywhere (an ntile formulation would funnel each
+    // language through one task)
+    val dd = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 5}",
+        if (i % 2 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val pbPlan = LanguageModel.perplexityBuckets(dd,
+        LanguageModel.ngramCounts(dd))
+      .queryExecution.executedPlan.toString
+    assert(!pbPlan.contains("windowspecdefinition"), pbPlan)
+    // scrubBoilerplate: the only window is the per-DOCUMENT reassembly;
+    // the hot-set decision is aggregation-keyed on (domain, line hash),
+    // never a domain-wide window
+    val bd = (1 to 40).map(i => (i.toLong, s"s${i % 3}", s"nav\nbody $i"))
+      .toDF("doc_id", "source", "text")
+    val bpPlan = TextNormalize.scrubBoilerplate(bd, maxDocShare = 0.5,
+        minDomainDocs = 5)
+      .queryExecution.executedPlan.toString
+    assert(bpPlan.contains("windowspecdefinition(__id"), bpPlan)
+    assert(!bpPlan.contains("windowspecdefinition(__dom"), bpPlan)
   }
 
   test("tfidf keywords: ubiquitous terms score zero, rare terms rank first") {
