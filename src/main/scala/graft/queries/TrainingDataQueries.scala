@@ -1028,6 +1028,27 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // TRAINED quality classifier: 8 full-batch GD steps of logistic
+    // regression (8 md5-hash buckets + bias, rational fast-sigmoid link,
+    // integer-quantized margins/gradients) on an in-table label (≥2
+    // occurrences of 'spark'; base rate 0.47 at sf0.01), then the corpus
+    // scored under the learned weights — non-degenerate predictions above
+    // majority-class accuracy (0.64 vs 0.53; lr 4.0 is just under this
+    // fixture's divergence knee, ≥5 oscillates to all-positive). The
+    // oracle re-derives the whole trajectory as unrolled CTE layers from
+    // the same constants.
+    "quality_lr" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val docs = Tables.documents(s, dir)
+      val label =
+        size(filter(TextAnalysis.tokens(col("text")), _ === "spark")) >= 2
+      val feats = QualityModel.features(docs, buckets = 8, labelExpr = label)
+        .localCheckpoint(true) // train loop + scoring reuse, one build
+      val w = QualityModel.train(feats, buckets = 8, iters = 8, lr = 4.0)
+      QualityModel.score(feats, w, buckets = 8)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Snapshot delta between two corpus versions (recrawl step) — old/new
     // derived from the one table by in-table rules both engines compute:
     // doc_id%7==3 absent from old (-> added), %11==5 absent from new
@@ -2226,6 +2247,66 @@ object TrainingDataQueries extends QueryPack {
          |       CAST(coalesce(p.n_ids, 0) AS BIGINT) AS n_ids
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the GD trajectory unrolled: one (z, gradient, weights) CTE layer per
+    // iteration, generated from the SAME (buckets, iters, lr) constants as
+    // the Spark gate; margin/gradient quantization and the rational
+    // sigmoid mirror QualityModel expression-for-expression
+    "quality_lr" -> {
+      val B = 8
+      val iters = 8
+      val lr = "4.0"
+      val xs = (0 until B).map(j =>
+        s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS DOUBLE)" +
+          s" / CAST(count(*) AS DOUBLE) AS x$j").mkString(",\n         ")
+      def zExpr(w: String) =
+        ((0 until B).map(j =>
+          s"CAST(round($w.w_$j * f.x$j * 1e9) AS BIGINT)") :+
+          s"CAST(round($w.w_$B * 1.0 * 1e9) AS BIGINT)").mkString(" + ")
+      val sExpr = "0.5 + (CAST(znano AS DOUBLE) / 1e9)" +
+        " / (2.0 * (1.0 + abs(CAST(znano AS DOUBLE) / 1e9)))"
+      val w0 = (0 to B).map(j => s"0.0 AS w_$j").mkString(", ")
+      val layers = (1 to iters).map { k =>
+        val xCols = (0 until B).map(j => s"f.x$j").mkString(", ")
+        val gs = ((0 until B).map(j =>
+          s"CAST(sum(CAST(round((($sExpr) - y) * x$j * 1e6) AS BIGINT))" +
+            s" AS BIGINT) AS g_$j") :+
+          s"CAST(sum(CAST(round((($sExpr) - y) * 1.0 * 1e6) AS BIGINT))" +
+            s" AS BIGINT) AS g_$B").mkString(",\n          ")
+        val ws = (0 to B).map(j =>
+          s"w.w_$j - $lr * ((CAST(g.g_$j AS DOUBLE) / 1e6) / g.n) AS w_$j")
+          .mkString(",\n          ")
+        s"""z$k AS (SELECT f.doc_id, l.y, $xCols, (${zExpr("w")}) AS znano
+           |        FROM feat f JOIN lab l USING (doc_id)
+           |        CROSS JOIN w${k - 1} w),
+           |g$k AS (SELECT
+           |          $gs,
+           |          count(*) AS n
+           |        FROM z$k),
+           |w$k AS (SELECT
+           |          $ws
+           |        FROM w${k - 1} w CROSS JOIN g$k g)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |tb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 6))::BIGINT % $B AS b
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+         |lab AS (SELECT doc_id,
+         |          CASE WHEN len(list_filter(t, x -> x = 'spark')) >= 2
+         |          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+         |        FROM toks),
+         |feat AS (SELECT doc_id,
+         |         $xs
+         |         FROM tb GROUP BY doc_id),
+         |w0 AS (SELECT $w0),
+         |$layers,
+         |zf AS (SELECT f.doc_id, l.y, (${zExpr("w")}) AS znano
+         |       FROM feat f JOIN lab l USING (doc_id)
+         |       CROSS JOIN w$iters w)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, znano AS z_nano,
+         |       CAST(round(($sExpr) * 1e6) AS BIGINT) AS prob_micro,
+         |       znano >= 0 AS predicted
+         |FROM zf ORDER BY doc_id""".stripMargin
     },
 
     "corpus_diff" ->

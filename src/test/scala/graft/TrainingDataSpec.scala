@@ -2182,6 +2182,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.values.forall(_.filter(_._3 == "common").forall(_._5 == 0L)))
   }
 
+  test("logistic quality model: learns a separable fixture, training is deterministic") {
+    // two "dialects" whose tokens hash to disjoint buckets — linearly
+    // separable in the hashed features; y = dialect membership
+    val pos = (1L to 20L).map(i => (i, "alpha alpha beta alpha"))
+    val neg = (21L to 40L).map(i => (i, "gamma delta delta gamma"))
+    val d = (pos ++ neg).toDF("doc_id", "text")
+    val label = array_contains(TextAnalysis.tokens(col("text")), "alpha")
+    val B = 8
+    val feats = QualityModel.features(d, B, label)
+    // single-bucket docs: the other buckets are EXACT ZEROS, never null
+    val row = feats.filter(col("doc_id") === 1L).head()
+    val xs = (0 until B).map(j => row.getDouble(row.fieldIndex(s"x$j")))
+    assert(xs.forall(x => !x.isNaN) && math.abs(xs.sum - 1.0) < 1e-12)
+    val w1 = QualityModel.train(feats, B, iters = 12, lr = 4.0)
+    val w2 = QualityModel.train(feats, B, iters = 12, lr = 4.0)
+    assert(w1.toSeq === w2.toSeq) // bit-identical trajectory, run to run
+    val scored = QualityModel.score(feats, w1, B)
+      .select("doc_id", "label", "predicted")
+      .as[(Long, Long, Boolean)].collect()
+    assert(scored.length === 40)
+    // separable fixture: the learned boundary classifies every doc
+    assert(scored.forall(r => r._3 === (r._2 == 1L)))
+  }
+
   test("boilerplate scrub is domain-scoped: hot in A, rare in B survives in B") {
     // domain A: 6 docs all carrying "NAV" (share 1.0 > 0.5 -> template);
     // domain B: 6 docs, exactly one has "NAV" (share 1/6 -> content);
