@@ -84,14 +84,20 @@ object LanguageModel {
                      textCol: String = "text"): DataFrame = {
     require(addK > 0, s"addK=$addK: smoothing mass must be positive")
     // the model is read three times (scoring join, context totals,
-    // vocabulary) and deliberately left UNCACHED: persisting it showed no
-    // win in an sf0.1 bench (the two extra reads are cheap aggregations,
-    // and the cache boundary hides the size estimates AQE uses to
-    // broadcast the scoring join). Callers scoring many batches against
-    // one model should write the model once and read it back — a
-    // parquet-backed model is the production shape, and scan-backed reads
-    // give every downstream aggregation pushdown + accurate stats.
-    val m = model
+    // vocabulary) — when it is a DERIVED plan (trained in-session from a
+    // corpus), each read re-runs the tokenize/transitions explode, so it
+    // persists through the shared tracked registry (release:
+    // Dedup.releaseIntermediateCaches). An earlier note measured "no win"
+    // from caching, but under the count-pruned bench basis that
+    // measurement timed scan-only plans; the honest full-output basis
+    // shows the recompute. Callers scoring many batches against one model
+    // should still write it once and read it back — a parquet-backed
+    // model is the production shape (scan-backed reads give pushdown +
+    // accurate stats, and AQE sees real sizes for the broadcast decision).
+    val m =
+      if (model.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        model
+      else Dedup.persistTracked(model)
     val ctot = m.groupBy(col("context")).agg(sum(col("cnt")).as("__ctot"))
     val vocab = m.select(col("token")).distinct()
       .agg(count(lit(1)).as("__vocab"))
@@ -143,12 +149,18 @@ object LanguageModel {
                         addK: Double = 1.0, idCol: String = "doc_id",
                         textCol: String = "text",
                         langCol: String = "lang"): DataFrame = {
-    val scored = scoreDocuments(docs, model, n, addK, idCol, textCol)
-      .filter(col("n_trans") > 0)
-      .join(docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
-      .select(col("doc_id"), col(langCol),
-        (-col("lm_score").cast("double") / col("n_trans").cast("double"))
-          .as("ppx"))
+    // read twice (tercile cuts + labeling) — persisted via the shared
+    // tracked registry or the whole scoring join runs double. Narrow
+    // (id, lang, ppx), but corpus-sized: callers at the 100 TB tier that
+    // cannot afford the cache should write it out and bucket it instead.
+    val scored = Dedup.persistTracked(
+      scoreDocuments(docs, model, n, addK, idCol, textCol)
+        .filter(col("n_trans") > 0)
+        .join(docs.select(col(idCol).as("doc_id"), col(langCol)),
+          Seq("doc_id"))
+        .select(col("doc_id"), col(langCol),
+          (-col("lm_score").cast("double") / col("n_trans").cast("double"))
+            .as("ppx")))
     val cuts = scored.groupBy(col(langCol))
       .agg(percentile(col("ppx"), lit(1.0 / 3)).as("__c1"),
         percentile(col("ppx"), lit(2.0 / 3)).as("__c2"))
