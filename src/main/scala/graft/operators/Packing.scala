@@ -119,6 +119,78 @@ object Packing {
       .select((df.columns.map(col) ++ Seq(col("shard"), col("pos_in_shard"))).toSeq: _*)
   }
 
+  /** Deterministic PROPORTIONAL-INTERLEAVE training order — the epoch
+    * ordering step: every prefix of the global order carries each stratum
+    * (language, source, mixture component) in proportion to its size, so
+    * a training run that stops early — or a curriculum window — has seen
+    * the mixture, not whichever stratum happened to sort first. Each stratum
+    * gets a reproducible internal permutation (the md5 draw), and a
+    * document at per-stratum rank r (0-based, n_s docs) gets
+    * `order_key = (r + 0.5) / n_s` — stratum s's documents sit at the
+    * midpoints of n_s equal slices of [0, 1), so sorting by
+    * (order_key, draw, key) interleaves strata exactly proportionally
+    * (within ±1 per prefix) without any cross-stratum coordination.
+    *
+    * Scale shape: the per-stratum rank is the [[shardAssign]] two-phase
+    * cut applied per (stratum, draw-hex-prefix) — one narrow count
+    * aggregation, per-stratum base offsets from a window over that small
+    * aggregate, rank within (stratum, bucket) — parallelism strata ×
+    * 16^drawPrefixLen. Stratum sizes ride the same aggregate; the final
+    * key is a pure projection. Consumers materialize the order by sorting
+    * on (order_key, __draw-tiebreak) — a range-partitioned parallel sort,
+    * NOT a single-task window. `drawPrefixLen = 0` keeps the
+    * single-window-per-stratum reference formulation (spec-proven equal).
+    *
+    * Output: input columns + (epoch_rank, order_key). */
+  def epochInterleave(df: DataFrame, strataCol: String, keyCol: String,
+                      salt: String = "", drawPrefixLen: Int = 2)
+      : DataFrame = {
+    require(drawPrefixLen >= 0 && drawPrefixLen <= 8,
+      s"drawPrefixLen must be in [0, 8], got $drawPrefixLen")
+    val reserved = Seq("epoch_rank", "order_key", "__draw", "__bkt",
+      "__base", "__ns")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by epochInterleave")
+    val W = Window
+    val theDraw = coalesce(Sampling.draw(col(keyCol), salt), lit(""))
+    val ranked =
+      if (drawPrefixLen == 0) {
+        val w = W.partitionBy(col(strataCol))
+          .orderBy(col("__draw"), col(keyCol))
+        val sizes = df.groupBy(col(strataCol))
+          .agg(count(lit(1)).as("__ns"))
+        df.withColumn("__draw", theDraw)
+          .withColumn("epoch_rank", row_number().over(w).cast("long") - 1)
+          .join(broadcast(sizes), Seq(strataCol))
+      } else {
+        val withDraw = df
+          .withColumn("__draw", theDraw)
+          .withColumn("__bkt", substring(col("__draw"), 1, drawPrefixLen))
+        // strata × 16^drawPrefixLen rows: bucket counts, per-stratum
+        // exclusive base offsets, and the stratum size in one pass
+        val wBase = W.partitionBy(col(strataCol)).orderBy(col("__bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val wAll = W.partitionBy(col(strataCol))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val bases = withDraw.groupBy(col(strataCol), col("__bkt"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
+          .withColumn("__ns", sum(col("__n")).over(wAll))
+          .select(col(strataCol), col("__bkt"), col("__base"), col("__ns"))
+        val wIn = W.partitionBy(col(strataCol), col("__bkt"))
+          .orderBy(col("__draw"), col(keyCol))
+        withDraw.join(broadcast(bases), Seq(strataCol, "__bkt"))
+          .withColumn("epoch_rank",
+            col("__base") + row_number().over(wIn).cast("long") - 1)
+      }
+    ranked
+      .withColumn("order_key",
+        (col("epoch_rank").cast("double") + lit(0.5)) /
+          col("__ns").cast("double"))
+      .select((df.columns.map(col) ++
+        Seq(col("epoch_rank"), col("order_key"))).toSeq: _*)
+  }
+
   /** Split long documents into fixed-token-window chunks with overlap —
     * the context-window prep step for documents longer than the training
     * sequence length (each chunk re-reads `overlap` tokens of its

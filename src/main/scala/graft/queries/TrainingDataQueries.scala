@@ -1049,6 +1049,19 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Proportional-interleave epoch order: per-language reproducible
+    // permutation, order_key = (rank + 0.5) / n_lang — every prefix of
+    // the global order carries each language in proportion. Two-phase
+    // rank (strata × 256 tasks); oracle is the single-window-per-stratum
+    // formulation, so parity doubles as two-phase-exactness evidence.
+    "epoch_interleave" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.epochInterleave(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        strataCol = "lang", keyCol = "doc_id", salt = "ep")
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Snapshot delta between two corpus versions (recrawl step) — old/new
     // derived from the one table by in-table rules both engines compute:
     // doc_id%7==3 absent from old (-> added), %11==5 absent from new
@@ -2308,6 +2321,20 @@ object TrainingDataQueries extends QueryPack {
          |       znano >= 0 AS predicted
          |FROM zf ORDER BY doc_id""".stripMargin
     },
+
+    // the single-window reference formulation of the two-phase rank
+    "epoch_interleave" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  substring(md5(CAST(doc_id AS VARCHAR) || ':ep'), 1, 8) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |    AS BIGINT) - 1 AS epoch_rank FROM d),
+        |n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, epoch_rank,
+        |  (CAST(epoch_rank AS DOUBLE) + 0.5) / CAST(ns AS DOUBLE)
+        |    AS order_key
+        |FROM r JOIN n USING (lang) ORDER BY doc_id""".stripMargin,
 
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents

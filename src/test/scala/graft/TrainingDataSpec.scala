@@ -2182,6 +2182,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.values.forall(_.filter(_._3 == "common").forall(_._5 == 0L)))
   }
 
+  test("epoch interleave: proportional prefixes, two-phase equals single-window") {
+    // strata 2:1 — every prefix of the global order must hold the ratio
+    // within the ±1-per-stratum placement bound
+    val d = ((1L to 40L).map(i => (i, "big")) ++ (41L to 60L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val out = Packing.epochInterleave(d, "lang", "doc_id", salt = "t")
+      .select("doc_id", "lang", "epoch_rank", "order_key")
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.length === 60)
+    // global order: sort by (order_key, doc_id); check prefix proportions
+    val ordered = out.sortBy(r => (r._4, r._1))
+    for (k <- 1 to 60) {
+      val big = ordered.take(k).count(_._2 == "big")
+      val small = k - big
+      // proportional within the midpoint-placement bound
+      assert(math.abs(big - 2.0 * small) <= 2.0,
+        s"prefix $k: big=$big small=$small")
+    }
+    // two-phase rank (prefix 2) equals the single-window formulation
+    val single = Packing.epochInterleave(d, "lang", "doc_id", salt = "t",
+      drawPrefixLen = 0)
+      .select("doc_id", "epoch_rank").as[(Long, Long)].collect().sorted
+    val two = out.map(r => (r._1, r._3)).sorted
+    assert(two.toSeq === single.toSeq)
+  }
+
   test("logistic quality model: learns a separable fixture, training is deterministic") {
     // two "dialects" whose tokens hash to disjoint buckets — linearly
     // separable in the hashed features; y = dialect membership
