@@ -60,6 +60,33 @@ object QualityModel {
     tok.groupBy(col("doc_id"), col("y")).agg(xs.head, xs.tail: _*)
   }
 
+  /** STREAMING-SAFE feature twin of [[features]]: the same per-document
+    * feature row computed as a pure in-row projection — tokens hash to
+    * buckets once via an in-row transform, each x_j is a count over the
+    * small int array — no explode, no groupBy, no state, so it runs in an
+    * append-mode stream as-is (score incoming documents under a
+    * batch-trained model, the [[Dsir.scoreStateless]] discipline).
+    * Equivalence to the aggregation formulation is spec-enforced; the
+    * BATCH trainer stays on [[features]] (the HOFs here are
+    * CodegenFallback — fine per-row in a stream, wrong for the corpus-wide
+    * training scan). Zero-token documents drop, matching [[features]]. */
+  def featuresInRow(docs: DataFrame, buckets: Int, labelExpr: Column,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val xs = (0 until buckets).map(j =>
+      (size(filter(col("__bs"), b => b === j)).cast("double") /
+        size(col("__bs")).cast("double")).as(s"x$j"))
+    docs
+      .select(col(idCol).as("doc_id"), labelExpr.cast("double").as("y"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      // hash every token ONCE; the per-bucket counts then scan a small
+      // int array instead of re-hashing per bucket
+      .withColumn("__bs", transform(col("__toks"),
+        t => bucketOf(t, buckets)))
+      .select(col("doc_id") +: col("y") +: xs: _*)
+  }
+
   /** z in NANO units as an integer column over a feature row: each
     * w_j·x_j product rounds to nanos independently, the sum is exact. */
   private def zNano(w: Array[Double], buckets: Int): Column =

@@ -124,6 +124,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trained quality classifier scores an unbounded stream statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val B = 8
+    // model trained ONCE on a static pool; the stream scores under the
+    // learned literals — in-row features, no state, append mode
+    val pool = Seq(
+      (1L, "alpha alpha beta alpha"), (2L, "alpha beta alpha gamma"),
+      (3L, "gamma delta delta gamma"), (4L, "delta gamma delta delta"))
+      .toDF("doc_id", "text")
+    val label = array_contains(
+      graft.operators.TextAnalysis.tokens(col("text")), "alpha")
+    val w = QualityModel.train(
+      QualityModel.features(pool, B, label), B, iters = 12, lr = 4.0)
+    val input = MemoryStream[(Long, String)]
+    val q = QualityModel.score(
+        QualityModel.featuresInRow(input.toDF().toDF("doc_id", "text"),
+          B, label), w, B)
+      .writeStream.format("memory").queryName("qlr_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "alpha alpha beta alpha"))
+      q.processAllAvailable()
+      input.addData((11L, "gamma delta delta gamma"), (12L, "beta alpha alpha beta"))
+      q.processAllAvailable()
+      val streamed = spark.table("qlr_stream")
+        .select("doc_id", "predicted").as[(Long, Boolean)].collect().toMap
+      assert(streamed === Map(10L -> true, 11L -> false, 12L -> true))
+      // scores equal the batch path over the same text
+      val batch = QualityModel.score(
+          QualityModel.features(pool, B, label), w, B)
+        .select("doc_id", "z_nano").as[(Long, Long)].collect().toMap
+      val sz = spark.table("qlr_stream")
+        .select("doc_id", "z_nano").as[(Long, Long)].collect().toMap
+      assert(sz(10L) === batch(1L)) // identical text -> identical margin
+      assert(sz(11L) === batch(3L))
+    } finally q.stop()
+  }
+
   test("dsir stateless scoring runs unchanged on an unbounded stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dsir

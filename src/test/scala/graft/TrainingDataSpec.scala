@@ -2232,6 +2232,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(scored.forall(r => r._3 === (r._2 == 1L)))
   }
 
+  test("in-row classifier features equal the aggregation formulation bit-exactly") {
+    val d = docs((1L, "alpha beta beta gamma"), (2L, "delta"),
+      (3L, "x y z x y z x"), (4L, ""))
+    val label = array_contains(TextAnalysis.tokens(col("text")), "alpha")
+    val B = 8
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getDouble(1),
+          (0 until B).map(j => r.getDouble(r.fieldIndex(s"x$j"))).toSeq)
+      }.sortBy(_._1).toSeq
+    val agg = canon(QualityModel.features(d, B, label))
+    val row = canon(QualityModel.featuresInRow(d, B, label))
+    assert(agg === row)
+    assert(agg.map(_._1) === Seq(1L, 2L, 3L)) // empty doc drops in both
+  }
+
   test("boilerplate scrub is domain-scoped: hot in A, rare in B survives in B") {
     // domain A: 6 docs all carrying "NAV" (share 1.0 > 0.5 -> template);
     // domain B: 6 docs, exactly one has "NAV" (share 1/6 -> content);
