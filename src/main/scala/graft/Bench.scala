@@ -37,6 +37,22 @@ import org.apache.spark.sql.SparkSession
   * projection-heavy queries reported scan-only times; numbers before and
   * after this round are NOT comparable for such queries (expect an honest
   * upshift), and round-over-round comparisons restart from the r9 line.
+  *
+  * HEADLINE = MIN-OF-REPS (since round 10): the round-9 artifact was
+  * captured under ~3.9 ambient loadavg and the foreign-JVM taint flag
+  * did not trip (the load was not another `java` process) — the medians
+  * absorbed ~20% contention (125.3 s committed vs 103.6 s quiet). The
+  * min of the timed reps is the least-contended observation of the same
+  * plan, so the headline `queries`/`value` now report per-query min;
+  * medians stay in the artifact (`queries_median`, `value_median`) for
+  * continuity with the r9 line. Two load-aware taints complement the
+  * foreign-JVM scan: (a) suite-start loadavg above ~2.0 (after one 20 s
+  * settle-retry) stamps `tainted_load`; (b) per-rep EXTERNAL cpu —
+  * system non-idle jiffies minus this JVM's own jiffies, a measure that
+  * stays valid while our own 32 threads are busy — above ~2 cores
+  * averaged over the rep stamps `tainted_ext` and is recorded per query
+  * in the detail (`ext`), so contention is attributable to the specific
+  * reps it hit.
   */
 object Bench {
 
@@ -82,11 +98,52 @@ object Bench {
       }
   }
 
+  /** (system-wide non-idle jiffies summed over all cpus, jiffies of this
+    * process AND its launcher ancestry). The difference's growth rate is
+    * CPU burned by UNRELATED processes — a contention measure that stays
+    * meaningful while this JVM's own 32 threads are saturated (loadavg
+    * does not). Ancestors (the sbt/shell chain) are folded into the
+    * "own" side: a parent sbt JVM streaming our logs burns ~1 core and
+    * is part of the harness, not ambient contention. */
+  private def cpuJiffies(): (Long, Long) = {
+    val sysBusy = try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system+irq+softirq+steal; idle and iowait excluded
+      f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => 0L }
+    def procJiffies(pid: Long): Long = try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/$pid/stat")))
+      val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+      f(11).toLong + f(12).toLong // utime + stime (all threads)
+    } catch { case _: Throwable => 0L }
+    (sysBusy, selfAndAncestors().toSeq.map(procJiffies).sum)
+  }
+
+  /** cores of non-this-JVM cpu averaged over the interval (USER_HZ=100). */
+  private def extCores(before: (Long, Long), after: (Long, Long),
+                       elapsedSec: Double): Double =
+    if (elapsedSec <= 0) 0.0
+    else math.max(0.0,
+      ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
+
+  private val ExtCoresTaint = 2.0
+  private val LoadTaint = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val loadBefore = loadavg()
+    var loadBefore = loadavg()
+    // one settle-retry: a transient spike (the previous driver step
+    // winding down) should not taint a whole suite that runs after it
+    if (loadBefore.head > LoadTaint) {
+      System.err.println(f"[bench] loadavg ${loadBefore.head}%.2f > $LoadTaint at start; settling 20s")
+      Thread.sleep(20000)
+      loadBefore = loadavg()
+    }
+    val loadTainted = loadBefore.head > LoadTaint
     val jvmsBefore = foreignJvms()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,11 +166,12 @@ object Bench {
     // skew scenario the flag exists for
     val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
     foreignSeen ++= jvmsBefore
+    var extSeen = 0.0 // max per-rep external-cpu cores observed anywhere
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle before each query (GC itself happens per rep inside once())
       Thread.sleep(100)
       foreignSeen ++= foreignJvms()
-      def once(): Double = {
+      def once(): (Double, Double) = {
         // per-REP quiescence, not just per-query: collect the previous
         // rep's garbage before starting the clock. Heavy allocators
         // (posting-list pair explosions) otherwise hand each successive
@@ -121,6 +179,7 @@ object Bench {
         // (2.6→6.9→17.4 s on dedup_containment) that billed rep N for
         // rep N−1's GC debt.
         System.gc()
+        val j0 = cpuJiffies()
         val t0 = System.nanoTime()
         // FULL materialization, not .count(): a count on top lets the
         // optimizer prune projections and eliminate unique-key left joins
@@ -133,45 +192,59 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
+        val ext = extCores(j0, cpuJiffies(), t)
         // some operators persist small intermediates (dedup postings/bands);
         // drop them so no run is measured under another's cache
         spark.catalog.clearCache()
-        t
+        (t, ext)
       }
-      val warm = once()
+      val (warm, _) = once()
       // large plans are often STILL JIT-compiling during their first timed
       // runs when they execute early in the JVM's life (observed: a 5 s
       // first contact followed by 2.9→2.3→1.8 s timed runs — the median
       // lands mid-warmup and swings >30% between paired benches). One
       // extra warm pass for anything whose first contact was slow keeps
       // the medians attributable to plans.
-      val warm2 = if (warm > 2.0) once() else -1.0
-      val times = Seq.fill(timedRuns)(once())
+      val warm2 = if (warm > 2.0) once()._1 else -1.0
+      val reps = Seq.fill(timedRuns)(once())
+      val times = reps.map(_._1)
+      val exts = reps.map(_._2)
+      extSeen = math.max(extSeen, if (exts.isEmpty) 0.0 else exts.max)
       val median = times.sorted.apply(times.length / 2)
+      val minT = times.min
       System.err.println(
-        f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} median=$median%7.2fs")
-      (name, ms(median), (ms(warm), if (warm2 < 0) None else Some(ms(warm2))), times.map(ms))
+        f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} min=$minT%7.2fs median=$median%7.2fs ext=${exts.map(e => f"$e%.1f").mkString(",")}")
+      (name, ms(minT), ms(median), (ms(warm), if (warm2 < 0) None else Some(ms(warm2))), times.map(ms), exts.map(ms))
     }
     val loadAfter = loadavg()
     foreignSeen ++= foreignJvms()
     val foreign = foreignSeen.toSeq
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val extTainted = extSeen > ExtCoresTaint
+    val tainted = foreign.nonEmpty || loadTainted || extTainted
+    val qs = results.map { case (k, mn, _, _, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, (w, w2), ts) =>
+    val qsMed = results.map { case (k, _, md, _, _, _) => s"\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, _, (w, w2), ts, exts) =>
       val warm2 = w2.map(x => ",\"warm2\":" + x).getOrElse("")
-      s"\"" + k + "\":{\"warm\":" + w + warm2 + ",\"t\":[" + ts.mkString(",") + "]}"
+      s"\"" + k + "\":{\"warm\":" + w + warm2 + ",\"t\":[" + ts.mkString(",") +
+        "],\"ext\":[" + exts.mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
+    val totalMed = ms(results.map(_._3).sum)
     val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val taints = s""""tainted":$tainted,"tainted_foreign":${foreign.nonEmpty},""" +
+      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(extSeen)}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"loadavg":$load,"tainted":${foreign.nonEmpty},""" +
+      s""""value_median":$totalMed,"queries_median":$qsMed,""" +
+      s""""runs":$runs,"loadavg":$load,$taints,""" +
       s""""foreign_jvms":[${foreign.mkString(",")}],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""tainted":${foreign.nonEmpty},"detail":"$detailPath","sf":"$sfDir"}""")
+      s""""value_median":$totalMed,$taints,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,10 +34,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives
-    * as a long. Truncate to micros exactly like DuckDB does (floor division —
-    * values are positive, so `div` matches). Integer division, not double:
-    * nanos exceed 2^53 and would lose precision through a double. */
+  /** `events.ts` has shipped in two physical parquet shapes across testdata
+    * generations: TIMESTAMP(NANOS) (arrives as a long under nanosAsLong —
+    * truncate to micros exactly like DuckDB, integer `div` since nanos
+    * exceed 2^53) and TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Both normalize to plain
+    * TIMESTAMP here; sessions run with UTC session tz, so the NTZ cast is a
+    * same-wall-clock relabel and matches DuckDB's naive-timestamp reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -45,6 +48,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }
