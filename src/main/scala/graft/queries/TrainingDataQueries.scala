@@ -60,6 +60,16 @@ object TrainingDataQueries extends QueryPack {
     * Spark learner and the generated DuckDB oracle below. */
   private[queries] val BpeMergeCount = 8
 
+  /** Batch size for the `bpe_merges_batched` gate (the production path's
+    * contract: per round, greedily accept up to batchSize symbol-disjoint
+    * candidates from the top weight-ranked pairs, apply them in ONE
+    * re-segmentation pass). The oracle unrolls ceil(count/batch) rounds;
+    * on this corpus every round accepts a full batch at sf0.001/0.01/0.1
+    * (checked by simulation), so the unroll depth is exact — an
+    * under-accepting round would change the round count and fail the gate
+    * loudly rather than silently. */
+  private[queries] val BpeBatchSize = 4
+
   /** Generated DuckDB oracle for BPE learning: the merge loop is
     * sequential, so for the FIXED gate merge count it unrolls into chained
     * CTE layers — each layer counts adjacent piece pairs, takes the
@@ -98,6 +108,95 @@ object TrainingDataQueries extends QueryPack {
       s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, w AS weight FROM b$k"""
     }
     (base ++ layers).mkString("WITH ", ",\n", "\n") +
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
+
+  /** Generated DuckDB oracle for BATCHED BPE learning ([[BpeLearn
+    * .learnBatched]]): each unrolled round counts pairs exactly like the
+    * sequential oracle, ranks the top batchSize×3 candidates, replays the
+    * greedy symbol-disjoint selection as a RECURSIVE scan down the rank
+    * order (the accumulator carries the used-symbol list — the sequential
+    * dependence that has no closed window form), and applies the whole
+    * accepted batch in ONE string-fold re-segmentation. At most one batch
+    * pair can match at any position (the disjointness the selection
+    * enforced), so the fold's branch order is immaterial — the same
+    * argument that makes the Spark batch apply order-free. Merge ranks are
+    * data-driven (earlier rounds' accepted counts), so an under-accepting
+    * round misaligns the unroll and fails the gate loudly. */
+  private def bpeBatchedOracle: String = {
+    val rounds = (BpeMergeCount + BpeBatchSize - 1) / BpeBatchSize
+    val base = Seq(
+      toksCte,
+      """wf AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
+      """seg0 AS MATERIALIZED (SELECT cnt,
+        |           array_to_string(list_transform(range(len(word)),
+        |             i -> word[i+1:i+1]), ' ') || ' </w>' AS s
+        |         FROM wf)""".stripMargin)
+    val layers = (0 until rounds).flatMap { k =>
+      val want = math.min(BpeMergeCount - k * BpeBatchSize, BpeBatchSize)
+      val pair =
+        s"""p$k AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
+           |        FROM (SELECT cnt, parts[i+1] AS l, parts[i+2] AS r
+           |              FROM (SELECT cnt, parts, unnest(range(len(parts) - 1)) AS i
+           |                    FROM (SELECT cnt, string_split(s, ' ') AS parts
+           |                          FROM seg$k)))
+           |        GROUP BY 1, 2)""".stripMargin
+      val cand =
+        s"""c$k AS MATERIALIZED (SELECT l, r, w, rn FROM (
+           |        SELECT l, r, w,
+           |          row_number() OVER (ORDER BY w DESC, l, r) AS rn
+           |        FROM p$k) WHERE rn <= ${want * 3})""".stripMargin
+      val ok = s"(s.n < $want AND c.w >= 2 AND NOT list_contains(s.used, c.l)" +
+        " AND NOT list_contains(s.used, c.r))"
+      val sel =
+        s"""sel$k(rn, n, used, acc) AS (
+           |  SELECT CAST(0 AS BIGINT), 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT c.rn,
+           |    CASE WHEN $ok THEN s.n + 1 ELSE s.n END,
+           |    CASE WHEN $ok THEN s.used || [c.l, c.r] ELSE s.used END,
+           |    CASE WHEN $ok
+           |         THEN s.acc || [c.l || chr(9) || c.r || chr(9) || CAST(c.w AS VARCHAR)]
+           |         ELSE s.acc END
+           |  FROM sel$k s JOIN c$k c ON c.rn = s.rn + 1)""".stripMargin
+      val accepted =
+        s"""bt$k AS MATERIALIZED (SELECT CAST(u[2] AS INT) - 1 AS idx,
+           |          string_split(u[1], chr(9))[1] AS l,
+           |          string_split(u[1], chr(9))[2] AS r,
+           |          CAST(string_split(u[1], chr(9))[3] AS BIGINT) AS w
+           |        FROM (SELECT unnest(list_zip(acc, range(1, len(acc) + 1))) AS u
+           |              FROM sel$k WHERE rn = (SELECT max(rn) FROM c$k)))""".stripMargin
+      val pivot = {
+        val cols = (0 until BpeBatchSize).map(i =>
+          s"max(CASE WHEN idx = $i THEN l END) AS l$i, " +
+            s"max(CASE WHEN idx = $i THEN r END) AS r$i").mkString(",\n          ")
+        s"""pv$k AS MATERIALIZED (SELECT
+           |          $cols
+           |        FROM bt$k)""".stripMargin
+      }
+      val reseg = if (k == rounds - 1) Nil else {
+        val branches = (0 until BpeBatchSize).map { i =>
+          s"""WHEN b.l$i IS NOT NULL AND acc = b.l$i AND x = b.r$i THEN b.l$i || b.r$i
+             |       WHEN b.l$i IS NOT NULL AND len(acc) > len(b.l$i)
+             |            AND acc[len(acc)-len(b.l$i):] = ' ' || b.l$i AND x = b.r$i
+             |         THEN acc[1:len(acc)-len(b.l$i)-1] || ' ' || b.l$i || b.r$i""".stripMargin
+        }.mkString("\n       ")
+        Seq(
+          s"""seg${k + 1} AS MATERIALIZED (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+             |  CASE $branches
+             |       ELSE acc || ' ' || x END) AS s
+             |  FROM seg$k, pv$k b)""".stripMargin)
+      }
+      Seq(pair, cand, sel, accepted, pivot) ++ reseg
+    }
+    val selects = (0 until rounds).map { k =>
+      val offset =
+        if (k == 0) "0"
+        else (0 until k).map(j => s"(SELECT count(*) FROM bt$j)").mkString(" + ")
+      s"""SELECT CAST($offset + idx AS INT) AS "rank", l AS "left", r AS "right", l || r AS merged, w AS weight FROM bt$k"""
+    }
+    (base ++ layers).mkString("WITH RECURSIVE ", ",\n", "\n") +
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
   }
 
@@ -422,6 +521,19 @@ object TrainingDataQueries extends QueryPack {
     "bpe_merges" -> ((s, dir) => {
       BpeLearn.learnTable(s, Tables.documents(s, dir),
         numMerges = BpeMergeCount).localCheckpoint(true).orderBy(col("rank"))
+    }),
+
+    // The BATCHED production path (numMerges/batchSize driver round-trips
+    // instead of numMerges): same merge count, batchSize=4 symbol-disjoint
+    // merges accepted per round from exact batch-start counts. The oracle
+    // replays the greedy disjoint selection recursively — this gate pins
+    // the batched contract itself, not just its batchSize=1 degeneration
+    // (which the equivalence spec covers).
+    "bpe_merges_batched" -> ((s, dir) => {
+      import s.implicits._
+      BpeLearn.learnBatched(Tables.documents(s, dir),
+        numMerges = BpeMergeCount, batchSize = BpeBatchSize).toDF()
+        .localCheckpoint(true).orderBy(col("rank"))
     }),
 
     // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
@@ -1086,6 +1198,129 @@ object TrainingDataQueries extends QueryPack {
         keyCol = "source", salt = "gs")
         .select(col("doc_id"), col("source"), col("split"))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // ——— THE COMPOSED CURATION PIPELINE: the chain a real corpus pass
+    // executes, as ONE oracle-gated artifact. Every stage is a first-class
+    // operator that also carries its own individual gate; this gate proves
+    // they compose — each stage consumes the previous stage's actual
+    // output, and one DuckDB oracle replays the whole chain:
+    //   URL canonicalize (domain) → mojibake repair (a 1-in-13 slice ships
+    //   the corrupted suffix, so the repair does real work and its output
+    //   feeds everything downstream) → language id (computed over the
+    //   repaired text and hash-checked per row; on this corpus it
+    //   collapses to 'en' for every quality survivor, so the DECLARED
+    //   lang drives the mix strata — langid as verification signal, the
+    //   realistic arrangement when the two agree) → Gopher quality
+    //   filter → benchmark holdout (doc_id % 97 == 0 never trains) →
+    //   exact-dup + n-gram-Jaccard detectors → connected components →
+    //   keep-BEST (longest member survives) → decontamination vs the
+    //   holdout (3-gram contamination ≥ 0.2 dropped — at 3-gram length
+    //   every doc shares SOME common phrases with a benchmark this size,
+    //   so the leak rule is "a fifth of the doc's shingles": 0 drops at
+    //   sf0.01, 10 at sf0.1, and the anti-join is parity-gated at both
+    //   scales) → temperature mix
+    //   (α = 0.5, token-weighted over lang) → train/val/test split →
+    //   sequence packing → shard assignment → epoch interleave
+    //   (the last three over the train split only; -1 marks non-train).
+    // Output: one row per mixed document with its full curation metadata,
+    // text_md5 hash-checking the entire text-transformation prefix.
+    "corpus_pipeline" -> ((s, dir) => {
+      import graft.operators.{Decontaminate, Packing, Sampling, TextNormalize, UrlOps}
+      val raw = Tables.documents(s, dir)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "HTTPS").otherwise(lit("HTTP")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, ":443")
+          .when(col("doc_id") % 3 === 1, ":8080").otherwise(lit("")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "?utm_source=x&b=2&a=1&fbclid=zz")
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(lit("")))
+      // stages 1+2: registered domain off the canonicalized URL; mojibake
+      // repair over the slice that ships mis-decoded bytes. Checkpointed:
+      // langid, the Gopher battery, both dedup detectors and the
+      // decontamination leg all re-read this frame.
+      val fixed = raw
+        .select(col("doc_id"), col("lang"), url.as("__u"),
+          when(col("doc_id") % 13 === 7,
+            concat(col("text"), lit(TextNormalize.asMojibake(MojibakePhrase))))
+            .otherwise(col("text")).as("__t"))
+        .select(col("doc_id"), col("lang"),
+          UrlOps.registeredDomain(UrlOps.host(col("__u"))).as("domain"),
+          TextNormalize.fixMojibake(col("__t")).as("text"))
+        .localCheckpoint(true)
+      // stage 3: language id over the REPAIRED text (bound token column —
+      // HOF lambdas don't CSE)
+      val langed = fixed
+        .withColumn("__lt", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("plang", TextAnalysis.predictedLangFromTokens(col("__lt")))
+        .select(col("doc_id"), col("lang"), col("domain"), col("text"),
+          col("plang"))
+      // stage 4: Gopher battery; stage 5: the eval slice never trains
+      val keepIds = TextAnalysis.gopherRules(fixed)
+        .filter(col("gopher_keep")).select(col("doc_id"))
+      val pool = langed.join(keepIds, Seq("doc_id"))
+        .filter(col("doc_id") % 97 =!= 0)
+        .localCheckpoint(true)
+      val bench = fixed.filter(col("doc_id") % 97 === 0)
+      // stage 6: detectors → components → keep-best (longest member wins)
+      val jp = Dedup.jaccardPairs(pool, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = pool
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      val comps = Dedup.connectedComponents(jp.unionByName(ep))
+      val kept = Dedup.applyKeepListBest(pool, comps,
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      // stage 7: decontaminate the survivors against the holdout
+      val cont = Decontaminate.overlap(kept, bench, k = 3)
+        .filter(col("contamination") >= 0.2).select(col("doc_id"))
+      val clean = kept.join(cont, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      // stage 8: temperature-flattened mix over the declared language
+      val mixed = Sampling.temperatureMix(clean, "lang", alpha = 0.5,
+        keyCol = "doc_id", weightCol = Some("n_tokens"), salt = "cptm")
+      // stage 9: leak-free split assignment
+      val split = Sampling.splitAssign(mixed,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        keyCol = "doc_id", salt = "cpsp")
+        .localCheckpoint(true)
+      // stages 10-12 over the train split
+      val train = split.filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      val packed = Packing.packByBudget(train, "n_tokens", budget = 2048,
+        keyCol = "doc_id", numBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("example_id"))
+      val sharded = Packing.shardAssign(train.select(col("doc_id")),
+        numShards = 4, keyCol = "doc_id", salt = "cpsh")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      val epoch = Packing.epochInterleave(
+        train.select(col("doc_id"), col("lang")),
+        strataCol = "lang", keyCol = "doc_id", salt = "cpep")
+        .select(col("doc_id"), col("epoch_rank"), col("order_key"))
+      val out = split
+        .select(col("doc_id"), col("domain"), col("lang"), col("plang"),
+          col("n_tokens"),
+          md5(col("text").cast("binary")).as("text_md5"), col("split"))
+        .join(packed, Seq("doc_id"), "left")
+        .join(sharded, Seq("doc_id"), "left")
+        .join(epoch, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("domain"), col("lang"), col("plang"),
+          col("n_tokens"), col("text_md5"), col("split"),
+          coalesce(col("bucket").cast("long"), lit(-1L)).as("pack_bucket"),
+          coalesce(col("example_id"), lit(-1L)).as("example_id"),
+          coalesce(col("shard").cast("long"), lit(-1L)).as("shard"),
+          coalesce(col("pos_in_shard"), lit(-1L)).as("pos_in_shard"),
+          coalesce(col("epoch_rank"), lit(-1L)).as("epoch_rank"),
+          coalesce(col("order_key"), lit(-1.0)).as("order_key"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+      Dedup.releaseIntermediateCaches()
+      out
     })
   )
 
@@ -1121,7 +1356,181 @@ object TrainingDataQueries extends QueryPack {
        |       (min(lab) = id) AS is_canonical
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Generated DuckDB oracle replaying the COMPOSED curation chain — see
+    * the `corpus_pipeline` query for the stage list. Every stage reuses its
+    * individual gate's oracle formulation, re-rooted on the previous
+    * stage's CTE instead of the raw table; the dedup closure is the same
+    * recursive min-label walk as [[componentsOracle]] with the keep-BEST
+    * winner rule, and the packing/sharding/interleave tails are the
+    * single-window reference formulations (so pipeline parity doubles as
+    * two-phase-exactness evidence for the composed plan too). */
+  private lazy val corpusPipelineOracle: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val corrupted = esc(graft.operators.TextNormalize.asMojibake(MojibakePhrase))
+    // ONE repair chain over a CASE input — exactly the Spark shape
+    // (fixMojibake applied to the conditionally-corrupted column)
+    val fixInput = s"(CASE WHEN doc_id % 13 = 7 THEN text || '$corrupted' ELSE text END)"
+    val fixChain = graft.operators.TextNormalize.MojibakeTable
+      .foldLeft(fixInput) { case (acc, (bad, good)) =>
+        s"replace($acc, '${esc(bad)}', '${esc(good)}')"
+      }
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
+    val slTlds = graft.operators.UrlOps.SecondLevelTlds
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH RECURSIVE
+       |u AS MATERIALIZED (SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END)
+       |    || '://WWW.' || source || '.Example.COM'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+       |             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+       |    || '/Path/' || CAST(doc_id AS VARCHAR)
+       |    || (CASE WHEN doc_id % 2 = 0
+       |             THEN '?utm_source=x&b=2&a=1&fbclid=zz' ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+       |  FROM documents),
+       |pu AS MATERIALIZED (SELECT doc_id,
+       |    lower(regexp_extract(regexp_extract(url, '$pat', 2), '^([^:]*)', 1)) AS h
+       |  FROM u),
+       |dom AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN len(l) <= 2 THEN h
+       |         WHEN array_to_string(l[-2:], '.') IN ($slTlds)
+       |           THEN array_to_string(l[-3:], '.')
+       |         ELSE array_to_string(l[-2:], '.') END AS domain
+       |  FROM (SELECT doc_id, h, string_split(h, '.') AS l FROM pu)),
+       |fx AS MATERIALIZED (SELECT doc_id, $fixChain AS text FROM documents),
+       |toks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM fx),
+       |lt AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t FROM fx),
+       |sc AS MATERIALIZED (SELECT doc_id,
+       |  len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS score_de,
+       |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS score_en,
+       |  len(list_filter(t, x -> x IN ('el','la','de','y'))) AS score_es,
+       |  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS score_fr,
+       |  len(list_filter(t, x -> x IN ('de','shi','le','he'))) AS score_zh
+       |  FROM lt),
+       |pl AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+       |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+       |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+       |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+       |       WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS plang
+       |  FROM sc),
+       |gm AS MATERIALIZED (SELECT d.doc_id, len(t) AS n_words,
+       |    coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS char_sum,
+       |    len(d.text) - len(replace(d.text, '#', '')) AS n_hash,
+       |    CAST((len(d.text) - len(replace(d.text, '...', ''))) / 3 AS INT) AS n_ell,
+       |    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+       |    len(list_filter(t, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stop
+       |  FROM toks JOIN fx d USING (doc_id)),
+       |keepq AS MATERIALIZED (SELECT doc_id FROM (
+       |    SELECT doc_id, n_words, n_stop,
+       |      CASE WHEN n_words > 0 THEN CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mwl,
+       |      CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS swr,
+       |      CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS awf
+       |    FROM gm)
+       |  WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+       |    AND swr < 0.1 AND awf >= 0.8 AND n_stop >= 2),
+       |pool AS MATERIALIZED (SELECT f.doc_id, f.text FROM fx f JOIN keepq USING (doc_id)
+       |         WHERE f.doc_id % 97 <> 0),
+       |sha AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
+       |          CASE WHEN len(t) >= 3
+       |               THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+       |               ELSE [array_to_string(t, ' ')] END)) AS shingle
+       |        FROM toks),
+       |sh AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sha s JOIN pool USING (doc_id)),
+       |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |jp AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b
+       |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+       |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+       |epr AS MATERIALIZED (SELECT a, b FROM (
+       |          SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+       |          FROM pool) WHERE a <> b),
+       |edges AS MATERIALIZED (SELECT a, b FROM jp UNION SELECT a, b FROM epr
+       |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM epr),
+       |walk(id, lab) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+       |memb AS MATERIALIZED (SELECT id, min(lab) AS comp FROM walk GROUP BY id),
+       |scored AS MATERIALIZED (SELECT m.id, m.comp, len(t.t) AS q
+       |           FROM memb m JOIN toks t ON t.doc_id = m.id),
+       |win AS MATERIALIZED (SELECT id FROM (
+       |          SELECT id, row_number() OVER (PARTITION BY comp
+       |            ORDER BY q DESC, id) AS rn
+       |          FROM scored) WHERE rn = 1),
+       |kept AS MATERIALIZED (SELECT doc_id FROM pool WHERE doc_id NOT IN (
+       |           SELECT s.id FROM scored s WHERE s.id NOT IN (SELECT id FROM win))),
+       |cont AS MATERIALIZED (SELECT t.doc_id
+       |         FROM (SELECT s.doc_id, s.shingle FROM sh s JOIN kept USING (doc_id)) t
+       |         LEFT JOIN (SELECT DISTINCT shingle FROM sha WHERE doc_id % 97 = 0) b
+       |           USING (shingle)
+       |         GROUP BY 1
+       |         HAVING CAST(count(b.shingle) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.2),
+       |clean AS MATERIALIZED (SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |cd AS MATERIALIZED (SELECT c.doc_id, d.lang, CAST(len(t.t) AS BIGINT) AS n_tokens
+       |       FROM clean c JOIN documents d USING (doc_id)
+       |       JOIN toks t ON t.doc_id = c.doc_id),
+       |wts AS MATERIALIZED (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS w
+       |        FROM cd GROUP BY 1 HAVING sum(n_tokens) > 0),
+       |mws AS MATERIALIZED (SELECT min(w) AS mw FROM wts),
+       |thr AS MATERIALIZED (SELECT lang, CAST(floor(pow(mw / w, 0.5) * 1e6) AS BIGINT) AS tm
+       |        FROM wts, mws),
+       |th AS MATERIALIZED (SELECT lang,
+       |         CASE WHEN tm >= 1000000 THEN 'g'
+       |              ELSE printf('%08x', CAST(floor(
+       |                CAST(tm AS DOUBLE) * 4294967296 / 1000000) AS BIGINT))
+       |         END AS h
+       |       FROM thr),
+       |mix AS MATERIALIZED (SELECT cd.doc_id, cd.lang, cd.n_tokens
+       |        FROM cd JOIN th USING (lang)
+       |        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':cptm'), 1, 8) < h),
+       |spl AS MATERIALIZED (SELECT doc_id, lang, n_tokens,
+       |          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cpsp'), 1, 8) < 'cccccccc' THEN 'train'
+       |               WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cpsp'), 1, 8) < 'e6666666' THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM mix),
+       |tr AS MATERIALIZED (SELECT * FROM spl WHERE split = 'train'),
+       |pk AS MATERIALIZED (SELECT doc_id, bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS example_id
+       |       FROM (SELECT doc_id, n_tokens, bucket,
+       |               sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |             FROM (SELECT doc_id, n_tokens,
+       |                     CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+       |                   FROM tr))),
+       |shd AS MATERIALIZED (SELECT doc_id, CAST(pos % 4 AS INT) AS shard, pos // 4 AS pos_in_shard
+       |        FROM (SELECT doc_id,
+       |                row_number() OVER (ORDER BY
+       |                  substring(md5(CAST(doc_id AS VARCHAR) || ':cpsh'), 1, 8), doc_id) - 1 AS pos
+       |              FROM tr)),
+       |epo AS MATERIALIZED (SELECT r.doc_id, r.epoch_rank,
+       |          (CAST(r.epoch_rank AS DOUBLE) + 0.5) / CAST(n.ns AS DOUBLE) AS order_key
+       |        FROM (SELECT doc_id, lang,
+       |                CAST(row_number() OVER (PARTITION BY lang ORDER BY
+       |                  substring(md5(CAST(doc_id AS VARCHAR) || ':cpep'), 1, 8), doc_id)
+       |                  AS BIGINT) - 1 AS epoch_rank
+       |              FROM tr) r
+       |        JOIN (SELECT lang, count(*) AS ns FROM tr GROUP BY 1) n USING (lang))
+       |SELECT s.doc_id, d.domain, s.lang, pl.plang, s.n_tokens,
+       |  md5(f.text) AS text_md5, s.split,
+       |  coalesce(CAST(pk.bucket AS BIGINT), -1) AS pack_bucket,
+       |  coalesce(pk.example_id, -1) AS example_id,
+       |  coalesce(CAST(shd.shard AS BIGINT), -1) AS shard,
+       |  coalesce(shd.pos_in_shard, -1) AS pos_in_shard,
+       |  coalesce(epo.epoch_rank, -1) AS epoch_rank,
+       |  coalesce(epo.order_key, -1.0) AS order_key
+       |FROM spl s JOIN dom d USING (doc_id) JOIN fx f USING (doc_id)
+       |JOIN pl USING (doc_id)
+       |LEFT JOIN pk USING (doc_id) LEFT JOIN shd USING (doc_id)
+       |LEFT JOIN epo USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "corpus_pipeline" -> corpusPipelineOracle,
     // greedy longest-match reimplemented as a recursive CTE: each step
     // advances by the longest vocab entry matching at `pos` (or 1 char for
     // UNK) and counts 1 — the per-word fixpoint row count is the subword
@@ -1246,6 +1655,8 @@ object TrainingDataQueries extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "bpe_merges" -> bpeOracle,
+
+    "bpe_merges_batched" -> bpeBatchedOracle,
 
     "pq_codes" -> pqOracle,
 
