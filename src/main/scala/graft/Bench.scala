@@ -98,25 +98,31 @@ object Bench {
       }
   }
 
-  /** (system-wide non-idle jiffies summed over all cpus, jiffies of this
-    * process AND its launcher ancestry). The difference's growth rate is
-    * CPU burned by UNRELATED processes — a contention measure that stays
-    * meaningful while this JVM's own 32 threads are saturated (loadavg
-    * does not). Ancestors (the sbt/shell chain) are folded into the
-    * "own" side: a parent sbt JVM streaming our logs burns ~1 core and
-    * is part of the harness, not ambient contention. */
+  /** (system-wide USER-MODE jiffies summed over all cpus, user-mode
+    * jiffies of this process AND its launcher ancestry). The difference's
+    * growth rate is CPU burned by UNRELATED processes — a contention
+    * measure that stays meaningful while this JVM's own 32 threads are
+    * saturated (loadavg does not). USER-mode only, both sides: kernel
+    * `system` time includes writeback/compaction kthreads our own
+    * checkpoint- and shuffle-heavy queries induce (measured 2-4 "cores"
+    * during dedup BSP reps on an otherwise idle machine — self-inflicted,
+    * not contention), while a competing workload's burn is user time.
+    * `steal` stays included: hypervisor-level neighbors are exactly the
+    * contention the flag exists for. Ancestors (the sbt/shell chain) are
+    * folded into the "own" side: a parent sbt JVM streaming our logs
+    * burns ~1 core and is part of the harness. */
   private def cpuJiffies(): (Long, Long) = {
     val sysBusy = try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      // user+nice+system+irq+softirq+steal; idle and iowait excluded
-      f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
+      // user + nice + steal; system/irq/softirq excluded (see above)
+      f(0) + f(1) + (if (f.length > 7) f(7) else 0L)
     } catch { case _: Throwable => 0L }
     def procJiffies(pid: Long): Long = try {
       val stat = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"/proc/$pid/stat")))
       val f = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
-      f(11).toLong + f(12).toLong // utime + stime (all threads)
+      f(11).toLong // utime (all threads, user mode)
     } catch { case _: Throwable => 0L }
     (sysBusy, selfAndAncestors().toSeq.map(procJiffies).sum)
   }
@@ -167,6 +173,7 @@ object Bench {
     val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
     foreignSeen ++= jvmsBefore
     var extSeen = 0.0 // max per-rep external-cpu cores observed anywhere
+    var extHits = 0   // reps above the threshold (1 transient spike ≠ taint)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle before each query (GC itself happens per rep inside once())
       Thread.sleep(100)
@@ -210,6 +217,7 @@ object Bench {
       val times = reps.map(_._1)
       val exts = reps.map(_._2)
       extSeen = math.max(extSeen, if (exts.isEmpty) 0.0 else exts.max)
+      extHits += exts.count(_ > ExtCoresTaint)
       val median = times.sorted.apply(times.length / 2)
       val minT = times.min
       System.err.println(
@@ -219,7 +227,10 @@ object Bench {
     val loadAfter = loadavg()
     foreignSeen ++= foreignJvms()
     val foreign = foreignSeen.toSeq
-    val extTainted = extSeen > ExtCoresTaint
+    // a single offending rep is a transient (one kernel hiccup, one stray
+    // short-lived process) and its query's min-of-reps already sheds it;
+    // sustained contention hits many reps
+    val extTainted = extHits > 1
     val tainted = foreign.nonEmpty || loadTainted || extTainted
     val qs = results.map { case (k, mn, _, _, _, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")

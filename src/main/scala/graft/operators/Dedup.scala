@@ -434,10 +434,15 @@ object Dedup {
     * that job (`Dataset.observe` riding the eager checkpoint — delivery is
     * spec-pinned) instead of running any job of its own; if the metric is
     * ever missing, a scalar aggregation over the checkpointed blocks is
-    * the exact fallback. Round 1 is folded into initialization: with
-    * identity labels, one propagation round IS `min(id, min(neighbors))`,
-    * a single aggregation over the edge list — no join, no probe (labels
-    * always change on round 1).
+    * the exact fallback. Rounds 1 AND 2 are folded into initialization:
+    * with identity labels, one propagation round IS
+    * `min(id, min(neighbors))` — a single aggregation over the edge list —
+    * and the second is one more join + aggregation over that label frame,
+    * with no checkpoint between them and no probe (the loop's convergence
+    * evidence always compares within its own round). Near-dup clusters
+    * have diameter 2-4, so the folded init covers distance-2 reach
+    * outright and the FIRST probed round both finishes diameter-3/4
+    * graphs and proves fixpoint for diameter ≤ 2.
     * Every round ends in an eager localCheckpoint so the
     * logical plan — not just the data — stays round-sized (persist alone
     * leaves analysis re-walking every previous round's nested plan).
@@ -455,18 +460,18 @@ object Dedup {
     * Only ids appearing in `pairs` are emitted (singletons are trivially
     * canonical and usually vastly outnumber members — callers anti-join).
     *
-    * `maxIter` counts TOTAL propagation rounds including the one folded
+    * `maxIter` counts TOTAL propagation rounds including the TWO folded
     * into initialization — but convergence is only observable from round
-    * 2 onward (the probe rides each round's label update), so the minimum
-    * usable budget is 2: a graph already at fixpoint after the folded
-    * round still needs one probe round to prove it. */
+    * 3 onward (the probe rides each probed round's label update), so the
+    * minimum usable budget is 3: a graph already at fixpoint after the
+    * folded rounds still needs one probe round to prove it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 25,
                           reliableCheckpoints: Boolean = false): DataFrame = {
-    require(maxIter >= 2,
-      s"maxIter=$maxIter: the budget counts the round folded into " +
-        "initialization, and convergence is first observable on round 2 — " +
-        "pass maxIter >= 2")
+    require(maxIter >= 3,
+      s"maxIter=$maxIter: the budget counts the two rounds folded into " +
+        "initialization, and convergence is first observable on round 3 — " +
+        "pass maxIter >= 3")
     def checkpointed(df: DataFrame): DataFrame =
       if (!reliableCheckpoints) df.localCheckpoint(true)
       else {
@@ -497,12 +502,22 @@ object Dedup {
         .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
     if (!callerPersisted) p.unpersist()
-    // round 1 folded into initialization: the symmetric closure makes every
-    // vertex a `src`, so min(src, min(dst)) IS the first propagation round —
-    // one aggregation over edges replaces the old identity-label round's
-    // checkpoint + join + probe (labels always change on round 1 anyway)
-    var labels = checkpointed(edges.groupBy(col("src").as("id"))
-      .agg(least(first(col("src")), min(col("dst"))).as("comp")))
+    // rounds 1 AND 2 folded into initialization: the symmetric closure
+    // makes every vertex a `src`, so min(src, min(dst)) IS the first
+    // propagation round (one aggregation over edges), and the second is
+    // one join + aggregation over that label frame — label1 appears twice
+    // in the plan (self + propagated branch), which re-runs the small
+    // edge aggregation against edges' CHECKPOINTED blocks, cheaper than
+    // interposing another eager checkpoint. Neither folded round probes:
+    // labels may change in either without affecting the loop's evidence
+    // (the probe always compares within its own round).
+    val label1 = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("comp"))
+    var labels = checkpointed(label1
+      .unionByName(edges
+        .join(label1.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp")))
+      .groupBy("id").agg(min("comp").as("comp")))
     // Each round ends in an EAGER localCheckpoint: caching alone is not
     // enough for iterative plans — the logical plan still nests every
     // previous round, so driver-side analysis/optimization grows per round
@@ -514,7 +529,7 @@ object Dedup {
     // contributes null there, and min() ignores nulls — so `prev` survives
     // the groupBy and the probe is a scalar agg over the checkpointed
     // blocks instead of a second join job per round.
-    var iter = 1
+    var iter = 2
     var converged = false
     while (!converged && iter < maxIter) {
       val propagated = edges

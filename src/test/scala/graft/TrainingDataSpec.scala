@@ -613,14 +613,21 @@ class TrainingDataSpec extends AnyFunSuite {
   }
 
   test("connectedComponents rejects a round budget below the observable minimum") {
-    // maxIter counts the round folded into initialization; convergence is
-    // first observable on round 2, so maxIter=1 can never succeed — it must
-    // fail fast at the API, not report a phantom non-convergence
+    // maxIter counts the TWO rounds folded into initialization; convergence
+    // is first observable on round 3, so maxIter <= 2 can never succeed —
+    // it must fail fast at the API, not report a phantom non-convergence
     val pairs = Seq((1L, 2L)).toDF("a", "b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, maxIter = 1)
+    for (bad <- Seq(1, 2)) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, maxIter = bad)
+      }
+      assert(e.getMessage.contains("maxIter"))
     }
-    assert(e.getMessage.contains("maxIter"))
+    // the minimum usable budget converges a diameter-<=2 graph
+    val out = Dedup.connectedComponents(pairs, maxIter = 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, _) => id -> c }.toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
   }
 
   test("releaseIntermediateCaches drops the pair pipelines' parked caches") {
