@@ -21,16 +21,18 @@ import org.apache.spark.sql.functions._
   *    may legally differ in the last ulp, which a hash gate would catch;
   *  - per-document gradient contributions quantize to integer MICRO units
   *    and integer-sum across the corpus (exact, order-free); only the
-  *    driver's per-iteration weight update runs in doubles, on identical
-  *    inputs with identical expression shape both engines reproduce.
+  *    per-iteration weight update runs in doubles, on identical inputs
+  *    with identical expression shape both engines reproduce.
   *
   * Scale shape: the feature frame (doc_id, label, buckets+1 doubles) is
   * built once — one narrow aggregation with conditional sums, no pivot, no
-  * explode-regroup — and persisted; each iteration is then ONE map-side-
+  * explode-regroup — and persisted; each iteration is ONE map-side-
   * combined scalar aggregation over it (buckets+1 integer sums + a count)
-  * and a driver update of buckets+1 doubles. Iterations cost no shuffle of
-  * the corpus, and the model never exists as anything but literals in the
-  * scoring projection — scoring is shuffle-free.
+  * followed by a one-row weight projection, and the WHOLE trajectory is
+  * one chained query executed by a single collect (see [[train]]).
+  * Iterations cost no shuffle of the corpus, and the model never exists as
+  * anything but literals in the scoring projection — scoring is
+  * shuffle-free.
   */
 object QualityModel {
 
@@ -47,9 +49,16 @@ object QualityModel {
   def features(docs: DataFrame, buckets: Int, labelExpr: Column,
                idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    // explode(split) + a ROW filter, not explode(tokens(...)): the token
+    // multiset is identical (empties dropped either way, and a blank-only
+    // doc drops entirely in both shapes), but ArrayFilter is
+    // CodegenFallback — interpreting it under a corpus-wide explode cost
+    // ~2× on the whole feature build — while split/explode/filter-row
+    // stay inside whole-stage codegen
     val tok = docs
       .select(col(idCol).as("doc_id"), labelExpr.cast("double").as("y"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
       .withColumn("__b", bucketOf(col("tok"), buckets))
     // .otherwise(0L) is load-bearing: without it a bucket no token hits
     // sums to NULL (not 0), nulling the margin and silently dropping the
@@ -88,12 +97,17 @@ object QualityModel {
   }
 
   /** z in NANO units as an integer column over a feature row: each
-    * w_j·x_j product rounds to nanos independently, the sum is exact. */
-  private def zNano(w: Array[Double], buckets: Int): Column =
+    * w_j·x_j product rounds to nanos independently, the sum is exact.
+    * Weights may be literals (scoring) or columns (the fused training
+    * plan) — the multiply is the same IEEE op either way. */
+  private def zNanoOf(w: Int => Column, buckets: Int): Column =
     (0 until buckets).map(j =>
-      round(lit(w(j)) * col(s"x$j") * lit(1e9)).cast("long"))
+      round(w(j) * col(s"x$j") * lit(1e9)).cast("long"))
       .reduce(_ + _) +
-      round(lit(w(buckets)) * lit(1.0) * lit(1e9)).cast("long")
+      round(w(buckets) * lit(1.0) * lit(1e9)).cast("long")
+
+  private def zNano(w: Array[Double], buckets: Int): Column =
+    zNanoOf(j => lit(w(j)), buckets)
 
   /** Fast sigmoid over a nano-quantized margin. EXPRESSION SHAPE IS
     * CONTRACT: the oracle mirrors it verbatim — change both or neither. */
@@ -103,34 +117,62 @@ object QualityModel {
   }
 
   /** Train `iters` full-batch GD steps from w = 0; returns the learned
-    * weights (length buckets+1, bias last). The feature frame is
-    * persisted for the loop and released before returning. */
+    * weights (length buckets+1, bias last).
+    *
+    * The whole trajectory is built as ONE chained plan — per step, the
+    * current one-row weight frame broadcast-crossJoins the persisted
+    * features, the gradient sums aggregate, and the next weights are a
+    * projection over that one row — and a single collect at the end
+    * executes it. GD steps therefore cost exchanges inside one query, not
+    * `iters` separate collect round-trips (the old shape: ~0.6 s of fixed
+    * job latency per step at sf0.1, iteration- not data-bound). The
+    * weight-update expression `w - lr * ((g / 1e6) / n)` runs the exact
+    * IEEE ops the driver loop ran, on the same integer-exact gradient
+    * sums, so the trajectory — and the unrolled-CTE oracle — is unchanged
+    * bit for bit. */
   def train(feats: DataFrame, buckets: Int, iters: Int, lr: Double)
       : Array[Double] = {
     require(iters >= 1, s"iters=$iters: need at least one step")
     val f = feats.persist()
+    val spark = feats.sparkSession
+    // AQE off for the trajectory query only: every exchange here is a
+    // 1-row aggregate or broadcast, and AQE's per-exchange query-stage
+    // materialization is pure fixed cost at that size (measured 2.8 s ->
+    // 1.6 s for 8 steps at sf0.1, identical weights). Conf flips are
+    // session-scoped; a concurrent query compiled in this window would
+    // plan without AQE — correct, just unoptimized — and the flag is
+    // restored before returning.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val w = Array.fill(buckets + 1)(0.0)
+      var wdf = spark.range(1)
+        .select((0 to buckets).map(j => lit(0.0).as(s"w$j")): _*)
       var it = 0
       while (it < iters) {
-        val resid = sigmoid(zNano(w, buckets)) - col("y")
+        val resid = sigmoid(zNanoOf(j => col(s"w$j"), buckets)) - col("y")
         val gs = (0 until buckets).map(j =>
           sum(round(resid * col(s"x$j") * lit(1e6)).cast("long"))
             .as(s"g$j")) :+
           sum(round(resid * lit(1.0) * lit(1e6)).cast("long"))
             .as(s"g$buckets") :+ count(lit(1)).as("n")
-        val row = f.agg(gs.head, gs.tail: _*).head()
-        val n = row.getLong(buckets + 1)
-        var j = 0
-        while (j <= buckets) {
-          // identical expression shape to the oracle's weight CTE
-          w(j) = w(j) - lr * ((row.getLong(j).toDouble / 1e6) / n)
-          j += 1
-        }
+        // weights are constant across the crossJoined rows; min() carries
+        // them through the aggregation to the next projection
+        val carry = (0 to buckets).map(j => min(col(s"w$j")).as(s"w$j"))
+        val all = gs ++ carry
+        wdf = f.crossJoin(broadcast(wdf))
+          .agg(all.head, all.tail: _*)
+          .select((0 to buckets).map(j =>
+            (col(s"w$j") - lit(lr) *
+              ((col(s"g$j").cast("double") / lit(1e6)) /
+                col("n").cast("double"))).as(s"w$j")): _*)
         it += 1
       }
-      w
-    } finally f.unpersist()
+      val row = wdf.head()
+      Array.tabulate(buckets + 1)(row.getDouble)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      f.unpersist()
+    }
   }
 
   /** Score a feature frame under learned weights: margin in nano units,
