@@ -170,4 +170,118 @@ object LanguageModel {
           .when(col("ppx") <= col("__c2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** The tercile cuts [[perplexityBuckets]] fits internally, as a
+    * persistable (langCol, c1, c2) frame — the FIT half of the CCNet
+    * split. Batch-compute these once (plus the [[ngramCounts]] model),
+    * then label an ingest stream with [[bucketsStateless]]. */
+  def perplexityCuts(docs: DataFrame, model: DataFrame, n: Int = 2,
+                     addK: Double = 1.0, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     langCol: String = "lang"): DataFrame =
+    scoreDocuments(docs, model, n, addK, idCol, textCol)
+      .filter(col("n_trans") > 0)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol)), Seq("doc_id"))
+      .select(col(langCol),
+        (-col("lm_score").cast("double") / col("n_trans").cast("double"))
+          .as("ppx"))
+      .groupBy(col(langCol))
+      .agg(percentile(col("ppx"), lit(1.0 / 3)).as("c1"),
+        percentile(col("ppx"), lit(2.0 / 3)).as("c2"))
+
+  /** The trained model packed into ONE broadcastable row: (context␁token)
+    * → cnt map, context → total map, vocabulary size, plus a constant
+    * join key. `\\u0001` never appears in whitespace-split tokens, so the
+    * concatenated key is collision-free. */
+  private def packedModel(model: DataFrame): DataFrame = {
+    val ct = model.groupBy().agg(map_from_entries(collect_list(
+      struct(concat(col("context"), lit("\u0001"), col("token")),
+        col("cnt")))).as("__ct"))
+    val ctot = model.groupBy(col("context"))
+      .agg(sum(col("cnt")).as("__s"))
+      .groupBy().agg(map_from_entries(collect_list(
+        struct(col("context"), col("__s")))).as("__ctot"))
+    val vocab = model.select(col("token")).distinct()
+      .agg(count(lit(1)).as("__vocab"))
+    broadcast(ct.crossJoin(ctot).crossJoin(vocab).withColumn("__k", lit(1)))
+  }
+
+  /** Stateless scoring twin of [[scoreDocuments]]: the model packs into
+    * one broadcast row ([[packedModel]]) and each document's score is an
+    * in-row fold over its transition array — no explode, no join shuffle,
+    * no aggregation state — so it runs UNCHANGED on a streaming frame
+    * (append mode, no watermark), the [[Dsir.scoreStateless]] discipline.
+    * Per-transition terms are the exact [[scoreDocuments]] expression
+    * (micro-nat quantization before the sum; integer in-row fold = the
+    * batch path's any-order integer sum), spec-checked identical. Pass a
+    * CHECKPOINTED or parquet-backed model: the static side of a
+    * stream-static join re-evaluates per micro-batch. */
+  def scoreStateless(docs: DataFrame, model: DataFrame, n: Int = 2,
+                     addK: Double = 1.0, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n=$n: a language model needs at least bigrams")
+    require(addK > 0, s"addK=$addK: smoothing mass must be positive")
+    docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__k", lit(1))
+      .join(packedModel(model), Seq("__k"))
+      .withColumn("__sc", scoreFold(n, addK))
+      .select(col(idCol).as("doc_id"),
+        col("__sc.n").as("n_trans"), col("__sc.hit").as("n_hit"),
+        col("__sc.s").as("lm_score"))
+  }
+
+  /** In-row transition fold over `__toks` with the packed model columns
+    * (`__ct`, `__ctot`, `__vocab`) in scope: struct(n, hit, s) with the
+    * exact [[scoreDocuments]] per-transition term. */
+  private def scoreFold(n: Int, addK: Double): Column = {
+    val trans = when(size(col("__toks")) >= n,
+      transform(sequence(lit(n - 1), size(col("__toks")) - 1),
+        i => struct(
+          concat_ws(" ", slice(col("__toks"), i - (n - 2), lit(n - 1)))
+            .as("context"),
+          element_at(col("__toks"), i + 1).as("token"))))
+      .otherwise(array().cast("array<struct<context:string,token:string>>"))
+    aggregate(trans,
+      struct(lit(0L).as("n"), lit(0L).as("hit"), lit(0L).as("s")),
+      (acc, t) => {
+        val cnt = element_at(col("__ct"),
+          concat(t.getField("context"), lit("\u0001"), t.getField("token")))
+        val ctot = element_at(col("__ctot"), t.getField("context"))
+        val term = round(
+          log((coalesce(cnt, lit(0L)) + lit(addK)) /
+            (coalesce(ctot, lit(0L)) + lit(addK) * col("__vocab")))
+            * lit(1e6)).cast("long")
+        struct((acc.getField("n") + lit(1L)).as("n"),
+          (acc.getField("hit") +
+            when(cnt.isNotNull, 1L).otherwise(0L)).as("hit"),
+          (acc.getField("s") + term).as("s"))
+      })
+  }
+
+  /** Streaming CCNet labeling: score statelessly under a batch-trained
+    * model, then label against batch-fitted [[perplexityCuts]] via a
+    * stream-static equi-join on the language — append-mode throughout.
+    * Matches [[perplexityBuckets]] row-for-row on the corpus the cuts
+    * were fitted from (spec-enforced); on fresh stream content the cuts
+    * are the frozen calibration, which is exactly the production CCNet
+    * arrangement (the reference model and its terciles come from a
+    * trusted snapshot, not from the stream being filtered). */
+  def bucketsStateless(docs: DataFrame, model: DataFrame, cuts: DataFrame,
+                       n: Int = 2, addK: Double = 1.0,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       langCol: String = "lang"): DataFrame =
+    docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__k", lit(1))
+      .join(packedModel(model), Seq("__k"))
+      .withColumn("__sc", scoreFold(n, addK))
+      .filter(col("__sc.n") > 0)
+      .withColumn("ppx",
+        -col("__sc.s").cast("double") / col("__sc.n").cast("double"))
+      .join(cuts, Seq(langCol))
+      .select(col(idCol).as("doc_id"), col(langCol), col("ppx"),
+        when(col("ppx") <= col("c1"), lit("head"))
+          .when(col("ppx") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
 }

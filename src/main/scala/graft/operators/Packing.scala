@@ -191,6 +191,31 @@ object Packing {
         Seq(col("epoch_rank"), col("order_key"))).toSeq: _*)
   }
 
+  /** Stateless ORDER-KEY twin of [[epochInterleave]] for streaming
+    * ingest: `order_key = (draw + 0.5) / 2³²` — the document's position
+    * in the uniform-hash CDF — assigned as a pure projection, no ranks,
+    * no stratum sizes, no state. Two contracts tie it to the batch
+    * operator:
+    *  - WITHIN each stratum, sorting by (order_key, key) reproduces the
+    *    batch operator's permutation EXACTLY (both order by the same
+    *    draw; spec-enforced) — a consumer sorting a drained stream gets
+    *    the same per-stratum epoch order the batch pass would emit;
+    *  - ACROSS strata, every prefix [0, t) of the key space carries each
+    *    stratum in proportion IN EXPECTATION (each stratum's draws are
+    *    uniform), where the batch midpoint formula is proportional
+    *    exactly — the price of statelessness: exact ±1 interleaving
+    *    needs the per-stratum ranks only a batch pass can know.
+    * Null keys coalesce to the zero draw (sort first), the
+    * [[epochInterleave]] convention. */
+  def epochOrderStateless(df: DataFrame, keyCol: String,
+                          salt: String = ""): DataFrame = {
+    require(!df.columns.contains("order_key"),
+      "order_key is reserved by epochOrderStateless")
+    df.withColumn("order_key",
+      (coalesce(conv(Sampling.draw(col(keyCol), salt), 16, 10)
+        .cast("double"), lit(0.0)) + lit(0.5)) / lit(4294967296.0))
+  }
+
   /** Split long documents into fixed-token-window chunks with overlap —
     * the context-window prep step for documents longer than the training
     * sequence length (each chunk re-reads `overlap` tokens of its

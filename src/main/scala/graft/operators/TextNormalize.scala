@@ -213,14 +213,9 @@ object TextNormalize {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col("__id"), col("__dom"), col("pos").as("__pos"),
         col("col").as("__line"), xxhash64(col("col")).as("__lh"))
-    val domSizes = docs.groupBy(col(domainCol).as("__dom"))
-      .agg(count(lit(1)).as("__nd"))
-    val hot = lines.select(col("__dom"), col("__id"), col("__lh")).distinct()
-      .groupBy(col("__dom"), col("__lh")).agg(count(lit(1)).as("__df"))
-      .join(domSizes, Seq("__dom"))
-      .filter(col("__nd") >= minDomainDocs &&
-        col("__df").cast("double") > col("__nd").cast("double") * maxDocShare)
-      .select(col("__dom"), col("__lh"))
+    val hot = boilerplateTemplates(docs, maxDocShare, minDomainDocs,
+      idCol, domainCol, textCol, sep)
+      .select(col(domainCol).as("__dom"), col("line_hash").as("__lh"))
     val kept = lines.join(hot, Seq("__dom", "__lh"), "left_anti")
     val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -239,5 +234,69 @@ object TextNormalize {
         coalesce(col(textCol), lit("")).as(textCol),
         col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** The FIT half of [[scrubBoilerplate]]: each domain's template lines as
+    * a persistable (domainCol, line_hash) frame — the hot set the scrub
+    * anti-joins. Batch-fit this on a corpus snapshot, then strip an ingest
+    * stream with [[scrubBoilerplateStateless]]. */
+  def boilerplateTemplates(docs: DataFrame, maxDocShare: Double,
+                           minDomainDocs: Long = 5,
+                           idCol: String = "doc_id",
+                           domainCol: String = "source",
+                           textCol: String = "text",
+                           sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("__line"))
+      .select(col("__id"), col("__dom"), xxhash64(col("__line")).as("__lh"))
+    val domSizes = docs.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+    lines.distinct()
+      .groupBy(col("__dom"), col("__lh")).agg(count(lit(1)).as("__df"))
+      .join(domSizes, Seq("__dom"))
+      .filter(col("__nd") >= minDomainDocs &&
+        col("__df").cast("double") > col("__nd").cast("double") * maxDocShare)
+      .select(col("__dom").as(domainCol), col("__lh").as("line_hash"))
+  }
+
+  /** Stateless scrub twin of [[scrubBoilerplate]]: the batch-fitted
+    * [[boilerplateTemplates]] pack into ONE broadcast row (domain → line
+    * hashes), and each document is cleaned by an in-row filter over its
+    * own split lines — no explode, no anti-join shuffle, no reassembly
+    * aggregation — so it runs UNCHANGED on a streaming frame (append
+    * mode), the [[Dsir.scoreStateless]] discipline. Identical output to
+    * the batch scrub over the corpus the templates were fitted from
+    * (spec-enforced); on fresh stream content the templates are the
+    * frozen fit, the production arrangement (site templates come from a
+    * crawl snapshot, not from the page being ingested). */
+  def scrubBoilerplateStateless(docs: DataFrame, templates: DataFrame,
+                                idCol: String = "doc_id",
+                                domainCol: String = "source",
+                                textCol: String = "text",
+                                sep: String = "\n"): DataFrame = {
+    val packed = broadcast(templates
+      .groupBy(col(domainCol))
+      .agg(collect_list(col("line_hash")).as("__hs"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col(domainCol), col("__hs")))).as("__tm"))
+      .withColumn("__k", lit(1)))
+    docs
+      .withColumn("__k", lit(1))
+      .join(packed, Seq("__k"))
+      .withColumn("__lines",
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn("__hot",
+        coalesce(element_at(col("__tm"), col(domainCol)),
+          array().cast("array<bigint>")))
+      .withColumn("__kept",
+        filter(col("__lines"), l => !array_contains(col("__hot"), xxhash64(l))))
+      .select(col(idCol), col(domainCol),
+        concat_ws(sep, col("__kept")).as(textCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
   }
 }

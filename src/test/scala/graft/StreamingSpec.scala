@@ -1004,4 +1004,120 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, String)].head()
     assert(out === (("u1", "unparseable_date")))
   }
+
+  test("ccnet buckets label an unbounded stream under batch-fitted model and cuts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LanguageModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // calibration corpus: two languages, three docs each, clearly ranked
+    // model-likeness within each (repeated bigrams score as head)
+    val pool = Seq(
+      (1L, "en", "the cat sat on the mat the cat sat"),
+      (2L, "en", "the cat sat on a rug"),
+      (3L, "en", "zebra quark votes lamp iron"),
+      (4L, "fr", "le chat dort le chat dort le chat"),
+      (5L, "fr", "le chat mange ici pour"),
+      (6L, "fr", "xylo brume givre onze tard"))
+      .toDF("doc_id", "lang", "text")
+    val model = LanguageModel.ngramCounts(pool).localCheckpoint(true)
+    val cuts = LanguageModel.perplexityCuts(pool, model).localCheckpoint(true)
+    val want = LanguageModel.perplexityBuckets(pool, model)
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.operators.Dedup.releaseIntermediateCaches()
+    val input = MemoryStream[(Long, String, String)]
+    val q = LanguageModel.bucketsStateless(
+        input.toDF().toDF("doc_id", "lang", "text"), model, cuts)
+      .writeStream.format("memory").queryName("ccnet_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "en", "the cat sat on the mat the cat sat"),
+        (11L, "en", "zebra quark votes lamp iron"))
+      q.processAllAvailable()
+      input.addData((12L, "fr", "le chat dort le chat dort le chat"))
+      q.processAllAvailable()
+      val streamed = spark.table("ccnet_stream")
+        .as[(Long, String, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // identical text -> identical ppx AND identical bucket vs batch
+      assert(streamed(10L) === want(1L))
+      assert(streamed(11L) === want(3L))
+      assert(streamed(12L) === want(4L))
+    } finally q.stop()
+  }
+
+  test("boilerplate scrub strips batch-fitted site templates on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextNormalize
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // site a: "cookie banner" on every page (template); site b: too small
+    val pool = Seq(
+      (1L, "a", "cookie banner\nreal content one"),
+      (2L, "a", "cookie banner\nreal content two"),
+      (3L, "a", "cookie banner\nmore text"),
+      (4L, "a", "cookie banner\nunrelated"),
+      (5L, "a", "cookie banner"),
+      (6L, "b", "cookie banner\nsmall site"))
+      .toDF("doc_id", "source", "text")
+    val templates = TextNormalize.boilerplateTemplates(pool,
+      maxDocShare = 0.5, minDomainDocs = 5).localCheckpoint(true)
+    val want = TextNormalize.scrubBoilerplate(pool,
+        maxDocShare = 0.5, minDomainDocs = 5)
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val q = TextNormalize.scrubBoilerplateStateless(
+        input.toDF().toDF("doc_id", "source", "text"), templates)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", "cookie banner\nreal content one"),
+        (5L, "a", "cookie banner"))
+      q.processAllAvailable()
+      input.addData((6L, "b", "cookie banner\nsmall site"),
+        (7L, "a", "cookie banner\nfresh page")) // fresh content, frozen fit
+      q.processAllAvailable()
+      val streamed = spark.table("boiler_stream")
+        .as[(Long, String, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      assert(streamed(1L) === want(1L)) // template stripped
+      assert(streamed(5L) === want(5L)) // all-template doc -> empty text
+      assert(streamed(6L) === want(6L)) // small domain exempt
+      assert(streamed(7L) === (("fresh page", 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stateless epoch order keys reproduce the batch per-stratum permutation on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Packing
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pool = (1L to 40L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val batchOrder = Packing.epochInterleave(pool, strataCol = "lang",
+        keyCol = "doc_id", salt = "ep")
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._2)
+      .map { case (l, rs) => l -> rs.sortBy(_._3).map(_._1).toSeq }
+    val input = MemoryStream[(Long, String)]
+    val q = Packing.epochOrderStateless(
+        input.toDF().toDF("doc_id", "lang"), keyCol = "doc_id", salt = "ep")
+      .writeStream.format("memory").queryName("epoch_stream")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = (1L to 40L).map(i =>
+        (i, if (i % 3 == 0) "de" else "en")).splitAt(20)
+      input.addData(half1: _*)
+      q.processAllAvailable()
+      input.addData(half2: _*)
+      q.processAllAvailable()
+      val streamedOrder = spark.table("epoch_stream")
+        .as[(Long, String, Double)].collect()
+        .groupBy(_._2)
+        .map { case (l, rs) =>
+          l -> rs.sortBy(r => (r._3, r._1)).map(_._1).toSeq }
+      // sorting the drained stream by (order_key, key) per stratum gives
+      // EXACTLY the batch epoch_rank permutation (same draw both sides)
+      assert(streamedOrder === batchOrder)
+    } finally q.stop()
+  }
 }
