@@ -76,14 +76,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, shingle) postings, distinct per doc. Tokens are materialized
-    * into a column before shingling (see [[shinglesFromTokens]]). */
+  /** (doc_id, shingle) postings, distinct per doc — the native
+    * [[graft.functions.WordShingles]] single-pass scan (the HOF chain it
+    * replaced — tokens + transform + per-shingle slice — was
+    * CodegenFallback end-to-end and interpreted once per document across
+    * every near-dup detector; equivalence is property-checked and pinned
+    * by the consuming oracle gates). */
   def shinglePostings(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(shinglesFromTokens(col("__toks"), k))).as("shingle"))
+      explode(graft.functions.WordShingles.shingles(col(textCol), k))
+        .as("shingle"))
 
   /** N-gram Jaccard near-dup pairs via the postings self-join:
     * |A∩B| from the shingle join, |A|,|B| from per-doc counts; emit pairs

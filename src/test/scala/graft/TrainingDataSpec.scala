@@ -347,6 +347,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(both.forall { case (f, r) => f == r })
   }
 
+  test("native word shingles equal the HOF distinct-shingle chain (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.WordShingles
+    import org.apache.spark.unsafe.types.UTF8String
+    // static tier vs a plain-Scala reference of the HOF semantics
+    def ref(s: String, k: Int): Seq[String] = {
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val all = if (toks.length >= k)
+        (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      else Seq(toks.mkString(" "))
+      all.distinct // first-occurrence order, like array_distinct
+    }
+    val wordGen = Gen.frequency(
+      5 -> Gen.oneOf("a", "b", "ab", "the", "é中"),
+      1 -> Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val textGen = for {
+      ws <- Gen.listOf(wordGen)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n ")
+    } yield ws.mkString(sep)
+    val kGen = Gen.choose(1, 4)
+    val statProp = forAll(textGen, kGen) { (s, k) =>
+      val got = {
+        val a = WordShingles.shingles(UTF8String.fromString(s), k)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      Prop(got === ref(s, k)) :| s"s=$s k=$k got=$got want=${ref(s, k)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), statProp)
+    assert(res.passed, res.status.toString)
+    // engine tier: the codegen'd expression equals the HOF chain
+    val sample = Seq("", "  ", "one", "a b", "a b c d a b c d",
+      "rep rep rep rep", "é 中 ß x y z")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = sample.toDF("doc_id", "text")
+    val both = df.select(
+        WordShingles.shingles(col("text"), 3).as("fast"),
+        array_distinct(Dedup.shinglesFromTokens(
+          TextAnalysis.tokens(col("text")), 3)).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.forall { case (f, r) => f == r }, both.mkString("; "))
+  }
+
   test("NFC normalization composes decomposed sequences; ASCII passes untouched") {
     import graft.functions.NfcNormalize
     val d = docs(
