@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    blank document), matching the HOF's `otherwise` branch;
   *  - distinct keeps FIRST-occurrence order (array_distinct's order).
   */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(k >= 1, s"k=$k: shingle length must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -42,10 +43,11 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
         s"word_shingles expects string, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.shingles(input.asInstanceOf[UTF8String], k)
+    WordShingles.shingles(input.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $k)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.shingles($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -56,13 +58,26 @@ object WordShingles {
   def shingles(text: Column, k: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), k))
 
+  /** ALL k-word windows in token order, repeats kept, and NO short-doc
+    * fallback (fewer than k tokens → empty array — k=1 over a blank doc
+    * emits nothing). This is the n-gram FEATURE shape (DSIR hashed grams,
+    * count-based models), where multiplicity is the signal — unlike the
+    * distinct POSTING shape above, where each (doc, shingle) must appear
+    * once. */
+  def allShingles(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      WordShingles(GraftColumnBridge.expression(text), k, distinct = false))
+
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** Static (Java-callable from generated code): distinct k-shingles in
-    * first-occurrence order. One byte copy per row; each shingle is one
-    * exact-size byte array (token bytes + single-space joints). */
-  def shingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  /** Static (Java-callable from generated code): k-shingles in token
+    * order — distinct-with-short-doc-fallback (the posting shape) or
+    * all-windows (the feature shape; see [[allShingles]]). One byte copy
+    * per row; each shingle is one exact-size byte array (token bytes +
+    * single-space joints). */
+  def shingles(s: UTF8String, k: Int, distinct: Boolean = true)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     // token byte ranges [start, end)
@@ -99,6 +114,13 @@ object WordShingles {
         t += 1
       }
       UTF8String.fromBytes(out)
+    }
+    if (!distinct) {
+      val m = if (nTok >= k) nTok - k + 1 else 0
+      val arr = new Array[Any](m)
+      var w = 0
+      while (w < m) { arr(w) = join(w, w + k); w += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
     }
     val set = new java.util.LinkedHashSet[UTF8String]()
     if (nTok >= k) {

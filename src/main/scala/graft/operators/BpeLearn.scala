@@ -44,7 +44,7 @@ object BpeLearn {
   /** (word, cnt) frequencies — the corpus collapse that makes the learning
     * loop vocabulary-sized. */
   def wordFrequencies(corpus: DataFrame, textCol: String = "text"): DataFrame =
-    corpus.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    TextAnalysis.explodeTokens(corpus, col(textCol), "word", Seq.empty)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Initial segmentation: one single-character piece per code unit, plus

@@ -388,8 +388,8 @@ object Dedup {
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", bits: Int = 16,
                     sampleSize: Int = 16, samplePartitions: Int = 16): DataFrame = {
-    val perToken = docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tk"))
+    val perToken = TextAnalysis.explodeTokens(docs, col(textCol), "tk",
+        Seq(col(idCol).as("doc_id")))
       .select(col("doc_id"), md5(col("tk").cast("binary")).as("h"))
     val bitSums = perToken.groupBy(col("doc_id"))
       .agg(

@@ -62,11 +62,16 @@ object Dsir {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
+    // native all-windows scans (uni + bi) concatenated in ONE corpus pass
+    // — the HOF gram array ran ArrayFilter/ArrayTransform interpreted
+    // under the corpus-wide explode. Same gram MULTISET in the same
+    // order: tokens, then adjacent bigrams ([] for sub-2-token docs).
     docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"),
-        explode(gramArrayFromToks(col("__toks"))).as("gram"))
+        explode(concat(
+          graft.functions.WordShingles.allShingles(col(textCol), 1),
+          graft.functions.WordShingles.allShingles(col(textCol), 2)))
+          .as("gram"))
       .select(col("doc_id"), bucketOf(col("gram"), numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -36,11 +36,12 @@ object Retrieval {
     * lexical index (write once, score many query batches). */
   def docTermStats(corpus: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
-    corpus
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).as("dlen"),
-        explode(col("__toks")).as("term"))
+    // dlen via the native byte-scan counter + codegen'd exploded tokens
+    // (the array-materializing shape ran ArrayFilter interpreted under
+    // the corpus-wide explode)
+    TextAnalysis.explodeTokens(corpus, col(textCol), "term",
+        Seq(col(idCol).as("doc_id"),
+          TextAnalysis.tokenCount(col(textCol)).cast("int").as("dlen")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
 

