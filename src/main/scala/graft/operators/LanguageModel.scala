@@ -37,22 +37,19 @@ object LanguageModel {
   def transitions(corpus: DataFrame, n: Int = 2, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n=$n: a language model needs at least bigrams")
+    // native all-windows n-gram scan, split at the last space: tokens
+    // never contain whitespace, so the first n-1 space-separated parts
+    // ARE the context and the last part the predicted token — identical
+    // (context, token) multiset to the old per-row HOF transform, which
+    // ran ArrayFilter/ArrayTransform interpreted under the corpus-wide
+    // explode. substring_index is codegen'd.
     corpus
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(
-        when(size(col("__toks")) >= n,
-          // i = 1-based slice position of the LAST context token; the
-          // predicted token sits at i+1
-          transform(sequence(lit(n - 1), size(col("__toks")) - 1),
-            i => struct(
-              concat_ws(" ", slice(col("__toks"), i - (n - 2), lit(n - 1)))
-                .as("context"),
-              element_at(col("__toks"), i + 1).as("token"))))
-          .otherwise(array().cast(
-            "array<struct<context:string,token:string>>"))).as("__t"))
-      .select(col("doc_id"), col("__t.context").as("context"),
-        col("__t.token").as("token"))
+        explode(graft.functions.WordShingles.allShingles(col(textCol), n))
+          .as("__g"))
+      .select(col("doc_id"),
+        substring_index(col("__g"), " ", n - 1).as("context"),
+        substring_index(col("__g"), " ", -1).as("token"))
   }
 
   /** Train: (context, token, cnt) counts over the corpus's transitions —
