@@ -47,15 +47,14 @@ object SubstringDedup {
   def kgramOccurrences(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", k: Int = 5): DataFrame = {
     require(k >= 1, s"k=$k: the minimum match length is 1 token")
+    // native all-windows scan: windows come out in start order, so
+    // posexplode's ordinal IS the 0-based token start position — the
+    // same (pos, gram-hash) rows the old HOF transform built interpreted
+    // (ArrayFilter + ArrayTransform + per-gram slice) per document
     docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), posexplode(
-        when(size(col("__toks")) >= k,
-          transform(sequence(lit(0), size(col("__toks")) - k),
-            i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
-          .otherwise(array().cast("array<long>"))))
-      .toDF("doc_id", "pos", "gram")
+      .select(col(idCol).as("doc_id"), posexplode(
+        graft.functions.WordShingles.allShingles(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
   }
 
   /** Maximal duplicated token spans per document: (doc_id, span_start,
