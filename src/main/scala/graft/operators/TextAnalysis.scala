@@ -261,10 +261,13 @@ object TextAnalysis {
     val words = withToks.select(col("doc_id"),
       size(col("t")).as("word_total"),
       size(array_distinct(col("t"))).as("word_distinct"))
-    val topBigram = withToks
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(Dedup.shinglesFromTokens(col("t"), 2)).as("bg"))
+    // native all-windows bigram scan: non-distinct windows in order, []
+    // for sub-2-token docs — the old HOF chain's filter + shingle
+    // transform ran interpreted under the corpus-wide explode
+    val topBigram = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WordShingles.allShingles(col(textCol), 2))
+          .as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
     words.join(topBigram, Seq("doc_id"), "left")
