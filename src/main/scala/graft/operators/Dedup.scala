@@ -246,8 +246,7 @@ object Dedup {
       s"permutation-constant table sized for numHashes <= ${MinhashA.length}")
     val hashed = shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id"),
-        conv(substring(md5(col("shingle").cast("binary")), 1, 7), 16, 10)
-          .cast("long").as("__h"))
+        graft.functions.Md5Prefix.prefix(col("shingle"), 7).as("__h"))
     def perm(i: Int) =
       pmod(lit(MinhashA(i)) * col("__h") + lit(MinhashB(i)), lit(MinhashMod))
     hashed.groupBy(col("doc_id"))

@@ -51,8 +51,7 @@ object Dsir {
   /** The md5-derived feature bucket of one gram (salted, so co-existing
     * hash uses can't correlate). */
   private def bucketOf(gram: Column, numBuckets: Int): Column =
-    pmod(conv(substring(md5(concat(gram, lit(":dsir"))
-        .cast("binary")), 1, 6), 16, 10).cast("long"),
+    pmod(graft.functions.Md5Prefix.prefix(concat(gram, lit(":dsir")), 6),
       lit(numBuckets.toLong))
 
   /** Hashed n-gram feature counts: (doc_id, bucket, cnt) — unigrams and

@@ -39,8 +39,7 @@ object QualityModel {
   /** md5-derived token hash bucket (shared convention with
     * [[TextAnalysis.classifierScores]] and its proven oracle twin). */
   private def bucketOf(tok: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(graft.functions.Md5Prefix.prefix(tok, 6), lit(buckets.toLong))
 
   /** Per-document features: x_j = (tokens in bucket j) / (doc tokens) for
     * j < buckets; callers append the implicit bias x_buckets = 1.0 in the

@@ -306,8 +306,8 @@ object TextAnalysis {
       : DataFrame = {
     val tok = explodeTokens(docs, col(textCol), "tok",
       Seq(col(idCol).as("doc_id")))
-    val bucket = pmod(conv(substring(md5(col("tok").cast("binary")), 1, 6),
-      16, 10).cast("long"), lit(buckets.toLong))
+    val bucket = pmod(graft.functions.Md5Prefix.prefix(col("tok"), 6),
+      lit(buckets.toLong))
     // weight·1000 as an INTEGER summand: summing doubles is
     // accumulation-order-sensitive (partial-aggregation order is partition
     // layout, not a contract) — sum exact integers, divide once at the end

@@ -402,6 +402,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(both.forall { case (f, r) => f == r }, both.mkString("; "))
   }
 
+  test("native md5 prefix equals the conv(substring(md5)) chain (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.Md5Prefix
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = Gen.frequency(
+      5 -> Gen.alphaNumStr, 1 -> Gen.const(""),
+      1 -> Gen.const("é中ß:dsir"), 1 -> Gen.const("a b c"))
+    val lenGen = Gen.choose(1, 15)
+    val statProp = forAll(strGen, lenGen) { (s, n) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val want = java.lang.Long.parseLong(hex.substring(0, n), 16)
+      Prop(Md5Prefix.prefix(UTF8String.fromString(s), n) === want) :|
+        s"s=$s n=$n"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), statProp)
+    assert(res.passed, res.status.toString)
+    // engine tier: codegen'd expression equals the composable chain
+    val df = Seq("tok", "", "é中", "spark:dsir").toDF("t")
+    val both = df.select(
+        Md5Prefix.prefix(col("t"), 6).as("fast"),
+        conv(substring(md5(col("t").cast("binary")), 1, 6), 16, 10)
+          .cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (f, r) => f == r }, both.mkString(";"))
+  }
+
   test("NFC normalization composes decomposed sequences; ASCII passes untouched") {
     import graft.functions.NfcNormalize
     val d = docs(
