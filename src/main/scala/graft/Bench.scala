@@ -48,7 +48,9 @@ import org.apache.spark.sql.SparkSession
   * continuity with the r9 line. Two load-aware taints complement the
   * foreign-JVM scan: (a) suite-start loadavg above ~2.0 (after one 20 s
   * settle-retry) stamps `tainted_load`; (b) per-rep EXTERNAL cpu —
-  * system non-idle jiffies minus this JVM's own jiffies, a measure that
+  * system-wide user-mode jiffies (user+nice+steal; kernel time excluded
+  * as largely self-inflicted — see cpuJiffies) minus this JVM chain's own
+  * user-mode jiffies, a measure that
   * stays valid while our own 32 threads are busy — above ~2 cores
   * averaged over the rep stamps `tainted_ext` and is recorded per query
   * in the detail (`ext`), so contention is attributable to the specific

@@ -189,11 +189,31 @@ object LanguageModel {
   /** The trained model packed into ONE broadcastable row: (context␁token)
     * → cnt map, context → total map, vocabulary size, plus a constant
     * join key. `\\u0001` never appears in whitespace-split tokens, so the
-    * concatenated key is collision-free. */
+    * concatenated key is collision-free.
+    *
+    * SIZE CONTRACT: the whole model becomes ONE row, so it must fit the
+    * single-row/broadcast limits — this stateless path is for
+    * snapshot-sized trusted models (the CCNet shape: a few hundred
+    * thousand transitions from a clean reference corpus), NOT for
+    * corpus-derived open-vocabulary models. A runtime guard fails fast
+    * with a clear message past [[MaxPackedTransitions]] transitions
+    * (~100 B/entry ≈ 2 GiB packed, where Spark's single-row and
+    * broadcast limits would otherwise surface as opaque OOM/2 GB
+    * failures); larger models belong on the batch [[scoreDocuments]]
+    * join path. */
+  val MaxPackedTransitions: Int = 20_000_000
+
   private def packedModel(model: DataFrame): DataFrame = {
     val ct = model.groupBy().agg(map_from_entries(collect_list(
       struct(concat(col("context"), lit("\u0001"), col("token")),
-        col("cnt")))).as("__ct"))
+        col("cnt")))).as("__ct0"))
+      // guard rides the same aggregation job - no extra pass over the model
+      .select(when(size(col("__ct0")) <= MaxPackedTransitions, col("__ct0"))
+        .otherwise(raise_error(concat(
+          lit("packedModel: model has "), size(col("__ct0")).cast("string"),
+          lit(s" transitions, over the $MaxPackedTransitions single-row " +
+            "broadcast bound - use the batch scoreDocuments join path"))))
+        .as("__ct"))
     val ctot = model.groupBy(col("context"))
       .agg(sum(col("cnt")).as("__s"))
       .groupBy().agg(map_from_entries(collect_list(

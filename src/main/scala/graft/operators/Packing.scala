@@ -205,15 +205,19 @@ object Packing {
     *    uniform), where the batch midpoint formula is proportional
     *    exactly — the price of statelessness: exact ±1 interleaving
     *    needs the per-stratum ranks only a batch pass can know.
-    * Null keys coalesce to the zero draw (sort first), the
-    * [[epochInterleave]] convention. */
+    * Null keys get order_key 0.0 — STRICTLY below the zero draw's
+    * (0 + 0.5)/2³² — mirroring [[epochInterleave]], whose null-key
+    * coalesce to the empty-string draw `""` sorts strictly before
+    * `"00000000"`; with equal keys the batch exactness contract holds
+    * even when a null key and a genuine all-zero draw coexist. */
   def epochOrderStateless(df: DataFrame, keyCol: String,
                           salt: String = ""): DataFrame = {
     require(!df.columns.contains("order_key"),
       "order_key is reserved by epochOrderStateless")
     df.withColumn("order_key",
-      (coalesce(conv(Sampling.draw(col(keyCol), salt), 16, 10)
-        .cast("double"), lit(0.0)) + lit(0.5)) / lit(4294967296.0))
+      when(col(keyCol).isNull, lit(0.0)).otherwise(
+        (conv(Sampling.draw(col(keyCol), salt), 16, 10).cast("double")
+          + lit(0.5)) / lit(4294967296.0)))
   }
 
   /** Split long documents into fixed-token-window chunks with overlap —
