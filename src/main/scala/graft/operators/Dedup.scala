@@ -591,9 +591,12 @@ object Dedup {
     * edge set — O(edges) shuffle per op, nothing quadratic; every op ends
     * in the same eager-checkpoint discipline as the BSP (O(1) planning per
     * round). Fixpoint = the edge set is a star forest (leaf → component
-    * min); convergence is checked by edge-set equality (two counts + a
-    * union-distinct count over checkpointed frames — |A|==|B|==|A∪B| ⇔
-    * A==B).
+    * min); convergence is detected STRUCTURALLY — every node is a pure
+    * center or a pure single-edge leaf — by a probe riding the round's
+    * large-star aggregation via `observe` (zero jobs of its own, the BSP
+    * discipline), which both drops the old union-distinct equality job
+    * and stops one full round earlier (star-forest-ness of the round's
+    * input needs no next == edges comparison).
     *
     * Output contract is identical to [[connectedComponents]]:
     * (id, component, is_canonical), only ids that appear in `pairs`,
@@ -615,16 +618,13 @@ object Dedup {
     val callerPersisted =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerPersisted) pairs else pairs.persist()
-    // canonical (larger, smaller) direction, self-loops and dups dropped;
-    // the initial edge count rides the checkpoint job via observe
-    val edgeObs = org.apache.spark.sql.Observation()
+    // canonical (larger, smaller) direction, self-loops and dups dropped
     var edges = checkpointed(p
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
-      .distinct()
-      .observe(edgeObs, count(lit(1)).as("n")))
+      .distinct())
     // ids whose ONLY edges are self-loops (a, a) would otherwise vanish
     // with the filter above, while [[connectedComponents]] keeps them as
     // canonical singletons (the symmetric closure makes (a, a) a real
@@ -636,48 +636,61 @@ object Dedup {
     if (!callerPersisted) p.unpersist()
     var iter = 0
     var converged = false
-    // carried across rounds: |prev| is |next| of the round before
-    var nEdges = org.apache.spark.sql.GraftColumnBridge
-      .observedOrEmpty(edgeObs).get("n") match {
-      case Some(n: java.lang.Long) => n.longValue()
-      case _                       => edges.count()
-    }
+    // per-node star-forest violation test over the symmetric view: a node
+    // is either a pure CENTER (all neighbors larger — its closed-
+    // neighborhood min is itself) or a pure LEAF (exactly one neighbor,
+    // smaller); a directed-distinct edge set is the alternation's fixpoint
+    // iff NO node violates this (disjoint stars map to themselves under
+    // both ops, anything else changes)
+    def starStats(sym: DataFrame): DataFrame = sym.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"),
+        count(lit(1)).as("__deg"), max(col("v")).as("__maxv"))
+    def violations: Column = coalesce(sum(when(!(col("m") === col("u") ||
+      (col("__deg") === lit(1L) && col("__maxv") < col("u"))), 1L)),
+      lit(0L))
     while (!converged && iter < maxIter) {
       // large-star: group the SYMMETRIC view by node, hang larger
       // neighbors onto min(closed neighborhood)
       val sym = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // the convergence probe rides THIS aggregation via observe (the
+      // [[connectedComponents]] discipline — no job of its own): checking
+      // star-forest-ness of the round's INPUT stops as soon as the
+      // previous round emitted the star forest, where the old
+      // count + set-equality check paid one MORE full round (to observe
+      // next == edges) plus a union-distinct job per candidate round. The
+      // detection round itself only runs the large-star half (over a star
+      // forest ls ≡ edges, discarded); scalar-aggregation fallback over
+      // the checkpointed edges if the metric is ever missing.
+      val obs = org.apache.spark.sql.Observation()
+      val lsMin = starStats(sym)
+        .observe(obs, violations.as("bad"))
+        .select(col("u"), col("m"))
       val ls = checkpointed(sym.join(lsMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
-      // small-star: large-star output is already (larger → smaller)-
-      // directed, which IS small-star's grouping form; smaller neighbors
-      // and the node itself hang onto the min
-      val ssMin = ls.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // the edge count rides the checkpoint job via observe (the
-      // [[connectedComponents]] probe discipline — no count job of its
-      // own; scalar-aggregation fallback if the metric is ever missing)
-      val obs = org.apache.spark.sql.Observation()
-      val next = checkpointed(ls.join(ssMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(ssMin.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .observe(obs, count(lit(1)).as("n")))
-      val nNext = org.apache.spark.sql.GraftColumnBridge
-        .observedOrEmpty(obs).get("n") match {
+      val bad = org.apache.spark.sql.GraftColumnBridge
+        .observedOrEmpty(obs).get("bad") match {
         case Some(n: java.lang.Long) => n.longValue()
-        case _                       => next.count()
+        case Some(null)              => 0L // empty edge set
+        case _ => starStats(sym).agg(violations).head().getLong(0)
       }
-      converged = nNext == nEdges &&
-        next.unionByName(edges).distinct().count() == nNext
-      edges = next
-      nEdges = nNext
+      if (bad == 0L) {
+        converged = true // edges IS the star forest; ls ≡ edges, unused
+      } else {
+        // small-star: large-star output is already (larger → smaller)-
+        // directed, which IS small-star's grouping form; smaller
+        // neighbors and the node itself hang onto the min
+        val ssMin = ls.groupBy("u")
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        edges = checkpointed(ls.join(ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(ssMin.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+      }
       iter += 1
     }
     if (!converged)

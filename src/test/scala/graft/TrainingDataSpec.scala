@@ -1440,6 +1440,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.get("s") === Some(6L))
   }
 
+  test("observed metrics are delivered from MID-plan under join+distinct+checkpoint") {
+    // the star-contraction convergence probe observes on the large-star
+    // aggregation BELOW a join, filter, distinct and the eager checkpoint
+    // — this spec pins that mid-plan CollectMetrics still accumulates and
+    // delivers during the checkpoint's materialization job (otherwise
+    // connectedComponentsStars stays correct but pays the scalar-agg
+    // fallback every round)
+    val obs = org.apache.spark.sql.Observation()
+    val agg = Seq((1L, 10L), (2L, 10L), (2L, 20L)).toDF("u", "v")
+      .groupBy("u").agg(min(col("v")).as("m"), count(lit(1)).as("deg"))
+      .observe(obs, sum(col("deg")).as("n"))
+    agg.join(Seq(1L, 2L).toDF("u"), "u")
+      .select(col("u"), col("m")).distinct()
+      .localCheckpoint(true)
+    val got = org.apache.spark.sql.GraftColumnBridge.observedOrEmpty(obs)
+    assert(got.get("n") === Some(3L))
+  }
+
   test("keep list drops exactly the non-canonical cluster members") {
     val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "x", 11L -> "y")
     val pairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
