@@ -328,15 +328,16 @@ object ToCodes {
     * splits the evaluator into per-subtree methods and runs common
     * subexpressions once, so the catalog stays compiled at any size.
     *
-    * @param retain at catalog scale (stage-barrier path) the barrier is an
-    *        RDD boundary, which blocks Catalyst's column pruning: without
-    *        help, the barrier materializes EVERY column of `df` even when
-    *        the caller consumes two. Passing the columns the caller needs
-    *        downstream prunes the barrier frame to retain ∪ catalog inputs,
-    *        so the scan reads only referenced columns. None (default)
-    *        keeps every column — correct for pipeline callers whose later
-    *        steps read the raw row. No effect below the barrier threshold,
-    *        where Catalyst prunes through the plain projection on its own. */
+    * @param retain at catalog scale (fenced path) the codegen fence is an
+    *        opaque logical node, which blocks Catalyst's column pruning:
+    *        without help, the fenced frame carries EVERY column of `df`
+    *        even when the caller consumes two. Passing the columns the
+    *        caller needs downstream prunes the fenced frame to retain ∪
+    *        catalog inputs, so the scan reads only referenced columns.
+    *        None (default) keeps every column — correct for pipeline
+    *        callers whose later steps read the raw row. No effect below
+    *        the fence threshold, where Catalyst prunes through the plain
+    *        projection on its own. */
   def apply(df: DataFrame, codes: Seq[CodeDef], r: ColumnResolver,
             policy: YearStartPolicy = EpiWeek.International,
             alertData: Map[String, String] = Map.empty,
@@ -422,18 +423,24 @@ object ToCodes {
         (attrMap.values ++ dateAttrMap.values).toSeq ++ preAggCols))
     }
 
-    // Catalog-sized projections are evaluated in their OWN execution
-    // stages: fused into an upstream stage (joins, windows, filters) or a
+    // Catalog-sized projections are evaluated in their OWN codegen
+    // regions: fused into an upstream stage (joins, windows, filters) or a
     // consumer stage (write, explode, aggregate), the combined generated
     // `doConsume` exceeds Janino's 64 KB method limit and the WHOLE fused
     // stage drops to interpreted evaluation (~10× slower, measured on the
-    // 198-code demo catalog). Stage barriers on both sides — and between
-    // slices of a very large catalog — keep every generated method
-    // compiled at any catalog size. Each slice lands its partial outputs in
-    // a struct column; the RDD boundary is also what stops
-    // SimplifyExtractValueOps/CollapseProject from tearing the struct back
-    // into per-consumer copies of the whole slice expression.
-    import org.apache.spark.sql.GraftColumnBridge.stageBarrier
+    // 198-code demo catalog). In-plan [[graft.plans.CodegenFence]]s on
+    // both sides — and between slices of a very large catalog — keep
+    // every generated method compiled at any catalog size while the query
+    // stays ONE adaptive plan (the previous `stageBarrier` re-rooted each
+    // slice on its own `toRdd`, which under AQE executed every upstream
+    // exchange stage at plan-construction time). Each slice lands its
+    // partial outputs in a struct column; the fence's opaque logical node
+    // is also what stops SimplifyExtractValueOps/CollapseProject from
+    // tearing the struct back into per-consumer copies of the whole slice
+    // expression.
+    def fence(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.ofRows(df.sparkSession,
+        graft.plans.CodegenFence(df.queryExecution.logical))
     val slices = sliceGroups(groups, MaxCodesPerStage)
     val sliceNames = slices.indices.map(i => s"__tc_s$i")
     val barrierInput = retainAll match {
@@ -443,11 +450,11 @@ object ToCodes {
           preAggCols).distinct
         projected.select(cols.map(n => col(s"`$n`")): _*)
     }
-    var acc = stageBarrier(barrierInput)
+    var acc = fence(barrierInput)
     slices.zip(sliceNames).foreach { case (sliceGroupSeq, name) =>
       val p = foldPartials(sliceGroupSeq.map(g =>
         groupPartials(g, br, policy, linkNameForForm, preAgg)))
-      acc = stageBarrier(acc.withColumn(name,
+      acc = fence(acc.withColumn(name,
         struct(p.entries.as("e"), p.catEntries.as("c"), p.anyAlert.as("a"),
           p.alertReason.as("r"), p.anyDisregard.as("d"))))
     }

@@ -21,13 +21,15 @@ import graft.sources.FakeData
   * file makes a regression in ONE step visible round-over-round where the
   * end-to-end number would average it away.
   *
-  * Reading `construct`: it is NOT pure driver time. ToCodes' stage
-  * barriers call `queryExecution.toRdd`, and under AQE finalizing an
-  * adaptive plan EXECUTES the exchange stages below the barrier (the
-  * visit-control window's shuffle) — so `construct` scales with data
-  * (measured 8 s at 100k rows, 18 s at 1M) and `materialize` covers only
-  * the stages above the last barrier. The artifact exists to make exactly
-  * this kind of attribution visible.
+  * Reading `construct`: since the in-plan [[graft.plans.CodegenFence]]
+  * replaced the old `toRdd` stage barriers, `construct` is genuinely
+  * driver-side work again (Column-tree building + per-fence analysis,
+  * ~2.3 s for the 198-code catalog at any data size) and `materialize`
+  * carries ALL data work under one adaptive plan. Under the old barriers,
+  * AQE plan finalization EXECUTED the exchange stages below each barrier
+  * inside `construct` (measured 8 s at 100k rows, 18 s at 1M), hiding
+  * data work in what looked like planning. The artifact exists to make
+  * exactly this kind of attribution visible.
   *
   * Usage: runMain graft.tools.DemoE2E [nRows]
   */

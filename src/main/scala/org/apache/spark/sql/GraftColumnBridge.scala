@@ -39,20 +39,4 @@ object GraftColumnBridge {
       case _ => false
     }
 
-  /** Zero-copy execution-stage barrier: re-roots `df` on its own
-    * `InternalRow` RDD. The narrow RDD boundary ends the whole-stage-codegen
-    * stage below it, so a catalog-sized projection compiles as its OWN stage
-    * instead of being fused into a consumer stage whose generated
-    * `doConsume` would blow Janino's 64 KB method limit — that failure
-    * disables codegen for the WHOLE fused stage and interprets it (~10×
-    * slower, measured on the 198-code demo catalog).
-    *
-    * The barrier also stops Catalyst pruning/pushdown from crossing it, so
-    * callers gate it on plans that compute their full output anyway. */
-  def stageBarrier(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val classicDf = df.asInstanceOf[classic.DataFrame]
-    spark.internalCreateDataFrame(
-      classicDf.queryExecution.toRdd, df.schema, isStreaming = false)
-  }
 }
