@@ -97,9 +97,16 @@ object Decontaminate {
     *        mean to run them. */
   def overlap(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
               idCol: String = "doc_id", textCol: String = "text",
-              maxBroadcastGrams: Long = 5000000L): DataFrame = {
-    val trainGrams = Dedup.shinglePostings(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+              maxBroadcastGrams: Long = 5000000L,
+              docGrams: Option[DataFrame] = None): DataFrame = {
+    // docGrams: a caller-shared [[Dedup.cacheHashedPostings]] frame
+    // (doc_id, gram) covering exactly the rows of `docs` — a composed
+    // pipeline that already shingled its pool for a dedup leg passes the
+    // (subsetted) frame here instead of shingling the same text twice.
+    val trainGrams = docGrams
+      .map(_.select(col("doc_id"), col("gram").as("g")))
+      .getOrElse(Dedup.shinglePostings(docs, idCol, textCol, k)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g")))
     val benchGrams = Dedup.shinglePostings(benchmark, idCol, textCol, k)
       .select(xxhash64(col("shingle")).as("g")).distinct()
     val marked = benchGrams.withColumn("__hit", lit(1))
@@ -211,6 +218,71 @@ object Decontaminate {
       .filter(col("jaccard") >= threshold)
       .select(col("__train_id").as(idCol), col("__bench_id").as("bench_id"),
         col("n_common"), col("jaccard"))
+  }
+
+  /** The benchmark's distinct hashed k-gram set packed into ONE
+    * broadcastable row — the FIT half of the stateless decontamination
+    * split. Batch-compute this once per eval-suite snapshot, then gate an
+    * ingest stream with [[overlapStateless]].
+    *
+    * SIZE CONTRACT: like [[LanguageModel]]'s packed model, the whole gram
+    * set becomes one row, so it is for eval-suite-sized benchmarks (the
+    * production shape: thousands of documents, well under
+    * [[MaxPackedGrams]] grams ≈ hundreds of MB packed). The guard rides
+    * the packing aggregation itself and fails fast with a clear message
+    * instead of surfacing as an opaque single-row/broadcast OOM; corpora
+    * too large to pack belong on the batch [[overlap]] join path. */
+  val MaxPackedGrams: Int = 20000000
+
+  def packedBenchGrams(benchmark: DataFrame, k: Int = 3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    Dedup.shinglePostings(benchmark, idCol, textCol, k)
+      .select(xxhash64(col("shingle")).as("g")).distinct()
+      .groupBy()
+      .agg(map_from_arrays(collect_list(col("g")),
+        collect_list(lit(true))).as("__bg0"))
+      .select(when(size(col("__bg0")) <= MaxPackedGrams, col("__bg0"))
+        .otherwise(raise_error(concat(
+          lit("packedBenchGrams: benchmark has "),
+          size(col("__bg0")).cast("string"),
+          lit(s" distinct grams, over the $MaxPackedGrams single-row " +
+            "broadcast bound - use the batch overlap join path"))))
+        .as("__bg"))
+      .withColumn("__k", lit(1))
+
+  /** Stateless per-row twin of [[overlap]]: contamination counts computed
+    * as a pure projection over each document's own in-row gram array
+    * against the batch-fitted [[packedBenchGrams]] row — no corpus-side
+    * explode, no per-document aggregation, no state — so it runs
+    * UNCHANGED on a streaming frame in append mode (the
+    * [[Dsir.scoreStateless]] discipline: fit batch, apply stream).
+    *
+    * Output is every input column plus (n_shingles, n_matched,
+    * contamination) for EVERY document — a streaming gate keeps or drops
+    * on the ratio, and "clean" must be an answer, not an absence (the
+    * batch [[overlap]] returns only contaminated docs because its
+    * consumers anti-join; equivalence on the contaminated subset is
+    * spec-enforced). Carry-through columns make the twin CHAINABLE — the
+    * composed [[graft.streaming.CorpusStream]] pipeline threads the
+    * document row through every stage. Short documents match by
+    * whole-text equality, exactly as [[overlap]]. The per-row HOFs here
+    * are CodegenFallback — fine per-row in a stream, which is why the
+    * BATCH path keeps its explode/aggregate formulation. */
+  def overlapStateless(docs: DataFrame, benchGrams: DataFrame, k: Int = 3,
+                       textCol: String = "text"): DataFrame = {
+    val grams = graft.functions.WordShingles.shingles(col(textCol), k)
+    docs
+      .withColumn("__k", lit(1))
+      .join(broadcast(benchGrams), Seq("__k"))
+      .withColumn("__gs", transform(grams, s => xxhash64(s)))
+      .withColumn("n_shingles", size(col("__gs")).cast("long"))
+      .withColumn("n_matched",
+        size(filter(col("__gs"), g => element_at(col("__bg"), g).isNotNull))
+          .cast("long"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+      .drop("__k", "__bg", "__gs")
   }
 
   /** The decontaminated corpus: `docs` minus every document whose k-gram

@@ -88,6 +88,20 @@ object Dedup {
       explode(graft.functions.WordShingles.shingles(col(textCol), k))
         .as("shingle"))
 
+  /** Hashed (doc_id, gram) postings — [[shinglePostings]] with each shingle
+    * collapsed to its 64-bit xxhash64 (collision odds ~|shingles|²/2⁶⁴,
+    * ~4× less shuffle volume than the strings) — PERSISTED via the tracked
+    * registry and shared across consumers: [[jaccardPairs]] /
+    * [[containmentPairs]] (`grams`) and
+    * [[Decontaminate.overlap]] (`docGrams`) accept this frame so a
+    * composed pipeline shingles its pool ONCE instead of once per leg.
+    * Release with [[releaseIntermediateCaches]] after the consuming jobs
+    * have run. */
+  def cacheHashedPostings(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", k: Int = 3): DataFrame =
+    persistTracked(shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("gram")))
+
   /** N-gram Jaccard near-dup pairs via the postings self-join:
     * |A∩B| from the shingle join, |A|,|B| from per-doc counts; emit pairs
     * with jaccard ≥ threshold. No O(n²) pair scan — the shuffle key is the
@@ -108,8 +122,9 @@ object Dedup {
     *        the output is exactly the unguarded result (spec-verified). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame =
-    pairCounts(docs, idCol, textCol, k, maxShingleDf)
+                   k: Int = 3, maxShingleDf: Option[Int] = None,
+                   grams: Option[DataFrame] = None): DataFrame =
+    pairCounts(docs, idCol, textCol, k, maxShingleDf, grams)
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -126,8 +141,9 @@ object Dedup {
     * — only the final score differs. */
   def containmentPairs(docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text",
-                       k: Int = 3, maxShingleDf: Option[Int] = None): DataFrame =
-    pairCounts(docs, idCol, textCol, k, maxShingleDf)
+                       k: Int = 3, maxShingleDf: Option[Int] = None,
+                       grams: Option[DataFrame] = None): DataFrame =
+    pairCounts(docs, idCol, textCol, k, maxShingleDf, grams)
       .withColumn("containment", col("n_common").cast("double") /
         least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -139,11 +155,15 @@ object Dedup {
     * formulation and the `maxShingleDf` skew-guard contract. */
   private def pairCounts(docs: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int, maxShingleDf: Option[Int]): DataFrame = {
+                         k: Int, maxShingleDf: Option[Int],
+                         grams: Option[DataFrame] = None): DataFrame = {
     // pair on a 64-bit shingle hash instead of the shingle string: same pair
     // counts (collision odds ~|shingles|²/2⁶⁴), ~4× less shuffle volume.
-    val raw = shinglePostings(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // A caller-shared [[cacheHashedPostings]] frame substitutes verbatim.
+    val raw = grams
+      .map(_.select(col("doc_id"), col("gram").as("shingle")))
+      .getOrElse(shinglePostings(docs, idCol, textCol, k)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     val (common, counts) = maxShingleDf match {
       case Some(cap) =>
         // POSTING-LIST formulation: one aggregation builds each shingle's
@@ -176,8 +196,9 @@ object Dedup {
         // cost Σ posting-list²) — no per-shingle buffering at all, for
         // callers who cannot bound the hot-shingle document frequency.
         // Persisted: the self-join + counts would otherwise re-run the
-        // tokenize/shingle pipeline three times.
-        val postings = persistTracked(raw)
+        // tokenize/shingle pipeline three times. (A caller-shared grams
+        // frame is already cached — don't stack a second copy on it.)
+        val postings = if (grams.isDefined) raw else persistTracked(raw)
         val counts = postings.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"))
         val common = postings.as("p1")

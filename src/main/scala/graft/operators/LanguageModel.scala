@@ -297,8 +297,12 @@ object LanguageModel {
       .withColumn("ppx",
         -col("__sc.s").cast("double") / col("__sc.n").cast("double"))
       .join(cuts, Seq(langCol))
-      .select(col(idCol).as("doc_id"), col(langCol), col("ppx"),
-        when(col("ppx") <= col("c1"), lit("head"))
-          .when(col("ppx") <= col("c2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+      // carry-through: every input column survives so the twin chains
+      // inside a composed stream (langCol comes first — the cuts join key)
+      .select(col(langCol) +:
+        docs.columns.toSeq.filter(_ != langCol).map(n => col(s"`$n`")) ++:
+        Seq(col("ppx"),
+          when(col("ppx") <= col("c1"), lit("head"))
+            .when(col("ppx") <= col("c2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket")): _*)
 }

@@ -37,7 +37,19 @@ import org.apache.spark.sql.functions._
 object QualityModel {
 
   /** md5-derived token hash bucket (shared convention with
-    * [[TextAnalysis.classifierScores]] and its proven oracle twin). */
+    * [[TextAnalysis.classifierScores]] and its proven oracle twin).
+    *
+    * ACCEPTED FLOOR — md5 is the contract, not a residual: the bucket
+    * function must be computed identically by this engine and the DuckDB
+    * oracle, and md5 is the ONLY hash both implement bit-identically
+    * (checked against `duckdb_functions()`: DuckDB ships `hash` — its own
+    * algorithm, incompatible with Spark's — plus md5/sha; Spark's
+    * xxhash64/murmur have no DuckDB counterpart). The native [[
+    * graft.functions.Md5Prefix]] already strips the hex-string
+    * materialization, so the remaining per-token cost is one md5 block —
+    * the same price the oracle pays. A production deployment free of the
+    * cross-engine parity contract would swap `xxhash64(tok)` in here (one
+    * line) for ~3× cheaper bucketing. */
   private def bucketOf(tok: Column, buckets: Int): Column =
     pmod(graft.functions.Md5Prefix.prefix(tok, 6), lit(buckets.toLong))
 

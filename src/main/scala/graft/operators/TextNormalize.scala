@@ -293,10 +293,14 @@ object TextNormalize {
           array().cast("array<bigint>")))
       .withColumn("__kept",
         filter(col("__lines"), l => !array_contains(col("__hot"), xxhash64(l))))
-      .select(col(idCol), col(domainCol),
-        concat_ws(sep, col("__kept")).as(textCol),
+      // carry-through: every input column survives (textCol replaced by
+      // the scrubbed text) so the twin chains inside a composed stream
+      .select(docs.columns.toSeq.map {
+        case n if n == textCol => concat_ws(sep, col("__kept")).as(textCol)
+        case n                 => col(s"`$n`")
+      } ++ Seq(
         size(col("__lines")).cast("long").as("n_lines"),
         (size(col("__lines")) - size(col("__kept"))).cast("long")
-          .as("n_removed"))
+          .as("n_removed")): _*)
   }
 }

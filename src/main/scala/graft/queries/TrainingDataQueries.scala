@@ -1264,9 +1264,14 @@ object TrainingDataQueries extends QueryPack {
         .filter(col("doc_id") % 97 =!= 0)
         .localCheckpoint(true)
       val bench = fixed.filter(col("doc_id") % 97 === 0)
-      // stage 6: detectors → components → keep-best (longest member wins)
+      // stage 6: detectors → components → keep-best (longest member wins).
+      // The pool's hashed 3-gram postings are shingled ONCE (tracked cache)
+      // and shared by the Jaccard detector here and the decontamination leg
+      // below — the two legs otherwise re-tokenize the same checkpointed
+      // text.
+      val poolGrams = Dedup.cacheHashedPostings(pool, k = 3)
       val jp = Dedup.jaccardPairs(pool, threshold = 0.3,
-        maxShingleDf = Some(1000))
+        maxShingleDf = Some(1000), grams = Some(poolGrams))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text").cast("binary")))
@@ -1277,8 +1282,12 @@ object TrainingDataQueries extends QueryPack {
       val comps = Dedup.connectedComponents(jp.unionByName(ep))
       val kept = Dedup.applyKeepListBest(pool, comps,
         TextAnalysis.tokenCount(col("text")).cast("long"))
-      // stage 7: decontaminate the survivors against the holdout
-      val cont = Decontaminate.overlap(kept, bench, k = 3)
+      // stage 7: decontaminate the survivors against the holdout — the
+      // survivors' grams are the shared pool postings semi-joined to the
+      // kept ids (text is unchanged through dedup, so the subset is exact)
+      val cont = Decontaminate.overlap(kept, bench, k = 3,
+        docGrams = Some(poolGrams.join(kept.select(col("doc_id")),
+          Seq("doc_id"), "left_semi")))
         .filter(col("contamination") >= 0.2).select(col("doc_id"))
       val clean = kept.join(cont, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))

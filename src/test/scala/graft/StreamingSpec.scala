@@ -1037,6 +1037,7 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((12L, "fr", "le chat dort le chat dort le chat"))
       q.processAllAvailable()
       val streamed = spark.table("ccnet_stream")
+        .select("doc_id", "lang", "ppx", "bucket")
         .as[(Long, String, Double, String)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       // identical text -> identical ppx AND identical bucket vs batch
@@ -1118,6 +1119,100 @@ class StreamingSpec extends AnyFunSuite {
       // sorting the drained stream by (order_key, key) per stratum gives
       // EXACTLY the batch epoch_rank permutation (same draw both sides)
       assert(streamedOrder === batchOrder)
+    } finally q.stop()
+  }
+
+  test("composed corpus stream: canonicalize→repair→langid→gopher→decontaminate→scrub→buckets→epoch ≡ batch chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Decontaminate, LanguageModel, Packing,
+      TextAnalysis, TextNormalize, UrlOps}
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def u(d: String) = s"https://www.$d.com/p/x"
+    val banner = "the cookie banner of the site"
+    // alpha-site: 4 docs share the banner line (template at share 0.5);
+    // d4 is ALL template (scrubs to empty -> dropped at the bucket stage
+    // on both sides); d5 fails Gopher (too short); d6 carries mojibake
+    // the repair stage must fix before anything downstream hashes it;
+    // d7 leaks the benchmark verbatim (contamination 1.0 -> dropped);
+    // beta-site has only 2 docs (under minDomainDocs -> scrub exempt)
+    // declared fr for a second epoch/cuts stratum.
+    val pool = Seq(
+      (1L, "en", u("alpha-site"), s"$banner\nthe cat sat on the mat and slept well"),
+      (2L, "en", u("alpha-site"), s"$banner\nthe dog ran to the park and came home"),
+      (3L, "en", u("alpha-site"), s"$banner\nthe bird flew of the nest and sang songs"),
+      (4L, "en", u("alpha-site"), banner),
+      (5L, "en", u("alpha-site"), "xy zz"),
+      (6L, "en", u("beta-site"), "the rain held and the grass grew fast" +
+        TextNormalize.asMojibake(" café")),
+      (7L, "en", u("beta-site"), "the secret answer is forty two and the test leaks here"),
+      (8L, "fr", u("beta-site"), "the quick fox ran to the field and then home"),
+      (9L, "fr", u("beta-site"), "the small bird is of the tree and that song"))
+      .toDF("doc_id", "lang", "url", "text")
+    val bench = Seq(
+      (100L, "the secret answer is forty two and the test leaks here exactly"))
+      .toDF("doc_id", "text")
+    // ——— the BATCH chain, stage by stage with the batch operators
+    val fixed = pool.select(col("doc_id"), col("lang"),
+      UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"),
+      TextNormalize.fixMojibake(col("text")).as("text"))
+    val langed = fixed.withColumn("plang",
+      TextAnalysis.predictedLang(col("text")))
+    val keepIds = TextAnalysis.gopherRules(fixed, minWords = 3, maxWords = 40)
+      .filter(col("gopher_keep")).select("doc_id")
+    val pool2 = langed.join(keepIds, Seq("doc_id")).localCheckpoint(true)
+    val contIds = Decontaminate.overlap(pool2, bench, k = 3)
+      .filter(col("contamination") >= 0.2).select("doc_id")
+    val clean = pool2.join(contIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val fits = CorpusStream.fit(clean, bench, k = 3,
+      maxDocShare = 0.5, minDomainDocs = 3)
+    val scrubbedB = TextNormalize.scrubBoilerplate(clean,
+        maxDocShare = 0.5, minDomainDocs = 3, domainCol = "domain")
+      .join(clean.select(col("doc_id"), col("lang"), col("plang")),
+        Seq("doc_id"))
+    val bucketedB = LanguageModel.perplexityBuckets(scrubbedB, fits.lmModel)
+    val want = bucketedB
+      .join(scrubbedB.select(col("doc_id"), col("domain"), col("plang"),
+        col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("domain"), col("lang"), col("plang"),
+        col("text"), col("ppx"), col("bucket"))
+      .as[(Long, String, String, String, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val epochOrder = Packing.epochInterleave(
+        bucketedB.select(col("doc_id"), col("lang")),
+        strataCol = "lang", keyCol = "doc_id", salt = "cs")
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._2).map { case (l, rs) => l -> rs.sortBy(_._3).map(_._1).toSeq }
+    graft.operators.Dedup.releaseIntermediateCaches()
+    assert(want.keySet === Set(1L, 2L, 3L, 6L, 8L, 9L)) // the designed survivors
+    // ——— the STREAM: same raw docs across two micro-batches
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = CorpusStream.curate(
+        input.toDF().toDF("doc_id", "lang", "url", "text"), fits, k = 3,
+        minWords = 3, maxWords = 40, contaminationMax = 0.2, epochSalt = "cs")
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      val rows = pool.as[(Long, String, String, String)].collect().toSeq
+      val (b1, b2) = rows.partition(_._1 <= 4L)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("corpus_stream")
+        .select(col("doc_id"), col("domain"), col("lang"), col("plang"),
+          col("text"), col("ppx"), col("bucket"), col("order_key"))
+        .as[(Long, String, String, String, String, Double, String, Double)]
+        .collect()
+      // row-for-row identical to the batch chain on every curated column
+      assert(got.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+        .toMap === want)
+      // and sorting the drained stream per stratum reproduces the batch
+      // epoch permutation (the epochOrderStateless contract, end of chain)
+      val gotOrder = got.groupBy(_._3).map { case (l, rs) =>
+        l -> rs.sortBy(r => (r._8, r._1)).map(_._1).toSeq }
+      assert(gotOrder === epochOrder)
     } finally q.stop()
   }
 }
