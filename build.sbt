@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full rule catalogs compile to deep Column trees; Catalyst's node
   // conversion + codegen recurse past the default 1m thread stack
   "-Xss64m",
+  // the 102-query bench suite generates far more compiled code than the
+  // 240 MB default: code-cache flushing late in a suite deoptimizes hot
+  // methods and was a driver of the ~15-25% late-alphabet inflation
+  // vs isolated runs (bench_detail.json `mem` samples the occupancy)
+  "-XX:ReservedCodeCacheSize=512m",
 )

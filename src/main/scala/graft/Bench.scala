@@ -10,25 +10,44 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN. Single-shot timings in a shared JVM swung up to 6× between
   * rounds on unchanged queries, which made per-query comparisons
   * uninterpretable — the median of three warmed runs is stable enough to
-  * attribute changes to plans rather than to the JIT. Queries run in
-  * FIXED alphabetical order with a GC + settle before each, so adding a
-  * query to the suite no longer reshuffles every other query's JIT/GC
-  * neighborhood and round-over-round per-query deltas are attributable
-  * to plans.
+  * attribute changes to plans rather than to the JIT.
+  *
+  * FRESH JVM PER FAMILY (since round 11): a full 102-query suite in one
+  * JVM inflated late-alphabet queries 15-25% vs isolated runs even with
+  * per-rep GC and zero external CPU — classic JVM aging: JIT profile
+  * pollution at Spark's megamorphic call sites (every query's generated
+  * classes retrain the same InternalRow/TreeNode call sites), code-cache
+  * fill/flushing churn, and metaspace growth. None of that is fixable
+  * in-process, so the suite main now ORCHESTRATES: queries are split
+  * into alphabetical families of [[FamilySize]] and each family runs in
+  * a freshly spawned child JVM (same classpath and JVM flags as the
+  * parent, env-inherited), so no query is ever more than FamilySize
+  * queries deep into a JVM's life and suite numbers match isolated runs.
+  * Cost: one JVM + SparkSession startup per family (~5 s, outside the
+  * timed windows). `SPARK_GRAFT_BENCH_FORK=0` forces the old
+  * single-JVM in-process suite (the A/B lever for measuring the aging
+  * itself); `SPARK_GRAFT_BENCH_ONLY` subsets always run in-process.
+  * Each child writes its own detail file; the parent merges them into
+  * the usual artifact shape plus a `children` forensic section and
+  * re-prints the single compact stdout line. A child that exits nonzero
+  * has its family re-run in-process by the parent (fail-open — the
+  * artifact then carries the aging bias for that family, flagged in
+  * `child_exits`).
   *
   * The bench evidence is built to be TRUSTWORTHY AS AN ARTIFACT, not
   * just a number: a prior round's driver run recorded a 6× skew on two
   * queries that two clean paired re-runs could not reproduce —
   * environmental load, invisible in the artifact itself. The evidence
   * (per-query warm + every timed run, before/after /proc/loadavg, a
-  * `tainted` flag with the foreign-JVM pid list sampled per query) is
-  * written to `bench_detail.json` in the working directory, and the
-  * stdout line stays COMPACT: metric/total/per-query medians/taint only.
-  * Round 8 carried the full runs evidence inline and the resulting
-  * ~12 KB line outran the driver's ~4 KB tail capture — the artifact
-  * recorded `parsed: null`, strictly worse than a short parseable line.
-  * All times round to ms; the noise floor is far above 1 ms and full
-  * 17-digit doubles tripled the line length.
+  * `tainted` flag with the foreign-JVM pid list sampled per query, and
+  * per-query post-run JVM memory occupancy `mem` = [codeCacheMB,
+  * metaspaceMB, oldGenMB]) is written to `bench_detail.json` in the
+  * working directory, and the stdout line stays COMPACT: metric/total/
+  * per-query medians/taint only. Round 8 carried the full runs evidence
+  * inline and the resulting ~12 KB line outran the driver's ~4 KB tail
+  * capture — the artifact recorded `parsed: null`, strictly worse than a
+  * short parseable line. All times round to ms; the noise floor is far
+  * above 1 ms and full 17-digit doubles tripled the line length.
   *
   * MEASUREMENT BASIS (since round 9): queries are forced via
   * `queryExecution.toRdd.count()` — full materialization of every output
@@ -47,7 +66,9 @@ import org.apache.spark.sql.SparkSession
   * medians stay in the artifact (`queries_median`, `value_median`) for
   * continuity with the r9 line. Two load-aware taints complement the
   * foreign-JVM scan: (a) suite-start loadavg above ~2.0 (after one 20 s
-  * settle-retry) stamps `tainted_load`; (b) per-rep EXTERNAL cpu —
+  * settle-retry) stamps `tainted_load` — PARENT-level only in forked
+  * mode, because each child necessarily starts under the load its
+  * predecessor's 32 threads just generated; (b) per-rep EXTERNAL cpu —
   * system-wide user-mode jiffies (user+nice+steal; kernel time excluded
   * as largely self-inflicted — see cpuJiffies) minus this JVM chain's own
   * user-mode jiffies, a measure that
@@ -57,6 +78,12 @@ import org.apache.spark.sql.SparkSession
   * reps it hit.
   */
 object Bench {
+
+  /** Queries per child JVM in forked mode: small enough that aging can't
+    * build (the measured bias needed ~90 queries to reach 15-25%; at 12
+    * the residual is under the rep-to-rep noise floor), large enough
+    * that the ~5 s per-child startup stays ~5% of suite wall time. */
+  val FamilySize = 12
 
   /** ms precision: benchmark noise floor is far above 1 ms, and full
     * 17-digit doubles tripled the artifact line length. */
@@ -69,8 +96,9 @@ object Bench {
       .split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq(0.0, 0.0, 0.0) }
 
-  /** This pid plus its ancestry (the sbt/shell chain that launched us) —
-    * the processes that are ALLOWED to be JVMs during a bench. */
+  /** This pid plus its ancestry (the sbt/shell chain that launched us —
+    * and, for a forked-bench child, the orchestrating parent JVM) — the
+    * processes that are ALLOWED to be JVMs during a bench. */
   private def selfAndAncestors(): Set[Long] = {
     def ppid(pid: Long): Option[Long] =
       try {
@@ -110,9 +138,9 @@ object Bench {
     * during dedup BSP reps on an otherwise idle machine — self-inflicted,
     * not contention), while a competing workload's burn is user time.
     * `steal` stays included: hypervisor-level neighbors are exactly the
-    * contention the flag exists for. Ancestors (the sbt/shell chain) are
-    * folded into the "own" side: a parent sbt JVM streaming our logs
-    * burns ~1 core and is part of the harness. */
+    * contention the flag exists for. Ancestors (the sbt/shell chain, and
+    * the forked-mode parent) are folded into the "own" side: a parent
+    * JVM streaming our logs burns ~1 core and is part of the harness. */
   private def cpuJiffies(): (Long, Long) = {
     val sysBusy = try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
@@ -136,23 +164,33 @@ object Bench {
     else math.max(0.0,
       ((after._1 - before._1) - (after._2 - before._2)) / 100.0 / elapsedSec)
 
+  /** [code cache, metaspace, old gen] occupancy in MB — the JVM-aging
+    * forensics recorded per query (`mem` in the detail artifact). */
+  private def memMB(): Seq[Double] = {
+    var cc = 0.0; var msp = 0.0; var og = 0.0
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach {
+      p =>
+        val used = p.getUsage.getUsed / 1e6
+        val n = p.getName
+        if (n.contains("CodeHeap") || n.contains("Code Cache")) cc += used
+        else if (n == "Metaspace") msp += used
+        else if (n.contains("Old Gen") || n.contains("Tenured")) og += used
+    }
+    Seq(cc, msp, og).map(x => math.rint(x))
+  }
+
   private val ExtCoresTaint = 2.0
   private val LoadTaint = 2.0
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    var loadBefore = loadavg()
-    // one settle-retry: a transient spike (the previous driver step
-    // winding down) should not taint a whole suite that runs after it
-    if (loadBefore.head > LoadTaint) {
-      System.err.println(f"[bench] loadavg ${loadBefore.head}%.2f > $LoadTaint at start; settling 20s")
-      Thread.sleep(20000)
-      loadBefore = loadavg()
-    }
-    val loadTainted = loadBefore.head > LoadTaint
-    val jvmsBefore = foreignJvms()
+  private final case class QR(name: String, min: Double, median: Double,
+                              warm: Double, warm2: Option[Double],
+                              times: Seq[Double], exts: Seq[Double],
+                              mem: Seq[Double])
+
+  private final case class SuiteRun(results: Seq[QR], foreign: Seq[Long],
+                                    extMax: Double, extHits: Int)
+
+  private def buildSession(cpus: String): SparkSession = {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -162,21 +200,45 @@ object Bench {
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while iterating
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+    spark
+  }
+
+  /** Untimed JVM priming, run once per bench JVM before any timed query:
+    * a few passes of representative work (parquet scan + hash join +
+    * aggregation + window + sort) drain the young JVM's background-C2
+    * queue over the infrastructure every timed query crosses. Without it,
+    * queries early in a fresh JVM's life are billed for Spark-infra JIT —
+    * measured +50-150% on sub-second queries at family positions 1-3
+    * after the fork-per-family split, the mirror image of the aging bias
+    * the split removed. Identical priming runs in EVERY bench JVM
+    * (families and SPARK_GRAFT_BENCH_ONLY isolated runs alike), so
+    * suite and isolated numbers share one basis. */
+  private def prime(spark: SparkSession, sfDir: String): Unit = {
+    val qs = Seq("q1_pricing_summary", "q3_top_orders", "q_window_analytics")
+      .flatMap(SparkEntry.queries.get)
+    var pass = 0
+    while (pass < 4) {
+      qs.foreach { fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      pass += 1
     }
-    // taint is sampled per query, not just at the suite's ends — a
-    // concurrent JVM that starts and exits mid-suite is exactly the r7
-    // skew scenario the flag exists for
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
+  /** The measurement loop: warm (+re-warm on slow first contact), timed
+    * reps with per-rep GC and external-CPU jiffies, per-query foreign-JVM
+    * sampling and memory forensics. */
+  private def runSuite(spark: SparkSession, sfDir: String,
+                       selected: Seq[(String, (SparkSession, String) =>
+                         org.apache.spark.sql.DataFrame)],
+                       timedRuns: Int): SuiteRun = {
     val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
-    foreignSeen ++= jvmsBefore
     var extSeen = 0.0 // max per-rep external-cpu cores observed anywhere
     var extHits = 0   // reps above the threshold (1 transient spike ≠ taint)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // settle before each query (GC itself happens per rep inside once())
       Thread.sleep(100)
       foreignSeen ++= foreignJvms()
@@ -214,7 +276,7 @@ object Bench {
       // lands mid-warmup and swings >30% between paired benches). One
       // extra warm pass for anything whose first contact was slow keeps
       // the medians attributable to plans.
-      val warm2 = if (warm > 2.0) once()._1 else -1.0
+      val warm2 = if (warm > 2.0) Some(once()._1) else None
       val reps = Seq.fill(timedRuns)(once())
       val times = reps.map(_._1)
       val exts = reps.map(_._2)
@@ -224,40 +286,229 @@ object Bench {
       val minT = times.min
       System.err.println(
         f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} min=$minT%7.2fs median=$median%7.2fs ext=${exts.map(e => f"$e%.1f").mkString(",")}")
-      (name, ms(minT), ms(median), (ms(warm), if (warm2 < 0) None else Some(ms(warm2))), times.map(ms), exts.map(ms))
+      QR(name, ms(minT), ms(median), ms(warm), warm2.map(ms),
+        times.map(ms), exts.map(ms), memMB())
     }
+    SuiteRun(results, foreignSeen.toSeq, extSeen, extHits)
+  }
+
+  private def queriesJson(rs: Seq[QR], f: QR => Double): String =
+    rs.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+
+  private def runsJson(rs: Seq[QR]): String =
+    rs.map { r =>
+      val warm2 = r.warm2.map(x => ",\"warm2\":" + x).getOrElse("")
+      "\"" + r.name + "\":{\"warm\":" + r.warm + warm2 +
+        ",\"t\":[" + r.times.mkString(",") + "],\"ext\":[" +
+        r.exts.mkString(",") + "],\"mem\":[" + r.mem.mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val forkOff = sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
+    if (!isChild && !forkOff && only.isEmpty)
+      mainForked(sfDir, cpus, timedRuns)
+    else
+      mainInProcess(sfDir, cpus, timedRuns, only, isChild)
+  }
+
+  /** The single-JVM measurement path: the whole (sub)suite in this JVM.
+    * Forked-mode children land here (with their family as the subset), as
+    * do SPARK_GRAFT_BENCH_ONLY dev runs and SPARK_GRAFT_BENCH_FORK=0
+    * full-suite runs (the aging A/B lever). */
+  private def mainInProcess(sfDir: String, cpus: String, timedRuns: Int,
+                            only: Option[Set[String]],
+                            isChild: Boolean): Unit = {
+    var loadBefore = loadavg()
+    // one settle-retry: a transient spike (the previous driver step
+    // winding down) should not taint a whole suite that runs after it.
+    // Children skip it: the predecessor family's 32 threads ALWAYS leave
+    // loadavg high at child start — self-inflicted, not contention (the
+    // ext-jiffies taint covers real contention), and 20 s × N children
+    // would dominate suite wall time.
+    if (!isChild && loadBefore.head > LoadTaint) {
+      System.err.println(f"[bench] loadavg ${loadBefore.head}%.2f > $LoadTaint at start; settling 20s")
+      Thread.sleep(20000)
+      loadBefore = loadavg()
+    }
+    val loadTainted = !isChild && loadBefore.head > LoadTaint
+    val spark = buildSession(cpus)
+    val selected = (only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }).toSeq.sortBy(_._1)
+    prime(spark, sfDir)
+    val run = runSuite(spark, sfDir, selected, timedRuns)
     val loadAfter = loadavg()
-    foreignSeen ++= foreignJvms()
-    val foreign = foreignSeen.toSeq
+    val foreign = (run.foreign ++ foreignJvms()).distinct.sorted
     // a single offending rep is a transient (one kernel hiccup, one stray
     // short-lived process) and its query's min-of-reps already sheds it;
     // sustained contention hits many reps
-    val extTainted = extHits > 1
+    val extTainted = run.extHits > 1
     val tainted = foreign.nonEmpty || loadTainted || extTainted
-    val qs = results.map { case (k, mn, _, _, _, _) => s"\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, md, _, _, _) => s"\"" + k + "\":" + md }
-      .mkString("{", ",", "}")
-    val runs = results.map { case (k, _, _, (w, w2), ts, exts) =>
-      val warm2 = w2.map(x => ",\"warm2\":" + x).getOrElse("")
-      s"\"" + k + "\":{\"warm\":" + w + warm2 + ",\"t\":[" + ts.mkString(",") +
-        "],\"ext\":[" + exts.mkString(",") + "]}"
-    }.mkString("{", ",", "}")
-    val total = ms(results.map(_._2).sum)
-    val totalMed = ms(results.map(_._3).sum)
+    val total = ms(run.results.map(_.min).sum)
+    val totalMed = ms(run.results.map(_.median).sum)
     val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val taints = s""""tainted":$tainted,"tainted_foreign":${foreign.nonEmpty},""" +
-      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(extSeen)}"""
+      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(run.extMax)}"""
+    val qs = queriesJson(run.results, _.min)
+    val qsMed = queriesJson(run.results, _.median)
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""value_median":$totalMed,"queries_median":$qsMed,""" +
-      s""""runs":$runs,"loadavg":$load,$taints,""" +
-      s""""foreign_jvms":[${foreign.mkString(",")}],"sf":"$sfDir"}"""
+      s""""runs":${runsJson(run.results)},"loadavg":$load,$taints,""" +
+      s""""foreign_jvms":[${foreign.mkString(",")}],"forked":false,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""value_median":$totalMed,$taints,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Forked-mode orchestrator: split the suite into alphabetical families
+    * of [[FamilySize]], run each in a fresh child JVM (same flags and
+    * classpath as this one), merge the children's detail artifacts. */
+  private def mainForked(sfDir: String, cpus: String,
+                         timedRuns: Int): Unit = {
+    var loadBefore = loadavg()
+    if (loadBefore.head > LoadTaint) {
+      System.err.println(f"[bench] loadavg ${loadBefore.head}%.2f > $LoadTaint at start; settling 20s")
+      Thread.sleep(20000)
+      loadBefore = loadavg()
+    }
+    val loadTainted = loadBefore.head > LoadTaint
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val families = names.grouped(FamilySize).toSeq
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val childDocs = Vector.newBuilder[(Int, JValue, Seq[String])]
+    val childExits = Vector.newBuilder[Int]
+    var fallbackResults = Vector.empty[QR] // families whose child died
+    var fallbackTaints = (false, false, 0.0) // (foreign, ext, extMax)
+    families.zipWithIndex.foreach { case (family, i) =>
+      val detailFile = java.io.File.createTempFile(s"graft_bench_f$i", ".json")
+      detailFile.deleteOnExit()
+      System.err.println(s"[bench] family ${i + 1}/${families.size}: ${family.head}..${family.last}")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // compact line: parent reprints
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_CHILD", "1")
+      env.put("SPARK_GRAFT_BENCH_ONLY", family.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_DETAIL", detailFile.getAbsolutePath)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.put("SPARK_GRAFT_BENCH_RUNS", timedRuns.toString)
+      val exit = try pb.start().waitFor()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] child spawn failed: $e"); -1 }
+      childExits += exit
+      val parsed =
+        if (exit == 0)
+          try Some(JsonMethods.parse(new String(java.nio.file.Files
+            .readAllBytes(detailFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] child detail unreadable: $e"); None }
+        else None
+      parsed match {
+        case Some(j) => childDocs += ((i, j, family))
+        case None =>
+          // fail-open: this family runs in-process (carries aging bias for
+          // at most FamilySize queries, flagged by its nonzero child_exit)
+          System.err.println(s"[bench] family $i child failed (exit $exit); running in-process")
+          val spark = buildSession(cpus)
+          val sel = SparkEntry.queries.filter { case (n, _) => family.contains(n) }
+            .toSeq.sortBy(_._1)
+          val run = runSuite(spark, sfDir, sel, timedRuns)
+          spark.stop()
+          fallbackResults ++= run.results
+          fallbackTaints = (fallbackTaints._1 || run.foreign.nonEmpty,
+            fallbackTaints._2 || run.extHits > 1,
+            math.max(fallbackTaints._3, run.extMax))
+      }
+    }
+    val docs = childDocs.result()
+    def field(j: JValue, name: String): List[(String, JValue)] =
+      j \ name match { case JObject(fs) => fs; case _ => Nil }
+    def bool(j: JValue, name: String): Boolean =
+      j \ name match { case JBool(b) => b; case _ => false }
+    def dbl(j: JValue): Double = j match {
+      case JDouble(d) => d; case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble; case _ => 0.0
+    }
+    // merged per-query maps keep suite order (children are alphabetical
+    // families of an alphabetical list, so concatenation IS sorted order;
+    // in-process fallbacks splice back in by name)
+    val qMin = (docs.flatMap { case (_, j, _) => field(j, "queries") }
+      .map { case (n, v) => n -> dbl(v) } ++
+      fallbackResults.map(r => r.name -> r.min)).sortBy(_._1)
+    val qMed = (docs.flatMap { case (_, j, _) => field(j, "queries_median") }
+      .map { case (n, v) => n -> dbl(v) } ++
+      fallbackResults.map(r => r.name -> r.median)).sortBy(_._1)
+    val runsMerged = (docs.flatMap { case (_, j, _) => field(j, "runs") }
+      .map { case (n, v) => n -> JsonMethods.compact(JsonMethods.render(v)) } ++
+      fallbackResults.map(r => r.name ->
+        runsJson(Seq(r)).stripPrefix("{\"" + r.name + "\":").stripSuffix("}")))
+      .sortBy(_._1)
+    val foreign = docs.flatMap { case (_, j, _) =>
+      j \ "foreign_jvms" match {
+        case JArray(xs) => xs.map(x => dbl(x).toLong); case _ => Nil
+      }
+    }.distinct.sorted
+    val extTainted = docs.exists { case (_, j, _) => bool(j, "tainted_ext") } ||
+      fallbackTaints._2
+    val foreignTainted = foreign.nonEmpty || fallbackTaints._1
+    val extMax = math.max(
+      (0.0 +: docs.map { case (_, j, _) => dbl(j \ "ext_max") }).max,
+      fallbackTaints._3)
+    val tainted = foreignTainted || loadTainted || extTainted
+    val total = ms(qMin.map(_._2).sum)
+    val totalMed = ms(qMed.map(_._2).sum)
+    val loadAfter = loadavg()
+    val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
+    val qs = qMin.map { case (n, v) => s"\"$n\":$v" }.mkString("{", ",", "}")
+    val qsMed = qMed.map { case (n, v) => s"\"$n\":$v" }.mkString("{", ",", "}")
+    val runsStr = runsMerged.map { case (n, v) => s"\"$n\":$v" }
+      .mkString("{", ",", "}")
+    // per-child forensics: family bounds, exit code, the child's own
+    // loadavg window (expected high after the first family — see
+    // mainInProcess) — enough to audit any one family's conditions
+    val childrenStr = docs.map { case (i, j, family) =>
+      val lv = JsonMethods.compact(JsonMethods.render(j \ "loadavg"))
+      s"""{"family":$i,"first":"${family.head}","last":"${family.last}","loadavg":$lv,"tainted_ext":${bool(j, "tainted_ext")}}"""
+    }.mkString("[", ",", "]")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val taints = s""""tainted":$tainted,"tainted_foreign":$foreignTainted,""" +
+      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(extMax)}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""value_median":$totalMed,"queries_median":$qsMed,""" +
+      s""""runs":$runsStr,"loadavg":$load,$taints,""" +
+      s""""foreign_jvms":[${foreign.mkString(",")}],""" +
+      s""""forked":true,"families":${families.size},""" +
+      s""""child_exits":[${childExits.result().mkString(",")}],""" +
+      s""""children":$childrenStr,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""value_median":$totalMed,$taints,"detail":"$detailPath","sf":"$sfDir"}""")
   }
 }

@@ -150,7 +150,9 @@ object BpeLearn {
     * greedy scan is a pure function of it. */
   def learnBatched(corpus: DataFrame, numMerges: Int, batchSize: Int,
                    textCol: String = "text", minFrequency: Long = 2L,
-                   endOfWord: Option[String] = Some("</w>")): Seq[Merge] = {
+                   endOfWord: Option[String] = Some("</w>"),
+                   onRound: (Int, Int, Int) => Unit = (_, _, _) => ())
+      : Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges")
     require(batchSize >= 1, s"batchSize=$batchSize")
     val words = wordFrequencies(corpus, textCol)
@@ -187,6 +189,8 @@ object BpeLearn {
         }
       }
       val accepted = batch.result()
+      // instrumentation hook (sizing probes): round's ask vs acceptance
+      onRound(rank, want, accepted.length)
       if (accepted.isEmpty) exhausted = true
       else {
         accepted.foreach { case (l, r, w) =>

@@ -102,23 +102,26 @@ object SubstringDedup {
     * Scale shape: spans collapse to one array per flagged document (small:
     * merged spans are non-overlapping, so a document carries at most
     * len/k of them), the corpus equi-joins on doc_id, and untouched
-    * documents (the left-join majority) pass through with their token
-    * array intact — no non-equi join anywhere. */
+    * documents (the left-join majority) pass through — no non-equi join
+    * anywhere. The per-row scrub is the native codegen'd
+    * [[graft.functions.SpanScrub]] single pass: the nested
+    * filter/exists HOF shape it replaced was CodegenFallback —
+    * interpreted per token per document — and its interpreter traffic
+    * demonstrably poisoned JIT profiles for the REST of a shared
+    * session (see SpanScrub's doc; a bench family running this query
+    * left the flagship coding query 3× slower for the JVM's life). */
   def scrubSpans(docs: DataFrame, spans: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spanLists = spans.groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("__spans"))
+      .agg(collect_list(struct(col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e"))).as("__spans"))
     docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .join(spanLists, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat_ws(" ",
-          when(col("__spans").isNull, col("__toks"))
-            .otherwise(filter(col("__toks"), (_: Column, i: Column) =>
-              !exists(col("__spans"),
-                sp => i >= sp("s") && i < sp("e")))))
+        graft.functions.SpanScrub.scrub(col("__text"),
+          coalesce(col("__spans"),
+            array().cast("array<struct<s:int,e:int>>")))
           .as("text_dedup"))
   }
 }

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+import graft.operators.BpeLearn
+
+/** Production-scale sizing probe for [[graft.operators.BpeLearn
+  * .learnBatched]]: run a 30k-merge vocabulary build over the sf word
+  * table at several batch sizes and report, per batch size —
+  *
+  *   - wall seconds and merges actually learned (the corpus saturates
+  *     when no disjoint pair clears `minFrequency`; where that happens
+  *     is itself a datum),
+  *   - driver round-trips (= rounds: one pair-count collect + one
+  *     checkpointed re-segmentation each),
+  *   - batch acceptance rate (accepted / asked per round, averaged) —
+  *     how much of each round's ask survives the symbol-disjointness
+  *     greedy scan,
+  *   - seconds per merge and per round.
+  *
+  * Not a gate (the batched path's ORACLE gate is `bpe_merges_batched`
+  * at 8 merges / batch [4,4]); this is the evidence behind the
+  * scaladoc's production claim that batching makes 30k-merge
+  * vocabularies practical. Findings land in NOTES.md.
+  *
+  * Usage: runMain graft.tools.BpeSizing [sfDir] [maxMerges] [batchSizes]
+  *        (defaults: /root/testdata/sf0.1 30000 64,256,1024)
+  */
+object BpeSizing {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxMerges = args.lift(1).map(_.toInt).getOrElse(30000)
+    val batchSizes = args.lift(2).getOrElse("64,256,1024")
+      .split(",").map(_.trim.toInt).toSeq
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    val nWords = BpeLearn.wordFrequencies(docs).count()
+    println(s"BPE_SIZING sf=$sfDir distinct_words=$nWords max_merges=$maxMerges")
+    batchSizes.foreach { bs =>
+      var rounds = 0
+      var asked = 0L
+      var accepted = 0L
+      val t0 = System.nanoTime()
+      val merges = BpeLearn.learnBatched(docs, maxMerges, bs,
+        onRound = (_, want, got) => {
+          rounds += 1; asked += want; accepted += got
+          if (rounds % 25 == 0)
+            System.err.println(s"[bpe] batch=$bs round=$rounds merges=$accepted")
+        })
+      val secs = (System.nanoTime() - t0) / 1e9
+      val accRate = if (asked == 0) 0.0 else accepted.toDouble / asked
+      println(f"BPE_SIZING batch=$bs%-5d merges=${merges.length}%-6d rounds=$rounds%-5d " +
+        f"wall_s=$secs%8.1f s_per_round=${secs / math.max(1, rounds)}%6.2f " +
+        f"s_per_merge=${secs / math.max(1, merges.length)}%8.4f acceptance=$accRate%5.2f " +
+        f"saturated=${merges.length < maxMerges}")
+    }
+    spark.stop()
+  }
+}

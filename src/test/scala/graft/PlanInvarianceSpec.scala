@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.GraftListenerBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+import org.apache.spark.sql.execution.SparkPlanInfo
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+
+/** Scale-invariance of the composed pipeline's PLAN SHAPE: the 100×
+  * claim (sf0.001 → sf0.1 and onward) should ride on the plans staying
+  * structurally identical — same exchanges, same join strategies — not
+  * just on result parity. The gate runs eager checkpoints stage by
+  * stage, so the real pipeline is only visible as the SEQUENCE of SQL
+  * executions it launches; a listener collects every execution's initial
+  * plan and the spec compares the aggregate shape across scale factors.
+  *
+  * Size-based broadcast demotion is disabled during the capture
+  * (`autoBroadcastJoinThreshold = -1`, restored after): checkpointed
+  * frames report SF-dependent size stats, so threshold decisions would
+  * legitimately differ across SFs — the invariant under test is the
+  * STRUCTURAL shape (explicit broadcast() hints included; they are the
+  * scale-critical ones), not the size heuristics AQE retunes at runtime
+  * anyway.
+  */
+class PlanInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private final case class Shape(hashExchanges: Int, broadcasts: Int,
+                                 joins: Map[String, Int])
+
+  /** All SQL executions (checkpoints, guard jobs, the final dump plan)
+    * launched while constructing + forcing the named gate at `dir`,
+    * summarized as plan-shape counts. */
+  private def capture(name: String, dir: String): Seq[Shape] = {
+    val infos = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlanInfo]
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit =
+        event match {
+          case e: SparkListenerSQLExecutionStart => infos.add(e.sparkPlanInfo)
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    spark.catalog.clearCache()
+    def walk(i: SparkPlanInfo)(f: SparkPlanInfo => Unit): Unit = {
+      f(i); i.children.foreach(walk(_)(f))
+    }
+    import scala.jdk.CollectionConverters._
+    infos.asScala.toSeq.map { root =>
+      var hash = 0; var bcast = 0
+      val joins = scala.collection.mutable.Map.empty[String, Int]
+      walk(root) { n =>
+        if (n.nodeName == "Exchange" &&
+            n.simpleString.contains("hashpartitioning")) hash += 1
+        if (n.nodeName.startsWith("BroadcastExchange")) bcast += 1
+        if (n.nodeName.contains("Join"))
+          joins(n.nodeName) = joins.getOrElse(n.nodeName, 0) + 1
+      }
+      Shape(hash, bcast, joins.toMap)
+    }
+  }
+
+  private def total(ss: Seq[Shape]): Shape = Shape(
+    ss.map(_.hashExchanges).sum, ss.map(_.broadcasts).sum,
+    ss.flatMap(_.joins.toSeq).groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum })
+
+  test("corpus_pipeline plan shape is identical at sf0.001 and sf0.1") {
+    val thresholdBefore =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = capture("corpus_pipeline", "/root/testdata/sf0.001")
+      val large = capture("corpus_pipeline", "/root/testdata/sf0.1")
+      // the same stage sequence launches the same executions...
+      assert(small.size === large.size,
+        s"execution count differs: sf0.001=${small.size} sf0.1=${large.size}")
+      // ...and the pipeline's aggregate shape — every hash exchange, every
+      // broadcast, every join strategy — is count-identical across 100×
+      val (s, l) = (total(small), total(large))
+      assert(s === l, s"aggregate plan shape differs:\n  sf0.001=$s\n  sf0.1  =$l")
+      // per-execution shapes align pairwise too (the sequence is
+      // deterministic construction order, so this pins WHERE any future
+      // divergence appears, not just that one appeared)
+      small.zip(large).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a === b, s"execution $i shape differs: sf0.001=$a sf0.1=$b")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+}

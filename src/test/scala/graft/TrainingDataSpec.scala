@@ -1414,6 +1414,49 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(scrubbed === Map(7L -> "p s t w"))
   }
 
+  test("native span scrub equals the HOF filter/exists chain (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.SpanScrub
+    import org.apache.spark.unsafe.types.UTF8String
+    // static tier vs a plain-Scala reference of the HOF semantics:
+    // spans unordered, possibly overlapping, possibly out of range
+    def ref(s: String, spans: Seq[(Int, Int)]): String =
+      s.split("\\s+").filter(_.nonEmpty).zipWithIndex
+        .collect { case (t, i)
+          if !spans.exists(sp => i >= sp._1 && i < sp._2) => t }
+        .mkString(" ")
+    val textGen = Gen.listOf(Gen.oneOf("a", "bb", "é中", "x1")).map(_.mkString(" "))
+    val spanGen = Gen.listOf(for {
+      a <- Gen.choose(-1, 8); len <- Gen.choose(0, 4)
+    } yield (a, a + len))
+    val prop = forAll(textGen, spanGen) { (s, spans) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        spans.map { case (a, b) =>
+          org.apache.spark.sql.catalyst.InternalRow(a, b) }.toArray[Any])
+      val got = SpanScrub.scrub(UTF8String.fromString(s), arr).toString
+      Prop(got === ref(s, spans)) :| s"s=$s spans=$spans got=$got"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    // engine tier: the codegen'd expression equals the HOF formulation
+    val df = Seq(
+      (1L, "a b c d e f", Seq((1, 3), (4, 5))),
+      (2L, "a b", Seq.empty[(Int, Int)]),
+      (3L, "", Seq((0, 2))),
+      (4L, "q  w   e", Seq((0, 1), (0, 2))))
+      .toDF("doc_id", "text", "spans")
+    val both = df.select(
+      SpanScrub.scrub(col("text"), col("spans")).as("fast"),
+      concat_ws(" ", filter(TextAnalysis.tokens(col("text")),
+        (_: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          !exists(col("spans"),
+            sp => i >= sp("_1") && i < sp("_2")))).as("ref"))
+      .as[(String, String)].collect()
+    both.foreach { case (fast, r) => assert(fast === r) }
+  }
+
   test("star contraction converges on a chain far longer than its round budget") {
     // a 60-vertex path: diameter 59 — min-label BSP at its default
     // maxIter=25 correctly throws (the documented contract), while star
