@@ -400,6 +400,22 @@ object Bench {
     var fallbackResults = Vector.empty[QR] // families whose child died
     var fallbackTaints = (false, false, 0.0) // (foreign, ext, extMax)
     families.zipWithIndex.foreach { case (family, i) =>
+      if (i > 0) {
+        // between families: the previous child's 32 threads leave dirty
+        // checkpoint/shuffle pages whose kernel writeback competes with
+        // the next family's reps — invisible to the user-mode ext taint
+        // (system time is deliberately excluded) but measured as +15-38%
+        // on the checkpoint-heavy dedup family. Flush and let the run
+        // queue drain before spawning the next child.
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case _: Throwable => () }
+        var waited = 0
+        while (loadavg().head > 2.5 && waited < 60) {
+          Thread.sleep(5000); waited += 5
+        }
+        if (waited > 0)
+          System.err.println(s"[bench] settled ${waited}s before family ${i + 1}")
+      }
       val detailFile = java.io.File.createTempFile(s"graft_bench_f$i", ".json")
       detailFile.deleteOnExit()
       System.err.println(s"[bench] family ${i + 1}/${families.size}: ${family.head}..${family.last}")

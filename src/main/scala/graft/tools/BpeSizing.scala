@@ -23,8 +23,19 @@ import graft.operators.BpeLearn
   * scaladoc's production claim that batching makes 30k-merge
   * vocabularies practical. Findings land in NOTES.md.
   *
-  * Usage: runMain graft.tools.BpeSizing [sfDir] [maxMerges] [batchSizes]
-  *        (defaults: /root/testdata/sf0.1 30000 64,256,1024)
+  * VOCABULARY EXPANSION: the synthetic documents corpus draws from only
+  * ~31 distinct words, which saturates BPE after ~100 merges — useless
+  * for sizing a 30k-merge build. The probe therefore expands the
+  * vocabulary DETERMINISTICALLY FROM THE DATA: each token occurrence is
+  * suffixed with `_<xxhash64(word, doc_id) % expand>`, yielding an
+  * `expand`-times larger vocabulary with the corpus's own frequency
+  * mass spread across it. Batch mechanics — candidate aggregation cost,
+  * greedy acceptance rate, re-segmentation pass cost, driver
+  * round-trips — depend on vocabulary size and word length, not on the
+  * words being natural language, so the measured curve transfers.
+  *
+  * Usage: runMain graft.tools.BpeSizing [sfDir] [maxMerges] [batchSizes] [expand]
+  *        (defaults: /root/testdata/sf0.1 30000 64,256,1024 2000)
   */
 object BpeSizing {
   def main(args: Array[String]): Unit = {
@@ -32,6 +43,7 @@ object BpeSizing {
     val maxMerges = args.lift(1).map(_.toInt).getOrElse(30000)
     val batchSizes = args.lift(2).getOrElse("64,256,1024")
       .split(",").map(_.trim.toInt).toSeq
+    val expand = args.lift(3).map(_.toInt).getOrElse(2000)
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,9 +51,16 @@ object BpeSizing {
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), "\\s+")).as("w"), col("doc_id"))
+      .filter(col("w") =!= "")
+      .select(concat(col("w"), lit("_"),
+        pmod(xxhash64(col("w"), col("doc_id")), lit(expand.toLong)))
+        .as("text"))
+      .localCheckpoint(true)
     val nWords = BpeLearn.wordFrequencies(docs).count()
-    println(s"BPE_SIZING sf=$sfDir distinct_words=$nWords max_merges=$maxMerges")
+    println(s"BPE_SIZING sf=$sfDir distinct_words=$nWords max_merges=$maxMerges expand=$expand")
     batchSizes.foreach { bs =>
       var rounds = 0
       var asked = 0L
