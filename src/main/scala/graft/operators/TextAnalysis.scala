@@ -93,10 +93,16 @@ object TextAnalysis {
     *    tripwire — tables and code rarely contain them).
     * Thresholds are the paper's; bounds are inclusive where the paper
     * states inclusive ranges. */
-  def gopherColumns(text: Column, toks: Column,
+  def gopherColumns(text: Column,
                     minWords: Int = 50, maxWords: Int = 100000): Seq[(String, Column)] = {
-    val nWords = size(toks)
-    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // token-level stats come from ONE native codegen'd byte pass — the
+    // aggregate/filter lambda-HOF formulation ran three interpreted
+    // tree-walks per document (and interpreter traffic poisons shared-JVM
+    // JIT profiles — see functions.SpanScrub). The repeated stats subtree
+    // below is deduplicated by codegen subexpression elimination.
+    val stats = graft.functions.GopherStats.stats(text)
+    val nWords = stats.getField("n_words")
+    val charSum = stats.getField("char_sum")
     val meanLen = when(nWords > 0,
       charSum.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
     // non-overlapping occurrence counts via replace-and-diff — identical
@@ -107,12 +113,10 @@ object TextAnalysis {
     val symbolRatio = when(nWords > 0,
       (nHash + nEllipsis).cast("double") / nWords.cast("double"))
       .otherwise(lit(0.0))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val nAlpha = stats.getField("n_alpha")
     val alphaFrac = when(nWords > 0,
       nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
-    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = size(filter(toks,
-      t => gopherStop.map(s => lower(t) === s).reduce(_ || _)))
+    val nStop = stats.getField("n_stop")
     val keep = nWords >= minWords && nWords <= maxWords &&
       meanLen >= 3.0 && meanLen <= 10.0 &&
       symbolRatio < 0.1 && alphaFrac >= 0.8 && nStop >= 2
@@ -129,9 +133,8 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-      tokens(col(textCol)).as("__toks"))
-    val cols = gopherColumns(col("__text"), col("__toks"), minWords, maxWords)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val cols = gopherColumns(col("__text"), minWords, maxWords)
       .map { case (n, c) => c.as(n) }
     base.select(col("doc_id") +: cols: _*)
   }

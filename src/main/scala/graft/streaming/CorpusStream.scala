@@ -90,12 +90,11 @@ object CorpusStream {
       .drop("__lt")
     // stage 4: Gopher battery in-row; survivors continue
     val gated = langed
-      .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .withColumn("__keep", TextAnalysis
-        .gopherColumns(col("text"), col("__toks"), minWords, maxWords)
+        .gopherColumns(col("text"), minWords, maxWords)
         .toMap.apply("gopher_keep"))
       .filter(col("__keep"))
-      .drop("__toks", "__keep")
+      .drop("__keep")
     // stage 5: stateless decontamination against the packed benchmark
     val clean = Decontaminate.overlapStateless(gated, fits.benchGrams, k)
       .filter(col("contamination") < contaminationMax)

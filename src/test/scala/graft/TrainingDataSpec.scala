@@ -754,6 +754,68 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m(1L)._6 === 2)                     // stopword hits
   }
 
+  test("native gopher stats equal the HOF aggregate/filter chain (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.GopherStats
+    import org.apache.spark.unsafe.types.UTF8String
+    // static tier vs a plain-Scala reference of the HOF semantics:
+    // length() counts codepoints, rlike("[a-zA-Z]") is ASCII-only,
+    // stopword match is unicode lower() equality
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    def ref(s: String): (Int, Long, Int, Int) = {
+      val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+      (toks.length,
+        toks.map(t => t.codePointCount(0, t.length).toLong).sum,
+        toks.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))),
+        toks.count(t => stop(t.toLowerCase)))
+    }
+    val wordGen = Gen.frequency(
+      6 -> Gen.oneOf("the", "BE", "To", "word", "123", "#!?", "é中ß", "K"),
+      1 -> Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val textGen = for {
+      ws <- Gen.listOf(wordGen)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n ")
+    } yield ws.mkString(sep)
+    val prop = forAll(textGen) { s =>
+      val r = GopherStats.stats(UTF8String.fromString(s))
+      val got = (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))
+      Prop(got === ref(s)) :| s"s=$s got=$got want=${ref(s)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+    // engine tier: the codegen'd gopherColumns equal the HOF formulation
+    val sample = Seq("", "  ", "the be to of and that have with",
+      "THE cat # ... ..... x1 é中", "K be the")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = sample.toDF("doc_id", "text")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val both = df.select(
+        struct(TextAnalysis.gopherColumns(col("text"), 3, 40)
+          .map { case (n, c) => c.as(n) }: _*).as("fast"),
+        struct(
+          size(col("__toks")).as("n_words"),
+          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+            .as("char_sum"),
+          size(filter(col("__toks"), t => t.rlike("[a-zA-Z]"))).as("n_alpha"),
+          size(filter(col("__toks"),
+            t => gopherStop.map(s => lower(t) === s).reduce(_ || _)))
+            .as("n_stop")).as("ref"))
+      .collect()
+    both.foreach { row =>
+      val f = row.getStruct(0); val r = row.getStruct(1)
+      assert(f.getAs[Int]("n_words") === r.getAs[Int]("n_words"))
+      assert(f.getAs[Int]("n_gopher_stopwords") === r.getAs[Int]("n_stop"))
+      val nw = r.getAs[Int]("n_words")
+      val want = if (nw > 0) r.getAs[Long]("char_sum").toDouble / nw else 0.0
+      assert(f.getAs[Double]("mean_word_len") === want)
+      val wantAlpha = if (nw > 0) r.getAs[Int]("n_alpha").toDouble / nw else 0.0
+      assert(f.getAs[Double]("alpha_word_frac") === wantAlpha)
+    }
+  }
+
   test("gopher rules: ellipsis counting is non-overlapping like replace") {
     // "....." (5 dots) contains ONE non-overlapping '...' occurrence
     val d = docs(1L -> ("the be " + Seq.fill(48)("word").mkString(" ") +
