@@ -89,21 +89,12 @@ object ProductQuantization {
       .groupBy()
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("__cells")))),
         s => s("__cells")).as("__books")))
-    val subDim = size(element_at(element_at(col("__books"), 1), 1))
-    val codes = transform(sequence(lit(1), lit(m)), j => {
-      val cells = element_at(col("__books"), j)
-      val sub = slice(toDouble(col("__v")), (j - lit(1)) * subDim + lit(1), subDim)
-      // argmin over cells: fold carrying (best dist, best 0-based cell)
-      aggregate(
-        sequence(lit(1), size(cells)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cell")),
-        (acc, i) => {
-          val d = Similarity.sqDist(sub, element_at(cells, i))
-          when(d < acc("d"), struct(d.as("d"), (i - 1).cast("int").as("cell")))
-            .otherwise(acc)
-        },
-        acc => acc("cell"))
-    })
+    // per-subspace argmin as ONE native codegen'd kernel — the
+    // transform-of-aggregate HOF fold it replaced interpreted
+    // m × cells × subDim expression-tree evaluations per vector
+    // (equivalence property-checked; ties and null-skip identical)
+    val codes = graft.functions.PqExprs.pqEncode(
+      toDouble(col("__v")), col("__books"))
     vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(packed)
       .select(col("vec_id"), codes.as("codes"))
@@ -213,10 +204,8 @@ object ProductQuantization {
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("__dists")))),
         s => s("__dists")).as("__tables")))
     val approx = cand.join(codes, Seq("vec_id")).join(tables, Seq("query_id"))
-      .withColumn("adc_dist", aggregate(
-        sequence(lit(1), lit(m)), lit(0.0),
-        (acc, j) => acc + element_at(element_at(col("__tables"), j),
-          element_at(col("codes"), j) + 1)))
+      .withColumn("adc_dist",
+        graft.functions.PqExprs.adcDist(col("codes"), col("__tables")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     approx
@@ -254,10 +243,8 @@ object ProductQuantization {
         s => s("__dists")).as("__tables")))
     import org.apache.spark.sql.expressions.Window
     val approx = codes.join(tables)
-      .withColumn("adc_dist", aggregate(
-        sequence(lit(1), lit(m)), lit(0.0),
-        (acc, j) => acc + element_at(element_at(col("__tables"), j),
-          element_at(col("codes"), j) + 1)))
+      .withColumn("adc_dist",
+        graft.functions.PqExprs.adcDist(col("codes"), col("__tables")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     approx

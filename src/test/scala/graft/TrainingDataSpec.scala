@@ -827,6 +827,60 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r._4 === 1 / 51.0)
   }
 
+  test("native pq encode + adc dist equal the HOF folds (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import graft.functions.PqExprs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // plain-Scala reference of the HOF semantics: per subspace, argmin of
+    // index-order (a-b)^2 sums with strict-< (ties to lowest cell)
+    def refEncode(vec: Seq[Double], books: Seq[Seq[Seq[Double]]]): Seq[Int] =
+      books.zipWithIndex.map { case (cells, j) =>
+        var best = Double.MaxValue; var bestCell = -1
+        cells.zipWithIndex.foreach { case (cent, c) =>
+          val off = j * cent.length
+          if (off + cent.length <= vec.length) {
+            var acc = 0.0
+            cent.indices.foreach { i =>
+              val d = vec(off + i) - cent(i); acc += d * d }
+            if (acc < best) { best = acc; bestCell = c }
+          }
+        }
+        bestCell
+      }
+    val dimGen = Gen.choose(1, 3)
+    val gen = for {
+      subDim <- dimGen
+      m <- Gen.choose(1, 3)
+      nCells <- Gen.choose(1, 4)
+      vec <- Gen.listOfN(subDim * m, Gen.choose(-3, 3).map(_.toDouble))
+      books <- Gen.listOfN(m, Gen.listOfN(nCells,
+        Gen.listOfN(subDim, Gen.choose(-3, 3).map(_.toDouble))))
+    } yield (vec, books)
+    def arr(xs: Seq[Double]) = new GenericArrayData(xs.toArray[Any])
+    val prop = forAll(gen) { case (vec, books) =>
+      val booksArr = new GenericArrayData(books.map(cells =>
+        new GenericArrayData(cells.map(c => arr(c)).toArray[Any])).toArray[Any])
+      val got = PqExprs.encode(arr(vec), booksArr)
+      val gotSeq = (0 until got.numElements()).map(got.getInt)
+      val want = refEncode(vec, books)
+      (Prop(gotSeq === want) :| s"encode vec=$vec books=$books got=$gotSeq") && {
+        // adc: tables[j][codes[j]] summed, null when any code is -1/oob
+        val tables = books.map(_.map(_.sum)) // any per-cell doubles work
+        val tArr = new GenericArrayData(tables.map(t => arr(t)).toArray[Any])
+        val cArr = new GenericArrayData(want.toArray[Any])
+        val gotD = PqExprs.adcDist(cArr, tArr)
+        val wantD: Any =
+          if (want.exists(c => c < 0)) null
+          else want.zipWithIndex.map { case (c, j) => tables(j)(c) }.sum
+        Prop((gotD: Any) === wantD) :| s"adc codes=$want got=$gotD want=$wantD"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("product quantization: codebooks, codes, and ADC by hand (2-D, m=2)") {
     // two 2-dim subspaces; per subspace k=2 k-means over 4 points
     val vecs = Seq(
