@@ -82,7 +82,88 @@ case class AdcDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `struct(cell, dist)` of the nearest centroid — the in-row argmin that
+  * replaces the broadcast-join × k row blowup + per-vector min-struct
+  * aggregation in cell assignment (KMeans.assign / IVF routing): one
+  * narrow codegen'd projection, no exchange. Same distance and tie
+  * contract as [[PqEncode]] (index-order (a-b)², strict-< ties to the
+  * lowest POSITION — callers map position → cell id via the packed id
+  * array). Null when no cell is length-compatible (a well-formed
+  * centroid frame never is). */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = PqExprs.nearestType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell expects (array<double>, array<array<double>>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(vec: Any, cells: Any): Any =
+    PqExprs.nearestCell(vec.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val tmp = ctx.freshName("nearest")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp =
+         |  graft.functions.PqExprs.nearestCell($v, $c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqExprs {
+
+  private[graft] val nearestType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+
+  def nearestCell(vec: Column, cells: Column): Column =
+    GraftColumnBridge.column(NearestCell(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(cells)))
+
+  /** Static: argmin position + its distance over the packed cell list;
+    * null when no cell matches the vector's length. */
+  def nearestCell(vec: ArrayData, cells: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val nCells = cells.numElements()
+    val nVec = vec.numElements()
+    var best = Double.MaxValue
+    var bestCell = -1
+    var c = 0
+    while (c < nCells) {
+      val cent = cells.getArray(c)
+      if (cent.numElements() == nVec) {
+        var acc = 0.0
+        var i = 0
+        var valid = true
+        while (valid && i < nVec) {
+          if (vec.isNullAt(i) || cent.isNullAt(i)) valid = false
+          else {
+            val d = vec.getDouble(i) - cent.getDouble(i)
+            acc += d * d
+            i += 1
+          }
+        }
+        if (valid && acc < best) { best = acc; bestCell = c }
+      }
+      c += 1
+    }
+    if (bestCell < 0) null
+    else org.apache.spark.sql.catalyst.InternalRow(bestCell, best)
+  }
 
   def pqEncode(vec: Column, books: Column): Column =
     GraftColumnBridge.column(PqEncode(

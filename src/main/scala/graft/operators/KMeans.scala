@@ -57,14 +57,28 @@ object KMeans {
     * to the lowest cell id. `centroids` is (cell, centroid) as produced by
     * [[initCentroids]] / [[fit]]; it is broadcast (k×dim). */
   def assign(vectors: DataFrame, centroids: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // in-row argmin over the packed centroid list (ONE broadcast row,
+    // narrow codegen'd projection) — the broadcast-join formulation
+    // exploded every vector into k rows and paid a vec_id-keyed exchange
+    // to take the min back out. Distance/tie semantics are identical
+    // (index-order (a-b)², ties to the lowest cell — positions are packed
+    // in cell-id order and mapped back through the id array, so
+    // non-contiguous cell ids stay correct). Same aggregation-free shape
+    // the PQ encoder uses; equivalence is pinned by the kmeans gates and
+    // the per-subspace-assign spec.
+    val byCell = array_sort(collect_list(struct(col("cell"), col("centroid"))))
+    val packed = broadcast(centroids.groupBy()
+      .agg(transform(byCell, x => x("centroid")).as("__cells"),
+        transform(byCell, x => x("cell")).as("__ids")))
+    val nc = graft.functions.PqExprs.nearestCell(col("__v"), col("__cells"))
     vectors
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
-      .join(broadcast(centroids))
-      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
-      .select(col("vec_id"), col("__m.cell").as("cell"), col("__m.d").as("dist"))
+      .join(packed)
+      .select(col("vec_id"),
+        element_at(col("__ids"), nc.getField("cell") + 1).as("cell"),
+        nc.getField("dist").as("dist"))
+  }
 
   /** One Lloyd round: assign every vector, recompute per-cell fixed-point
     * means, keep the previous centroid for cells that lost every member. */
