@@ -84,14 +84,22 @@ object KMeans {
     * means, keep the previous centroid for cells that lost every member. */
   def lloyd(vectors: DataFrame, centroids: DataFrame,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // in-row argmin over the packed centroid list (see [[assign]]) — the
+    // join formulation exploded vectors × k and paid a vec_id-keyed
+    // exchange per round to take the min back out. Assignment semantics
+    // are identical (index-order (a-b)², ties to the lowest cell), so
+    // the trajectory — and the unrolled-CTE oracles that replay it — is
+    // unchanged bit for bit.
+    val byCell = array_sort(collect_list(struct(col("cell"), col("centroid"))))
+    val packed = broadcast(centroids.groupBy()
+      .agg(transform(byCell, x => x("centroid")).as("__cells"),
+        transform(byCell, x => x("cell")).as("__ids")))
+    val nc = graft.functions.PqExprs.nearestCell(col("__v"), col("__cells"))
     val members = vectors
-      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("__v"))
-      .join(broadcast(centroids))
-      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"),
-        first(col("__v")).as("__v"))
-      .select(col("__m.cell").as("cell"), col("__v"))
+      .select(toDouble(col(vecCol)).as("__v"))
+      .join(packed)
+      .select(element_at(col("__ids"), nc.getField("cell") + 1).as("cell"),
+        col("__v"))
     val means = members
       .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
@@ -148,15 +156,23 @@ object KMeans {
   def lloydKeyed(vectors: DataFrame, centroids: DataFrame,
                  groupCol: String = "subspace", idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
+    // per-group packed centroids + in-row argmin (see [[lloyd]]): one
+    // broadcast row PER GROUP, the group equi-join replaces the
+    // vectors × cells blowup, and the per-(group, vec) min aggregation
+    // disappears. Groups may carry different dimensionalities (the
+    // IVF-PQ joint fit's coarse group rides full-width rows) — each row
+    // scans only its own group's cell list.
+    val byCell = array_sort(collect_list(struct(col("cell"), col("centroid"))))
+    val packed = broadcast(centroids.groupBy(col(groupCol))
+      .agg(transform(byCell, x => x("centroid")).as("__cells"),
+        transform(byCell, x => x("cell")).as("__ids")))
+    val nc = graft.functions.PqExprs.nearestCell(col("__v"), col("__cells"))
     val members = vectors
-      .select(col(groupCol), col(idCol).as("vec_id"),
-        toDouble(col(vecCol)).as("__v"))
-      .join(broadcast(centroids), Seq(groupCol))
-      .withColumn("__d", Similarity.sqDist(col("__v"), col("centroid")))
-      .groupBy(col(groupCol), col("vec_id"))
-      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"),
-        first(col("__v")).as("__v"))
-      .select(col(groupCol), col("__m.cell").as("cell"), col("__v"))
+      .select(col(groupCol), toDouble(col(vecCol)).as("__v"))
+      .join(packed, Seq(groupCol))
+      .select(col(groupCol),
+        element_at(col("__ids"), nc.getField("cell") + 1).as("cell"),
+        col("__v"))
     val means = members
       .select(col(groupCol), col("cell"), posexplode(col("__v")).as(Seq("pos", "v")))
       .groupBy(col(groupCol), col("cell"), col("pos"))
