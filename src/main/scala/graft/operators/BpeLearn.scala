@@ -60,16 +60,14 @@ object BpeLearn {
     }
   }
 
-  /** Greedy left-to-right application of ONE merge to a pieces array: a
-    * fold that joins the accumulator's last piece with the next element
-    * when they form the pair — non-overlapping by construction ("a a a"
-    * under (a,a) → ["aa", "a"], like the reference implementation). */
+  /** Greedy left-to-right application of ONE merge to a pieces array —
+    * non-overlapping by construction ("a a a" under (a,a) → ["aa", "a"],
+    * like the reference implementation). Runs as the native codegen'd
+    * [[graft.functions.ApplyMerges]] single-member batch; the aggregate
+    * HOF fold it replaced re-walked an interpreted tree and reallocated
+    * the accumulator array per piece (semantics property-checked). */
   private def applyMerge(pieces: Column, left: String, right: String): Column =
-    aggregate(pieces, array().cast("array<string>"),
-      (acc, x) => when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(left) && x === lit(right),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
-        .otherwise(concat(acc, array(x))))
+    graft.functions.ApplyMerges(pieces, Seq((left, right)))
 
   /** Learn `numMerges` merges from a corpus. Stops early when no pair
     * reaches `minFrequency` (the reference's --min-frequency floor: a
@@ -123,15 +121,7 @@ object BpeLearn {
     * batch pair, which were all drawn from the pre-batch symbol table). */
   private def applyMergeBatch(pieces: Column,
                               ms: Seq[(String, String)]): Column =
-    aggregate(pieces, array().cast("array<string>"),
-      (acc, x) => {
-        val last = element_at(acc, -1)
-        val chain = ms.foldLeft(when(lit(false), acc)) { case (w, (l, r)) =>
-          w.when(size(acc) > 0 && last === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        }
-        chain.otherwise(concat(acc, array(x)))
-      })
+    graft.functions.ApplyMerges(pieces, ms)
 
   /** [[learn]]'s batched production shape: per round, take the top pair
     * candidates and greedily accept up to `batchSize` of them that are

@@ -1287,6 +1287,52 @@ class TrainingDataSpec extends AnyFunSuite {
 
   // Plain-Scala reference BPE (Sennrich et al.): the oracle the
   // distributed learner is property-checked against.
+  test("native apply-merges equals the HOF accumulator fold (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // plain-Scala reference of the fold: last-piece join, first (= only,
+    // lefts distinct) matching pair wins, merged symbol becomes the last
+    def ref(pieces: Seq[String], ms: Seq[(String, String)]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      pieces.foreach { x =>
+        val hit = out.lastOption.flatMap(last =>
+          ms.find { case (l, r) => l == last && r == x })
+        hit match {
+          case Some((l, r)) => out(out.length - 1) = l + r
+          case None         => out += x
+        }
+      }
+      out.toSeq
+    }
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "é")
+    val gen = for {
+      pieces <- Gen.listOf(sym)
+      nm <- Gen.choose(0, 3)
+      lefts <- Gen.pick(nm, Seq("a", "b", "c", "ab", "é"))
+      rights <- Gen.pick(nm, Seq("a", "b", "c", "bc", "é"))
+    } yield (pieces, lefts.zip(rights).toSeq
+      .filter { case (l, r) => l != r }   // keep lefts/rights disjoint-ish
+      .distinctBy(_._1).distinctBy(_._2))
+    val prop = forAll(gen) { case (pieces, ms) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val expr = new graft.functions.ApplyMerges(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), ms)
+      val arr = new GenericArrayData(
+        pieces.map(UTF8String.fromString).toArray[Any])
+      val got = expr.applyBatch(arr)
+      val gotSeq = (0 until got.numElements())
+        .map(got.getUTF8String(_).toString)
+      Prop(gotSeq === ref(pieces, ms)) :|
+        s"pieces=$pieces ms=$ms got=$gotSeq want=${ref(pieces, ms)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def refBpeMerges(corpus: Seq[String], m: Int,
                            minFreq: Long = 2L): List[(String, String, Long)] = {
     def applyM(ps: List[String], l: String, r: String): List[String] =
