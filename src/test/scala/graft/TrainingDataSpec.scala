@@ -633,7 +633,9 @@ class TrainingDataSpec extends AnyFunSuite {
     // and a duplicate edge — components = min reachable id
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
       (10L, 11L)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs)
+    // maxLocalEdges = 0 forces the BSP rounds — this spec pins the
+    // distributed propagation, not the size-gated local fast path
+    val out = Dedup.connectedComponents(pairs, maxLocalEdges = 0)
       .as[(Long, Long, Boolean)].collect()
       .map { case (id, comp, can) => id -> ((comp, can)) }.toMap
     assert(out === Map(
@@ -656,7 +658,8 @@ class TrainingDataSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_chk").toString
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs, reliableCheckpoints = true)
+    val out = Dedup.connectedComponents(pairs, reliableCheckpoints = true,
+      maxLocalEdges = 0)
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
@@ -673,9 +676,12 @@ class TrainingDataSpec extends AnyFunSuite {
       def toMap(df: org.apache.spark.sql.DataFrame) =
         df.as[(Long, Long, Boolean)].collect()
           .map { case (id, c, can) => id -> ((c, can)) }.toMap
-      val bsp = toMap(Dedup.connectedComponents(pairs, maxIter = 100))
+      val bsp = toMap(Dedup.connectedComponents(pairs, maxIter = 100,
+        maxLocalEdges = 0))
       val stars = toMap(Dedup.connectedComponentsStars(pairs))
-      Prop(stars == bsp) :| s"stars=$stars bsp=$bsp edges=$es"
+      val local = toMap(Dedup.connectedComponents(pairs)) // size-gated path
+      (Prop(stars == bsp) :| s"stars=$stars bsp=$bsp edges=$es") &&
+        (Prop(local == bsp) :| s"local=$local bsp=$bsp edges=$es")
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
@@ -692,7 +698,8 @@ class TrainingDataSpec extends AnyFunSuite {
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Boolean)].collect()
         .map { case (id, c, can) => id -> ((c, can)) }.toMap
-    assert(toMap(Dedup.connectedComponents(pairs)) === want)
+    assert(toMap(Dedup.connectedComponents(pairs)) === want) // local path
+    assert(toMap(Dedup.connectedComponents(pairs, maxLocalEdges = 0)) === want)
     assert(toMap(Dedup.connectedComponentsStars(pairs)) === want)
   }
 
@@ -707,8 +714,8 @@ class TrainingDataSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("maxIter"))
     }
-    // the minimum usable budget converges a diameter-<=2 graph
-    val out = Dedup.connectedComponents(pairs, maxIter = 3)
+    // the minimum usable budget converges a diameter-<=2 graph (BSP forced)
+    val out = Dedup.connectedComponents(pairs, maxIter = 3, maxLocalEdges = 0)
       .as[(Long, Long, Boolean)].collect()
       .map { case (id, c, _) => id -> c }.toMap
     assert(out === Map(1L -> 1L, 2L -> 1L))
@@ -1624,7 +1631,14 @@ class TrainingDataSpec extends AnyFunSuite {
     // maxIter=25 correctly throws (the documented contract), while star
     // contraction needs O(log^2 n) rounds regardless of diameter
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
-    intercept[IllegalStateException] { Dedup.connectedComponents(chain).count() }
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxLocalEdges = 0).count()
+    }
+    // the size-gated local path is exact on the same chain regardless of
+    // any round budget (diameter only limits the distributed route)
+    assert(Dedup.connectedComponents(chain)
+      .filter(org.apache.spark.sql.functions.col("component") === 1L)
+      .count() === 60)
     val out = Dedup.connectedComponentsStars(chain)
       .as[(Long, Long, Boolean)].collect()
     assert(out.length === 60)
