@@ -451,6 +451,10 @@ object Bench {
           // at most FamilySize queries, flagged by its nonzero child_exit)
           System.err.println(s"[bench] family $i child failed (exit $exit); running in-process")
           val spark = buildSession(cpus)
+          // same priming every child JVM gets — without it the fallback
+          // family would carry the fresh-JVM +50-150% early-position JIT
+          // bias into the merged artifact (flagged only via child_exits)
+          prime(spark, sfDir)
           val sel = SparkEntry.queries.filter { case (n, _) => family.contains(n) }
             .toSeq.sortBy(_._1)
           val run = runSuite(spark, sfDir, sel, timedRuns)

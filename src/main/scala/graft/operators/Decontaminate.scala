@@ -281,7 +281,14 @@ object Decontaminate {
         size(filter(col("__gs"), g => element_at(col("__bg"), g).isNotNull))
           .cast("long"))
       .withColumn("contamination",
-        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+        // zero-token document → 0 grams → contamination 0.0 (clean), never
+        // NULL: a null ratio would silently fail every `< max` keep-gate
+        // downstream and drop the row, contradicting the "clean must be an
+        // answer" contract above. (Batch overlap's short-doc fallback only
+        // emits a whole-text gram when the doc has >= 1 token.)
+        when(col("n_shingles") > 0,
+          col("n_matched").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
       .drop("__k", "__bg", "__gs")
   }
 

@@ -534,29 +534,33 @@ object Dedup {
     // and a self-union recomputes its whole upstream pipeline per branch —
     // persist for the one job that materializes edges, then release (but
     // never clobber a persistence the CALLER established).
-    // edges itself is CHECKPOINTED, not just persisted: every round's query
-    // references it, and analysis would re-walk the full upstream
-    // pair-generation plan each time
     val callerPersisted =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerPersisted) pairs else pairs.persist()
-    val edges = checkpointed(
-      p.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+    // the size-gate count IS the materializing job: persist the symmetric
+    // closure, count it (fills the cache), and only the BSP route pays a
+    // checkpoint — written FROM the cache, so pair generation runs exactly
+    // once either way. (The previous shape checkpointed first and then
+    // counted, spending one extra scheduling+scan round-trip per call —
+    // measured ~0.1 s of the corpus_pipeline floor.)
+    val sym = p
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    val edgeCount = sym.count()
     if (!callerPersisted) p.unpersist()
-    // size gate over the CHECKPOINTED edges (the count scans cached
-    // blocks — one cheap job); integral ids only, so the min-label
-    // ordering is unambiguous across engines
-    val idType = edges.schema("src").dataType
+    // integral ids only, so the min-label ordering is unambiguous across
+    // engines
+    val idType = sym.schema("src").dataType
     val integralIds =
       idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
-    if (integralIds && maxLocalEdges > 0 &&
-        edges.count() <= maxLocalEdges) {
-      val es = edges
+    if (integralIds && maxLocalEdges > 0 && edgeCount <= maxLocalEdges) {
+      val es = sym
         .select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
       // union-find; component label = min id reachable, exactly the BSP's
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -587,6 +591,11 @@ object Dedup {
           col("is_canonical"))
       else out
     }
+    // BSP route: edges is CHECKPOINTED, not just persisted — every round's
+    // query references it, and analysis would re-walk the full upstream
+    // pair-generation plan each time. The write reads sym's cached blocks.
+    val edges = checkpointed(sym)
+    sym.unpersist()
     // rounds 1 AND 2 folded into initialization: the symmetric closure
     // makes every vertex a `src`, so min(src, min(dst)) IS the first
     // propagation round (one aggregation over edges), and the second is

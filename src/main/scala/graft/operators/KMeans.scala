@@ -55,7 +55,18 @@ object KMeans {
 
   /** Nearest-centroid assignment: (vec_id, cell, dist) — squared L2, ties
     * to the lowest cell id. `centroids` is (cell, centroid) as produced by
-    * [[initCentroids]] / [[fit]]; it is broadcast (k×dim). */
+    * [[initCentroids]] / [[fit]]; it is broadcast (k×dim).
+    *
+    * PRECONDITIONS (where the in-row argmin differs from a min-over-join
+    * formulation in degenerate inputs): vectors must be FINITE — a NaN
+    * element makes every distance NaN and yields a null cell/dist row
+    * (the join shape arbitrarily picked the lowest cell id); `centroids`
+    * must be NON-EMPTY — an empty frame yields null-cell rows rather
+    * than an empty result; and `idCol` is treated as unique — duplicate
+    * ids pass through as duplicate rows. All three hold by construction
+    * for [[initCentroids]]/[[fit]]-produced centroids and parquet-sourced
+    * embeddings; callers feeding foreign frames should filter NaNs and
+    * assert k > 0 first. */
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // in-row argmin over the packed centroid list (ONE broadcast row,
@@ -81,7 +92,13 @@ object KMeans {
   }
 
   /** One Lloyd round: assign every vector, recompute per-cell fixed-point
-    * means, keep the previous centroid for cells that lost every member. */
+    * means, keep the previous centroid for cells that lost every member.
+    *
+    * Same finite-vector / non-empty-centroid preconditions as [[assign]].
+    * Additionally each input ROW is one mass unit: the old
+    * groupBy(vec_id)+first shape counted duplicate ids once, this one
+    * counts every row — identical whenever ids are unique (true for all
+    * in-repo callers; the gates' unrolled-CTE oracles pin it). */
   def lloyd(vectors: DataFrame, centroids: DataFrame,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // in-row argmin over the packed centroid list (see [[assign]]) — the

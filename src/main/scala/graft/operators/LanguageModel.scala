@@ -283,10 +283,12 @@ object LanguageModel {
     * were fitted from (spec-enforced); on fresh stream content the cuts
     * are the frozen calibration, which is exactly the production CCNet
     * arrangement (the reference model and its terciles come from a
-    * trusted snapshot, not from the stream being filtered). */
+    * trusted snapshot, not from the stream being filtered). Every input
+    * column passes through UNDER ITS OWN NAME (no id renaming) so the
+    * twin chains inside a composed stream. */
   def bucketsStateless(docs: DataFrame, model: DataFrame, cuts: DataFrame,
                        n: Int = 2, addK: Double = 1.0,
-                       idCol: String = "doc_id", textCol: String = "text",
+                       textCol: String = "text",
                        langCol: String = "lang"): DataFrame =
     docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))

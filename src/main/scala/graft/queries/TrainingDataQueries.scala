@@ -1240,7 +1240,11 @@ object TrainingDataQueries extends QueryPack {
       // stages 1+2: registered domain off the canonicalized URL; mojibake
       // repair over the slice that ships mis-decoded bytes. Checkpointed:
       // langid, the Gopher battery, both dedup detectors and the
-      // decontamination leg all re-read this frame.
+      // decontamination leg all re-read this frame. MEASURED (probe,
+      // round 12): replacing this and/or `pool` with a lazy cache() is
+      // SLOWER (4.8 → 5.4-6.0 s) — the first consuming job's independent
+      // branches race to fill the cache and recompute the repair per
+      // branch, costing more than the eager job's scheduling round-trip.
       val fixed = raw
         .select(col("doc_id"), col("lang"), url.as("__u"),
           when(col("doc_id") % 13 === 7,
@@ -1257,10 +1261,16 @@ object TrainingDataQueries extends QueryPack {
         .withColumn("plang", TextAnalysis.predictedLangFromTokens(col("__lt")))
         .select(col("doc_id"), col("lang"), col("domain"), col("text"),
           col("plang"))
-      // stage 4: Gopher battery; stage 5: the eval slice never trains
-      val keepIds = TextAnalysis.gopherRules(fixed)
-        .filter(col("gopher_keep")).select(col("doc_id"))
-      val pool = langed.join(keepIds, Seq("doc_id"))
+      // stage 4: Gopher battery; stage 5: the eval slice never trains.
+      // The battery is a pure per-row predicate over the SAME checkpointed
+      // text, so it rides the langid projection instead of a doc_id
+      // equi-join (doc_id is unique, so semi-join ≡ row-local filter —
+      // the oracle keeps its join formulation and parity pins the
+      // equivalence). One scan and one exchange fewer per pipeline run.
+      val gopherKeep = TextAnalysis.gopherColumns(col("text"))
+        .toMap.apply("gopher_keep")
+      val pool = langed
+        .filter(gopherKeep)
         .filter(col("doc_id") % 97 =!= 0)
         .localCheckpoint(true)
       val bench = fixed.filter(col("doc_id") % 97 === 0)

@@ -69,27 +69,70 @@ class PlanInvarianceSpec extends AnyFunSuite {
     ss.flatMap(_.joins.toSeq).groupBy(_._1).map { case (k, v) =>
       k -> v.map(_._2).sum })
 
-  test("corpus_pipeline plan shape is identical at sf0.001 and sf0.1") {
+  /** Pin a gate's plan shape across the 100× span. Strict mode asserts
+    * the execution SEQUENCE aligns pairwise (construction order is
+    * deterministic, so this pins WHERE any future divergence appears).
+    * Iterative gates (`roundMultiplicityVaries`) launch one execution per
+    * contraction/label round and converge in a data-dependent number of
+    * rounds — there the invariant is the plan VOCABULARY: every shape
+    * that appears at one SF appears at the other, so rounds stay
+    * structurally identical even when their count differs. */
+  private def assertScaleInvariant(name: String,
+                                   roundMultiplicityVaries: Boolean = false)
+  : Unit = {
     val thresholdBefore =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val small = capture("corpus_pipeline", "/root/testdata/sf0.001")
-      val large = capture("corpus_pipeline", "/root/testdata/sf0.1")
-      // the same stage sequence launches the same executions...
-      assert(small.size === large.size,
-        s"execution count differs: sf0.001=${small.size} sf0.1=${large.size}")
-      // ...and the pipeline's aggregate shape — every hash exchange, every
-      // broadcast, every join strategy — is count-identical across 100×
-      val (s, l) = (total(small), total(large))
-      assert(s === l, s"aggregate plan shape differs:\n  sf0.001=$s\n  sf0.1  =$l")
-      // per-execution shapes align pairwise too (the sequence is
-      // deterministic construction order, so this pins WHERE any future
-      // divergence appears, not just that one appeared)
-      small.zip(large).zipWithIndex.foreach { case ((a, b), i) =>
-        assert(a === b, s"execution $i shape differs: sf0.001=$a sf0.1=$b")
+      val small = capture(name, "/root/testdata/sf0.001")
+      val large = capture(name, "/root/testdata/sf0.1")
+      if (!roundMultiplicityVaries) {
+        // the same stage sequence launches the same executions...
+        assert(small.size === large.size,
+          s"$name execution count differs: sf0.001=${small.size} sf0.1=${large.size}")
+        // ...and the pipeline's aggregate shape — every hash exchange,
+        // every broadcast, every join strategy — is count-identical
+        val (s, l) = (total(small), total(large))
+        assert(s === l,
+          s"$name aggregate plan shape differs:\n  sf0.001=$s\n  sf0.1  =$l")
+        small.zip(large).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(a === b,
+            s"$name execution $i shape differs: sf0.001=$a sf0.1=$b")
+        }
+      } else {
+        assert(small.toSet === large.toSet,
+          s"$name plan-shape vocabulary differs across SFs:\n" +
+            s"  sf0.001-only=${(small.toSet -- large.toSet)}\n" +
+            s"  sf0.1-only  =${(large.toSet -- small.toSet)}")
       }
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
+  test("corpus_pipeline plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("corpus_pipeline")
+  }
+
+  // the other four heaviest bench queries (VERDICT r11 plan-audit table):
+  // their 100× claims ride on pinned plan shape too, not just result parity
+  test("quality_lr plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("quality_lr")
+  }
+
+  test("a6_multiple_link plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("a6_multiple_link")
+  }
+
+  test("dedup_keep_best plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_keep_best")
+  }
+
+  test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
+    // star contraction converges in a graph-dependent number of rounds —
+    // the distributed route runs at BOTH SFs (no size gate in
+    // connectedComponentsStars), so this pins the per-round distributed
+    // shape itself
+    assertScaleInvariant("dedup_components_stars",
+      roundMultiplicityVaries = true)
   }
 }
