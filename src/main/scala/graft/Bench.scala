@@ -65,17 +65,29 @@ import org.apache.spark.sql.SparkSession
   * plan, so the headline `queries`/`value` now report per-query min;
   * medians stay in the artifact (`queries_median`, `value_median`) for
   * continuity with the r9 line. Two load-aware taints complement the
-  * foreign-JVM scan: (a) suite-start loadavg above ~2.0 (after one 20 s
-  * settle-retry) stamps `tainted_load` — PARENT-level only in forked
-  * mode, because each child necessarily starts under the load its
-  * predecessor's 32 threads just generated; (b) per-rep EXTERNAL cpu —
-  * system-wide user-mode jiffies (user+nice+steal; kernel time excluded
-  * as largely self-inflicted — see cpuJiffies) minus this JVM chain's own
-  * user-mode jiffies, a measure that
-  * stays valid while our own 32 threads are busy — above ~2 cores
-  * averaged over the rep stamps `tainted_ext` and is recorded per query
-  * in the detail (`ext`), so contention is attributable to the specific
-  * reps it hit.
+  * foreign-JVM scan: (a) suite-start loadavg above ~2.0 (after a bounded
+  * settle-backoff of up to [[SettleBudgetSec]]) stamps `tainted_load` —
+  * PARENT-level only in forked mode, because each child necessarily
+  * starts under the load its predecessor's 32 threads just generated;
+  * (b) per-rep EXTERNAL cpu — system-wide user-mode jiffies
+  * (user+nice+steal; kernel time excluded as largely self-inflicted —
+  * see cpuJiffies) minus this JVM chain's own user-mode jiffies, a
+  * measure that stays valid while our own 32 threads are busy — above
+  * ~2 cores averaged over the rep stamps `tainted_ext` and is recorded
+  * per query in the detail (`ext`), so contention is attributable to the
+  * specific reps it hit.
+  *
+  * FOURTH TAINT + TMPFS SCRATCH (since round 12): the residual round-11
+  * noise was IO-shaped — checkpoint-heavy queries swinging ±15% between
+  * identical runs with zero external user CPU, invisible to all three
+  * CPU-based taints. Two measures: (a) each bench JVM routes
+  * `spark.local.dir` (shuffle files, checkpoint/cache disk spill) to a
+  * per-pid tmpfs dir under /dev/shm — the bench measures compute, not
+  * the shared disk's ambient queue — and (b) per-rep deltas of
+  * /proc/diskstats weighted-IO time (`io` in the detail, ms) watch the
+  * device itself; with our own block IO in memory, sustained device
+  * traffic during reps is external by construction and >1 rep above
+  * [[IoTaintMs]] stamps `tainted_io` (`io_max_ms` records the peak).
   */
 object Bench {
 
@@ -88,6 +100,25 @@ object Bench {
   /** ms precision: benchmark noise floor is far above 1 ms, and full
     * 17-digit doubles tripled the artifact line length. */
   private def ms(t: Double): Double = math.rint(t * 1000) / 1000
+
+  /** Sum of `weighted_ms_doing_io` (/proc/diskstats field 14) over real
+    * block devices (loop/ram/zram excluded). The delta over an interval
+    * is device-level IO pressure INCLUDING other processes — the round-11
+    * box's dominant residual noise was IO-shaped (checkpoint-heavy
+    * queries swinging ±15% with ZERO external user CPU), invisible to
+    * loadavg and to the user-mode ext-jiffies taint. With the bench's
+    * own spill/shuffle dirs on tmpfs (see [[buildSession]]) and warm page
+    * cache over the parquet inputs, device IO during a rep is almost
+    * entirely external — so a sustained delta taints the run. */
+  private def ioWeightedMs(): Long =
+    try {
+      scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 13 &&
+          !f(2).startsWith("loop") && !f(2).startsWith("ram") &&
+          !f(2).startsWith("zram"))
+        .map(_(13).toLong).sum
+    } catch { case _: Throwable => 0L }
 
   /** (1, 5, 15)-minute load averages; zeros when /proc is unreadable. */
   private def loadavg(): Seq[Double] =
@@ -181,14 +212,50 @@ object Bench {
 
   private val ExtCoresTaint = 2.0
   private val LoadTaint = 2.0
+  /** A rep with more than this much weighted device-IO time (ms) counts
+    * as an IO hit; >1 hit taints the suite (one transient flush is shed
+    * by min-of-reps, sustained contention hits many reps — same policy
+    * as the ext-CPU taint). 1 s of weighted IO in a 1-3 s rep means a
+    * busy device queue for a third of the measurement. */
+  private val IoTaintMs = 1000L
+  /** Total settle budget at suite start before stamping tainted_load —
+    * bounded backoff instead of one fixed retry, so a driver-side run
+    * that starts while the previous step drains still lands untainted. */
+  private val SettleBudgetSec = 300
 
   private final case class QR(name: String, min: Double, median: Double,
                               warm: Double, warm2: Option[Double],
                               times: Seq[Double], exts: Seq[Double],
-                              mem: Seq[Double])
+                              ios: Seq[Long], mem: Seq[Double])
 
   private final case class SuiteRun(results: Seq[QR], foreign: Seq[Long],
-                                    extMax: Double, extHits: Int)
+                                    extMax: Double, extHits: Int,
+                                    ioMax: Long, ioHits: Int)
+
+  /** Per-JVM tmpfs scratch for shuffle files and checkpoint/cache disk
+    * spill. The bench measures COMPUTE; routing its own block IO to
+    * memory (a) stops billing queries for the shared disk's ambient
+    * latency and (b) leaves /proc/diskstats carrying almost only
+    * EXTERNAL traffic, which is what the IO taint watches. Deleted on
+    * JVM exit; falls back to the default local dir when /dev/shm is
+    * unavailable. */
+  private lazy val tmpfsLocalDir: Option[String] = {
+    val base = new java.io.File("/dev/shm")
+    if (!base.isDirectory || !base.canWrite) None
+    else try {
+      val d = new java.io.File(base,
+        s"graft_bench_${ProcessHandle.current().pid()}")
+      d.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(d)))
+      Some(d.getAbsolutePath)
+    } catch { case _: Throwable => None }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
 
   private def buildSession(cpus: String): SparkSession = {
     val builder = SparkSession.builder()
@@ -197,6 +264,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    tmpfsLocalDir.foreach(builder.config("spark.local.dir", _))
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -238,11 +306,13 @@ object Bench {
     val foreignSeen = scala.collection.mutable.SortedSet.empty[Long]
     var extSeen = 0.0 // max per-rep external-cpu cores observed anywhere
     var extHits = 0   // reps above the threshold (1 transient spike ≠ taint)
+    var ioSeen = 0L   // max per-rep weighted device-IO ms observed
+    var ioHits = 0    // reps above IoTaintMs
     val results = selected.map { case (name, fn) =>
       // settle before each query (GC itself happens per rep inside once())
       Thread.sleep(100)
       foreignSeen ++= foreignJvms()
-      def once(): (Double, Double) = {
+      def once(): (Double, Double, Long) = {
         // per-REP quiescence, not just per-query: collect the previous
         // rep's garbage before starting the clock. Heavy allocators
         // (posting-list pair explosions) otherwise hand each successive
@@ -251,6 +321,7 @@ object Bench {
         // rep N−1's GC debt.
         System.gc()
         val j0 = cpuJiffies()
+        val io0 = ioWeightedMs()
         val t0 = System.nanoTime()
         // FULL materialization, not .count(): a count on top lets the
         // optimizer prune projections and eliminate unique-key left joins
@@ -264,12 +335,13 @@ object Bench {
         catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         val ext = extCores(j0, cpuJiffies(), t)
+        val io = math.max(0L, ioWeightedMs() - io0)
         // some operators persist small intermediates (dedup postings/bands);
         // drop them so no run is measured under another's cache
         spark.catalog.clearCache()
-        (t, ext)
+        (t, ext, io)
       }
-      val (warm, _) = once()
+      val (warm, _, _) = once()
       // large plans are often STILL JIT-compiling during their first timed
       // runs when they execute early in the JVM's life (observed: a 5 s
       // first contact followed by 2.9→2.3→1.8 s timed runs — the median
@@ -280,16 +352,19 @@ object Bench {
       val reps = Seq.fill(timedRuns)(once())
       val times = reps.map(_._1)
       val exts = reps.map(_._2)
+      val ios = reps.map(_._3)
       extSeen = math.max(extSeen, if (exts.isEmpty) 0.0 else exts.max)
       extHits += exts.count(_ > ExtCoresTaint)
+      ioSeen = math.max(ioSeen, if (ios.isEmpty) 0L else ios.max)
+      ioHits += ios.count(_ > IoTaintMs)
       val median = times.sorted.apply(times.length / 2)
       val minT = times.min
       System.err.println(
-        f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} min=$minT%7.2fs median=$median%7.2fs ext=${exts.map(e => f"$e%.1f").mkString(",")}")
+        f"[bench] $name%-28s warm=$warm%7.2fs runs=${times.map(t => f"$t%.2f").mkString(",")} min=$minT%7.2fs median=$median%7.2fs ext=${exts.map(e => f"$e%.1f").mkString(",")} io=${ios.mkString(",")}ms")
       QR(name, ms(minT), ms(median), ms(warm), warm2.map(ms),
-        times.map(ms), exts.map(ms), memMB())
+        times.map(ms), exts.map(ms), ios, memMB())
     }
-    SuiteRun(results, foreignSeen.toSeq, extSeen, extHits)
+    SuiteRun(results, foreignSeen.toSeq, extSeen, extHits, ioSeen, ioHits)
   }
 
   private def queriesJson(rs: Seq[QR], f: QR => Double): String =
@@ -300,7 +375,8 @@ object Bench {
       val warm2 = r.warm2.map(x => ",\"warm2\":" + x).getOrElse("")
       "\"" + r.name + "\":{\"warm\":" + r.warm + warm2 +
         ",\"t\":[" + r.times.mkString(",") + "],\"ext\":[" +
-        r.exts.mkString(",") + "],\"mem\":[" + r.mem.mkString(",") + "]}"
+        r.exts.mkString(",") + "],\"io\":[" + r.ios.mkString(",") +
+        "],\"mem\":[" + r.mem.mkString(",") + "]}"
     }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -318,6 +394,23 @@ object Bench {
       mainInProcess(sfDir, cpus, timedRuns, only, isChild)
   }
 
+  /** Suite-start settle with bounded backoff: wait in 20 s steps while
+    * the 1-minute loadavg is above [[LoadTaint]], up to [[SettleBudgetSec]]
+    * total, then return the (possibly still hot) reading for the caller's
+    * taint decision. */
+  private def settle(): Seq[Double] = {
+    var lb = loadavg()
+    var waited = 0
+    while (lb.head > LoadTaint && waited < SettleBudgetSec) {
+      System.err.println(
+        f"[bench] loadavg ${lb.head}%.2f > $LoadTaint at start; settling 20s (${waited}s/$SettleBudgetSec)")
+      Thread.sleep(20000)
+      waited += 20
+      lb = loadavg()
+    }
+    lb
+  }
+
   /** The single-JVM measurement path: the whole (sub)suite in this JVM.
     * Forked-mode children land here (with their family as the subset), as
     * do SPARK_GRAFT_BENCH_ONLY dev runs and SPARK_GRAFT_BENCH_FORK=0
@@ -325,18 +418,14 @@ object Bench {
   private def mainInProcess(sfDir: String, cpus: String, timedRuns: Int,
                             only: Option[Set[String]],
                             isChild: Boolean): Unit = {
-    var loadBefore = loadavg()
-    // one settle-retry: a transient spike (the previous driver step
-    // winding down) should not taint a whole suite that runs after it.
+    // bounded settle-backoff: a spike from the previous driver step
+    // winding down should not taint a whole suite that runs after it —
+    // keep waiting in 20 s steps up to SettleBudgetSec before stamping.
     // Children skip it: the predecessor family's 32 threads ALWAYS leave
     // loadavg high at child start — self-inflicted, not contention (the
-    // ext-jiffies taint covers real contention), and 20 s × N children
+    // ext-jiffies taint covers real contention), and minutes × N children
     // would dominate suite wall time.
-    if (!isChild && loadBefore.head > LoadTaint) {
-      System.err.println(f"[bench] loadavg ${loadBefore.head}%.2f > $LoadTaint at start; settling 20s")
-      Thread.sleep(20000)
-      loadBefore = loadavg()
-    }
+    val loadBefore = if (isChild) loadavg() else settle()
     val loadTainted = !isChild && loadBefore.head > LoadTaint
     val spark = buildSession(cpus)
     val selected = (only match {
@@ -351,13 +440,15 @@ object Bench {
     // short-lived process) and its query's min-of-reps already sheds it;
     // sustained contention hits many reps
     val extTainted = run.extHits > 1
-    val tainted = foreign.nonEmpty || loadTainted || extTainted
+    val ioTainted = run.ioHits > 1
+    val tainted = foreign.nonEmpty || loadTainted || extTainted || ioTainted
     val total = ms(run.results.map(_.min).sum)
     val totalMed = ms(run.results.map(_.median).sum)
     val load = s"""{"before":[${loadBefore.mkString(",")}],"after":[${loadAfter.mkString(",")}]}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val taints = s""""tainted":$tainted,"tainted_foreign":${foreign.nonEmpty},""" +
-      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(run.extMax)}"""
+      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(run.extMax)},""" +
+      s""""tainted_io":$ioTainted,"io_max_ms":${run.ioMax}"""
     val qs = queriesJson(run.results, _.min)
     val qsMed = queriesJson(run.results, _.median)
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -399,6 +490,7 @@ object Bench {
     val childExits = Vector.newBuilder[Int]
     var fallbackResults = Vector.empty[QR] // families whose child died
     var fallbackTaints = (false, false, 0.0) // (foreign, ext, extMax)
+    var fallbackIo = (false, 0L) // (ioTainted, ioMax)
     families.zipWithIndex.foreach { case (family, i) =>
       if (i > 0) {
         // between families: the previous child's 32 threads leave dirty
@@ -463,6 +555,8 @@ object Bench {
           fallbackTaints = (fallbackTaints._1 || run.foreign.nonEmpty,
             fallbackTaints._2 || run.extHits > 1,
             math.max(fallbackTaints._3, run.extMax))
+          fallbackIo = (fallbackIo._1 || run.ioHits > 1,
+            math.max(fallbackIo._2, run.ioMax))
       }
     }
     val docs = childDocs.result()
@@ -499,7 +593,12 @@ object Bench {
     val extMax = math.max(
       (0.0 +: docs.map { case (_, j, _) => dbl(j \ "ext_max") }).max,
       fallbackTaints._3)
-    val tainted = foreignTainted || loadTainted || extTainted
+    val ioTainted = docs.exists { case (_, j, _) => bool(j, "tainted_io") } ||
+      fallbackIo._1
+    val ioMax = math.max(
+      (0L +: docs.map { case (_, j, _) => dbl(j \ "io_max_ms").toLong }).max,
+      fallbackIo._2)
+    val tainted = foreignTainted || loadTainted || extTainted || ioTainted
     val total = ms(qMin.map(_._2).sum)
     val totalMed = ms(qMed.map(_._2).sum)
     val loadAfter = loadavg()
@@ -517,7 +616,8 @@ object Bench {
     }.mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val taints = s""""tainted":$tainted,"tainted_foreign":$foreignTainted,""" +
-      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(extMax)}"""
+      s""""tainted_load":$loadTainted,"tainted_ext":$extTainted,"ext_max":${ms(extMax)},""" +
+      s""""tainted_io":$ioTainted,"io_max_ms":$ioMax"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""value_median":$totalMed,"queries_median":$qsMed,""" +
       s""""runs":$runsStr,"loadavg":$load,$taints,""" +

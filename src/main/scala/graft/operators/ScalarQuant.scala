@@ -40,9 +40,20 @@ object ScalarQuant {
 
   /** Quantization codes for one vector column given collected stats:
     * array<int> of 0..255, one per dimension. A degenerate dimension
-    * (mx = mn) codes to 0. */
+    * (mx = mn) codes to 0. Native codegen'd kernel
+    * ([[graft.functions.SqEncode]]) — the HOF shape below is the spec
+    * reference it is property-checked against. */
   def encodeExpr(vec: Column, mins: Array[Double],
-                 maxes: Array[Double]): Column = {
+                 maxes: Array[Double]): Column =
+    graft.functions.ScalarQuantExprs.sqEncode(vec.cast("array<double>"),
+      typedlit(mins.toSeq), typedlit(maxes.toSeq))
+
+  /** The interpreted HOF formulation of [[encodeExpr]] — per-row
+    * reference semantics for the kernel's property spec only (never on a
+    * corpus-wide path: CodegenFallback HOF traffic poisons shared-JVM
+    * JIT profiles — see functions.SpanScrub). */
+  private[graft] def encodeExprHof(vec: Column, mins: Array[Double],
+                                   maxes: Array[Double]): Column = {
     val mn = typedlit(mins.toSeq)
     val mx = typedlit(maxes.toSeq)
     transform(vec.cast("array<double>"), (x, i) => {
@@ -55,9 +66,17 @@ object ScalarQuant {
   }
 
   /** Midpoint reconstruction: mn + (code + 0.5) · (mx − mn) / 256 — the
-    * max absolute error per dimension is (mx − mn) / 512. */
+    * max absolute error per dimension is (mx − mn) / 512. Native kernel
+    * ([[graft.functions.SqDecode]]); HOF reference below. */
   def decodeExpr(codes: Column, mins: Array[Double],
-                 maxes: Array[Double]): Column = {
+                 maxes: Array[Double]): Column =
+    graft.functions.ScalarQuantExprs.sqDecode(codes,
+      typedlit(mins.toSeq), typedlit(maxes.toSeq))
+
+  /** HOF reference twin of [[decodeExpr]] (spec-only; see
+    * [[encodeExprHof]]). */
+  private[graft] def decodeExprHof(codes: Column, mins: Array[Double],
+                                   maxes: Array[Double]): Column = {
     val mn = typedlit(mins.toSeq)
     val mx = typedlit(maxes.toSeq)
     transform(codes, (c, i) => {

@@ -1215,4 +1215,174 @@ class StreamingSpec extends AnyFunSuite {
       assert(gotOrder === epochOrder)
     } finally q.stop()
   }
+
+  test("composed corpus stream over the live TCP transport survives kill-and-resume") {
+    // The production arrangement end to end: queue envelopes arrive over a
+    // real unbounded network transport (socket source), the same envelope
+    // decode that serves S4 splits records out, the full composed curation
+    // chain (CorpusStream.curate under batch fits) runs as ONE append-mode
+    // plan, and the idempotent upsert sink absorbs redelivery ACROSS a
+    // mid-stream kill. A non-replayable transport CANNOT resume a Spark
+    // checkpoint (verified: restart fails with "Offsets committed out of
+    // order: 3 followed by -1" — the socket source restarts at -1), which
+    // is exactly the reference's queue contract (consumer/get_data.py:
+    // 128-165): recovery comes from the QUEUE redelivering unacked
+    // messages and the consumer landing them idempotently, not from
+    // source offsets. So the resumed query gets a FRESH checkpoint, the
+    // server redelivers the in-flight envelope from before the kill, and
+    // the doc_id-keyed upsert (S7) makes the store exactly-once anyway.
+    // The MemoryStream twin spec pins stream ≡ batch row-for-row; this
+    // spec pins the transport + recovery story.
+    import graft.operators.{Decontaminate, TextAnalysis, TextNormalize, UrlOps}
+    import graft.streaming.CorpusStream
+    def u(d: String) = s"https://www.$d.com/p/x"
+    val banner = "the cookie banner of the site"
+    // same designed corpus as the MemoryStream twin (survivors 1,2,3,6,8,9),
+    // minus the mojibake fixture: the socket transport's charset is the
+    // JVM default, and byte-exact non-ASCII delivery is the repair spec's
+    // concern, not recovery's
+    val pool = Seq(
+      (1L, "en", u("alpha-site"), s"$banner\nthe cat sat on the mat and slept well"),
+      (2L, "en", u("alpha-site"), s"$banner\nthe dog ran to the park and came home"),
+      (3L, "en", u("alpha-site"), s"$banner\nthe bird flew of the nest and sang songs"),
+      (4L, "en", u("alpha-site"), banner),
+      (5L, "en", u("alpha-site"), "xy zz"),
+      (6L, "en", u("beta-site"), "the rain held and the grass grew fast today"),
+      (7L, "en", u("beta-site"), "the secret answer is forty two and the test leaks here"),
+      (8L, "fr", u("beta-site"), "the quick fox ran to the field and then home"),
+      (9L, "fr", u("beta-site"), "the small bird is of the tree and that song"))
+      .toDF("doc_id", "lang", "url", "text")
+    val bench = Seq(
+      (100L, "the secret answer is forty two and the test leaks here exactly"))
+      .toDF("doc_id", "text")
+    // batch fits over the curated pool (the fit/apply split under test)
+    val fixed = pool.select(col("doc_id"), col("lang"),
+      UrlOps.registeredDomain(UrlOps.host(col("url"))).as("domain"),
+      col("text"))
+    val keepIds = TextAnalysis.gopherRules(fixed, minWords = 3, maxWords = 40)
+      .filter(col("gopher_keep")).select("doc_id")
+    val pool2 = fixed.join(keepIds, Seq("doc_id")).localCheckpoint(true)
+    val contIds = Decontaminate.overlap(pool2, bench, k = 3)
+      .filter(col("contamination") >= 0.2).select("doc_id")
+    val clean = pool2.join(contIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val fits = CorpusStream.fit(clean, bench, k = 3,
+      maxDocShare = 0.5, minDomainDocs = 3)
+    graft.operators.Dedup.releaseIntermediateCaches()
+    // expected = the SAME chain run as a batch frame (curate is pure
+    // projections + broadcast joins, so it executes on batch input too;
+    // stream ≡ batch is the twin spec's pinned contract)
+    val want = CorpusStream.curate(pool, fits, k = 3, minWords = 3,
+        maxWords = 40, contaminationMax = 0.2, epochSalt = "cs")
+      .select(col("doc_id"), col("domain"), col("text"), col("bucket"),
+        col("order_key"))
+      .as[(Long, String, String, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(want.keySet === Set(1L, 2L, 3L, 6L, 8L, 9L))
+    // JSON string escape for the envelope lines (newlines in text MUST
+    // stay escaped — the socket transport is line-framed)
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def envelope(r: (Long, String, String, String)): String =
+      s"""{"formId":"doc_ingest","data":{"meta/instanceID":${js(r._1.toString)},""" +
+        s""""doc_id":${js(r._1.toString)},"lang":${js(r._2)},""" +
+        s""""url":${js(r._3)},"text":${js(r._4)}}}"""
+    val rows = pool.as[(Long, String, String, String)].collect().toSeq
+    val (b1, b2) = rows.partition(_._1 <= 4L)
+    val server = new java.net.ServerSocket(0)
+    val killAck = new java.util.concurrent.CountDownLatch(1)
+    val doneAck = new java.util.concurrent.CountDownLatch(1)
+    val feeder = new Thread(() => {
+      // connection 1: batch 1, held open until the main thread kills the
+      // query (EOF mid-read would fail the source, not what's under test)
+      val s1 = server.accept()
+      val o1 = new java.io.PrintWriter(s1.getOutputStream, true)
+      b1.map(envelope).foreach(o1.println)
+      o1.flush()
+      killAck.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      s1.close()
+      // connection 2: the RESUMED query reconnects. The queue REDELIVERS
+      // the envelope that was in flight at the kill (doc 3 — processed
+      // but, as far as the queue knows, never acked) before batch 2: the
+      // idempotent sink must land it exactly once.
+      val s2 = server.accept()
+      val o2 = new java.io.PrintWriter(s2.getOutputStream, true)
+      (b1.filter(_._1 == 3L) ++ b2).map(envelope).foreach(o2.println)
+      o2.flush()
+      doneAck.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      s2.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val storeDir = tmpDir() + "/store"
+    def startQuery(ckDir: String) = {
+      val decoded = FormSource.decodeEnvelopes(
+        spark.readStream.format("socket")
+          .option("host", "127.0.0.1")
+          .option("port", server.getLocalPort)
+          .load())
+      val docs = FormSource.envelopeRecords(decoded, "doc_ingest")
+        .select(
+          element_at(col("data"), "doc_id").cast("long").as("doc_id"),
+          element_at(col("data"), "lang").as("lang"),
+          element_at(col("data"), "url").as("url"),
+          element_at(col("data"), "text").as("text"))
+      CorpusStream.curate(docs, fits, k = 3, minWords = 3, maxWords = 40,
+          contaminationMax = 0.2, epochSalt = "cs")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            UpsertWriter.upsert(spark, batch, storeDir, keys = Seq("doc_id"))
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+    }
+    def storeIds(): Seq[Long] =
+      try spark.read.parquet(storeDir).select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      catch { case _: Throwable => Seq.empty } // store not yet created
+    def awaitStore(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   wantIds: Set[Long]): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (storeIds().toSet != wantIds &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+    }
+    val q1 = startQuery(tmpDir())
+    try {
+      awaitStore(q1, Set(1L, 2L, 3L)) // batch-1 survivors committed
+      assert(storeIds() === Seq(1L, 2L, 3L))
+    } finally {
+      q1.stop() // the KILL: mid-stream, batch 2 never seen
+      killAck.countDown()
+    }
+    // RESUME: fresh checkpoint (non-replayable transport — see header),
+    // same store; the queue redelivers doc 3 and then ships batch 2
+    val q2 = startQuery(tmpDir())
+    try {
+      awaitStore(q2, Set(1L, 2L, 3L, 6L, 8L, 9L))
+      // exactly-once in the STORE despite redelivery: doc 3 once, batch-2
+      // survivors landed, non-survivors dropped
+      assert(storeIds() === Seq(1L, 2L, 3L, 6L, 8L, 9L))
+      // and every curated column matches the batch composition
+      val got = spark.read.parquet(storeDir)
+        .select(col("doc_id"), col("domain"), col("text"), col("bucket"),
+          col("order_key"))
+        .as[(Long, String, String, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === want)
+    } finally {
+      doneAck.countDown()
+      q2.stop()
+      server.close()
+    }
+  }
 }

@@ -703,6 +703,68 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(toMap(Dedup.connectedComponentsStars(pairs)) === want)
   }
 
+  test("components size gate routes exactly at the maxLocalEdges boundary") {
+    // the gate counts SYMMETRIC closure edges (2× the distinct undirected
+    // pairs here — no self-loops, no duplicates): 3 pairs → 6 edges.
+    // At the threshold the local union-find runs (result plan is a
+    // LocalRelation — driver-computed); one below, the BSP rounds run
+    // (checkpoint-scan leaves). Labels are identical either way.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def isLocalRoute(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect()
+        .map { case (id, c, can) => id -> ((c, can)) }.toMap
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val want = Map(1L -> ((1L, true)), 2L -> ((1L, false)),
+      3L -> ((3L, true)), 4L -> ((3L, false)),
+      5L -> ((5L, true)), 6L -> ((5L, false)))
+    val atGate = Dedup.connectedComponents(pairs, maxLocalEdges = 6)
+    assert(isLocalRoute(atGate), "6 edges at maxLocalEdges=6 must go local")
+    assert(toMap(atGate) === want)
+    val overGate = Dedup.connectedComponents(pairs, maxLocalEdges = 5)
+    assert(!isLocalRoute(overGate), "6 edges at maxLocalEdges=5 must go BSP")
+    assert(toMap(overGate) === want)
+  }
+
+  test("components fast path handles int and mixed int/long id columns") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def isLocalRoute(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    // pure-int pairs: fast path eligible, and the OUTPUT keeps int ids
+    // (the BSP route would — the local route must match its schema)
+    val ints = Seq((1, 2), (2, 3), (9, 9)).toDF("a", "b")
+    val outInt = Dedup.connectedComponents(ints)
+    assert(isLocalRoute(outInt))
+    assert(outInt.schema("id").dataType === IntegerType)
+    assert(outInt.schema("component").dataType === IntegerType)
+    assert(outInt.as[(Int, Int, Boolean)].collect().map(r => r._1 -> r._2)
+      .toMap === Map(1 -> 1, 2 -> 1, 3 -> 1, 9 -> 9))
+    // mixed int/long columns: the symmetric-closure union widens both
+    // sides to long — still integral, still fast-path eligible, long out
+    val mixed = Seq((1, 2L), (2, 3L)).toDF("a", "b")
+      .select(col("a").cast("int").as("a"), col("b").as("b"))
+    assert(mixed.schema("a").dataType === IntegerType)
+    assert(mixed.schema("b").dataType === LongType)
+    val outMixed = Dedup.connectedComponents(mixed)
+    assert(isLocalRoute(outMixed))
+    assert(outMixed.schema("id").dataType === LongType)
+    assert(outMixed.as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // non-integral ids (strings) must never go local: min-label ordering
+    // across engines is only pinned for integers
+    val strs = Seq(("x", "y"), ("y", "z")).toDF("a", "b")
+    val outStr = Dedup.connectedComponents(strs)
+    assert(!isLocalRoute(outStr))
+    assert(outStr.as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap ===
+      Map("x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
   test("connectedComponents rejects a round budget below the observable minimum") {
     // maxIter counts the TWO rounds folded into initialization; convergence
     // is first observable on round 3, so maxIter <= 2 can never succeed —
@@ -2276,6 +2338,40 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[Double].collect().max
     val worst = (0 until 3).map(i => (maxes(i) - mins(i)) / 512.0).max
     assert(err <= worst + 1e-12)
+  }
+
+  test("native scalar-quant kernels match the HOF reference shape (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // random stats + vectors, including out-of-range values (below mn /
+    // above mx — streaming data the fit never saw), degenerate dims
+    // (mn = mx), and vectors LONGER than the stats (HOF's out-of-range
+    // element_at → null element)
+    val dims = 5
+    val statGen = Gen.listOfN(dims, Gen.zip(
+      Gen.choose(-10.0, 10.0), Gen.choose(0.0, 5.0)))
+    val vecGen = Gen.choose(3, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-20.0, 20.0)))
+    val prop = forAll(statGen, Gen.listOfN(8, vecGen)) { (stats, vs) =>
+      val mins = stats.map(_._1).toArray
+      val maxes = stats.map { case (lo, w) =>
+        if (w < 0.5) lo else lo + w }.toArray // w<0.5 → degenerate dim
+      val vecs = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+      val native = vecs.select(col("vec_id"),
+          ScalarQuant.encodeExpr(col("embedding"), mins, maxes).as("c"))
+        .withColumn("r", ScalarQuant.decodeExpr(col("c"), mins, maxes))
+        .as[(Long, Seq[Option[Int]], Seq[Option[Double]])].collect().toSeq
+      val hof = vecs.select(col("vec_id"),
+          ScalarQuant.encodeExprHof(col("embedding"), mins, maxes).as("c"))
+        .withColumn("r", ScalarQuant.decodeExprHof(col("c"), mins, maxes))
+        .as[(Long, Seq[Option[Int]], Seq[Option[Double]])].collect().toSeq
+      Prop(native.sortBy(_._1) == hof.sortBy(_._1)) :|
+        s"native=$native hof=$hof mins=${mins.toSeq} maxes=${maxes.toSeq}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("script profile: counts and dominant script by hand") {
