@@ -152,10 +152,26 @@ object BpeLearn {
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
+    // ADAPTIVE candidate headroom (round 12): the ask starts at the 3×
+    // a conflicted round needs on gate-sized corpora, and RETUNES from
+    // each round's observed greedy yield. A fixed 3× ask pinned large
+    // builds at ~92 acceptances per 768-candidate round (the
+    // symbol-disjointness scan exhausts the list long before `want`
+    // fills — measured r11: ~325 rounds for any batch ≥ 256); growing
+    // the ask when a FULL list exhausts, and tracking the observed
+    // scan-to-fill ratio when it fills, lets each round accept close to
+    // the full batch. Deterministic: the multiplier is a pure function
+    // of the prior rounds' candidate lists. Rounds that fill within the
+    // first 3× candidates are UNCHANGED for any multiplier (same sorted
+    // prefix, same greedy scan), so batchSize = 1 stays exactly [[learn]]
+    // and the oracle gates (every round fills) are ask-invariant; only
+    // rounds the fixed ask artificially truncated accept deeper tails.
+    val MaxAsk = 500000 // driver-collect bound, ~tens of MB of pair rows
+    var mult = 3.0
     while (rank < numMerges && !exhausted) {
       val want = math.min(numMerges - rank, batchSize)
-      // 3× headroom: conflicted candidates are skipped, not lost — the
-      // next round's fresh counts surface them again
+      val ask = math.min(MaxAsk.toDouble,
+        math.max(want * 3.0, want * mult)).toInt
       val top = st
         .select(col("cnt"), explode(
           when(size(col("pieces")) >= 2,
@@ -167,18 +183,32 @@ object BpeLearn {
         .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
         .agg(sum(col("cnt")).as("w"))
         .orderBy(col("w").desc, col("l").asc, col("r").asc)
-        .limit(want * 3)
+        .limit(ask)
         .collect()
       val used = scala.collection.mutable.Set.empty[String]
       val batch = Seq.newBuilder[(String, String, Long)]
       var n = 0
+      var scanned = 0
       top.iterator.foreach { row =>
         val (l, r, w) = (row.getString(0), row.getString(1), row.getLong(2))
-        if (n < want && w >= minFrequency && !used(l) && !used(r)) {
-          batch += ((l, r, w)); used += l; used += r; n += 1
+        if (n < want) {
+          scanned += 1
+          if (w >= minFrequency && !used(l) && !used(r)) {
+            batch += ((l, r, w)); used += l; used += r; n += 1
+          }
         }
       }
       val accepted = batch.result()
+      // retune: a FULL list that exhausted before filling means the cap
+      // truncated the batch — double the ask (a short list means the
+      // corpus has no more pairs; growing cannot help). A filled round
+      // re-centers on the observed scan-to-fill ratio with 50% slack.
+      if (accepted.length < want) {
+        if (top.length == ask && ask < MaxAsk)
+          mult = math.min(mult * 2.0, MaxAsk.toDouble / math.max(1, want))
+      } else {
+        mult = math.max(3.0, 1.5 * scanned.toDouble / want)
+      }
       // instrumentation hook (sizing probes): round's ask vs acceptance
       onRound(rank, want, accepted.length)
       if (accepted.isEmpty) exhausted = true
