@@ -382,7 +382,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 4 reps since round 12: paired full-suite runs showed queries with
+    // ~1.5-3 s warms still C2-compiling through rep 3 (monotone
+    // 1.65→1.55→1.50 shapes, min always landing on the last rep) — a
+    // fourth rep lands the min nearer the plateau for ~3 extra suite
+    // minutes. The residual run-over-run offset is per-JVM compilation
+    // lottery (whole families shift 10-20% together, warm included, all
+    // four taints clean, cpu MHz pinned by the hypervisor) — only
+    // multiple JVM invocations per family would shed it, at 2× suite
+    // wall; documented instead.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

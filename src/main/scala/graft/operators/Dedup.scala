@@ -149,6 +149,99 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
 
+  /** Prefix-filtered n-gram Jaccard pairs — the AllPairs/PPJoin candidate
+    * discipline (Bayardo et al. 2007; Xiao et al. 2008): under a GLOBAL
+    * rarity order on grams (ascending document frequency, ties on the
+    * hash), a pair with jaccard ≥ t must share at least one gram inside
+    * each side's first `n − ⌈t·n⌉ + 1` grams, so candidate generation
+    * self-joins PREFIX postings only and the exact intersection count
+    * runs over the candidate set instead of every posting pair. Output
+    * is IDENTICAL to [[jaccardPairs]] (property-checked on random
+    * corpora; the gate shares the jaccard oracle).
+    *
+    * Scale shape vs the capped posting-list formulation: the prefix drops
+    * ~t of every document's grams, and — because the order is
+    * rarity-first — stop-shingles sort to the SUFFIX and fall out of
+    * candidate generation for ordinary documents, so no DF cap (with its
+    * borderline-pair semantics) is needed: this path is exact at every
+    * threshold. Verification cost is |candidates| × avg posting length,
+    * the quantity prefix filtering exists to bound; at 100 TB the
+    * candidate set is output-shaped (near-dup pairs + survivors of the
+    * prefix test), orders below the all-pairs join. The per-doc rank
+    * windows partition by doc_id — bounded by a document's gram count,
+    * never corpus-wide. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         k: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs t in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // EAGER checkpoints, not lazy caches: postings is a narrow pipeline
+    // (scan → shingle → hash, no exchange) consumed by three branches
+    // keyed three different ways (dfs by g, verify by doc_a and
+    // (doc_b, g)) — nothing for ReusedExchange to share, so a lazy cache
+    // races across the branches and re-shingles per branch (measured:
+    // the one-job formulation ran 3.5-4 s; eager staging ~2× less). Same
+    // for the windowed prefix frame, which the candidate self-join reads
+    // twice above its exchange. The connectedComponents discipline.
+    val postings = shinglePostings(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .localCheckpoint(true)
+    val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // one window exec: row_number and the per-doc total share the same
+    // (partition, order) spec — different frames, one exchange + sort
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val wAll =
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // prefix length n − ⌈t·n⌉ + 1. The 1e-9 slack guards an fp product
+    // landing just ABOVE an exact integer (which would shorten the prefix
+    // and could MISS a pair); landing below only lengthens it — more
+    // candidates, still exact. Per-doc sizes ride the prefix rows so
+    // verification never re-aggregates or re-joins counts.
+    val prefix = postings.join(dfs, Seq("g"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("g"), col("__n"))
+      .localCheckpoint(true)
+    // LENGTH filter rides the candidate join (PPJoin): jaccard ≥ t needs
+    // c ≥ t·max(n_a, n_b) and c ≤ min(n_a, n_b), so size-incompatible
+    // pairs (min < t·max) can never qualify — pruned before the pair
+    // aggregation. The 1e-9 slack keeps a borderline fp product from
+    // excluding an exactly-qualifying pair.
+    val cand = prefix.as("p1")
+      .join(prefix.as("p2"),
+        col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id") &&
+          col("p1.__n").cast("double") >=
+            lit(threshold) * col("p2.__n") - lit(1e-9) &&
+          col("p2.__n").cast("double") >=
+            lit(threshold) * col("p1.__n") - lit(1e-9))
+      .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
+      .agg(first(col("p1.__n")).as("n_a"), first(col("p2.__n")).as("n_b"))
+    // exact verification: per-doc gram ARRAYS + in-row array_intersect —
+    // the classic PPJoin verify. The per-gram join formulation shuffled
+    // |candidates| × |grams(doc)| rows (measured 6.2 s vs 0.5 s at sf0.1
+    // on 648k candidates); here the candidate frame never explodes — two
+    // equi-joins attach the gram arrays (one row per doc, broadcast when
+    // small, plain shuffle joins at scale) and the intersection count is
+    // a codegen'd in-row set op. Postings are distinct per doc, so
+    // array_intersect's dedup is a no-op and the count is exact.
+    val docArrays = postings.groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("gs"))
+    cand
+      .join(docArrays.select(col("doc_id").as("doc_a"), col("gs").as("__ga")),
+        Seq("doc_a"))
+      .join(docArrays.select(col("doc_id").as("doc_b"), col("gs").as("__gb")),
+        Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
   /** Shared core of the posting-formulated pair scorers: candidate pairs
     * with their intersection and per-doc distinct-shingle sizes —
     * (doc_a < doc_b, n_common, n_a, n_b). See [[jaccardPairs]] for the

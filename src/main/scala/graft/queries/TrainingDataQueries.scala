@@ -570,6 +570,15 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Same pair set through the prefix-filtered candidate engine
+    // (AllPairs/PPJoin): rarity-ordered per-doc prefixes generate the
+    // candidates, exact verification scores them — the 100 TB path that
+    // needs no stop-shingle DF cap. Shares dedup_jaccard's oracle.
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(Tables.documents(s, dir), threshold = 0.3)
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       // bucket-size guard on (observed max bucket is 13 at sf0.1; 1000 is
       // exercise-without-effect here, the hot-bucket defense at scale)
@@ -1350,6 +1359,21 @@ object TrainingDataQueries extends QueryPack {
   private[queries] val MojibakePhrase =
     " café’s — naïve… “ok”"
 
+  /** One oracle for BOTH Jaccard pair engines (posting join and
+    * prefix-filtered): the pair set is a function of corpus + threshold,
+    * not of the candidate strategy. */
+  private lazy val jaccardOracle: String =
+    s"""WITH $shinglesCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
+       |ORDER BY 1, 2""".stripMargin
+
   /** One oracle for BOTH connected-components implementations (min-label
     * BSP and star contraction): the cluster map is a function of the pair
     * graph, not of the algorithm. */
@@ -1916,17 +1940,13 @@ object TrainingDataQueries extends QueryPack {
     // cluster map — one oracle, two engines' worth of evidence
     "dedup_components_stars" -> componentsOracle,
 
-    "dedup_jaccard" ->
-      s"""WITH $shinglesCte,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_common,
-         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
-         |FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
-         |ORDER BY 1, 2""".stripMargin,
+    "dedup_jaccard" -> jaccardOracle,
+
+    // the prefix-filtered path is a different CANDIDATE strategy, not a
+    // different similarity: the pair set is a function of the corpus and
+    // the threshold, so one oracle gates both engines' worth of evidence
+    // (the componentsOracle discipline)
+    "dedup_jaccard_prefix" -> jaccardOracle,
 
     // permutation constants mirror Dedup.MinhashA/B/Mod verbatim
     "dedup_minhash_lsh" ->

@@ -1782,6 +1782,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("prefix-filtered jaccard pairs equal the posting join on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // random word-soup corpora over a small vocabulary (collisions
+    // frequent → real near-dup structure), random thresholds including
+    // high ones where prefixes shrink to a few grams; compare the FULL
+    // scored output (pair, n_common, jaccard), not just the pair set
+    val vocab = Vector("the", "cat", "dog", "ran", "sat", "big", "red",
+      "mat", "sun", "sky")
+    val docGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, docGen))
+    val tGen = Gen.oneOf(0.2, 0.3, 0.5, 0.8, 1.0)
+    val prop = forAll(corpusGen, tGen) { (texts, t) =>
+      val d = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_a"), col("doc_b"), col("n_common"),
+            col("jaccard"))
+          .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+          .toSeq
+      val base = canon(Dedup.jaccardPairs(d, t))
+      val prefix = canon(Dedup.jaccardPairsPrefix(d, t))
+      Dedup.releaseIntermediateCaches()
+      Prop(prefix == base) :| s"t=$t base=$base prefix=$prefix texts=$texts"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("skew guards are identity when caps exceed observed maxima") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
