@@ -203,20 +203,33 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(wAll))
       .filter(col("__rn") <=
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("g"), col("__n"))
+      .select(col("doc_id"), col("g"), col("__n"), col("__rn"))
       .localCheckpoint(true)
-    // LENGTH filter rides the candidate join (PPJoin): jaccard ≥ t needs
-    // c ≥ t·max(n_a, n_b) and c ≤ min(n_a, n_b), so size-incompatible
-    // pairs (min < t·max) can never qualify — pruned before the pair
-    // aggregation. The 1e-9 slack keeps a borderline fp product from
-    // excluding an exactly-qualifying pair.
+    // LENGTH + POSITIONAL filters ride the candidate join (PPJoin):
+    //  - length: jaccard ≥ t needs c ≥ t·max(n_a, n_b) and
+    //    c ≤ min(n_a, n_b), so size-incompatible pairs (min < t·max)
+    //    can never qualify;
+    //  - positional: through a common gram at ranks (i, j), the overlap
+    //    is at most 1 + min(n_a − i, n_b − j), and jaccard ≥ t needs
+    //    overlap ≥ t/(1+t)·(n_a + n_b). Both docs rank grams under the
+    //    SAME global order, so the common-gram subsequence appears in the
+    //    same relative order in both — for the pair's FIRST common gram
+    //    the bound is the true PPJoin upper bound, and per-row filtering
+    //    is exact: if that row fails, every later common row's bound is
+    //    tighter and the pair truly cannot reach the overlap floor.
+    // The 1e-9 slacks keep borderline fp products from excluding an
+    // exactly-qualifying pair.
     val cand = prefix.as("p1")
       .join(prefix.as("p2"),
         col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id") &&
           col("p1.__n").cast("double") >=
             lit(threshold) * col("p2.__n") - lit(1e-9) &&
           col("p2.__n").cast("double") >=
-            lit(threshold) * col("p1.__n") - lit(1e-9))
+            lit(threshold) * col("p1.__n") - lit(1e-9) &&
+          lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
+            col("p2.__n") - col("p2.__rn")).cast("double") >=
+            lit(threshold / (1.0 + threshold)) *
+              (col("p1.__n") + col("p2.__n")) - lit(1e-9))
       .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
       .agg(first(col("p1.__n")).as("n_a"), first(col("p2.__n")).as("n_b"))
     // exact verification: per-doc gram ARRAYS + in-row array_intersect —

@@ -3,8 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off diagnostic for the prefix-filtered jaccard path: candidate
-  * volume vs final pairs at a scale factor. */
+/** Diagnostic for the prefix-filtered jaccard path: candidate volume
+  * (with and without the PPJoin length/positional filters) vs final
+  * pairs at a scale factor, plus the wall time of the real operator.
+  * Mirrors [[graft.operators.Dedup.jaccardPairsPrefix]]'s candidate
+  * stage — keep the two in sync when the filters change. */
 object JpProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,33 +33,32 @@ object JpProbe {
       .withColumn("__n", count(lit(1)).over(wAll))
       .filter(col("__rn") <=
         col("__n") - ceil(lit(t) * col("__n") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("g"), col("__n"))
+      .select(col("doc_id"), col("g"), col("__n"), col("__rn"))
       .localCheckpoint(true)
     println(s"JP prefix=${prefix.count()}")
-    def timed[T](tag: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"JP $tag ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    def candCount(filtered: Boolean): Long = {
+      val base = col("p1.g") === col("p2.g") &&
+        col("p1.doc_id") < col("p2.doc_id")
+      val cond = if (!filtered) base
+      else base &&
+        col("p1.__n").cast("double") >= lit(t) * col("p2.__n") - lit(1e-9) &&
+        col("p2.__n").cast("double") >= lit(t) * col("p1.__n") - lit(1e-9) &&
+        lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
+          col("p2.__n") - col("p2.__rn")).cast("double") >=
+          lit(t / (1.0 + t)) * (col("p1.__n") + col("p2.__n")) - lit(1e-9)
+      val j = prefix.as("p1").join(prefix.as("p2"), cond)
+        .select(col("p1.doc_id"), col("p2.doc_id")).distinct()
+      println("JP join_plan filtered=" + filtered + " :: " +
+        j.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange"))
+          .map(_.trim.take(90)).mkString(" | "))
+      j.count()
     }
-    val cand = timed("cand_ckpt") {
-      prefix.as("p1").join(prefix.as("p2"),
-          col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id"))
-        .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
-        .agg(first(col("p1.__n")).as("n_a"), first(col("p2.__n")).as("n_b"))
-        .localCheckpoint(true)
-    }
-    println(s"JP cand=${cand.count()}")
-    val common = timed("verify_ckpt") {
-      cand
-        .join(postings.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-        .join(postings.select(col("doc_id").as("doc_b"), col("g")),
-          Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"),
-          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-        .localCheckpoint(true)
-    }
-    println(s"JP common=${common.count()}")
-    println(s"JP final=${graft.operators.Dedup.jaccardPairs(docs, t, maxShingleDf = Some(1000)).count()}")
+    println(s"JP cand_unfiltered=${candCount(filtered = false)}")
+    println(s"JP cand_filtered=${candCount(filtered = true)}")
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.jaccardPairsPrefix(docs, t).count()
+    println(f"JP final=$n operator_s=${(System.nanoTime() - t0) / 1e9}%.2f")
     spark.stop()
   }
 }
