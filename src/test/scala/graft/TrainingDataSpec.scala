@@ -1813,6 +1813,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("prefix-filtered jaccard handles short docs, exact dups, and threshold 1.0") {
+    // docs below k tokens collapse to ONE whole-text shingle (the
+    // shinglesFromTokens fallback): identical short docs must pair at
+    // jaccard 1.0 through the prefix path too (prefix length 1), and a
+    // singleton stays unpaired; exact full-length dups pair at 1.0 even
+    // at threshold 1.0, where prefixes shrink to a single gram
+    val d = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), (3L, "other words"),
+      (4L, "the quick brown fox jumps over the fence"),
+      (5L, "the quick brown fox jumps over the fence"))
+      .toDF("doc_id", "text")
+    def pairs(t: Double) = Dedup.jaccardPairsPrefix(d, t)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(pairs(0.5) === Seq((1L, 2L, 1.0), (4L, 5L, 1.0)))
+    assert(pairs(1.0) === Seq((1L, 2L, 1.0), (4L, 5L, 1.0)))
+    Dedup.releaseIntermediateCaches()
+  }
+
   test("skew guards are identity when caps exceed observed maxima") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
