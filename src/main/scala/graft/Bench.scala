@@ -500,9 +500,19 @@ object Bench {
     var fallbackResults = Vector.empty[QR] // families whose child died
     var fallbackTaints = (false, false, 0.0) // (foreign, ext, extMax)
     var fallbackIo = (false, 0L) // (ioTainted, ioMax)
+    // SPARK_GRAFT_BENCH_JVMS=N (default 1): run each family in N fresh
+    // JVMs and keep the whole-family sample with the smallest min-total.
+    // This is the standard remedy for the per-JVM C2 compilation lottery
+    // (whole families shift 10-20% together between runs with every taint
+    // clean — see NOTES round 12): one JVM sample per family cannot shed
+    // it; best-of-N whole-JVM samples can, at N× suite wall. Off by
+    // default so the driver's wall time is unchanged; the discarded
+    // samples' totals land in the `children` forensics as `jvm_totals`.
+    val jvmSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_JVMS", "1").toInt
+      .max(1)
     families.zipWithIndex.foreach { case (family, i) =>
-      if (i > 0) {
-        // between families: the previous child's 32 threads leave dirty
+      def settleBetween(): Unit = {
+        // between child JVMs: the previous child's 32 threads leave dirty
         // checkpoint/shuffle pages whose kernel writeback competes with
         // the next family's reps — invisible to the user-mode ext taint
         // (system time is deliberately excluded) but measured as +15-38%
@@ -515,42 +525,65 @@ object Bench {
           Thread.sleep(5000); waited += 5
         }
         if (waited > 0)
-          System.err.println(s"[bench] settled ${waited}s before family ${i + 1}")
+          System.err.println(s"[bench] settled ${waited}s before next child")
       }
-      val detailFile = java.io.File.createTempFile(s"graft_bench_f$i", ".json")
-      detailFile.deleteOnExit()
-      System.err.println(s"[bench] family ${i + 1}/${families.size}: ${family.head}..${family.last}")
-      val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", cp, "graft.Bench")).toArray
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // compact line: parent reprints
-      val env = pb.environment()
-      env.put("SPARK_GRAFT_BENCH_CHILD", "1")
-      env.put("SPARK_GRAFT_BENCH_ONLY", family.mkString(","))
-      env.put("SPARK_GRAFT_BENCH_DETAIL", detailFile.getAbsolutePath)
-      env.put("SPARK_GRAFT_SF_DIR", sfDir)
-      env.put("SPARK_GRAFT_CPUS", cpus)
-      env.put("SPARK_GRAFT_BENCH_RUNS", timedRuns.toString)
-      val exit = try pb.start().waitFor()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] child spawn failed: $e"); -1 }
-      childExits += exit
-      val parsed =
-        if (exit == 0)
-          try Some(JsonMethods.parse(new String(java.nio.file.Files
-            .readAllBytes(detailFile.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)))
+      def runChild(sample: Int): (Int, Option[JValue]) = {
+        val detailFile =
+          java.io.File.createTempFile(s"graft_bench_f${i}_s$sample", ".json")
+        detailFile.deleteOnExit()
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.Bench")).toArray
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // compact line: parent reprints
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_BENCH_CHILD", "1")
+        env.put("SPARK_GRAFT_BENCH_ONLY", family.mkString(","))
+        env.put("SPARK_GRAFT_BENCH_DETAIL", detailFile.getAbsolutePath)
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_BENCH_RUNS", timedRuns.toString)
+        val exit = try pb.start().waitFor()
           catch { case e: Throwable =>
-            System.err.println(s"[bench] child detail unreadable: $e"); None }
-        else None
-      parsed match {
-        case Some(j) => childDocs += ((i, j, family))
+            System.err.println(s"[bench] child spawn failed: $e"); -1 }
+        val parsed =
+          if (exit == 0)
+            try Some(JsonMethods.parse(new String(java.nio.file.Files
+              .readAllBytes(detailFile.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] child detail unreadable: $e"); None }
+          else None
+        (exit, parsed)
+      }
+      def totalOf(j: JValue): Double = j \ "value" match {
+        case JDouble(d) => d; case JInt(n) => n.toDouble
+        case JLong(n) => n.toDouble; case _ => Double.MaxValue
+      }
+      System.err.println(s"[bench] family ${i + 1}/${families.size}: ${family.head}..${family.last}" +
+        (if (jvmSamples > 1) s" ($jvmSamples JVM samples)" else ""))
+      var best: Option[JValue] = None
+      val sampleTotals = Vector.newBuilder[Double]
+      (1 to jvmSamples).foreach { sample =>
+        if (i > 0 || sample > 1) settleBetween()
+        val (exit, parsed) = runChild(sample)
+        childExits += exit
+        parsed.foreach { j =>
+          sampleTotals += totalOf(j)
+          if (best.forall(b => totalOf(j) < totalOf(b))) best = Some(j)
+        }
+      }
+      best match {
+        case Some(j) =>
+          childDocs += ((i, j, family))
+          if (jvmSamples > 1)
+            System.err.println(s"[bench] family ${i + 1} jvm_totals=" +
+              sampleTotals.result().map(t => f"$t%.2f").mkString(","))
         case None =>
           // fail-open: this family runs in-process (carries aging bias for
           // at most FamilySize queries, flagged by its nonzero child_exit)
-          System.err.println(s"[bench] family $i child failed (exit $exit); running in-process")
+          System.err.println(s"[bench] family $i: every child sample failed; running in-process")
           val spark = buildSession(cpus)
           // same priming every child JVM gets — without it the fallback
           // family would carry the fresh-JVM +50-150% early-position JIT
