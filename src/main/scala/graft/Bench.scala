@@ -112,11 +112,23 @@ object Bench {
     * entirely external — so a sustained delta taints the run. */
   private def ioWeightedMs(): Long =
     try {
+      // whole physical devices only: /proc/diskstats also lists every
+      // PARTITION (sda1, vda2, nvme0n1p3, mmcblk0p1) and layered devices
+      // (dm-*, md*) accumulating the SAME requests — summing them would
+      // double- or triple-count IO and trip IoTaintMs on traffic a third
+      // its calibrated size. Virtual/pseudo devices excluded outright.
+      val partition =
+        "^(?:[shxv]v?d[a-z]+\\d+|nvme\\d+n\\d+p\\d+|mmcblk\\d+p\\d+)$".r
       scala.io.Source.fromFile("/proc/diskstats").getLines()
         .map(_.trim.split("\\s+"))
-        .filter(f => f.length > 13 &&
-          !f(2).startsWith("loop") && !f(2).startsWith("ram") &&
-          !f(2).startsWith("zram"))
+        .filter { f =>
+          f.length > 13 && {
+            val n = f(2)
+            !n.startsWith("loop") && !n.startsWith("ram") &&
+            !n.startsWith("zram") && !n.startsWith("dm-") &&
+            !n.startsWith("md") && partition.findFirstIn(n).isEmpty
+          }
+        }
         .map(_(13).toLong).sum
     } catch { case _: Throwable => 0L }
 
@@ -243,6 +255,21 @@ object Bench {
     val base = new java.io.File("/dev/shm")
     if (!base.isDirectory || !base.canWrite) None
     else try {
+      // sweep stale siblings first: the shutdown hook never runs for a
+      // SIGKILLed/OOM-killed bench JVM, and a leaked dir is RAM held
+      // until reboot. A graft_bench_<pid> dir whose pid is no longer
+      // alive is reclaimable by construction.
+      Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (n.startsWith("graft_bench_"))
+          scala.util.Try(n.stripPrefix("graft_bench_").toLong).toOption
+            .foreach { pid =>
+              if (!ProcessHandle.of(pid).isPresent) {
+                System.err.println(s"[bench] reclaiming stale tmpfs scratch $n")
+                deleteRec(f)
+              }
+            }
+      }
       val d = new java.io.File(base,
         s"graft_bench_${ProcessHandle.current().pid()}")
       d.mkdirs()
@@ -496,7 +523,11 @@ object Bench {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val childDocs = Vector.newBuilder[(Int, JValue, Seq[String])]
+    // child exits come in groups of `jvmSamples` per family (the
+    // artifact's `jvm_samples` field records the grouping); per-family
+    // sample totals land in the `children` forensics as `jvm_totals`
     val childExits = Vector.newBuilder[Int]
+    val familyTotals = scala.collection.mutable.Map.empty[Int, Seq[Double]]
     var fallbackResults = Vector.empty[QR] // families whose child died
     var fallbackTaints = (false, false, 0.0) // (foreign, ext, extMax)
     var fallbackIo = (false, 0L) // (ioTainted, ioMax)
@@ -574,12 +605,13 @@ object Bench {
           if (best.forall(b => totalOf(j) < totalOf(b))) best = Some(j)
         }
       }
+      familyTotals(i) = sampleTotals.result()
       best match {
         case Some(j) =>
           childDocs += ((i, j, family))
           if (jvmSamples > 1)
             System.err.println(s"[bench] family ${i + 1} jvm_totals=" +
-              sampleTotals.result().map(t => f"$t%.2f").mkString(","))
+              familyTotals(i).map(t => f"$t%.2f").mkString(","))
         case None =>
           // fail-open: this family runs in-process (carries aging bias for
           // at most FamilySize queries, flagged by its nonzero child_exit)
@@ -654,7 +686,9 @@ object Bench {
     // mainInProcess) — enough to audit any one family's conditions
     val childrenStr = docs.map { case (i, j, family) =>
       val lv = JsonMethods.compact(JsonMethods.render(j \ "loadavg"))
-      s"""{"family":$i,"first":"${family.head}","last":"${family.last}","loadavg":$lv,"tainted_ext":${bool(j, "tainted_ext")}}"""
+      val totals = familyTotals.getOrElse(i, Seq.empty)
+        .map(ms).mkString("[", ",", "]")
+      s"""{"family":$i,"first":"${family.head}","last":"${family.last}","loadavg":$lv,"tainted_ext":${bool(j, "tainted_ext")},"jvm_totals":$totals}"""
     }.mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val taints = s""""tainted":$tainted,"tainted_foreign":$foreignTainted,""" +
@@ -664,7 +698,7 @@ object Bench {
       s""""value_median":$totalMed,"queries_median":$qsMed,""" +
       s""""runs":$runsStr,"loadavg":$load,$taints,""" +
       s""""foreign_jvms":[${foreign.mkString(",")}],""" +
-      s""""forked":true,"families":${families.size},""" +
+      s""""forked":true,"families":${families.size},"jvm_samples":$jvmSamples,""" +
       s""""child_exits":[${childExits.result().mkString(",")}],""" +
       s""""children":$childrenStr,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

@@ -123,7 +123,15 @@ object ScalarQuantExprs {
         else if (vec.isNullAt(i)) out(i) = 255 // least(255, null-floor)
         else {
           val f = math.floor((vec.getDouble(i) - lo) / (hi - lo) * 256.0)
-          out(i) = math.min(255L, f.toLong).toInt
+          // WRAP first, clamp second — the HOF is floor→LONG→cast(int)
+          // (non-ANSI long→int truncation wraps) and THEN least(255, _),
+          // so a value far below lo (f under Int.MinValue) wraps to a
+          // positive int and clamps to 255 there; min-before-truncate
+          // would instead emit the wrapped positive value. Scala's
+          // Double→Long conversion saturates exactly like Spark's cast,
+          // so the huge-positive path (f → Long.MaxValue → int -1 →
+          // least → -1) matches too.
+          out(i) = math.min(255, f.toLong.toInt)
         }
       }
       i += 1

@@ -200,11 +200,17 @@ object BpeLearn {
       }
       val accepted = batch.result()
       // retune: a FULL list that exhausted before filling means the cap
-      // truncated the batch — double the ask (a short list means the
-      // corpus has no more pairs; growing cannot help). A filled round
+      // truncated the batch — double the ask. Growing cannot help when
+      // (a) the list came back short (the corpus has no more pairs) or
+      // (b) the list's TAIL is already below minFrequency (weights are
+      // sorted descending, so every deeper candidate is below the floor
+      // too — without this guard, late rounds of a large build double
+      // toward MaxAsk and collect half a million sorted pair rows per
+      // round for a yield pinned by the frequency floor). A filled round
       // re-centers on the observed scan-to-fill ratio with 50% slack.
       if (accepted.length < want) {
-        if (top.length == ask && ask < MaxAsk)
+        val tailQualifies = top.nonEmpty && top.last.getLong(2) >= minFrequency
+        if (top.length == ask && ask < MaxAsk && tailQualifies)
           mult = math.min(mult * 2.0, MaxAsk.toDouble / math.max(1, want))
       } else {
         mult = math.max(3.0, 1.5 * scanned.toDouble / want)

@@ -170,12 +170,66 @@ object Dedup {
     * prefix test), orders below the all-pairs join. The per-doc rank
     * windows partition by doc_id — bounded by a document's gram count,
     * never corpus-wide. */
+  /** The per-doc prefix frame of the PPJoin candidate stage:
+    * (doc_id, g, __n = doc's distinct-gram count, __rn = the gram's rank
+    * under the global (df, g) rarity order), restricted to each doc's
+    * first `n − ⌈t·n⌉ + 1` ranks and EAGERLY checkpointed (the candidate
+    * self-join reads it twice above its exchange). The 1e-9 slack guards
+    * an fp product landing just ABOVE an exact integer (which would
+    * shorten the prefix and could MISS a pair); landing below only
+    * lengthens it — more candidates, still exact. Shared with
+    * [[graft.tools.JpProbe]] so the diagnostic can never drift from the
+    * operator. */
+  private[graft] def prefixFrame(postings: DataFrame,
+                                 threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // one window exec: row_number and the per-doc total share the same
+    // (partition, order) spec — different frames, one exchange + sort
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val wAll =
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    postings.join(dfs, Seq("g"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("g"), col("__n"), col("__rn"))
+      .localCheckpoint(true)
+  }
+
+  /** The PPJoin candidate-join condition over two [[prefixFrame]] aliases
+    * `p1`/`p2`:
+    *  - shared gram, canonical id order;
+    *  - LENGTH filter: jaccard ≥ t needs c ≥ t·max(n_a, n_b) and
+    *    c ≤ min(n_a, n_b), so size-incompatible pairs (min < t·max)
+    *    can never qualify;
+    *  - POSITIONAL filter: through a common gram at ranks (i, j), the
+    *    overlap is at most 1 + min(n_a − i, n_b − j), and jaccard ≥ t
+    *    needs overlap ≥ t/(1+t)·(n_a + n_b). Both docs rank grams under
+    *    the SAME global order, so the common-gram subsequence appears in
+    *    the same relative order in both — for the pair's FIRST common
+    *    gram the bound is the true PPJoin upper bound, and per-row
+    *    filtering is exact: if that row fails, every later common row's
+    *    bound is tighter and the pair truly cannot reach the floor.
+    * The 1e-9 slacks keep borderline fp products from excluding an
+    * exactly-qualifying pair. */
+  private[graft] def prefixCandCondition(threshold: Double): Column =
+    col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id") &&
+      col("p1.__n").cast("double") >=
+        lit(threshold) * col("p2.__n") - lit(1e-9) &&
+      col("p2.__n").cast("double") >=
+        lit(threshold) * col("p1.__n") - lit(1e-9) &&
+      lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
+        col("p2.__n") - col("p2.__rn")).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("p1.__n") + col("p2.__n")) - lit(1e-9)
+
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
                          idCol: String = "doc_id", textCol: String = "text",
                          k: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs t in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     // EAGER checkpoints, not lazy caches: postings is a narrow pipeline
     // (scan → shingle → hash, no exchange) consumed by three branches
     // keyed three different ways (dfs by g, verify by doc_a and
@@ -187,49 +241,9 @@ object Dedup {
     val postings = shinglePostings(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       .localCheckpoint(true)
-    val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // one window exec: row_number and the per-doc total share the same
-    // (partition, order) spec — different frames, one exchange + sort
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val wAll =
-      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // prefix length n − ⌈t·n⌉ + 1. The 1e-9 slack guards an fp product
-    // landing just ABOVE an exact integer (which would shorten the prefix
-    // and could MISS a pair); landing below only lengthens it — more
-    // candidates, still exact. Per-doc sizes ride the prefix rows so
-    // verification never re-aggregates or re-joins counts.
-    val prefix = postings.join(dfs, Seq("g"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .filter(col("__rn") <=
-        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("g"), col("__n"), col("__rn"))
-      .localCheckpoint(true)
-    // LENGTH + POSITIONAL filters ride the candidate join (PPJoin):
-    //  - length: jaccard ≥ t needs c ≥ t·max(n_a, n_b) and
-    //    c ≤ min(n_a, n_b), so size-incompatible pairs (min < t·max)
-    //    can never qualify;
-    //  - positional: through a common gram at ranks (i, j), the overlap
-    //    is at most 1 + min(n_a − i, n_b − j), and jaccard ≥ t needs
-    //    overlap ≥ t/(1+t)·(n_a + n_b). Both docs rank grams under the
-    //    SAME global order, so the common-gram subsequence appears in the
-    //    same relative order in both — for the pair's FIRST common gram
-    //    the bound is the true PPJoin upper bound, and per-row filtering
-    //    is exact: if that row fails, every later common row's bound is
-    //    tighter and the pair truly cannot reach the overlap floor.
-    // The 1e-9 slacks keep borderline fp products from excluding an
-    // exactly-qualifying pair.
+    val prefix = prefixFrame(postings, threshold)
     val cand = prefix.as("p1")
-      .join(prefix.as("p2"),
-        col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id") &&
-          col("p1.__n").cast("double") >=
-            lit(threshold) * col("p2.__n") - lit(1e-9) &&
-          col("p2.__n").cast("double") >=
-            lit(threshold) * col("p1.__n") - lit(1e-9) &&
-          lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
-            col("p2.__n") - col("p2.__rn")).cast("double") >=
-            lit(threshold / (1.0 + threshold)) *
-              (col("p1.__n") + col("p2.__n")) - lit(1e-9))
+      .join(prefix.as("p2"), prefixCandCondition(threshold))
       .groupBy(col("p1.doc_id").as("doc_a"), col("p2.doc_id").as("doc_b"))
       .agg(first(col("p1.__n")).as("n_a"), first(col("p2.__n")).as("n_b"))
     // exact verification: per-doc gram ARRAYS + in-row array_intersect —

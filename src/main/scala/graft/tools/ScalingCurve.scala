@@ -58,10 +58,17 @@ object ScalingCurve {
     def timeOnce(name: String, dir: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      // a failed query must NOT report its time-to-failure as a
+      // measurement — NaN poisons the min and the ratio columns so the
+      // table shows the failure instead of a fast bogus number
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scaling] $name @ $dir FAILED: ${e.getMessage}")
+          false
+        }
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
     }
     println(f"${"query"}%-24s ${"sf0.001"}%8s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"x01/001"}%8s ${"x1/01"}%8s")
     names.foreach { name =>

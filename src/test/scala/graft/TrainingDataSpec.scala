@@ -2400,8 +2400,15 @@ class TrainingDataSpec extends AnyFunSuite {
     val dims = 5
     val statGen = Gen.listOfN(dims, Gen.zip(
       Gen.choose(-10.0, 10.0), Gen.choose(0.0, 5.0)))
+    // values include EXTREME outliers (±1e10 and beyond the int range
+    // after ·256 scaling): the floor code wraps through Spark's
+    // non-ANSI long→int cast there, and the kernel must wrap-then-clamp
+    // identically (a min-before-truncate bug survived the original
+    // ±20 range — caught in round-12 review)
     val vecGen = Gen.choose(3, 7).flatMap(n =>
-      Gen.listOfN(n, Gen.choose(-20.0, 20.0)))
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-20.0, 20.0),
+        Gen.oneOf(-1e10, -2.56e9, -1e7, 1e7, 1e10, 1e300, -1e300))))
     val prop = forAll(statGen, Gen.listOfN(8, vecGen)) { (stats, vs) =>
       val mins = stats.map(_._1).toArray
       val maxes = stats.map { case (lo, w) =>
