@@ -227,7 +227,8 @@ object Dedup {
 
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
                          idCol: String = "doc_id", textCol: String = "text",
-                         k: Int = 3): DataFrame = {
+                         k: Int = 3,
+                         grams: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold: prefix length n - ceil(t*n) + 1 needs t in (0, 1]")
     // EAGER checkpoints, not lazy caches: postings is a narrow pipeline
@@ -238,9 +239,13 @@ object Dedup {
     // the one-job formulation ran 3.5-4 s; eager staging ~2× less). Same
     // for the windowed prefix frame, which the candidate self-join reads
     // twice above its exchange. The connectedComponents discipline.
-    val postings = shinglePostings(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
-      .localCheckpoint(true)
+    // A caller-shared [[cacheHashedPostings]] frame substitutes verbatim
+    // (already persisted by the caller — no second materialization here).
+    val postings = grams
+      .map(_.select(col("doc_id"), col("gram").as("g")))
+      .getOrElse(shinglePostings(docs, idCol, textCol, k)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .localCheckpoint(true))
     val prefix = prefixFrame(postings, threshold)
     val cand = prefix.as("p1")
       .join(prefix.as("p2"), prefixCandCondition(threshold))

@@ -1289,8 +1289,15 @@ object TrainingDataQueries extends QueryPack {
       // below — the two legs otherwise re-tokenize the same checkpointed
       // text.
       val poolGrams = Dedup.cacheHashedPostings(pool, k = 3)
-      val jp = Dedup.jaccardPairs(pool, threshold = 0.3,
-        maxShingleDf = Some(1000), grams = Some(poolGrams))
+      // PREFIX-FILTERED engine (L75), not the capped posting join: the
+      // composed oracle's jp CTE is the EXACT jaccard, which the DF-capped
+      // formulation only matches while no gram's document frequency crosses
+      // the cap — true at the tested SFs, not a property of the operator.
+      // The prefix path is exact at EVERY scale (stop-shingles sort to the
+      // suffix and fall out of candidate generation instead of being
+      // dropped), so pipeline parity stops depending on corpus statistics.
+      val jp = Dedup.jaccardPairsPrefix(pool, threshold = 0.3,
+        grams = Some(poolGrams))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text").cast("binary")))

@@ -1832,6 +1832,28 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("prefix-filtered jaccard over a shared postings frame equals the direct path") {
+    // the corpus_pipeline arrangement: ONE cacheHashedPostings frame feeds
+    // the prefix engine (and, in the pipeline, the decontamination leg) —
+    // the shared-grams substitution must be output-identical to the
+    // self-shingling path, scores included
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words appear in this document here",
+      4L -> "the quick brown fox jumps over the lazy dog today")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val direct = canon(Dedup.jaccardPairsPrefix(d, 0.3))
+    val shared = canon(Dedup.jaccardPairsPrefix(d, 0.3,
+      grams = Some(Dedup.cacheHashedPostings(d, k = 3))))
+    assert(shared === direct)
+    assert(direct.nonEmpty) // the near-dup trio must actually pair
+    Dedup.releaseIntermediateCaches()
+  }
+
   test("skew guards are identity when caps exceed observed maxima") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
