@@ -180,23 +180,39 @@ object Dedup {
     * lengthens it — more candidates, still exact. Shared with
     * [[graft.tools.JpProbe]] so the diagnostic can never drift from the
     * operator. */
-  private[graft] def prefixFrame(postings: DataFrame,
-                                 threshold: Double): DataFrame = {
+  /** Every posting with its doc's size and the gram's rank under the
+    * global (df, g) rarity order — the shared windowed core of the
+    * prefix-filtered engines. One window exec: row_number and the
+    * per-doc total share the same (partition, order) spec — different
+    * frames, one exchange + sort. LAZY (no checkpoint): each caller
+    * stages the subset it actually re-reads. */
+  private def withRarityRanks(postings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // one window exec: row_number and the per-doc total share the same
-    // (partition, order) spec — different frames, one exchange + sort
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val wAll =
       w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     postings.join(dfs, Seq("g"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .filter(col("__rn") <=
-        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("g"), col("__n"), col("__rn"))
-      .localCheckpoint(true)
   }
+
+  /** The per-doc Jaccard prefix length under threshold `t`:
+    * `n − ⌈t·n⌉ + 1` (also the containment probe-side length — there the
+    * floor is c ≥ t·min and the probe IS the min side). The 1e-9 slack
+    * guards an fp product landing just ABOVE an exact integer (which
+    * would shorten the prefix and could MISS a pair); landing below only
+    * lengthens it — more candidates, still exact. */
+  private def inPrefix(threshold: Double): Column =
+    col("__rn") <=
+      col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1
+
+  private[graft] def prefixFrame(postings: DataFrame,
+                                 threshold: Double): DataFrame =
+    withRarityRanks(postings)
+      .filter(inPrefix(threshold))
+      .localCheckpoint(true)
 
   /** The PPJoin candidate-join condition over two [[prefixFrame]] aliases
     * `p1`/`p2`:
@@ -272,6 +288,77 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Prefix-filtered containment pairs — the ASYMMETRIC variant of the
+    * AllPairs/PPJoin discipline for overlap-coefficient joins. Containment
+    * bounds the intersection by the SMALLER document only
+    * (c ≥ t·min(n_a, n_b)), so a symmetric prefix self-join is unsound: a
+    * tiny document embedded whole in a huge one can miss the huge side's
+    * prefix entirely. The sound arrangement indexes the FULL ranked
+    * postings and probes with the SMALLER side's prefix:
+    *  - probe side: each doc's first `n − ⌈t·n⌉ + 1` grams under the
+    *    global rarity order (if a qualifying pair shared none of the
+    *    probe's prefix, c ≤ ⌈t·n_probe⌉ − 1 < t·n_probe — contradiction);
+    *  - index side: every posting, with ranks (the small-side grams can
+    *    sit ANYWHERE in the large side);
+    *  - roles are fixed by (size, id) order, so each unordered pair is
+    *    generated exactly once with the probe as its min side;
+    *  - positional filter: through the pair's FIRST common gram at ranks
+    *    (i, j), c ≤ 1 + min(n_p − i, n_x − j); requiring that bound to
+    *    reach t·n_probe is exact per candidate row (later common rows
+    *    only tighten it — the [[prefixCandCondition]] argument).
+    * Candidate volume is Σ_g prefixDF(g)·DF(g): a stop-gram's document
+    * frequency multiplies its PREFIX frequency — and rarity ordering
+    * pushes stop-grams out of prefixes, so the product stays linear-ish
+    * where the unfiltered posting join pays DF². No DF cap, exact at
+    * every threshold; output identical to [[containmentPairs]]
+    * (property-checked; the gate shares its oracle). */
+  def containmentPairsPrefix(docs: DataFrame, threshold: Double,
+                             idCol: String = "doc_id",
+                             textCol: String = "text", k: Int = 3,
+                             grams: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold: probe prefix length n - ceil(t*n) + 1 needs t in (0, 1]")
+    val postings = grams
+      .map(_.select(col("doc_id"), col("gram").as("g")))
+      .getOrElse(shinglePostings(docs, idCol, textCol, k)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .localCheckpoint(true))
+    // the candidate join reads the ranked frame on BOTH sides (full index
+    // + prefix subset) above its exchange — stage it once, filter for the
+    // probe side (the jaccard engine checkpoints the filtered frame
+    // instead because it never needs the full ranks)
+    val ranked = withRarityRanks(postings).localCheckpoint(true)
+    val probe = ranked.filter(inPrefix(threshold))
+    val minRole = // probe must be the pair's min side, exactly once
+      col("p1.__n") < col("p2.__n") ||
+        (col("p1.__n") === col("p2.__n") &&
+          col("p1.doc_id") < col("p2.doc_id"))
+    val positional =
+      lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
+        col("p2.__n") - col("p2.__rn")).cast("double") >=
+        lit(threshold) * col("p1.__n") - lit(1e-9)
+    val cand = probe.as("p1")
+      .join(ranked.as("p2"),
+        col("p1.g") === col("p2.g") && minRole && positional)
+      .groupBy(col("p1.doc_id").as("__u"), col("p2.doc_id").as("__v"))
+      .agg(first(col("p1.__n")).as("n_u"), first(col("p2.__n")).as("n_v"))
+    val docArrays = postings.groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("gs"))
+    cand
+      .join(docArrays.select(col("doc_id").as("__u"), col("gs").as("__ga")),
+        Seq("__u"))
+      .join(docArrays.select(col("doc_id").as("__v"), col("gs").as("__gb")),
+        Seq("__v"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("containment", col("n_common").cast("double") /
+        col("n_u").cast("double")) // n_u = min(n_u, n_v) by role
+      .filter(col("containment") >= threshold)
+      .select(least(col("__u"), col("__v")).as("doc_a"),
+        greatest(col("__u"), col("__v")).as("doc_b"),
+        col("n_common"), col("containment"))
   }
 
   /** Shared core of the posting-formulated pair scorers: candidate pairs

@@ -1061,6 +1061,17 @@ object TrainingDataQueries extends QueryPack {
       out
     }),
 
+    // Same pair set through the ASYMMETRIC prefix engine (small-side
+    // prefix probes the full ranked index — the sound PPJoin arrangement
+    // for overlap joins, where a tiny doc embedded whole in a huge one
+    // can miss the huge side's prefix). Exact at every threshold, no DF
+    // cap; shares dedup_containment's oracle.
+    "dedup_containment_prefix" -> ((s, dir) => {
+      Dedup.containmentPairsPrefix(Tables.documents(s, dir),
+        threshold = 0.6)
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Character-entropy quality signal: micro-nat quantized contributions,
     // exact integer per-doc sums.
     "text_entropy" -> ((s, dir) => {
@@ -2572,6 +2583,24 @@ object TrainingDataQueries extends QueryPack {
     },
 
     "dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS n_common
+         |           FROM sh a JOIN sh b
+         |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE)
+         |         AS containment
+         |FROM common JOIN cnt x ON doc_a = x.doc_id
+         |            JOIN cnt y ON doc_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // one oracle for BOTH containment engines: the pair set is a function
+    // of corpus + threshold, not of the candidate strategy
+    "dedup_containment_prefix" ->
       s"""WITH $shinglesCte,
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

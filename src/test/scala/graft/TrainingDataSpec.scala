@@ -1854,6 +1854,68 @@ class TrainingDataSpec extends AnyFunSuite {
     Dedup.releaseIntermediateCaches()
   }
 
+  test("prefix-filtered containment equals the posting join on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // same word-soup structure as the jaccard property, PLUS explicit
+    // subset documents (a doc and a strict prefix of it) — the pair
+    // family the asymmetric engine exists for, where the small side's
+    // grams can sit anywhere in the large side's ranked postings
+    val vocab = Vector("the", "cat", "dog", "ran", "sat", "big", "red",
+      "mat", "sun", "sky")
+    val docGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = for {
+      n <- Gen.choose(4, 9)
+      ds <- Gen.listOfN(n, docGen)
+      emb <- Gen.oneOf(true, false)
+    } yield if (emb && ds.nonEmpty) {
+      val host = ds.head
+      ds :+ host.split(" ").take(math.max(3, host.split(" ").length / 2))
+        .mkString(" ")
+    } else ds
+    val tGen = Gen.oneOf(0.2, 0.3, 0.5, 0.6, 0.8, 1.0)
+    val prop = forAll(corpusGen, tGen) { (texts, t) =>
+      val d = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_a"), col("doc_b"), col("n_common"),
+            col("containment"))
+          .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+          .toSeq
+      val base = canon(Dedup.containmentPairs(d, t))
+      val prefix = canon(Dedup.containmentPairsPrefix(d, t))
+      Dedup.releaseIntermediateCaches()
+      Prop(prefix == base) :| s"t=$t base=$base prefix=$prefix texts=$texts"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("prefix containment finds subset pairs, short docs, and works over shared postings") {
+    // doc 2 is doc 1's strict shingle-subset (containment 1.0, jaccard
+    // far below it); docs 4/5 are identical short docs (one whole-text
+    // shingle each); doc 3 matches nothing. At threshold 1.0 prefixes
+    // shrink to one gram and the subset pair must still surface.
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "completely unrelated words in this one",
+      4L -> "tiny doc", 5L -> "tiny doc")
+    def pairs(t: Double) = Dedup.containmentPairsPrefix(d, t)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(pairs(0.6) === Seq((1L, 2L, 1.0), (4L, 5L, 1.0)))
+    assert(pairs(1.0) === Seq((1L, 2L, 1.0), (4L, 5L, 1.0)))
+    val shared = Dedup.containmentPairsPrefix(d, 0.6,
+      grams = Some(Dedup.cacheHashedPostings(d, k = 3)))
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(shared === pairs(0.6))
+    Dedup.releaseIntermediateCaches()
+  }
+
   test("skew guards are identity when caps exceed observed maxima") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog today",
