@@ -127,6 +127,17 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("dedup_keep_best")
   }
 
+  // both prefix-filtered pair engines (L75/L76): the cap-free exact
+  // dedup paths' 100× story is precisely their candidate-join shape —
+  // pin it across the span
+  test("dedup_jaccard_prefix plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_jaccard_prefix")
+  }
+
+  test("dedup_containment_prefix plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_containment_prefix")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
