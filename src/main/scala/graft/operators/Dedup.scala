@@ -186,7 +186,7 @@ object Dedup {
     * per-doc total share the same (partition, order) spec — different
     * frames, one exchange + sort. LAZY (no checkpoint): each caller
     * stages the subset it actually re-reads. */
-  private def withRarityRanks(postings: DataFrame): DataFrame = {
+  private[graft] def withRarityRanks(postings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
@@ -204,7 +204,7 @@ object Dedup {
     * guards an fp product landing just ABOVE an exact integer (which
     * would shorten the prefix and could MISS a pair); landing below only
     * lengthens it — more candidates, still exact. */
-  private def inPrefix(threshold: Double): Column =
+  private[graft] def inPrefix(threshold: Double): Column =
     col("__rn") <=
       col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1
 
@@ -314,6 +314,23 @@ object Dedup {
     * where the unfiltered posting join pays DF². No DF cap, exact at
     * every threshold; output identical to [[containmentPairs]]
     * (property-checked; the gate shares its oracle). */
+  /** The asymmetric containment candidate-join condition over a PREFIX
+    * alias `p1` (probe, the pair's min side) and a FULL ranked-postings
+    * alias `p2` (index): shared gram; roles fixed by (size, id) so each
+    * unordered pair is generated exactly once with the probe as its min
+    * side; the PPJoin positional bound against `t·n_probe` (valid for
+    * the pair's FIRST common gram under the shared global order — later
+    * common rows only tighten it, so per-row filtering is exact). Shared
+    * with [[graft.tools.JpProbe]] so the diagnostic cannot drift. */
+  private[graft] def containmentCandCondition(threshold: Double): Column =
+    col("p1.g") === col("p2.g") &&
+      (col("p1.__n") < col("p2.__n") ||
+        (col("p1.__n") === col("p2.__n") &&
+          col("p1.doc_id") < col("p2.doc_id"))) &&
+      lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
+        col("p2.__n") - col("p2.__rn")).cast("double") >=
+        lit(threshold) * col("p1.__n") - lit(1e-9)
+
   def containmentPairsPrefix(docs: DataFrame, threshold: Double,
                              idCol: String = "doc_id",
                              textCol: String = "text", k: Int = 3,
@@ -331,17 +348,8 @@ object Dedup {
     // instead because it never needs the full ranks)
     val ranked = withRarityRanks(postings).localCheckpoint(true)
     val probe = ranked.filter(inPrefix(threshold))
-    val minRole = // probe must be the pair's min side, exactly once
-      col("p1.__n") < col("p2.__n") ||
-        (col("p1.__n") === col("p2.__n") &&
-          col("p1.doc_id") < col("p2.doc_id"))
-    val positional =
-      lit(1.0) + least(col("p1.__n") - col("p1.__rn"),
-        col("p2.__n") - col("p2.__rn")).cast("double") >=
-        lit(threshold) * col("p1.__n") - lit(1e-9)
     val cand = probe.as("p1")
-      .join(ranked.as("p2"),
-        col("p1.g") === col("p2.g") && minRole && positional)
+      .join(ranked.as("p2"), containmentCandCondition(threshold))
       .groupBy(col("p1.doc_id").as("__u"), col("p2.doc_id").as("__v"))
       .agg(first(col("p1.__n")).as("n_u"), first(col("p2.__n")).as("n_v"))
     val docArrays = postings.groupBy(col("doc_id"))

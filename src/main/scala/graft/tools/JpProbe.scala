@@ -4,16 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
-/** Diagnostic for the prefix-filtered jaccard path: candidate volume
-  * with and without the PPJoin length/positional filters vs final
-  * pairs at a scale factor, plus the wall time of the real operator.
-  * Uses the operator's OWN [[Dedup.prefixFrame]] and
-  * [[Dedup.prefixCandCondition]], so the diagnostic cannot drift from
-  * the algorithm it measures. */
+/** Diagnostic for BOTH prefix-filtered pair engines (L75 jaccard, L76
+  * containment): candidate volume with and without the PPJoin filters
+  * vs final pairs at a scale factor, plus the wall time of the real
+  * operator calls. Uses the operators' OWN [[Dedup.prefixFrame]] /
+  * [[Dedup.withRarityRanks]] / cand-condition helpers, so the
+  * diagnostic cannot drift from the algorithms it measures.
+  *
+  * Usage: runMain graft.tools.JpProbe [sfDir] [jaccardT] [containT] */
 object JpProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val t = args.lift(1).map(_.toDouble).getOrElse(0.3)
+    val ct = args.lift(2).map(_.toDouble).getOrElse(0.6)
     val b = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
@@ -42,6 +45,24 @@ object JpProbe {
     val t0 = System.nanoTime()
     val n = Dedup.jaccardPairsPrefix(docs, t).count()
     println(f"JP final=$n operator_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+    // ── containment (asymmetric: small-side prefix probes the full
+    // ranked index). The "unfiltered" baseline is what the raw posting
+    // self-join pays: every co-occurring ordered pair is a candidate.
+    val ranked = Dedup.withRarityRanks(postings).localCheckpoint(true)
+    println(s"CT ranked=${ranked.count()}")
+    val probeF = ranked.filter(Dedup.inPrefix(ct))
+    println(s"CT probe_prefix=${probeF.count()}")
+    def ctCount(cond: org.apache.spark.sql.Column): Long =
+      probeF.as("p1").join(ranked.as("p2"), cond)
+        .select(col("p1.doc_id"), col("p2.doc_id")).distinct().count()
+    val rawPairs = ranked.as("p1").join(ranked.as("p2"),
+        col("p1.g") === col("p2.g") && col("p1.doc_id") < col("p2.doc_id"))
+      .select(col("p1.doc_id"), col("p2.doc_id")).distinct().count()
+    println(s"CT cand_posting_join=$rawPairs")
+    println("CT cand_filtered=" + ctCount(Dedup.containmentCandCondition(ct)))
+    val t1 = System.nanoTime()
+    val cn = Dedup.containmentPairsPrefix(docs, ct).count()
+    println(f"CT final=$cn operator_s=${(System.nanoTime() - t1) / 1e9}%.2f")
     spark.stop()
   }
 }

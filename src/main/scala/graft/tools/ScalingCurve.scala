@@ -22,7 +22,8 @@ import graft.{SparkEntry, Tables}
 object ScalingCurve {
   private val DefaultQueries = Seq(
     "quality_lr", "corpus_pipeline", "a6_multiple_link",
-    "dedup_components_stars", "dedup_jaccard_prefix", "dedup_keep_best",
+    "dedup_components_stars", "dedup_jaccard_prefix",
+    "dedup_containment_prefix", "dedup_keep_best",
     "ann_ivfpq", "dedup_components", "ccnet_buckets", "dsir_weights",
     "dedup_exact", "text_langid", "corpus_mix")
 
