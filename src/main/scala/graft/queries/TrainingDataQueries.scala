@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis, UnigramLm}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -534,6 +534,40 @@ object TrainingDataQueries extends QueryPack {
       BpeLearn.learnBatched(Tables.documents(s, dir),
         numMerges = BpeMergeCount, batchSize = BpeBatchSize).toDF()
         .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
+    // Unigram-LM tokenizer (L77), seed stage: candidate substrings
+    // (length 1..4) of the corpus's words weighted by word frequency —
+    // the vocabulary initialization of SentencePiece's unigram trainer.
+    "unigram_seed" -> ((s, dir) => {
+      val words = BpeLearn.wordFrequencies(Tables.documents(s, dir))
+      UnigramLm.seedCandidates(words, maxPieceLen = 4)
+        .filter(col("w") >= 2)
+        .orderBy(col("w").desc, col("piece").asc).limit(200)
+        .localCheckpoint(true).orderBy(col("w").desc, col("piece").asc)
+    }),
+
+    // Unigram-LM tokenizer, serving stage: per-document piece counts
+    // from Viterbi-segmenting every (alnum, len<=12) token occurrence
+    // under the FIXED demo vocabulary (one Scala constant feeds the
+    // kernel and the generated oracle, which replays the DP as an
+    // EXHAUSTIVE segmentation enumeration + the same tie ladder — the
+    // strongest possible pin on the codegen'd kernel). The trained-vocab
+    // path is property-checked against a plain-Scala reference EM
+    // (UnigramSpec tests); a trained vocabulary is runtime data, not a
+    // constant an oracle can share.
+    "unigram_segment" -> ((s, dir) => {
+      val toks = TextAnalysis
+        .explodeTokens(Tables.documents(s, dir), col("text"),
+          "word", Seq(col("doc_id")))
+        .filter(length(col("word")).between(1, 12) &&
+          col("word").rlike("^[A-Za-z0-9]+$"))
+      UnigramLm.segment(toks, DemoUnigramVocab,
+          wordCol = "word", unkScore = DemoUnigramUnk)
+        .select(col("doc_id"), explode(col("pieces")).as("piece"))
+        .groupBy(col("doc_id"), col("piece"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
     }),
 
     // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
@@ -1377,6 +1411,68 @@ object TrainingDataQueries extends QueryPack {
   private[queries] val MojibakePhrase =
     " café’s — naïve… “ok”"
 
+  /** Fixed demo vocabulary for the `unigram_segment` gate — ONE constant
+    * feeds the Viterbi kernel and the generated exhaustive-enumeration
+    * oracle. Scores sit on a COARSE micro-nat grid (multiples of 100k,
+    * several pieces sharing a score, unk = two multi-piece scores' gap)
+    * so equal-total segmentations occur in the corpus and the
+    * deterministic tie ladder is exercised by parity, not just by
+    * specs. */
+  private[queries] val DemoUnigramVocab: Seq[(String, Long)] = Seq(
+    ("th", -1500000L), ("he", -1500000L), ("in", -1500000L),
+    ("er", -1500000L), ("an", -1500000L), ("re", -1500000L),
+    ("nd", -1500000L),
+    ("the", -1200000L), ("ing", -1200000L), ("and", -1200000L),
+    ("tion", -1000000L), ("ment", -1000000L))
+
+  private[queries] val DemoUnigramUnk = -1000000L
+
+  /** Exhaustive-enumeration oracle for `unigram_segment`: a recursive CTE
+    * walks EVERY segmentation of every distinct word (vocab pieces plus
+    * the single-char fallback), the window picks the argmax under the
+    * kernel's exact tie ladder (score desc, piece count asc, piece-length
+    * sequence longer-first — encoded fixed-width so plain string order IS
+    * the sequence order), and the winning pieces fan back out over the
+    * token occurrences. The vocab VALUES are generated from
+    * [[DemoUnigramVocab]] — one constant, both engines. */
+  private lazy val unigramSegmentOracle: String = {
+    val vocValues = DemoUnigramVocab
+      .map { case (p, s) => s"('$p', $s)" }.mkString(", ")
+    s"""WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |ft AS MATERIALIZED (SELECT doc_id, w FROM toks
+       |  WHERE len(w) BETWEEN 1 AND 12 AND regexp_matches(w, '^[A-Za-z0-9]+$$')),
+       |wr AS MATERIALIZED (SELECT DISTINCT w AS word FROM ft),
+       |voc(piece, s) AS (VALUES $vocValues),
+       |chars AS MATERIALIZED (SELECT DISTINCT unnest(list_transform(
+       |    range(1, len(word)+1), i -> substr(word, CAST(i AS INT), 1))) AS piece
+       |  FROM wr),
+       |steps AS MATERIALIZED (SELECT piece, CAST(s AS BIGINT) AS s FROM voc
+       |  UNION ALL
+       |  SELECT c.piece, CAST($DemoUnigramUnk AS BIGINT) FROM chars c
+       |  WHERE c.piece NOT IN (SELECT piece FROM voc)),
+       |p(word, pos, score, pieces, np, lenstr) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), '', 0, '' FROM wr
+       |  UNION ALL
+       |  SELECT p.word, p.pos + len(s.piece), p.score + s.s,
+       |         CASE WHEN p.pieces = '' THEN s.piece
+       |              ELSE p.pieces || ' ' || s.piece END,
+       |         p.np + 1, p.lenstr || printf('%02d', len(s.piece))
+       |  FROM p JOIN steps s ON p.pos + len(s.piece) <= len(p.word)
+       |    AND substr(p.word, p.pos + 1, len(s.piece)) = s.piece),
+       |best AS MATERIALIZED (SELECT word, pieces FROM (
+       |  SELECT word, pieces,
+       |    row_number() OVER (PARTITION BY word
+       |      ORDER BY score DESC, np ASC, lenstr DESC) AS rn
+       |  FROM p WHERE pos = len(word)) WHERE rn = 1),
+       |bp AS MATERIALIZED (SELECT word,
+       |    unnest(string_split(pieces, ' ')) AS piece FROM best)
+       |SELECT t.doc_id, b.piece, CAST(count(*) AS BIGINT) AS n
+       |FROM ft t JOIN bp b ON b.word = t.w
+       |GROUP BY 1, 2 ORDER BY doc_id, piece""".stripMargin
+  }
+
   /** One oracle for BOTH Jaccard pair engines (posting join and
     * prefix-filtered): the pair set is a function of corpus + threshold,
     * not of the candidate strategy. */
@@ -1718,6 +1814,21 @@ object TrainingDataQueries extends QueryPack {
     "bpe_merges" -> bpeOracle,
 
     "bpe_merges_batched" -> bpeBatchedOracle,
+
+    "unigram_seed" ->
+      """WITH toks AS MATERIALIZED (SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |wf AS MATERIALIZED (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |subs AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS w FROM (
+        |   SELECT unnest(flatten(list_transform(range(1, len(w)+1), i ->
+        |     list_transform(range(1, least(4, len(w)-i+1)+1),
+        |       l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece, cnt
+        |   FROM wf) GROUP BY 1)
+        |SELECT piece, w FROM subs WHERE w >= 2
+        |ORDER BY w DESC, piece ASC LIMIT 200""".stripMargin,
+
+    "unigram_segment" -> unigramSegmentOracle,
 
     "pq_codes" -> pqOracle,
 

@@ -2872,4 +2872,203 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(byBucket("head").max <= byBucket("middle").min)
     assert(byBucket("middle").max <= byBucket("tail").min)
   }
+
+  // ── unigram-LM tokenizer training (L77) ───────────────────────────
+  // Plain-Scala reference implementations, INDEPENDENT of the kernel's
+  // DP: the reference segmenter enumerates EVERY segmentation and takes
+  // the argmax under the documented tie ladder, so kernel-vs-reference
+  // parity proves the DP (not just re-runs it).
+  private object UnigramRef {
+    def lenDigits(l: Int): String =
+      "" + Character.forDigit(l / 36, 36) + Character.forDigit(l % 36, 36)
+
+    def segment(w: String, vocab: Map[String, Long],
+                unk: Long): (List[String], Long) = {
+      if (w.isEmpty) return (Nil, 0L)
+      val maxLen = (vocab.keysIterator.map(_.length) ++ Iterator(1)).max
+      def rec(s: Int): List[List[String]] =
+        if (s == w.length) List(Nil)
+        else (1 to math.min(maxLen, w.length - s)).toList.flatMap { l =>
+          val p = w.substring(s, s + l)
+          if (l == 1 || vocab.contains(p)) rec(s + l).map(p :: _) else Nil
+        }
+      val cands = rec(0).map { seg =>
+        (seg, seg.map(p => vocab.getOrElse(p, unk)).sum, seg.size,
+          seg.map(p => lenDigits(p.length)).mkString)
+      }
+      val best = cands.reduceLeft { (a, b) =>
+        if (b._2 > a._2) b
+        else if (b._2 < a._2) a
+        else if (b._3 < a._3) b
+        else if (b._3 > a._3) a
+        else if (b._4.compareTo(a._4) > 0) b else a
+      }
+      (best._1, best._2)
+    }
+
+    /** Mirror of [[UnigramLm.train]] driven by the exhaustive
+      * segmenter. */
+    def train(texts: Seq[String], vocabSize: Int, maxPieceLen: Int,
+              seedMultiplier: Int = 4, shrink: Double = 0.75,
+              minSeedCount: Long = 2L): Seq[(String, Long, Long)] = {
+      val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val seedW = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, cnt) =>
+        var i = 0
+        while (i < w.length) {
+          var l = 1
+          while (l <= math.min(maxPieceLen, w.length - i)) {
+            val p = w.substring(i, i + l)
+            seedW(p) = seedW.getOrElse(p, 0L) + cnt
+            l += 1
+          }
+          i += 1
+        }
+      }
+      val seed = seedW.toSeq.filter { case (p, c) =>
+        c >= minSeedCount || p.length == 1 }
+      val (chars, multis) = seed.partition(_._1.length == 1)
+      val kept = multis.sortBy { case (p, c) => (-c, p) }
+        .take(vocabSize * seedMultiplier)
+      var vocab: Seq[(String, Long)] = {
+        val all = chars ++ kept
+        val total = all.map(_._2).sum
+        all.map { case (p, c) => (p, UnigramLm.microNatLog(c, total)) }
+      }
+      var counts: Map[String, Long] = Map.empty
+      var done = false
+      while (!done) {
+        val vm = vocab.toMap
+        val segmented = scala.collection.mutable.Map.empty[String, Long]
+        words.foreach { case (w, cnt) =>
+          segment(w, vm, UnigramLm.UnkScore)._1.foreach { p =>
+            segmented(p) = segmented.getOrElse(p, 0L) + cnt
+          }
+        }
+        counts = segmented.toMap
+        val charEntries = chars.map { case (p, _) =>
+          (p, segmented.getOrElse(p, 0L).max(1L)) }
+        val multiEntries = vocab.iterator.map(_._1).filter(_.length > 1)
+          .flatMap(p => segmented.get(p).filter(_ > 0).map(p -> _)).toSeq
+        val pruned =
+          if (multiEntries.size <= vocabSize) { done = true; multiEntries }
+          else {
+            val keep = math.max(vocabSize, math.min(multiEntries.size - 1,
+              math.ceil(multiEntries.size * shrink).toInt))
+            multiEntries.sortBy { case (p, c) => (-c, p) }.take(keep)
+          }
+        val all = charEntries ++ pruned
+        val total = all.iterator.map(_._2).sum
+        vocab = all.map { case (p, c) =>
+          (p, UnigramLm.microNatLog(c, total)) }
+      }
+      vocab.map { case (p, s) =>
+        (p, s, if (p.length == 1) counts.getOrElse(p, 0L).max(1L)
+               else counts.getOrElse(p, 0L))
+      }.sortBy { case (p, _, c) => (-c, p) }
+    }
+  }
+
+  test("unigram Viterbi kernel equals the exhaustive-enumeration argmax (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // small alphabet + scores drawn from a COARSE grid so equal-total
+    // segmentations are common and the tie ladder actually runs
+    val wordGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pieceGen = Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val scoreGen = Gen.oneOf(-1000000L, -1500000L, -2000000L, -3000000L)
+    val vocabGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(pieceGen, scoreGen)))
+      .map(_.toMap.toSeq) // dedupe pieces
+    val unk = -1000000L
+    val prop = forAll(Gen.listOfN(12, wordGen), vocabGen) { (ws, vocab) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("id", "word")
+      val got = UnigramLm.segment(df, vocab, unkScore = unk)
+        .select(col("id"), col("pieces"), col("score"))
+        .as[(Int, Seq[String], Long)].collect().sortBy(_._1)
+        .map(r => (r._2.toList, r._3)).toList
+      val want = ws.map(w => UnigramRef.segment(w, vocab.toMap, unk))
+      Prop(got == want) :| s"vocab=$vocab ws=$ws got=$got want=$want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("unigram segmentation: tie ladder, unknown chars, empty word") {
+    val vocab = Seq(("th", -1500000L), ("he", -1500000L),
+      ("the", -1200000L), ("ab", -1500000L))
+    val df = Seq((1, "the"), (2, "thehe"), (3, "zzz"), (4, ""), (5, "ab"))
+      .toDF("id", "word")
+    val out = UnigramLm.segment(df, vocab, unkScore = -1000000L)
+      .select(col("id"), col("pieces"), col("score"))
+      .as[(Int, Seq[String], Long)].collect().sortBy(_._1).toSeq
+    // "the": the single piece beats any split
+    assert(out(0) === ((1, Seq("the"), -1200000L)))
+    // "thehe": the+he (-2.7M) beats th+e+he/the+h+e (-3.5M, -3.2M);
+    // th+ehe impossible (ehe not in vocab)
+    assert(out(1) === ((2, Seq("the", "he"), -2700000L)))
+    // all-unknown: single-char fallback at unk each
+    assert(out(2) === ((3, Seq("z", "z", "z"), -3000000L)))
+    assert(out(3) === ((4, Seq.empty[String], 0L)))
+    assert(out(4) === ((5, Seq("ab"), -1500000L)))
+    // tie ladder: "hehe" under he=-1.5M only — he+he (-3M, 2 pieces)
+    // TIES h+e+h+e... no: that is -4M. Force a tie: word "thth" with
+    // th=-1.5M vs t,h at -1M each: th+th = -3M vs th+t+h = -3.5M vs
+    // t+h+t+h = -4M — th+th wins on score. True tie: "thx" →
+    // th+x = -2.5M vs t+h+x = -3M; no. Use vocab where a 2-piece and
+    // 2-piece differ only in split point: word "aab" with vocab
+    // aa=-1.5M, ab=-1.5M: aa+b = -2.5M vs a+ab = -2.5M, both 2 pieces
+    // → lengths [2,1] vs [1,2]: longer-first wins → aa+b.
+    val tie = UnigramLm.segment(Seq((1, "aab")).toDF("id", "word"),
+        Seq(("aa", -1500000L), ("ab", -1500000L)), unkScore = -1000000L)
+      .select(col("pieces")).as[Seq[String]].collect().head
+    assert(tie === Seq("aa", "b"))
+  }
+
+  test("unigram training equals the plain-Scala reference on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val docGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    val prop = forAll(corpusGen) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = UnigramLm.train(d, vocabSize = 3, maxPieceLen = 3)
+        .map(p => (p.piece, p.score, p.count))
+      val want = UnigramRef.train(texts, vocabSize = 3, maxPieceLen = 3)
+      Prop(got == want) :| s"texts=$texts\ngot=$got\nwant=$want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("unigram training is deterministic and its vocabulary segments the corpus totally") {
+    val d = docs(
+      1L -> "the theory of the thermal the theme",
+      2L -> "another anthem and the antenna ended",
+      3L -> "thin paths with the smooth teeth",
+      4L -> "the theory the thermal the anthem")
+    val a = UnigramLm.train(d, vocabSize = 5, maxPieceLen = 4)
+    val b = UnigramLm.train(d, vocabSize = 5, maxPieceLen = 4)
+    assert(a === b)
+    assert(a.count(_.piece.length > 1) <= 5)
+    assert(a.exists(_.piece.length > 1)) // this corpus earns multis
+    // every word re-segments under the trained vocab with no unk piece
+    // (all chars are in-vocab by construction)
+    val vocab = a.map(p => (p.piece, p.score))
+    val words = BpeLearn.wordFrequencies(d).select(col("word"))
+    val segged = UnigramLm.segment(words, vocab)
+      .select(explode(col("pieces")).as("p")).distinct()
+      .as[String].collect().toSet
+    assert(segged.subsetOf(vocab.map(_._1).toSet))
+  }
 }
