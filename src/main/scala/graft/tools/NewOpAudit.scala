@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot plan audit for the round-12 additions, WITHOUT the gates'
+  * checkpoint tails (PlanAudit's documented blind spot): prints the
+  * executed plans of the raw unigram segment-and-count chain and the
+  * raw prefix-containment pair chain so codegen spans and join
+  * placement are visible. */
+object NewOpAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val b = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, dir)
+    val toks = graft.operators.TextAnalysis
+      .explodeTokens(docs, col("text"), "word", Seq(col("doc_id")))
+      .filter(length(col("word")).between(1, 12) &&
+        col("word").rlike("^[A-Za-z0-9]+$"))
+    val seg = graft.operators.UnigramLm
+      .segment(toks, Seq(("th", -1500000L), ("the", -1200000L)))
+      .select(col("doc_id"), explode(col("pieces")).as("piece"))
+      .groupBy(col("doc_id"), col("piece")).agg(count(lit(1)).as("n"))
+    println("=== unigram segment+count ===")
+    println(seg.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(20).mkString("\n"))
+    val cp = graft.operators.Dedup.containmentPairsPrefix(docs, 0.6)
+    println("=== containment prefix pairs ===")
+    println(cp.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(40).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -138,6 +138,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("dedup_containment_prefix")
   }
 
+  test("unigram_segment plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("unigram_segment")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
