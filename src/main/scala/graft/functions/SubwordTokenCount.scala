@@ -180,6 +180,27 @@ final class SubwordTrie private (keys: Array[Long], vals: Array[Int],
     count
   }
 
+  /** Longest vocabulary match starting at `from` within
+    * `bytes[from, until)`: the end offset of the longest terminal match,
+    * or -1 when no entry matches there. Unlike [[countTokens]]'s walk
+    * this does NOT stop at whitespace — callers pass a single word. */
+  def longestMatch(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var node = 0
+    var j = from
+    var lastEnd = -1
+    var walking = true
+    while (walking && j < until) {
+      val nxt = child(node, bytes(j))
+      if (nxt < 0) walking = false
+      else {
+        node = nxt
+        j += 1
+        if (terminal(node)) lastEnd = j
+      }
+    }
+    lastEnd
+  }
+
   /** The same greedy walk as [[countTokens]], emitting the pieces
     * (Java-callable from generated code). One `getBytes` copy per row;
     * every piece is a zero-copy `UTF8String.fromBytes` view into it. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis, UnigramLm}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -198,6 +198,144 @@ object TrainingDataQueries extends QueryPack {
     }
     (base ++ layers).mkString("WITH RECURSIVE ", ",\n", "\n") +
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
+
+  /** Merge count for the WordPiece gates — ONE constant feeds the Spark
+    * learner and both generated DuckDB oracles below. */
+  private[queries] val WpMergeCount = 8
+
+  /** Shared CTE layers replaying [[WordPiece.learn]] in DuckDB: per round,
+    * pair counts + symbol counts, the likelihood argmax
+    * (w / (cl·cr) — ONE correctly-rounded IEEE division of exact
+    * long→double casts, bit-identical across engines; ties lexicographic
+    * on (l, r)), then the same string-fold re-segmentation as the BPE
+    * oracle. Every CTE is MATERIALIZED: seg$k is referenced THREE times
+    * (pairs, symbol counts, next layer) and DuckDB inlines plain CTEs —
+    * an 8-layer chain would recompute 3^8 times (the corpus_pipeline
+    * lesson). Returns (CTE list, final round index). */
+  private def wordpieceLayers: Seq[String] = {
+    val base = Seq(
+      toksCte,
+      """wf AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
+      """seg0 AS MATERIALIZED (SELECT cnt,
+        |           array_to_string(list_transform(range(len(word)),
+        |             i -> CASE WHEN i = 0 THEN word[i+1:i+1]
+        |                       ELSE '##' || word[i+1:i+1] END), ' ') AS s
+        |         FROM wf)""".stripMargin)
+    val layers = (0 until WpMergeCount).flatMap { k =>
+      val pair =
+        s"""p$k AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
+           |        FROM (SELECT cnt, parts[i+1] AS l, parts[i+2] AS r
+           |              FROM (SELECT cnt, parts, unnest(range(len(parts) - 1)) AS i
+           |                    FROM (SELECT cnt, string_split(s, ' ') AS parts
+           |                          FROM seg$k)))
+           |        GROUP BY 1, 2)""".stripMargin
+      val syms =
+        s"""y$k AS MATERIALIZED (SELECT x AS sym, CAST(sum(cnt) AS BIGINT) AS c
+           |        FROM (SELECT cnt, unnest(string_split(s, ' ')) AS x FROM seg$k)
+           |        GROUP BY 1)""".stripMargin
+      val best =
+        s"""b$k AS MATERIALIZED (SELECT l, r, w, cl, cr FROM (
+           |        SELECT p.l, p.r, p.w AS w, yl.c AS cl, yr.c AS cr,
+           |          CAST(p.w AS DOUBLE) / (CAST(yl.c AS DOUBLE) * CAST(yr.c AS DOUBLE)) AS score
+           |        FROM p$k p JOIN y$k yl ON yl.sym = p.l JOIN y$k yr ON yr.sym = p.r
+           |        WHERE p.w >= 2)
+           |      ORDER BY score DESC, l, r LIMIT 1)""".stripMargin
+      val reseg = if (k == WpMergeCount - 1) Nil else Seq(
+        s"""seg${k + 1} AS MATERIALIZED (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+           |  CASE WHEN acc = b.l AND x = b.r THEN b.l || b.r
+           |       WHEN len(acc) > len(b.l) AND acc[len(acc)-len(b.l):] = ' ' || b.l AND x = b.r
+           |         THEN acc[1:len(acc)-len(b.l)-1] || ' ' || b.l || b.r
+           |       ELSE acc || ' ' || x END) AS s
+           |  FROM seg$k, b$k b)""".stripMargin)
+      Seq(pair, syms, best) ++ reseg
+    }
+    base ++ layers
+  }
+
+  /** DuckDB display-form expression for an internal WordPiece symbol
+    * `e`: strip constituent-boundary `##` markers, keep a word-initial
+    * one (mirrors [[WordPiece.display]]). */
+  private def wpDisplaySql(e: String): String =
+    s"CASE WHEN $e LIKE '##%' THEN '##' || replace(substr($e, 3), '##', '') " +
+      s"ELSE replace($e, '##', '') END"
+
+  /** Generated oracle for `wordpiece_merges`. */
+  private def wordpieceOracle: String = {
+    val selects = (0 until WpMergeCount).map { k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right",
+         |  ${wpDisplaySql("l || r")} AS merged,
+         |  w AS weight, cl AS left_cnt, cr AS right_cnt FROM b$k""".stripMargin
+    }
+    wordpieceLayers.mkString("WITH ", ",\n", "\n") +
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
+
+  /** Generated oracle for `wordpiece_tokenize`: re-learns the merges via
+    * [[wordpieceLayers]], induces the vocabulary (corpus alphabet in
+    * initial/continuation form + merged display forms), then replays
+    * MaxMatch as a recursive CTE — at each position the LONGEST matching
+    * fragment, initial entries only at position 1, continuations after,
+    * and a word with any unmatched position collapses to '[UNK]'. */
+  private def wordpieceTokenizeOracle: String = {
+    val mergedRows = (0 until WpMergeCount)
+      .map(k => s"SELECT ${wpDisplaySql("l || r")} AS piece FROM b$k")
+      .mkString("\nUNION ALL\n")
+    val vocabCtes = Seq(
+      s"""alpha AS MATERIALIZED (SELECT DISTINCT
+         |    CASE WHEN i = 0 THEN word[i+1:i+1] ELSE '##' || word[i+1:i+1] END AS piece
+         |  FROM (SELECT word, unnest(range(len(word))) AS i FROM wf))""".stripMargin,
+      s"""vocabx AS MATERIALIZED (SELECT DISTINCT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS frag,
+         |    (piece LIKE '##%') AS is_cont
+         |  FROM (SELECT piece FROM alpha UNION ALL $mergedRows)
+         |  WHERE NOT (piece LIKE '##%' AND length(piece) <= 2))""".stripMargin,
+      // token occurrences keyed by (doc_id, list ordinal)
+      """wocc AS MATERIALIZED (SELECT doc_id, u[1] AS w, u[2] AS widx
+        |  FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+        |        FROM toks))""".stripMargin,
+      // MaxMatch per DISTINCT word (occurrences join back after)
+      """uw AS MATERIALIZED (SELECT DISTINCT w FROM wocc)""",
+      // best hop per (word, position, side) precomputed NON-recursively —
+      // a correlated vocabulary subquery inside the recursive term
+      // silently returns NULL against a MATERIALIZED CTE (DuckDB 1.0;
+      // bisected), so the recursion below only FOLLOWS these pointers
+      """hops AS MATERIALIZED (
+        |  SELECT w, pos, is_cont, frag FROM (
+        |    SELECT p.w, p.pos, v.is_cont, v.frag,
+        |      row_number() OVER (PARTITION BY p.w, p.pos, v.is_cont
+        |                         ORDER BY length(v.frag) DESC) AS rn
+        |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM uw) p
+        |    JOIN vocabx v ON v.frag = substr(p.w, CAST(p.pos AS INT), length(v.frag)))
+        |  WHERE rn = 1)""".stripMargin,
+      """mm AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS step,
+        |         CAST(NULL AS VARCHAR) AS piece, FALSE AS stuck
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT m.w,
+        |    CASE WHEN h.frag IS NULL THEN length(m.w) + 1 ELSE m.pos + length(h.frag) END,
+        |    m.step + 1,
+        |    CASE WHEN h.frag IS NULL THEN NULL
+        |         WHEN m.pos = 1 THEN h.frag ELSE '##' || h.frag END,
+        |    h.frag IS NULL
+        |  FROM mm m LEFT JOIN hops h
+        |    ON h.w = m.w AND h.pos = m.pos AND h.is_cont = (m.pos > 1)
+        |  WHERE m.pos <= length(m.w) AND NOT m.stuck)""".stripMargin,
+      """wpieces AS MATERIALIZED (
+        |  SELECT w,
+        |    CASE WHEN bool_or(stuck) THEN ['[UNK]']
+        |         ELSE list(piece ORDER BY step) END AS pieces
+        |  FROM mm WHERE piece IS NOT NULL OR stuck GROUP BY w)""".stripMargin)
+    val finalSel =
+      """SELECT doc_id, piece, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT o.doc_id, unnest(p.pieces) AS piece
+        |      FROM wocc o JOIN wpieces p USING (w))
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, piece""".stripMargin
+    (wordpieceLayers ++ vocabCtes).mkString("WITH RECURSIVE ", ",\n", "\n") +
+      finalSel
   }
 
   /** DuckDB left-fold dot product over double lists (matches Spark's
@@ -534,6 +672,34 @@ object TrainingDataQueries extends QueryPack {
       BpeLearn.learnBatched(Tables.documents(s, dir),
         numMerges = BpeMergeCount, batchSize = BpeBatchSize).toDF()
         .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
+    // WordPiece vocabulary learning (L78): 8 likelihood-argmax merges
+    // (score = pair count / (left count · right count)) — the BERT
+    // trainer, completing the BPE/unigram/WordPiece family.
+    "wordpiece_merges" -> ((s, dir) => {
+      WordPiece.learnTable(s, Tables.documents(s, dir),
+        numMerges = WpMergeCount).localCheckpoint(true).orderBy(col("rank"))
+    }),
+
+    // WordPiece serving side (L78): MaxMatch tokenization of every word
+    // occurrence under the vocabulary the 8 learned merges induce
+    // (alphabet + merged display forms) — train → vocab → tokenize
+    // composed end-to-end; the oracle re-learns the merges in SQL and
+    // replays MaxMatch (initial/continuation split + whole-word UNK) as
+    // a recursive CTE.
+    "wordpiece_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = WordPiece.learn(docs, numMerges = WpMergeCount)
+      val vocab = WordPiece.vocabulary(docs, merges)
+        .collect().map(_.getString(0)).toSet
+      val toks = TextAnalysis.explodeTokens(docs, col("text"),
+        "word", Seq(col("doc_id")))
+      WordPiece.maxMatch(toks, vocab)
+        .select(col("doc_id"), explode(col("pieces")).as("piece"))
+        .groupBy(col("doc_id"), col("piece"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
     }),
 
     // Unigram-LM tokenizer (L77), seed stage: candidate substrings
@@ -1814,6 +1980,10 @@ object TrainingDataQueries extends QueryPack {
     "bpe_merges" -> bpeOracle,
 
     "bpe_merges_batched" -> bpeBatchedOracle,
+
+    "wordpiece_merges" -> wordpieceOracle,
+
+    "wordpiece_tokenize" -> wordpieceTokenizeOracle,
 
     "unigram_seed" ->
       """WITH toks AS MATERIALIZED (SELECT unnest(list_filter(

@@ -1468,6 +1468,176 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(BpeLearn.learn(docs(1L -> "ab cd ef"), numMerges = 3).isEmpty)
   }
 
+  /** Plain-Scala WordPiece reference: likelihood argmax
+    * (w / (cl·cr), double division of exact longs) over the same greedy
+    * single-merge re-segmentation as BPE, with the `##` continuation
+    * convention. */
+  private def refWordPiece(corpus: Seq[String], m: Int, minFreq: Long = 2L)
+      : List[(String, String, Long, Long, Long)] = {
+    def applyM(ps: List[String], l: String, r: String): List[String] =
+      ps.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val words = corpus.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs = words.map { case (w, c) =>
+      w.toList.zipWithIndex.map { case (ch, i) =>
+        if (i == 0) ch.toString else "##" + ch } -> c
+    }.toList
+    var out = List.empty[(String, String, Long, Long, Long)]
+    var done = false
+    while (out.size < m && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      for ((ps, c) <- segs) {
+        ps.foreach(s => syms(s) = syms.getOrElse(s, 0L) + c)
+        if (ps.size >= 2)
+          for (Seq(a, b) <- ps.sliding(2))
+            pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+      }
+      val best = pairs.toSeq
+        .filter { case (_, w) => w >= minFreq }
+        .map { case ((l, r), w) =>
+          (l, r, w, syms(l), syms(r),
+            w.toDouble / (syms(l).toDouble * syms(r).toDouble)) }
+        .sortBy { case (l, r, _, _, _, sc) => (-sc, l, r) }
+        .headOption
+      best match {
+        case Some((l, r, w, cl, cr, _)) =>
+          out = out :+ ((l, r, w, cl, cr))
+          segs = segs.map { case (ps, c) => applyM(ps, l, r) -> c }
+        case _ => done = true
+      }
+    }
+    out
+  }
+
+  test("WordPiece learning matches the reference implementation by hand") {
+    // "ab" dominates by count but "q"/"z" are rarer symbols: the
+    // likelihood score must prefer (q, ##z) over (a, ##b)
+    val corpus = Seq("ab ab ab ab qz qz ab a b a b")
+    val got = WordPiece.learn(docs(0L -> corpus.head), numMerges = 3)
+      .map(m => (m.left, m.right, m.weight, m.left_cnt, m.right_cnt))
+    assert(got === refWordPiece(corpus, 3))
+    // and the first merge is indeed the rare pair, not the frequent one
+    assert(got.head._1 === "q" && got.head._2 === "##z")
+  }
+
+  test("WordPiece learning equals the reference on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(ws => Seq(ws.mkString(" "))))
+    val prop = forAll(corpusGen) { corpus =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = WordPiece.learn(docs(d: _*), numMerges = 4)
+        .map(m => (m.left, m.right, m.weight, m.left_cnt, m.right_cnt))
+      val want = refWordPiece(corpus, 4)
+      Prop(got == want) :| s"got=$got want=$want corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("WordPiece display form strips constituent markers only") {
+    assert(WordPiece.display("a##b") === "ab")
+    assert(WordPiece.display("##a##b") === "##ab")
+    assert(WordPiece.display("x") === "x")
+    assert(WordPiece.display("##x") === "##x")
+  }
+
+  test("WordPiece merge floor applies to the pair count, not the score") {
+    // all pairs weight 1 < minFrequency=2 → no merges even though scores
+    // would be high (rare symbols)
+    assert(WordPiece.learn(docs(1L -> "qz xv"), numMerges = 2).isEmpty)
+  }
+
+  /** Plain-Scala MaxMatch reference (greedy longest-match-first with the
+    * initial/continuation split and whole-word UNK). */
+  private def refMaxMatch(word: String, vocab: Set[String],
+                          unk: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val hit = (word.length until i by -1).collectFirst {
+        case j if i == 0 && !word.substring(0, j).startsWith("##") &&
+          vocab.contains(word.substring(0, j)) => (j, word.substring(0, j))
+        case j if i > 0 && vocab.contains("##" + word.substring(i, j)) =>
+          (j, "##" + word.substring(i, j))
+      }
+      hit match {
+        case Some((j, piece)) => out += piece; i = j
+        case None => return List(unk)
+      }
+    }
+    out.toList
+  }
+
+  test("WordPiece MaxMatch: longest match, continuation split, whole-word UNK") {
+    import graft.functions.WordPieceMatch
+    val vocab = Set("un", "##aff", "##able", "##ffa", "a", "##a", "##b", "un##x")
+    def run(word: String): Seq[String] =
+      Seq(word).toDF("word")
+        .select(WordPieceMatch(col("word"), vocab, "[UNK]").as("p"))
+        .collect().head.getSeq[String](0)
+    // greedy longest at each position; ##ffa would misalign but maximal
+    // munch never backtracks → un + ##aff + ##able
+    assert(run("unaffable") === Seq("un", "##aff", "##able"))
+    assert(run("unaffable") === refMaxMatch("unaffable", vocab, "[UNK]"))
+    // unmatched tail → the WHOLE word collapses to UNK, not a partial list
+    assert(run("unaffz") === Seq("[UNK]"))
+    // initial entry never matches mid-word: "a" bare exists but after pos 0
+    // only "##a" may match
+    assert(run("aa") === Seq("a", "##a"))
+    // entry with an INTERNAL literal marker ("un##x" does not START with
+    // ## → initial entry, matched verbatim) — classification is by
+    // prefix only, in the kernel and the reference alike
+    assert(run("un##x") === Seq("un##x"))
+    assert(run("un##x") === refMaxMatch("un##x", vocab, "[UNK]"))
+  }
+
+  test("WordPiece MaxMatch equals the reference on random vocab (property)") {
+    import graft.functions.WordPieceMatch
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val pieceGen = Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val vocabGen = for {
+      init <- Gen.listOf(pieceGen)
+      cont <- Gen.listOf(pieceGen.map("##" + _))
+    } yield (init ++ cont).toSet
+    val wordGen = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val prop = forAll(vocabGen, Gen.listOfN(6, wordGen)) { (vocab, words) =>
+      if (vocab.isEmpty) Prop.passed
+      else {
+        val rows = words.toDF("word")
+          .select(col("word"),
+            WordPieceMatch(col("word"), vocab, "[UNK]").as("p"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+        val want = words.map(w => w -> refMaxMatch(w, vocab, "[UNK]")).toMap
+        Prop(rows == want) :| s"vocab=$vocab got=$rows want=$want"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("WordPiece vocabulary: alphabet plus merged display forms, deduped") {
+    val d = docs(0L -> "ab ab ab ab")
+    val merges = WordPiece.learn(d, numMerges = 1)
+    assert(merges.map(_.merged) === Seq("ab"))
+    val v = WordPiece.vocabulary(d, merges).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(v === Map("a" -> -1, "##b" -> -1, "ab" -> 0))
+  }
+
   test("batched BPE at batchSize=1 is identical to the sequential learner") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
