@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** N-gram language-model scoring for corpus quality filtering — the
   * distributed core of CCNet-style perplexity filtering (Wenzek et al.
   * 2020: score web text under an LM trained on a trusted corpus, keep the
-  * low-perplexity band). A full Kneser-Ney KenLM doesn't fit a shuffle
-  * engine's sweet spot, but the filtering signal survives simplification:
-  * an add-k-smoothed n-gram model IS two aggregations, and scoring IS one
-  * equi-join — both linear, both AQE-friendly.
+  * low-perplexity band). Two smoothing tiers share one model frame and
+  * one scoring join shape: add-k ([[scoreDocuments]] — the cheap
+  * filtering signal) and interpolated MODIFIED KNESER-NEY
+  * ([[scoreDocumentsKn]] — the smoothing KenLM actually ships, whose
+  * auxiliary statistics are all MODEL-sized aggregations, so "a full KN
+  * doesn't fit a shuffle engine" turns out false for the bigram tier).
   *
   * Scale shape (100 TB):
   *  - training is ONE groupBy over the corpus's (context, token)
@@ -117,6 +119,117 @@ object LanguageModel {
         coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+  }
+
+  /** Score documents under interpolated MODIFIED Kneser-Ney smoothing
+    * (Chen & Goodman 1999 — the KenLM/CCNet production smoothing), bigram
+    * tier. Every auxiliary statistic is an aggregation of the MODEL frame
+    * (model-sized or one-row — never another corpus pass):
+    *
+    *  - per context: total `ctot` and the discount masses n1c/n2c/n3c
+    *    (count of continuation types seen exactly once / twice / 3+);
+    *  - per token: the continuation count N1+(·,w) (distinct contexts the
+    *    token follows) — KN's signature: "York" is frequent but follows
+    *    almost nothing, so its continuation probability is tiny;
+    *  - scalars: B (distinct bigrams), V (vocabulary), and the
+    *    counts-of-counts n1..n4 that estimate the three discounts
+    *    D1 = 1 − 2Y·n2/n1, D2 = 2 − 3Y·n3/n2, D3 = 3 − 4Y·n4/n3 with
+    *    Y = n1/(n1 + 2n2), each clamped into [0, k] (degenerate
+    *    counts-of-counts on tiny corpora can push the raw estimate
+    *    outside the valid range; if ANY of n1..n4 is zero all three fall
+    *    back to the classic 0.75).
+    *
+    * Per transition with c = model count (0 when unseen), D(c) the
+    * count-matched discount:
+    *
+    *   p = (c − D(c))⁺/ctot + γ(ctx)·P_cont(w)        seen context
+    *   p = P_cont(w)                                   unseen context
+    *   γ(ctx)  = (D1·n1c + D2·n2c + D3·n3c)/ctot
+    *   P_cont(w) = (N1+(·,w) + 1)/(B + V + 1)
+    *
+    * P_cont carries add-1 smoothing at the continuation level so OOV
+    * tokens get the 1/(B+V+1) floor and every p is strictly positive.
+    * Determinism: every input to the float expression is an exact
+    * integer count; the expression is a fixed sequence of correctly-
+    * rounded IEEE ops mirrored verbatim by the oracle, and the
+    * per-transition log quantizes to integer micro-nats before the
+    * per-document sum (the object-doc contract).
+    *
+    * Output: (doc_id, n_trans, n_hit, kn_score) — kn_score in micro-nats,
+    * ≤ 0, closer to 0 = more predictable text. */
+  def scoreDocumentsKn(docs: DataFrame, model: DataFrame, n: Int = 2,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val m =
+      if (model.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        model
+      else Dedup.persistTracked(model)
+    val ctxStats = m.groupBy(col("context")).agg(
+      sum(col("cnt")).as("__ctot"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("__n1c"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("__n2c"),
+      sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("__n3c"))
+    // model rows are distinct (context, token), so count(*) per token IS
+    // N1+(·,w)
+    val contCounts = m.groupBy(col("token"))
+      .agg(count(lit(1)).as("__cw"))
+    val scalars = {
+      val voc = m.select(col("token")).distinct()
+        .agg(count(lit(1)).as("__vocab"))
+      val cc = m.agg(
+        count(lit(1)).as("__bigrams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("__k1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("__k2"),
+        sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("__k3"),
+        sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("__k4"))
+      val y = col("__k1").cast("double") /
+        (col("__k1") + lit(2L) * col("__k2")).cast("double")
+      def clamp(raw: Column, k: Double): Column =
+        least(greatest(raw, lit(0.0)), lit(k))
+      val healthy = col("__k1") > 0 && col("__k2") > 0 &&
+        col("__k3") > 0 && col("__k4") > 0
+      cc.crossJoin(voc).select(
+        col("__bigrams"), col("__vocab"),
+        when(healthy, clamp(lit(1.0) - lit(2.0) * y *
+          (col("__k2").cast("double") / col("__k1").cast("double")), 1.0))
+          .otherwise(lit(0.75)).as("__d1"),
+        when(healthy, clamp(lit(2.0) - lit(3.0) * y *
+          (col("__k3").cast("double") / col("__k2").cast("double")), 2.0))
+          .otherwise(lit(0.75)).as("__d2"),
+        when(healthy, clamp(lit(3.0) - lit(4.0) * y *
+          (col("__k4").cast("double") / col("__k3").cast("double")), 3.0))
+          .otherwise(lit(0.75)).as("__d3"))
+    }
+    val c = coalesce(col("cnt"), lit(0L))
+    val dsel = when(c === 1, col("__d1")).when(c === 2, col("__d2"))
+      .otherwise(col("__d3"))
+    val puni = (coalesce(col("__cw"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__bigrams") + col("__vocab") + lit(1L)).cast("double")
+    val gamma = (col("__d1") * col("__n1c").cast("double") +
+      col("__d2") * col("__n2c").cast("double") +
+      col("__d3") * col("__n3c").cast("double")) /
+      col("__ctot").cast("double")
+    val p = when(col("__ctot").isNotNull,
+      greatest(c.cast("double") - dsel, lit(0.0)) /
+        col("__ctot").cast("double") + gamma * puni)
+      .otherwise(puni)
+    val term = round(log(p) * lit(1e6)).cast("long")
+    val scored = transitions(docs, n, idCol, textCol)
+      .join(m, Seq("context", "token"), "left")
+      .join(ctxStats, Seq("context"), "left")
+      .join(contCounts, Seq("token"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("cnt"), term.as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("__term")).as("kn_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("kn_score"), lit(0L)).as("kn_score"))
   }
 
   /** CCNet's head/middle/tail split: per LANGUAGE, documents are bucketed

@@ -745,6 +745,16 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated MODIFIED Kneser-Ney bigram scoring (L79): the KenLM/
+    // CCNet production smoothing — continuation counts, per-context
+    // discount masses, and counts-of-counts-estimated discounts are all
+    // MODEL-sized aggregations over the same trained frame.
+    "lm_score_kn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LanguageModel.scoreDocumentsKn(docs, LanguageModel.ngramCounts(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact substring dedup (ExactSubstr, Lee et al. 2022): maximal token
     // spans whose 5-grams occur at least twice corpus-wide, merged per doc.
     "dedup_substring_spans" -> ((s, dir) => {
@@ -2132,6 +2142,61 @@ object TrainingDataQueries extends QueryPack {
          |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
          |       coalesce(a.n_hit, 0) AS n_hit,
          |       coalesce(a.lm_score, 0) AS lm_score
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors LanguageModel.scoreDocumentsKn expression-for-expression:
+    // same cast points, same op order, micro-nat rounding before the sum
+    "lm_score_kn" ->
+      s"""WITH $toksCte,
+         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS MATERIALIZED (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+         |cstat AS MATERIALIZED (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct,
+         |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1c,
+         |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2c,
+         |         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3c
+         |       FROM cnt GROUP BY 1),
+         |cont AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cw
+         |       FROM cnt GROUP BY 1),
+         |scal AS MATERIALIZED (SELECT * FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS bigrams,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         |    CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         |    CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+         |  FROM cnt) CROSS JOIN (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt)),
+         |disc AS MATERIALIZED (SELECT bigrams, v,
+         |  CASE WHEN healthy THEN least(greatest(1.0 - 2.0 * y * (CAST(k2 AS DOUBLE) / CAST(k1 AS DOUBLE)), 0.0), 1.0) ELSE 0.75 END AS d1,
+         |  CASE WHEN healthy THEN least(greatest(2.0 - 3.0 * y * (CAST(k3 AS DOUBLE) / CAST(k2 AS DOUBLE)), 0.0), 2.0) ELSE 0.75 END AS d2,
+         |  CASE WHEN healthy THEN least(greatest(3.0 - 4.0 * y * (CAST(k4 AS DOUBLE) / CAST(k3 AS DOUBLE)), 0.0), 3.0) ELSE 0.75 END AS d3
+         |  FROM (SELECT bigrams, v, k1, k2, k3, k4,
+         |          CAST(k1 AS DOUBLE) / CAST(k1 + 2 * k2 AS DOUBLE) AS y,
+         |          (k1 > 0 AND k2 > 0 AND k3 > 0 AND k4 > 0) AS healthy
+         |        FROM scal)),
+         |sc AS (SELECT r.doc_id, cn.c AS c,
+         |         CAST(round(ln(
+         |           CASE WHEN cs.ct IS NOT NULL THEN
+         |             greatest(CAST(coalesce(cn.c, 0) AS DOUBLE) -
+         |               (CASE WHEN coalesce(cn.c, 0) = 1 THEN d.d1
+         |                     WHEN coalesce(cn.c, 0) = 2 THEN d.d2
+         |                     ELSE d.d3 END), 0.0) / CAST(cs.ct AS DOUBLE)
+         |             + ((d.d1 * CAST(cs.n1c AS DOUBLE) + d.d2 * CAST(cs.n2c AS DOUBLE) + d.d3 * CAST(cs.n3c AS DOUBLE)) / CAST(cs.ct AS DOUBLE))
+         |               * (CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE))
+         |           ELSE CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE) END
+         |         ) * 1000000) AS BIGINT) AS term
+         |       FROM tr r
+         |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+         |       LEFT JOIN cstat cs ON r.ctx = cs.ctx
+         |       LEFT JOIN cont co ON r.tok = co.tok
+         |       CROSS JOIN disc d),
+         |agg AS (SELECT doc_id, count(*) AS n_trans,
+         |          CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |          CAST(sum(term) AS BIGINT) AS kn_score
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
+         |       coalesce(a.n_hit, 0) AS n_hit,
+         |       coalesce(a.kn_score, 0) AS kn_score
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -33,6 +33,24 @@ object NewOpAudit {
     println("=== containment prefix pairs ===")
     println(cp.queryExecution.executedPlan.toString.linesIterator
       .map(_.take(110)).take(40).mkString("\n"))
+    // round-12 continuation: WordPiece serving chain (learn collapses to
+    // driver rounds; the audit shape is the corpus-side tokenize+count)
+    val wpToks = graft.operators.WordPiece.maxMatch(
+      graft.operators.TextAnalysis
+        .explodeTokens(docs, col("text"), "word", Seq(col("doc_id"))),
+      Set("t", "##h", "##e", "th", "the"))
+      .select(col("doc_id"), explode(col("pieces")).as("piece"))
+      .groupBy(col("doc_id"), col("piece")).agg(count(lit(1)).as("n"))
+    println("=== wordpiece maxmatch+count ===")
+    println(wpToks.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(20).mkString("\n"))
+    // modified-KN scoring: corpus transitions join model + model-sized
+    // stat frames + one-row broadcast scalars
+    val kn = graft.operators.LanguageModel.scoreDocumentsKn(
+      docs, graft.operators.LanguageModel.ngramCounts(docs))
+    println("=== modified-KN scoring ===")
+    println(kn.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(60).mkString("\n"))
     spark.stop()
   }
 }

@@ -1468,6 +1468,118 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(BpeLearn.learn(docs(1L -> "ab cd ef"), numMerges = 3).isEmpty)
   }
 
+  /** Plain-Scala interpolated modified-KN reference mirroring
+    * [[LanguageModel.scoreDocumentsKn]]'s exact double-op order. */
+  private def refKnScores(corpus: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long)] = {
+    val docToks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toList }
+    val trans = docToks.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (id, p.head, p(1))) }
+    val cnt = trans.groupBy { case (_, c, w) => (c, w) }
+      .view.mapValues(_.size.toLong).toMap
+    val ctot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1c = cnt.filter(_._2 == 1L).groupBy(_._1._1)
+      .view.mapValues(_.size.toLong).toMap
+    val n2c = cnt.filter(_._2 == 2L).groupBy(_._1._1)
+      .view.mapValues(_.size.toLong).toMap
+    val n3c = cnt.filter(_._2 >= 3L).groupBy(_._1._1)
+      .view.mapValues(_.size.toLong).toMap
+    val cw = cnt.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bigrams = cnt.size.toLong
+    val vocab = cnt.keys.map(_._2).toSet.size.toLong
+    val Seq(k1, k2, k3, k4) =
+      Seq(1L, 2L, 3L, 4L).map(k => cnt.values.count(_ == k).toLong)
+    val healthy = k1 > 0 && k2 > 0 && k3 > 0 && k4 > 0
+    val y = k1.toDouble / (k1 + 2L * k2).toDouble
+    def clamp(raw: Double, k: Double) = math.min(math.max(raw, 0.0), k)
+    val d1 = if (healthy)
+      clamp(1.0 - 2.0 * y * (k2.toDouble / k1.toDouble), 1.0) else 0.75
+    val d2 = if (healthy)
+      clamp(2.0 - 3.0 * y * (k3.toDouble / k2.toDouble), 2.0) else 0.75
+    val d3 = if (healthy)
+      clamp(3.0 - 4.0 * y * (k4.toDouble / k3.toDouble), 3.0) else 0.75
+    val perDoc = trans.groupBy(_._1).view.mapValues { ts =>
+      val terms = ts.map { case (_, ctx, tok) =>
+        val c = cnt.getOrElse((ctx, tok), 0L)
+        val puni = (cw.getOrElse(tok, 0L) + 1L).toDouble /
+          (bigrams + vocab + 1L).toDouble
+        val p = ctot.get(ctx) match {
+          case Some(ct) =>
+            val d = if (c == 1L) d1 else if (c == 2L) d2 else d3
+            val gamma = (d1 * n1c.getOrElse(ctx, 0L).toDouble +
+              d2 * n2c.getOrElse(ctx, 0L).toDouble +
+              d3 * n3c.getOrElse(ctx, 0L).toDouble) / ct.toDouble
+            math.max(c.toDouble - d, 0.0) / ct.toDouble + gamma * puni
+          case None => puni
+        }
+        (math.round(math.log(p) * 1e6),
+          if (cnt.contains((ctx, tok))) 1L else 0L)
+      }
+      (ts.size.toLong, terms.map(_._2).sum, terms.map(_._1).sum)
+    }.toMap
+    corpus.map { case (id, _) =>
+      id -> perDoc.getOrElse(id, (0L, 0L, 0L)) }.toMap
+  }
+
+  test("modified-KN scoring matches the reference implementation") {
+    // repeated bigrams at several counts so all three discounts engage
+    val corpus = Seq(
+      0L -> "the cat sat on the mat the cat ran",
+      1L -> "a cat sat a cat sat a cat sat",
+      2L -> "the dog sat on a mat and the dog ran fast today",
+      3L -> "unseen",
+      4L -> "cat cat cat cat cat")
+    val got = LanguageModel
+      .scoreDocumentsKn(docs(corpus: _*),
+        LanguageModel.ngramCounts(docs(corpus: _*)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === refKnScores(corpus))
+    // the zero-transition doc scores zero, not null
+    assert(got(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("modified-KN scoring equals the reference on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "aa", "ab")
+    val docGen = Gen.choose(0, 6)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = forAll(corpusGen) { corpus =>
+      val got = LanguageModel
+        .scoreDocumentsKn(docs(corpus: _*),
+          LanguageModel.ngramCounts(docs(corpus: _*)))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = refKnScores(corpus)
+      Prop(got == want) :| s"got=$got want=$want corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("modified-KN continuation signature: frequent single-context token " +
+    "scores below a rarer many-context token") {
+    // "york" appears often but ALWAYS after "new"; "sat" appears in many
+    // contexts — under an UNSEEN context, P_cont must rank sat > york
+    val corpus = Seq(
+      0L -> "new york new york new york new york new york",
+      1L -> "cat sat dog sat bird sat fish sat")
+    val model = LanguageModel.ngramCounts(docs(corpus: _*))
+    // score two one-transition docs whose context is unseen in the model
+    val probe = docs(10L -> "zz york", 11L -> "zz sat")
+    val got = LanguageModel.scoreDocumentsKn(probe, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(11L) > got(10L),
+      s"sat (many contexts) should outscore york (one context): $got")
+  }
+
   /** Plain-Scala WordPiece reference: likelihood argmax
     * (w / (cl·cr), double division of exact longs) over the same greedy
     * single-merge re-segmentation as BPE, with the `##` continuation
