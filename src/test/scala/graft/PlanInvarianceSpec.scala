@@ -142,6 +142,18 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("unigram_segment")
   }
 
+  // round-12 continuation additions: the composed WordPiece serving gate
+  // (8 learn rounds + vocabulary + MaxMatch count — a fixed execution
+  // sequence at any corpus size) and the modified-KN scoring chain
+  // (model-sized broadcast stats + one corpus join pipeline)
+  test("wordpiece_tokenize plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("wordpiece_tokenize")
+  }
+
+  test("lm_score_kn plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("lm_score_kn")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
