@@ -44,6 +44,39 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Tokenizer FERTILITY / compression evaluation per language — the
+    * standard metric battery for choosing a vocabulary (fertility =
+    * subword tokens per whitespace word; bytes per subword token =
+    * compression). A multilingual tokenizer with high fertility on some
+    * language inflates that language's effective sequence length and
+    * training cost — this is the report that decision reads.
+    *
+    * Scale shape: per-document counts are three codegen'd byte-scan
+    * projections (native [[graft.functions.TokenCount]] /
+    * [[graft.functions.SubwordTokenCount]] — no token materialization),
+    * then ONE language-keyed aggregation with map-side partials; the
+    * ratios are double divisions of exact integer sums (language-table
+    * sized — the oracle-parity discipline). */
+  def tokenizerFertility(docs: DataFrame, vocab: Seq[String],
+                         textCol: String = "text",
+                         langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol),
+        tokenCount(col(textCol)).cast("long").as("__w"),
+        graft.functions.SubwordTokenCount
+          .subwordTokenCount(col(textCol), vocab).cast("long").as("__s"),
+        octet_length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_subwords"), sum(col("__b")).as("n_bytes"))
+      .select(col(langCol), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_bytes"),
+        when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("fertility"),
+        when(col("n_subwords") > 0,
+          col("n_bytes").cast("double") / col("n_subwords").cast("double"))
+          .otherwise(lit(0.0)).as("bytes_per_token"))
+
   /** Quality features: length, token stats, stopword & punctuation ratios,
     * and a composite score in [0,1]. Ratios are double divisions of exact
     * integer counts — deterministic across engines.

@@ -533,6 +533,14 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility / compression evaluation (L80): per language,
+    // subword tokens per word and bytes per subword token under the
+    // fixture vocabulary — the report a vocabulary-size decision reads.
+    "tokenizer_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir), SubwordVocab)
+        .orderBy(col("lang"))
+    }),
+
     // The segmentation twin: the pieces themselves, space-joined so the
     // whole segmentation is one comparable string per document.
     "text_subword_segments" -> ((s, dir) => {
@@ -1895,6 +1903,48 @@ object TrainingDataQueries extends QueryPack {
          |SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_subword
          |FROM documents LEFT JOIN per_doc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the same greedy-count recursion as text_token_subword, aggregated
+    // to the language level with exact integer sums; ratios are double
+    // divisions mirroring TextAnalysis.tokenizerFertility
+    "tokenizer_fertility" -> {
+      val values = SubwordVocab.map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+         |vocab(v) AS (VALUES $values),
+         |w AS (SELECT doc_id, u[1] AS w, u[2] AS widx
+         |      FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+         |            FROM toks)),
+         |m AS (
+         |  SELECT doc_id, widx, w, CAST(1 AS BIGINT) AS pos,
+         |         CAST(0 AS BIGINT) AS cnt
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, widx, w,
+         |    pos + coalesce((SELECT max(length(v)) FROM vocab
+         |                    WHERE v = substr(w, CAST(pos AS INT), length(v))), 1),
+         |    cnt + 1
+         |  FROM m WHERE pos <= length(w)
+         |),
+         |f AS (SELECT doc_id, widx, max(cnt) AS wcnt FROM m GROUP BY 1, 2),
+         |per_doc AS (SELECT doc_id, sum(wcnt) AS n FROM f GROUP BY 1),
+         |tw AS (SELECT doc_id, len(t) AS nw FROM toks),
+         |agg AS (SELECT d.lang, count(*) AS n_docs,
+         |          CAST(sum(coalesce(tw.nw, 0)) AS BIGINT) AS n_words,
+         |          CAST(sum(coalesce(pd.n, 0)) AS BIGINT) AS n_subwords,
+         |          CAST(sum(strlen(d.text)) AS BIGINT) AS n_bytes
+         |        FROM documents d
+         |        LEFT JOIN tw USING (doc_id)
+         |        LEFT JOIN per_doc pd USING (doc_id)
+         |        GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_subwords, n_bytes,
+         |  CASE WHEN n_words > 0
+         |       THEN CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |       ELSE 0.0 END AS fertility,
+         |  CASE WHEN n_subwords > 0
+         |       THEN CAST(n_bytes AS DOUBLE) / CAST(n_subwords AS DOUBLE)
+         |       ELSE 0.0 END AS bytes_per_token
+         |FROM agg ORDER BY lang""".stripMargin
     },
 
     // same recursive walk, carrying the matched piece per step; pieces

@@ -1468,6 +1468,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(BpeLearn.learn(docs(1L -> "ab cd ef"), numMerges = 3).isEmpty)
   }
 
+  test("tokenizer fertility: per-language ratios from exact counts") {
+    val d = Seq(
+      (0L, "aa aa", "en"),   // "aa" → 1 piece under vocab {aa}: 2 words, 2 subwords
+      (1L, "aab", "en"),     // aa + UNK(b) → 2 subwords, 1 word
+      (2L, "", "fr"),        // empty: 0 words, 0 subwords, 0 bytes
+      (3L, "zz", "fr"))      // 2 UNK code points → 2 subwords
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(d, Seq("aa"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // en: 3 words, 4 subwords (aa, aa, aa, UNK-b), 8 bytes ("aa aa"=5 + "aab"=3)
+    assert(got("en") === ((2L, 3L, 4L, 8L, 4.0 / 3.0, 2.0)))
+    // fr: 1 word, 2 subwords, 2 bytes; zero-guards live on the en side only
+    assert(got("fr") === ((2L, 1L, 2L, 2L, 2.0, 1.0)))
+  }
+
+  test("tokenizer fertility: zero-word language hits the ratio guards") {
+    val d = Seq((0L, "", "xx"), (1L, "   ", "xx")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(d, Seq("aa"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
+  }
+
   /** Plain-Scala interpolated modified-KN reference mirroring
     * [[LanguageModel.scoreDocumentsKn]]'s exact double-op order. */
   private def refKnScores(corpus: Seq[(Long, String)])
