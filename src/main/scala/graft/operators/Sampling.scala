@@ -27,7 +27,7 @@ object Sampling {
 
   /** `fraction` as an 8-hex-digit threshold; fraction >= 1 admits all
     * ("g" sorts after every hex digit). */
-  private def thresholdHex(fraction: Double): String = {
+  def thresholdHex(fraction: Double): String = {
     require(fraction >= 0, s"fraction must be >= 0, got $fraction")
     if (fraction >= 1.0) "g"
     else f"${(fraction * 4294967296.0).toLong}%08x"

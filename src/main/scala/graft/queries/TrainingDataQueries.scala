@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -336,6 +336,57 @@ object TrainingDataQueries extends QueryPack {
         |ORDER BY doc_id, piece""".stripMargin
     (wordpieceLayers ++ vocabCtes).mkString("WITH RECURSIVE ", ",\n", "\n") +
       finalSel
+  }
+
+  /** Span-corruption gate constants — ONE pair feeds the Spark operator
+    * and the generated oracle below. */
+  private[queries] val SpanCorrProb = 0.05
+  private[queries] val SpanCorrLen = 3
+
+  /** Generated oracle for `span_corruption`: replays the operator's three
+    * windows (trailing-max membership, rising-edge starts, running
+    * sentinel count) and the md5 position draws, assembling input/target
+    * with ordered string_agg. */
+  private def spanCorruptionOracle: String = {
+    val thr = graft.operators.Sampling.thresholdHex(SpanCorrProb)
+    val lPrec = SpanCorrLen - 1
+    s"""WITH $toksCte,
+       |tp AS (SELECT doc_id, i AS pos, t[i+1] AS tok
+       |       FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+       |st AS (SELECT doc_id, pos, tok,
+       |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |                CAST(pos AS VARCHAR) || ':t5'), 1, 8) < '$thr'
+       |              THEN 1 ELSE 0 END AS prop
+       |       FROM tp),
+       |ins AS (SELECT *, max(prop) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN $lPrec PRECEDING AND CURRENT ROW) AS inside
+       |        FROM st),
+       |stt AS (SELECT *, CASE WHEN inside = 1 AND
+       |          coalesce(lag(inside) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |          THEN 1 ELSE 0 END AS strt
+       |        FROM ins),
+       |kk AS (SELECT *, sum(strt) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS UNBOUNDED PRECEDING) - 1 AS k
+       |       FROM stt),
+       |pieces AS (SELECT doc_id, pos, strt,
+       |    CASE WHEN strt = 1 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+       |         WHEN inside = 1 THEN NULL ELSE tok END AS in_piece,
+       |    CASE WHEN strt = 1 THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+       |         WHEN inside = 1 THEN tok ELSE NULL END AS tgt_piece
+       |  FROM kk),
+       |agg AS (SELECT doc_id,
+       |          string_agg(in_piece, ' ' ORDER BY pos) AS input0,
+       |          string_agg(tgt_piece, ' ' ORDER BY pos) AS tgt0,
+       |          CAST(sum(strt) AS BIGINT) AS n
+       |        FROM pieces GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(a.input0, '') AS input,
+       |  CASE WHEN coalesce(a.n, 0) > 0
+       |       THEN a.tgt0 || ' <extra_id_' || CAST(a.n AS VARCHAR) || '>'
+       |       ELSE '<extra_id_0>' END AS target,
+       |  coalesce(a.n, 0) AS n_spans
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** DuckDB left-fold dot product over double lists (matches Spark's
@@ -742,6 +793,15 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("doc_id"), col("piece"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // T5-style span corruption (L81): sentinel-masked input/target pairs
+    // under deterministic md5 span draws — p=0.05, L=3 ≈ the T5 recipe's
+    // 15% noise density at mean span 3.
+    "span_corruption" -> ((s, dir) => {
+      SpanCorruption.corrupt(Tables.documents(s, dir),
+        spanStartProb = SpanCorrProb, spanLen = SpanCorrLen)
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // CCNet-shaped LM scoring: train an add-1 bigram model on the corpus,
@@ -2194,6 +2254,8 @@ object TrainingDataQueries extends QueryPack {
          |       coalesce(a.lm_score, 0) AS lm_score
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "span_corruption" -> spanCorruptionOracle,
 
     // mirrors LanguageModel.scoreDocumentsKn expression-for-expression:
     // same cast points, same op order, micro-nat rounding before the sum

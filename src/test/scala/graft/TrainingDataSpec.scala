@@ -1493,6 +1493,77 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("span corruption: input/target round-trip reconstructs the corpus") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "y9")
+    val docGen = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def sentinel(s: String) = s.matches("<extra_id_\\d+>")
+    val prop = forAll(corpusGen) { corpus =>
+      // high probability so spans actually occur on short docs
+      val out = SpanCorruption
+        .corrupt(docs(corpus: _*), spanStartProb = 0.3, spanLen = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getLong(3))).toMap
+      val orig = corpus.toMap
+      Prop.all(corpus.map { case (id, text) =>
+        val (input, target, n) = out(id)
+        val inToks = input.split(" ").filter(_.nonEmpty).toList
+        val tgtToks = target.split(" ").filter(_.nonEmpty).toList
+        // parse target into span lists keyed by sentinel rank
+        val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+        var cur = -1
+        tgtToks.foreach { t =>
+          if (sentinel(t)) cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          else spans(cur) = spans.getOrElse(cur, Nil) :+ t
+        }
+        // splice spans back into the input at their sentinels
+        val rebuilt = inToks.flatMap { t =>
+          if (sentinel(t))
+            spans.getOrElse(
+              t.stripPrefix("<extra_id_").stripSuffix(">").toInt, Nil)
+          else List(t)
+        }
+        val origToks = text.split("\\s+").filter(_.nonEmpty).toList
+        val sentinelsIn = inToks.count(sentinel)
+        val closing = tgtToks.lastOption.contains(s"<extra_id_$n>")
+        // merged spans never leave two sentinels adjacent in the input
+        val adjacent = inToks.sliding(2).exists {
+          case List(a, b) => sentinel(a) && sentinel(b)
+          case _ => false
+        }
+        Prop(rebuilt == origToks && sentinelsIn == n && closing &&
+          !adjacent) :|
+          s"id=$id input='$input' target='$target' n=$n rebuilt=$rebuilt orig=$origToks"
+      }: _*)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("span corruption: zero probability passes documents through") {
+    val out = SpanCorruption
+      .corrupt(docs(0L -> "a b   c", 1L -> ""), spanStartProb = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(out(0L) === (("a b c", "<extra_id_0>", 0L)))
+    assert(out(1L) === (("", "<extra_id_0>", 0L)))
+  }
+
+  test("span corruption: probability one masks everything as one span") {
+    val out = SpanCorruption
+      .corrupt(docs(0L -> "a b c d"), spanStartProb = 1.0, spanLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    // every position proposes → one merged span covering the whole doc
+    assert(out(0L) === (("<extra_id_0>", "<extra_id_0> a b c d <extra_id_1>", 1L)))
+  }
+
   /** Plain-Scala interpolated modified-KN reference mirroring
     * [[LanguageModel.scoreDocumentsKn]]'s exact double-op order. */
   private def refKnScores(corpus: Seq[(Long, String)])
