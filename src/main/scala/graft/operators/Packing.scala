@@ -52,6 +52,70 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCountCol)).as("n_tokens"))
 
+  /** GPT-style CONCAT-AND-SLICE sequence preparation — the autoregressive
+    * pretraining shape ([[packByBudget]]'s complement): documents are
+    * concatenated in a deterministic per-bucket stream with an
+    * end-of-document separator token, then the stream is cut into EXACT
+    * `seqLen`-token sequences; documents straddle sequence boundaries
+    * (every sequence except a bucket's last is exactly full — zero
+    * padding waste, the trade the causal-LM objective tolerates because
+    * the separator resets context).
+    *
+    * Distributed formulation, linear in corpus tokens with NO per-token
+    * shuffle: per bucket (md5-hash of the key — partition-layout-free),
+    * a window cumsum gives each document its stream offset; the document
+    * then EXPLODES into only the sequences it intersects (ceil(n/seqLen)
+    * + 1 rows — output-shaped), each carrying a codegen'd `slice` of its
+    * token array pre-joined to a string; per-(bucket, seq) assembly is
+    * the window-ordered collection idiom. Two shuffles total: the bucket
+    * window and the (bucket, seq_id) aggregation.
+    *
+    * Output: (bucket, seq_id, n_docs, n_tokens, seq_text) — n_tokens ==
+    * seqLen everywhere except each bucket's final partial sequence.
+    * Tokens come from the native 1-gram [[graft.functions.WordShingles]]
+    * scan; an empty document still contributes its separator. */
+  def concatSlice(docs: DataFrame, seqLen: Int, keyCol: String = "doc_id",
+                  textCol: String = "text", numBuckets: Int = 8,
+                  eod: String = "<eod>"): DataFrame = {
+    require(seqLen > 0 && numBuckets > 0,
+      s"seqLen=$seqLen numBuckets=$numBuckets")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = docs
+      .select(col(keyCol).as("__key"),
+        concat(graft.functions.WordShingles.allShingles(col(textCol), 1),
+          array(lit(eod))).as("__toks"))
+      .withColumn("bucket", (conv(Sampling.draw(col("__key"), "slice"),
+        16, 10).cast("long") % numBuckets).cast("int"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__s", sum(col("__n")).over(w) - col("__n"))
+    val L = lit(seqLen.toLong)
+    // the sequences this document intersects: floor(s/L) .. floor((s+n-1)/L)
+    // — exact integer division (div), no float
+    val sliced = staged
+      .select(col("bucket"), col("__key"), col("__s"), col("__toks"),
+        col("__n"),
+        explode(sequence(expr(s"__s div $seqLen"),
+          expr(s"(__s + __n - 1) div $seqLen"))).as("seq_id"))
+      .select(col("bucket"), col("seq_id"), col("__s"),
+        concat_ws(" ", slice(col("__toks"),
+          (greatest(col("seq_id") * L, col("__s")) - col("__s") + lit(1L))
+            .cast("int"),
+          (least((col("seq_id") + lit(1L)) * L, col("__s") + col("__n")) -
+            greatest(col("seq_id") * L, col("__s"))).cast("int")))
+          .as("__piece"),
+        (least((col("seq_id") + lit(1L)) * L, col("__s") + col("__n")) -
+          greatest(col("seq_id") * L, col("__s"))).as("__plen"))
+    val wRun = Window.partitionBy(col("bucket"), col("seq_id"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliced
+      .withColumn("__arr", collect_list(col("__piece")).over(wRun))
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__plen")).as("n_tokens"),
+        concat_ws(" ", max(col("__arr"))).as("seq_text"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the training-output
     * prep step: order the corpus by an md5 hash draw (a reproducible
     * permutation), number it 0..N-1, and deal positions round-robin into

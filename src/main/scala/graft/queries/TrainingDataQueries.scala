@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, Packing, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -793,6 +793,15 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("doc_id"), col("piece"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // GPT-style concat-and-slice sequences (L82): per-bucket document
+    // streams with <eod> separators cut into exact 32-token sequences,
+    // documents straddling boundaries — zero padding waste.
+    "concat_slice" -> ((s, dir) => {
+      Packing.concatSlice(Tables.documents(s, dir), seqLen = 32,
+        numBuckets = 8)
+        .localCheckpoint(true).orderBy(col("bucket"), col("seq_id"))
     }),
 
     // T5-style span corruption (L81): sentinel-masked input/target pairs
@@ -2256,6 +2265,29 @@ object TrainingDataQueries extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin,
 
     "span_corruption" -> spanCorruptionOracle,
+
+    // mirrors Packing.concatSlice: same bucket draw, same cumsum offsets,
+    // same intersect-range explode via generate_series, ordered string_agg
+    "concat_slice" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, t || ['<eod>'] AS tk FROM toks),
+         |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+         |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':slice'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+         |      FROM d),
+         |c AS (SELECT *, CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+         |      FROM b),
+         |x AS (SELECT bucket, q AS seq_id, s,
+         |        array_to_string(tk[CAST(greatest(q * 32, s) - s + 1 AS INT):
+         |                           CAST(least((q + 1) * 32, s + n) - s AS INT)], ' ') AS piece,
+         |        least((q + 1) * 32, s + n) - greatest(q * 32, s) AS plen
+         |      FROM (SELECT *, unnest(range(s // 32, (s + n - 1) // 32 + 1)) AS q
+         |            FROM c))
+         |SELECT bucket, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(plen) AS BIGINT) AS n_tokens,
+         |  string_agg(piece, ' ' ORDER BY s) AS seq_text
+         |FROM x GROUP BY 1, 2
+         |ORDER BY bucket, seq_id""".stripMargin,
 
     // mirrors LanguageModel.scoreDocumentsKn expression-for-expression:
     // same cast points, same op order, micro-nat rounding before the sum

@@ -1493,6 +1493,60 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("concat-slice: exact sequence cuts straddling document boundaries") {
+    // one bucket → one stream: docs ordered by id, each + <eod>
+    // stream = a b c <eod> d e f g <eod> h <eod>  (11 tokens, L=5)
+    val d = docs(0L -> "a b c", 1L -> "d e f g", 2L -> "h")
+    val got = Packing.concatSlice(d, seqLen = 5, numBuckets = 1)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got(0L) === ((2L, 5L, "a b c <eod> d")))
+    assert(got(1L) === ((2L, 5L, "e f g <eod> h")))
+    // the final partial sequence carries doc 2's trailing separator only
+    assert(got(2L) === ((1L, 1L, "<eod>")))
+  }
+
+  test("concat-slice: per-bucket reconstruction and exact-full invariant") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("aa", "b", "ccc", "dd")
+    val docGen = Gen.choose(0, 9)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = forAll(corpusGen, Gen.oneOf(3, 7)) { (corpus, l) =>
+      val out = Packing.concatSlice(docs(corpus: _*), seqLen = l,
+        numBuckets = 2).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getString(4)))
+      val byBucket = out.groupBy(_._1)
+      Prop.all(byBucket.toSeq.map { case (b, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // every sequence but the last is exactly full
+        val fullOk = sorted.init.forall(_._3 == l) &&
+          sorted.last._3 <= l && sorted.last._3 > 0
+        // concatenating the bucket's sequences reproduces its doc stream
+        val rebuilt = sorted.map(_._4).mkString(" ")
+        val expectStream = corpus
+          .filter { case (id, _) =>
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$id:slice".getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(h, 16) % 2 == b
+          }
+          .sortBy(_._1)
+          .map { case (_, t) =>
+            (t.split("\\s+").filter(_.nonEmpty) :+ "<eod>").mkString(" ") }
+          .mkString(" ")
+        Prop(fullOk && rebuilt == expectStream) :|
+          s"bucket=$b rebuilt='$rebuilt' expect='$expectStream' rows=$sorted"
+      }: _*)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("span corruption: input/target round-trip reconstructs the corpus") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
