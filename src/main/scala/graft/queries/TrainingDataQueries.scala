@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, KMeans, LanguageModel, Packing, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{BpeLearn, Dedup, FillInMiddle, KMeans, LanguageModel, Packing, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -342,6 +342,37 @@ object TrainingDataQueries extends QueryPack {
     * and the generated oracle below. */
   private[queries] val SpanCorrProb = 0.05
   private[queries] val SpanCorrLen = 3
+
+  /** FIM gate rate — feeds the operator and the generated oracle. */
+  private[queries] val FimRate = 0.5
+
+  /** Generated oracle for `fill_in_middle`: the same three md5 draws
+    * (gate vs rate threshold; two cut draws mod n+1, ordered), spans via
+    * list slicing, one array_to_string. */
+  private def fillInMiddleOracle: String = {
+    val thr = graft.operators.Sampling.thresholdHex(FimRate)
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+       |        (substring(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8) < '$thr') AS gate,
+       |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8) AS BIGINT)
+       |          % (CAST(len(t) AS BIGINT) + 1) AS BIGINT) AS c1raw,
+       |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8) AS BIGINT)
+       |          % (CAST(len(t) AS BIGINT) + 1) AS BIGINT) AS c2raw
+       |      FROM toks),
+       |e AS (SELECT doc_id, t, n, (gate AND n > 0) AS fim,
+       |        least(c1raw, c2raw) AS c1, greatest(c1raw, c2raw) AS c2
+       |      FROM d)
+       |SELECT doc_id, fim,
+       |  CASE WHEN fim THEN array_to_string(
+       |         ['<fim_pre>'] || t[1:CAST(c1 AS INT)] ||
+       |         ['<fim_suf>'] || t[CAST(c2 + 1 AS INT):CAST(n AS INT)] ||
+       |         ['<fim_mid>'] || t[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' ')
+       |       ELSE array_to_string(t, ' ') END AS text_fim,
+       |  CASE WHEN fim THEN c1 ELSE 0 END AS n_prefix,
+       |  CASE WHEN fim THEN c2 - c1 ELSE 0 END AS n_middle,
+       |  CASE WHEN fim THEN n - c2 ELSE 0 END AS n_suffix
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
 
   /** Generated oracle for `span_corruption`: replays the operator's three
     * windows (trailing-max membership, rising-edge starts, running
@@ -793,6 +824,13 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("doc_id"), col("piece"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // Fill-in-the-middle transform (L83): PSM rearrangement of a
+    // deterministic doc slice — pure projection, zero shuffle.
+    "fill_in_middle" -> ((s, dir) => {
+      FillInMiddle.transform(Tables.documents(s, dir), fimRate = FimRate)
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // GPT-style concat-and-slice sequences (L82): per-bucket document
@@ -2265,6 +2303,8 @@ object TrainingDataQueries extends QueryPack {
          |ORDER BY d.doc_id""".stripMargin,
 
     "span_corruption" -> spanCorruptionOracle,
+
+    "fill_in_middle" -> fillInMiddleOracle,
 
     // mirrors Packing.concatSlice: same bucket draw, same cumsum offsets,
     // same intersect-range explode via generate_series, ordered string_agg

@@ -1493,6 +1493,53 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("fill-in-the-middle: PSM round-trip reconstructs the document") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("alpha", "beta", "g", "d4")
+    val docGen = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = forAll(corpusGen) { corpus =>
+      val out = FillInMiddle.transform(docs(corpus: _*), fimRate = 1.0)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      Prop.all(corpus.map { case (id, text) =>
+        val origToks = text.split("\\s+").filter(_.nonEmpty).toList
+        val (fim, tf, np, nm, ns) = out(id)
+        if (origToks.isEmpty)
+          Prop(!fim && tf == "" && np == 0 && nm == 0 && ns == 0) :|
+            s"empty doc: $tf"
+        else {
+          // parse <fim_pre> P <fim_suf> S <fim_mid> M and rebuild P M S
+          val ts = tf.split(" ").toList
+          val iSuf = ts.indexOf("<fim_suf>")
+          val iMid = ts.indexOf("<fim_mid>")
+          val pre = ts.slice(1, iSuf)
+          val suf = ts.slice(iSuf + 1, iMid)
+          val mid = ts.drop(iMid + 1)
+          Prop(fim && ts.head == "<fim_pre>" &&
+            (pre ++ mid ++ suf) == origToks &&
+            np == pre.size && nm == mid.size && ns == suf.size) :|
+            s"id=$id tf='$tf' orig=$origToks"
+        }
+      }: _*)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fill-in-the-middle: zero rate passes documents through") {
+    val out = FillInMiddle.transform(docs(0L -> "a   b c", 1L -> ""),
+      fimRate = 0.0).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(0L) === ((false, "a b c")))
+    assert(out(1L) === ((false, "")))
+  }
+
   test("concat-slice: exact sequence cuts straddling document boundaries") {
     // one bucket → one stream: docs ordered by id, each + <eod>
     // stream = a b c <eod> d e f g <eod> h <eod>  (11 tokens, L=5)
