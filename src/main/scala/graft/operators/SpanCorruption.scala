@@ -95,4 +95,71 @@ object SpanCorruption {
           .otherwise(lit("<extra_id_0>")).as("target"),
         coalesce(col("__n"), lit(0L)).as("n_spans"))
   }
+
+  /** Stateless streaming twin of [[corrupt]] — bit-identical output
+    * (spec-enforced) with the whole computation in-row: one left fold
+    * over the token array carrying (input pieces, target pieces, span
+    * count, positions-since-last-proposal), so it runs UNCHANGED on an
+    * unbounded append stream (no window, no state store — the
+    * [[Dsir.scoreStateless]] discipline). The fold's `sincePr` counter
+    * reproduces the batch path's trailing-max membership exactly:
+    * s' = 0 on a proposal else s+1; inside ⇔ s' < L; a span starts on
+    * the rising edge. Per-row lambda-HOF cost is the documented twin
+    * trade — corpus-scale batch work stays on [[corrupt]]'s windowed
+    * plan. */
+  def corruptStateless(docs: DataFrame, spanStartProb: Double = 0.05,
+                       spanLen: Int = 3, salt: String = "t5",
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(spanLen >= 1, s"spanLen=$spanLen")
+    require(spanStartProb >= 0 && spanStartProb <= 1,
+      s"spanStartProb=$spanStartProb")
+    val thr = Sampling.thresholdHex(spanStartProb)
+    val L = spanLen
+    val toks = graft.functions.WordShingles.allShingles(col(textCol), 1)
+    val empty = array().cast("array<string>")
+    val init = struct(empty.as("in"), empty.as("tgt"),
+      lit(0L).as("k"), lit(L).as("s"))
+    // sequence(0, -1) DESCENDS on an empty array — guard it out
+    val folded = aggregate(
+      when(size(col("__toks")) > 0,
+        transform(sequence(lit(0), size(col("__toks")) - 1),
+          i => struct(i.as("i"),
+            element_at(col("__toks"), i + 1).as("tok"))))
+        .otherwise(array().cast("array<struct<i:int,tok:string>>")),
+      init,
+      (acc, t) => {
+        val prop = Sampling.draw(
+          concat(col("doc_id").cast("string"), lit(":"),
+            t.getField("i").cast("string")), salt) < lit(thr)
+        val s2 = when(prop, lit(0)).otherwise(acc.getField("s") + 1)
+        val insidePrev = acc.getField("s") < L
+        val inside = s2 < L
+        val start = inside && !insidePrev
+        val k2 = acc.getField("k") + when(start, 1L).otherwise(0L)
+        val sentinel = concat(lit("<extra_id_"),
+          (k2 - 1).cast("string"), lit(">"))
+        struct(
+          when(start, concat(acc.getField("in"), array(sentinel)))
+            .when(inside, acc.getField("in"))
+            .otherwise(concat(acc.getField("in"),
+              array(t.getField("tok")))).as("in"),
+          when(start, concat(acc.getField("tgt"),
+            array(concat(sentinel, lit(" "), t.getField("tok")))))
+            .when(inside, concat(acc.getField("tgt"),
+              array(t.getField("tok"))))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          k2.as("k"), s2.as("s"))
+      })
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .withColumn("__f", folded)
+      .select(col("doc_id"),
+        concat_ws(" ", col("__f.in")).as("input"),
+        when(col("__f.k") > 0,
+          concat(concat_ws(" ", col("__f.tgt")), lit(" <extra_id_"),
+            col("__f.k").cast("string"), lit(">")))
+          .otherwise(lit("<extra_id_0>")).as("target"),
+        col("__f.k").as("n_spans"))
+  }
 }

@@ -1122,6 +1122,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("span corruption and fill-in-middle run on an unbounded stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{FillInMiddle, SpanCorruption}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, ""), (2L, "one"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    // batch references: the WINDOWED corrupt and the projection FIM
+    val batchDf = rows.toDF("doc_id", "text")
+    val wantSpan = SpanCorruption.corrupt(batchDf, spanStartProb = 0.3,
+      spanLen = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val wantFim = FillInMiddle.transform(batchDf, fimRate = 0.7).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q1 = SpanCorruption.corruptStateless(stream, spanStartProb = 0.3,
+        spanLen = 2)
+      .writeStream.format("memory").queryName("span_stream")
+      .outputMode("append").start()
+    val q2 = FillInMiddle.transform(stream, fimRate = 0.7)
+      .writeStream.format("memory").queryName("fim_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val gotSpan = spark.table("span_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+        .toMap
+      assert(gotSpan === wantSpan)
+      val gotFim = spark.table("fim_stream").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      assert(gotFim === wantFim)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("composed corpus stream: canonicalize→repair→langid→gopher→decontaminate→scrub→buckets→epoch ≡ batch chain") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Decontaminate, LanguageModel, Packing,

@@ -1647,6 +1647,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("span corruption: stateless in-row twin ≡ the windowed batch path") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("aa", "b", "ccc")
+    val docGen = Gen.choose(0, 20)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = forAll(corpusGen, Gen.oneOf(1, 2, 4)) { (corpus, l) =>
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getLong(3))).toMap
+      val batch = canon(SpanCorruption.corrupt(docs(corpus: _*),
+        spanStartProb = 0.25, spanLen = l))
+      val twin = canon(SpanCorruption.corruptStateless(docs(corpus: _*),
+        spanStartProb = 0.25, spanLen = l))
+      Prop(batch == twin) :| s"l=$l batch=$batch twin=$twin"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("span corruption: zero probability passes documents through") {
     val out = SpanCorruption
       .corrupt(docs(0L -> "a b   c", 1L -> ""), spanStartProb = 0.0)
