@@ -154,6 +154,20 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("lm_score_kn")
   }
 
+  // the sample-prep trio (L81-L83): window/projection pipelines whose
+  // 100× story is "no join appears at scale"
+  test("span_corruption plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("span_corruption")
+  }
+
+  test("concat_slice plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("concat_slice")
+  }
+
+  test("fill_in_middle plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("fill_in_middle")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
