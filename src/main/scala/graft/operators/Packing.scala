@@ -67,8 +67,10 @@ object Packing {
     * then EXPLODES into only the sequences it intersects (ceil(n/seqLen)
     * + 1 rows — output-shaped), each carrying a codegen'd `slice` of its
     * token array pre-joined to a string; per-(bucket, seq) assembly is
-    * the window-ordered collection idiom. Two shuffles total: the bucket
-    * window and the (bucket, seq_id) aggregation.
+    * the window-ordered collection idiom. ONE shuffle total (audited):
+    * the (bucket, seq_id) window and aggregation ride the bucket
+    * exchange's partitioning — same-bucket rows stay co-located — with
+    * only a local re-sort.
     *
     * Output: (bucket, seq_id, n_docs, n_tokens, seq_text) — n_tokens ==
     * seqLen everywhere except each bucket's final partial sequence.

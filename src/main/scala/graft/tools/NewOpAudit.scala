@@ -51,6 +51,20 @@ object NewOpAudit {
     println("=== modified-KN scoring ===")
     println(kn.queryExecution.executedPlan.toString.linesIterator
       .map(_.take(110)).take(60).mkString("\n"))
+    // sample-prep trio (L81-L83): windows/projections — no join should
+    // appear anywhere except span_corruption's final doc passthrough
+    val sc = graft.operators.SpanCorruption.corrupt(docs)
+    println("=== span corruption ===")
+    println(sc.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(30).mkString("\n"))
+    val cs = graft.operators.Packing.concatSlice(docs, seqLen = 32)
+    println("=== concat-slice sequences ===")
+    println(cs.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(30).mkString("\n"))
+    val fim = graft.operators.FillInMiddle.transform(docs)
+    println("=== fill-in-middle ===")
+    println(fim.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(12).mkString("\n"))
     spark.stop()
   }
 }
