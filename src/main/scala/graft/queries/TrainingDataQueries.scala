@@ -346,6 +346,73 @@ object TrainingDataQueries extends QueryPack {
   /** FIM gate rate — feeds the operator and the generated oracle. */
   private[queries] val FimRate = 0.5
 
+  /** Generated oracle for [[graft.operators.LanguageModel
+    * .scoreDocumentsKn]] at order `n` — mirrors the Spark float
+    * expression op-for-op (same cast points, same op order, micro-nat
+    * rounding before the per-document sum). Only the transition CTE
+    * depends on n: contexts are opaque strings to every downstream
+    * statistic. */
+  private def knOracleFor(n: Int): String = {
+    require(n >= 2)
+    val tr =
+      if (n == 2)
+        """tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+          |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))""".stripMargin
+      else
+        s"""tr AS (SELECT doc_id, array_to_string(t[i:i+${n - 2}], ' ') AS ctx, t[i+${n - 1}] AS tok
+           |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${n - 2})) AS i FROM toks))""".stripMargin
+    s"""WITH $toksCte,
+       |$tr,
+       |cnt AS MATERIALIZED (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+       |cstat AS MATERIALIZED (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct,
+       |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1c,
+       |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2c,
+       |         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3c
+       |       FROM cnt GROUP BY 1),
+       |cont AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cw
+       |       FROM cnt GROUP BY 1),
+       |scal AS MATERIALIZED (SELECT * FROM (
+       |  SELECT CAST(count(*) AS BIGINT) AS bigrams,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+       |    CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+       |    CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+       |  FROM cnt) CROSS JOIN (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt)),
+       |disc AS MATERIALIZED (SELECT bigrams, v,
+       |  CASE WHEN healthy THEN least(greatest(1.0 - 2.0 * y * (CAST(k2 AS DOUBLE) / CAST(k1 AS DOUBLE)), 0.0), 1.0) ELSE 0.75 END AS d1,
+       |  CASE WHEN healthy THEN least(greatest(2.0 - 3.0 * y * (CAST(k3 AS DOUBLE) / CAST(k2 AS DOUBLE)), 0.0), 2.0) ELSE 0.75 END AS d2,
+       |  CASE WHEN healthy THEN least(greatest(3.0 - 4.0 * y * (CAST(k4 AS DOUBLE) / CAST(k3 AS DOUBLE)), 0.0), 3.0) ELSE 0.75 END AS d3
+       |  FROM (SELECT bigrams, v, k1, k2, k3, k4,
+       |          CAST(k1 AS DOUBLE) / CAST(k1 + 2 * k2 AS DOUBLE) AS y,
+       |          (k1 > 0 AND k2 > 0 AND k3 > 0 AND k4 > 0) AS healthy
+       |        FROM scal)),
+       |sc AS (SELECT r.doc_id, cn.c AS c,
+       |         CAST(round(ln(
+       |           CASE WHEN cs.ct IS NOT NULL THEN
+       |             greatest(CAST(coalesce(cn.c, 0) AS DOUBLE) -
+       |               (CASE WHEN coalesce(cn.c, 0) = 1 THEN d.d1
+       |                     WHEN coalesce(cn.c, 0) = 2 THEN d.d2
+       |                     ELSE d.d3 END), 0.0) / CAST(cs.ct AS DOUBLE)
+       |             + ((d.d1 * CAST(cs.n1c AS DOUBLE) + d.d2 * CAST(cs.n2c AS DOUBLE) + d.d3 * CAST(cs.n3c AS DOUBLE)) / CAST(cs.ct AS DOUBLE))
+       |               * (CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE))
+       |           ELSE CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE) END
+       |         ) * 1000000) AS BIGINT) AS term
+       |       FROM tr r
+       |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+       |       LEFT JOIN cstat cs ON r.ctx = cs.ctx
+       |       LEFT JOIN cont co ON r.tok = co.tok
+       |       CROSS JOIN disc d),
+       |agg AS (SELECT doc_id, count(*) AS n_trans,
+       |          CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |          CAST(sum(term) AS BIGINT) AS kn_score
+       |        FROM sc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
+       |       coalesce(a.n_hit, 0) AS n_hit,
+       |       coalesce(a.kn_score, 0) AS kn_score
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Generated oracle for `fill_in_middle`: the same three md5 draws
     * (gate vs rate threshold; two cut draws mod n+1, ordered), spans via
     * list slicing, one array_to_string. */
@@ -867,6 +934,15 @@ object TrainingDataQueries extends QueryPack {
     "lm_score_kn" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       LanguageModel.scoreDocumentsKn(docs, LanguageModel.ngramCounts(docs))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the trigram tier of the same machinery — contexts are opaque
+    // strings to every KN statistic, so only the transition scan widens
+    "lm_score_kn3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LanguageModel.scoreDocumentsKn(docs,
+        LanguageModel.ngramCounts(docs, n = 3), n = 3)
         .orderBy(col("doc_id"))
     }),
 
@@ -2331,58 +2407,11 @@ object TrainingDataQueries extends QueryPack {
 
     // mirrors LanguageModel.scoreDocumentsKn expression-for-expression:
     // same cast points, same op order, micro-nat rounding before the sum
-    "lm_score_kn" ->
-      s"""WITH $toksCte,
-         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
-         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-         |cnt AS MATERIALIZED (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
-         |cstat AS MATERIALIZED (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct,
-         |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1c,
-         |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2c,
-         |         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3c
-         |       FROM cnt GROUP BY 1),
-         |cont AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cw
-         |       FROM cnt GROUP BY 1),
-         |scal AS MATERIALIZED (SELECT * FROM (
-         |  SELECT CAST(count(*) AS BIGINT) AS bigrams,
-         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
-         |    CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
-         |    CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
-         |  FROM cnt) CROSS JOIN (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt)),
-         |disc AS MATERIALIZED (SELECT bigrams, v,
-         |  CASE WHEN healthy THEN least(greatest(1.0 - 2.0 * y * (CAST(k2 AS DOUBLE) / CAST(k1 AS DOUBLE)), 0.0), 1.0) ELSE 0.75 END AS d1,
-         |  CASE WHEN healthy THEN least(greatest(2.0 - 3.0 * y * (CAST(k3 AS DOUBLE) / CAST(k2 AS DOUBLE)), 0.0), 2.0) ELSE 0.75 END AS d2,
-         |  CASE WHEN healthy THEN least(greatest(3.0 - 4.0 * y * (CAST(k4 AS DOUBLE) / CAST(k3 AS DOUBLE)), 0.0), 3.0) ELSE 0.75 END AS d3
-         |  FROM (SELECT bigrams, v, k1, k2, k3, k4,
-         |          CAST(k1 AS DOUBLE) / CAST(k1 + 2 * k2 AS DOUBLE) AS y,
-         |          (k1 > 0 AND k2 > 0 AND k3 > 0 AND k4 > 0) AS healthy
-         |        FROM scal)),
-         |sc AS (SELECT r.doc_id, cn.c AS c,
-         |         CAST(round(ln(
-         |           CASE WHEN cs.ct IS NOT NULL THEN
-         |             greatest(CAST(coalesce(cn.c, 0) AS DOUBLE) -
-         |               (CASE WHEN coalesce(cn.c, 0) = 1 THEN d.d1
-         |                     WHEN coalesce(cn.c, 0) = 2 THEN d.d2
-         |                     ELSE d.d3 END), 0.0) / CAST(cs.ct AS DOUBLE)
-         |             + ((d.d1 * CAST(cs.n1c AS DOUBLE) + d.d2 * CAST(cs.n2c AS DOUBLE) + d.d3 * CAST(cs.n3c AS DOUBLE)) / CAST(cs.ct AS DOUBLE))
-         |               * (CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE))
-         |           ELSE CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE) END
-         |         ) * 1000000) AS BIGINT) AS term
-         |       FROM tr r
-         |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
-         |       LEFT JOIN cstat cs ON r.ctx = cs.ctx
-         |       LEFT JOIN cont co ON r.tok = co.tok
-         |       CROSS JOIN disc d),
-         |agg AS (SELECT doc_id, count(*) AS n_trans,
-         |          CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |          CAST(sum(term) AS BIGINT) AS kn_score
-         |        FROM sc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(a.n_trans, 0) AS n_trans,
-         |       coalesce(a.n_hit, 0) AS n_hit,
-         |       coalesce(a.kn_score, 0) AS kn_score
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "lm_score_kn" -> knOracleFor(2),
+
+    // the same statistics and formula at the trigram tier — nothing in
+    // the KN machinery is bigram-specific (contexts are opaque strings)
+    "lm_score_kn3" -> knOracleFor(3),
 
     "dedup_substring_spans" ->
       s"""WITH $substrSpansCte
