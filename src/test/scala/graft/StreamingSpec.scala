@@ -1254,6 +1254,48 @@ class StreamingSpec extends AnyFunSuite {
         l -> rs.sortBy(r => (r._8, r._1)).map(_._1).toSeq }
       assert(gotOrder === epochOrder)
     } finally q.stop()
+    // ——— the SAMPLE-PREP tier chains onto the curated stream as the
+    // same append-mode plan (no state store anywhere): curate →
+    // span-corruption twin → fill-in-middle over the corrupted input.
+    // Fresh MemoryStream: a committed query PURGES its batches, so the
+    // first chain's input cannot be replayed by a second query.
+    import graft.operators.{FillInMiddle, SpanCorruption}
+    val input2 = MemoryStream[(Long, String, String, String)]
+    val q2 = FillInMiddle.transform(
+        SpanCorruption.corruptStateless(
+          CorpusStream.curate(
+            input2.toDF().toDF("doc_id", "lang", "url", "text"), fits,
+            k = 3, minWords = 3, maxWords = 40, contaminationMax = 0.2,
+            epochSalt = "cs").select(col("doc_id"), col("text")),
+          spanStartProb = 0.3, spanLen = 2)
+          .select(col("doc_id"), col("input").as("text")),
+        fimRate = 0.6)
+      .writeStream.format("memory").queryName("corpus_prep_stream")
+      .outputMode("append").start()
+    try {
+      val rows = pool.as[(Long, String, String, String)].collect().toSeq
+      val (b1, b2) = rows.partition(_._1 <= 4L)
+      input2.addData(b1: _*)
+      q2.processAllAvailable()
+      input2.addData(b2: _*)
+      q2.processAllAvailable()
+      val gotPrep = spark.table("corpus_prep_stream")
+        .select(col("doc_id"), col("fim"), col("text_fim"))
+        .as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batchPrep = FillInMiddle.transform(
+          SpanCorruption.corruptStateless(
+            want.toSeq.map { case (id, t) => (id, t._4) }
+              .toDF("doc_id", "text"),
+            spanStartProb = 0.3, spanLen = 2)
+            .select(col("doc_id"), col("input").as("text")),
+          fimRate = 0.6)
+        .select(col("doc_id"), col("fim"), col("text_fim"))
+        .as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(gotPrep === batchPrep)
+      assert(gotPrep.keySet === want.keySet)
+    } finally q2.stop()
   }
 
   test("composed corpus stream over the live TCP transport survives kill-and-resume") {
