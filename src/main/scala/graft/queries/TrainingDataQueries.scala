@@ -78,25 +78,42 @@ object TrainingDataQueries extends QueryPack {
     * are whitespace-split so pieces never contain one). Mirrors
     * BpeLearn.learn with endOfWord = "</w>". */
   private def bpeOracle: String = {
+    val selects = (0 until BpeMergeCount).map { k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, w AS weight FROM b$k"""
+    }
+    bpeLayerCtes(endOfWord = true, materialized = false)
+      .mkString("WITH ", ",\n", "\n") +
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
+
+  /** The BPE learning replay as reusable CTE layers (toks/wf/seg0 +
+    * one p$k/b$k/seg$k triple per merge). `endOfWord=false` drops the
+    * `</w>` marker (the tokenizer-pipeline shape, whose learned symbols
+    * must be servable against raw text); `materialized` wraps every CTE
+    * for consumers that reference layers more than once. */
+  private def bpeLayerCtes(endOfWord: Boolean,
+                           materialized: Boolean): Seq[String] = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    val eow = if (endOfWord) " || ' </w>'" else ""
     val base = Seq(
       toksCte,
-      """wf AS (SELECT word, count(*) AS cnt
-        |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
-      """seg0 AS (SELECT cnt,
-        |           array_to_string(list_transform(range(len(word)),
-        |             i -> word[i+1:i+1]), ' ') || ' </w>' AS s
-        |         FROM wf)""".stripMargin)
+      s"""wf AS$m (SELECT word, count(*) AS cnt
+         |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
+      s"""seg0 AS$m (SELECT cnt,
+         |           array_to_string(list_transform(range(len(word)),
+         |             i -> word[i+1:i+1]), ' ')$eow AS s
+         |         FROM wf)""".stripMargin)
     val layers = (0 until BpeMergeCount).flatMap { k =>
       val pair =
-        s"""p$k AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
+        s"""p$k AS$m (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
            |        FROM (SELECT cnt, parts[i+1] AS l, parts[i+2] AS r
            |              FROM (SELECT cnt, parts, unnest(range(len(parts) - 1)) AS i
            |                    FROM (SELECT cnt, string_split(s, ' ') AS parts
            |                          FROM seg$k)))
            |        GROUP BY 1, 2)""".stripMargin
-      val best = s"b$k AS (SELECT l, r, w FROM p$k ORDER BY w DESC, l, r LIMIT 1)"
+      val best = s"b$k AS$m (SELECT l, r, w FROM p$k ORDER BY w DESC, l, r LIMIT 1)"
       val reseg = if (k == BpeMergeCount - 1) Nil else Seq(
-        s"""seg${k + 1} AS (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+        s"""seg${k + 1} AS$m (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
            |  CASE WHEN acc = b.l AND x = b.r THEN b.l || b.r
            |       WHEN len(acc) > len(b.l) AND acc[len(acc)-len(b.l):] = ' ' || b.l AND x = b.r
            |         THEN acc[1:len(acc)-len(b.l)-1] || ' ' || b.l || b.r
@@ -104,11 +121,7 @@ object TrainingDataQueries extends QueryPack {
            |  FROM seg$k, b$k b)""".stripMargin)
       Seq(pair, best) ++ reseg
     }
-    val selects = (0 until BpeMergeCount).map { k =>
-      s"""SELECT $k AS "rank", l AS "left", r AS "right", l || r AS merged, w AS weight FROM b$k"""
-    }
-    (base ++ layers).mkString("WITH ", ",\n", "\n") +
-      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+    base ++ layers
   }
 
   /** Generated DuckDB oracle for BATCHED BPE learning ([[BpeLearn
@@ -487,6 +500,87 @@ object TrainingDataQueries extends QueryPack {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Generated oracle for the COMPOSED `tokenizer_pipeline` gate: learn
+    * the BPE merges (no end-of-word marker), induce the serving
+    * vocabulary (corpus alphabet + merged symbols, ids = lexicographic
+    * rank), greedy-tokenize every word occurrence (hop-table recursion —
+    * see the wordpiece oracle for why the hop table is precomputed),
+    * encode to id strings, then replay the concat-and-slice packing over
+    * the id stream. Every stage is the proven fragment from its
+    * individual gate. */
+  private def tokenizerPipelineOracle: String = {
+    val mergedRows = (0 until BpeMergeCount)
+      .map(k => s"SELECT l || r AS piece FROM b$k")
+      .mkString("\nUNION ALL\n")
+    val vocabCtes = Seq(
+      """alpha AS MATERIALIZED (SELECT DISTINCT word[i+1:i+1] AS piece
+        |  FROM (SELECT word, unnest(range(len(word))) AS i FROM wf))""".stripMargin,
+      s"""vocabx AS MATERIALIZED (SELECT piece,
+         |    CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT piece
+         |        FROM (SELECT piece FROM alpha UNION ALL $mergedRows)))""".stripMargin,
+      """wocc AS MATERIALIZED (SELECT doc_id, u[1] AS w, u[2] AS widx
+        |  FROM (SELECT doc_id, unnest(list_zip(t, range(1, len(t)+1))) AS u
+        |        FROM toks))""".stripMargin,
+      """uw AS MATERIALIZED (SELECT DISTINCT w FROM wocc)""",
+      """hops AS MATERIALIZED (
+        |  SELECT w, pos, frag FROM (
+        |    SELECT p.w, p.pos, v.piece AS frag,
+        |      row_number() OVER (PARTITION BY p.w, p.pos
+        |                         ORDER BY length(v.piece) DESC) AS rn
+        |    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM uw) p
+        |    JOIN vocabx v ON v.piece = substr(p.w, CAST(p.pos AS INT), length(v.piece)))
+        |  WHERE rn = 1)""".stripMargin,
+      // UNK fallback (one code point) mirrors the greedy trie kernel; the
+      // induced alphabet is corpus-complete so it cannot fire here
+      """mm AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS step,
+        |         CAST(NULL AS VARCHAR) AS piece
+        |  FROM uw
+        |  UNION ALL
+        |  SELECT m.w,
+        |    m.pos + length(coalesce(h.frag, substr(m.w, CAST(m.pos AS INT), 1))),
+        |    m.step + 1,
+        |    coalesce(h.frag, substr(m.w, CAST(m.pos AS INT), 1))
+        |  FROM mm m LEFT JOIN hops h ON h.w = m.w AND h.pos = m.pos
+        |  WHERE m.pos <= length(m.w))""".stripMargin,
+      """wpcs AS MATERIALIZED (SELECT w, step, piece FROM mm WHERE piece IS NOT NULL)""",
+      """docids AS MATERIALIZED (
+        |  SELECT o.doc_id,
+        |    string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ' '
+        |               ORDER BY o.widx, p.step) AS ids_text
+        |  FROM wocc o JOIN wpcs p USING (w)
+        |  LEFT JOIN vocabx v ON v.piece = p.piece
+        |  GROUP BY 1)""".stripMargin,
+      """alldocs AS MATERIALIZED (SELECT d.doc_id, coalesce(di.ids_text, '') AS ids_text
+        |  FROM documents d LEFT JOIN docids di USING (doc_id))""".stripMargin)
+    val sliceCtes = Seq(
+      """sld AS (SELECT doc_id,
+        |  list_filter(string_split(ids_text, ' '), x -> x <> '') || ['<eod>'] AS tk
+        |  FROM alldocs)""".stripMargin,
+      """slb AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+        |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':slice'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+        |  FROM sld)""".stripMargin,
+      """slc AS (SELECT *, CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+        |  FROM slb)""".stripMargin,
+      """slx AS (SELECT bucket, q AS seq_id, s,
+        |    array_to_string(tk[CAST(greatest(q * 32, s) - s + 1 AS INT):
+        |                       CAST(least((q + 1) * 32, s + n) - s AS INT)], ' ') AS piece,
+        |    least((q + 1) * 32, s + n) - greatest(q * 32, s) AS plen
+        |  FROM (SELECT *, unnest(range(s // 32, (s + n - 1) // 32 + 1)) AS q
+        |        FROM slc))""".stripMargin)
+    val finalSel =
+      """SELECT bucket, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(plen) AS BIGINT) AS n_tokens,
+        |  string_agg(piece, ' ' ORDER BY s) AS seq_text
+        |FROM slx GROUP BY 1, 2
+        |ORDER BY bucket, seq_id""".stripMargin
+    (bpeLayerCtes(endOfWord = false, materialized = true) ++
+      vocabCtes ++ sliceCtes)
+      .mkString("WITH RECURSIVE ", ",\n", "\n") + finalSel
+  }
+
   /** DuckDB left-fold dot product over double lists (matches Spark's
     * aggregate(zip_with(...)) accumulation order). */
   private def dotSql(a: String, b: String) =
@@ -857,6 +951,34 @@ object TrainingDataQueries extends QueryPack {
         .groupBy(col("doc_id"), col("piece"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
+    }),
+
+    // COMPOSED tokenizer pipeline (L84): learn BPE merges on the corpus
+    // (no end-of-word marker → servable symbols), induce the vocabulary
+    // (alphabet + merged symbols, ids = lexicographic rank), encode every
+    // document with the greedy trie server, then concat-and-slice the id
+    // stream into exact 32-token training sequences — tokenizer training
+    // through pretraining feed as ONE gated chain, every stage the real
+    // operator.
+    "tokenizer_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = BpeLearn.learn(docs, numMerges = BpeMergeCount,
+        endOfWord = None)
+      // alphabet from the (vocabulary-sized) word table — the same
+      // driver boundary the learn loop already has
+      val alpha = BpeLearn.wordFrequencies(docs).select(col("word"))
+        .collect().flatMap(_.getString(0).map(_.toString)).distinct
+      val pieces = (alpha ++ merges.map(_.merged)).distinct.sorted.toSeq
+      val idMap = map(pieces.zipWithIndex.flatMap { case (v, i) =>
+        Seq(lit(v), lit(i.toLong)) }: _*)
+      val ids = docs.select(col("doc_id"),
+        concat_ws(" ", transform(
+          graft.functions.SubwordTokenCount.subwordTokens(col("text"), pieces),
+          p => coalesce(element_at(idMap, p), lit(0L)).cast("string")))
+          .as("ids_text"))
+      Packing.concatSlice(ids, seqLen = 32, textCol = "ids_text",
+        numBuckets = 8)
+        .localCheckpoint(true).orderBy(col("bucket"), col("seq_id"))
     }),
 
     // Unigram-LM tokenizer (L77), seed stage: candidate substrings
@@ -2223,6 +2345,8 @@ object TrainingDataQueries extends QueryPack {
     "bpe_merges" -> bpeOracle,
 
     "bpe_merges_batched" -> bpeBatchedOracle,
+
+    "tokenizer_pipeline" -> tokenizerPipelineOracle,
 
     "wordpiece_merges" -> wordpieceOracle,
 

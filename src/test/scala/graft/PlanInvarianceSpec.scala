@@ -168,6 +168,12 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("fill_in_middle")
   }
 
+  // the composed tokenizer pipeline (L84): learn rounds + vocab collect +
+  // encode + slice launch a FIXED execution sequence at any corpus size
+  test("tokenizer_pipeline plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("tokenizer_pipeline")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in

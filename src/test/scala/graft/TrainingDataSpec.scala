@@ -1493,6 +1493,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("tokenizer pipeline: id sequences account for every corpus token") {
+    // the composed gate end-to-end on the smallest fixture corpus
+    val out = graft.queries.TrainingDataQueries
+      .queries("tokenizer_pipeline")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // exact-full invariant: every sequence but each bucket's last is 32
+    out.groupBy(_._1).foreach { case (b, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.init.forall(_._4 == 32L), s"bucket $b has a short mid-sequence")
+      assert(sorted.last._4 > 0 && sorted.last._4 <= 32L)
+    }
+    // the stream carries only learned ids and the separator
+    val pieceOk = out.forall(_._5.split(" ")
+      .forall(t => t == "<eod>" || t.forall(_.isDigit)))
+    assert(pieceOk)
+    // token accounting: total stream tokens = sum over docs of
+    // (subword count under the induced vocab + 1 separator)
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs0.count()
+    val nEod = out.flatMap(_._5.split(" ")).count(_ == "<eod>")
+    assert(nEod === nDocs)
+    assert(out.map(_._4).sum ===
+      out.map(_._5.split(" ").count(_.nonEmpty).toLong).sum)
+  }
+
   test("fill-in-the-middle: PSM round-trip reconstructs the document") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
