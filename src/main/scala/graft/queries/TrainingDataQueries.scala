@@ -953,6 +953,26 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"), col("piece"))
     }),
 
+    // COMPOSED quality-signals table (L85): the Dolma-style per-document
+    // attributes artifact — six signal gates joined on doc_id, each the
+    // REAL gate function (zero drift between the composition and its
+    // parts; the per-signal checkpoints are the sub-gates' dump contract
+    // riding along).
+    "quality_signals" -> ((s, dir) => {
+      val e = queries("text_entropy")(s, dir)
+      val q = queries("text_quality")(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stopword_ratio"), col("punct_ratio"), col("quality_score"))
+      val r = queries("text_repetition")(s, dir)
+      val l = queries("text_langid")(s, dir)
+        .select(col("doc_id"), col("predicted"))
+      val g = queries("quality_gopher")(s, dir)
+      val f = queries("text_fingerprint")(s, dir)
+      e.join(q, Seq("doc_id")).join(r, Seq("doc_id")).join(l, Seq("doc_id"))
+        .join(g, Seq("doc_id")).join(f, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // COMPOSED tokenizer pipeline (L84): learn BPE merges on the corpus
     // (no end-of-word marker → servable symbols), induce the vocabulary
     // (alphabet + merged symbols, ids = lexicographic rank), encode every
@@ -2175,7 +2195,29 @@ object TrainingDataQueries extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] =
+    coreOracles + ("quality_signals" -> qualitySignalsOracle)
+
+  /** Composed oracle for `quality_signals`: the six per-signal oracles
+    * embedded verbatim as subqueries joined on doc_id — each keeps its
+    * own WITH scope (DuckDB scopes CTE names per subquery), so the gate
+    * can never drift from the signals it composes. */
+  private def qualitySignalsOracle: String = {
+    s"""SELECT e.doc_id, e.n_chars, e.n_distinct_chars, e.entropy_micro_nats,
+       |  q.n_tokens, q.avg_token_len, q.stopword_ratio, q.punct_ratio, q.quality_score,
+       |  r.word_total, r.word_distinct, r.dup_word_frac, r.top_bigram_share,
+       |  l.predicted, g.n_words, g.mean_word_len, g.symbol_word_ratio,
+       |  g.alpha_word_frac, g.n_gopher_stopwords, g.gopher_keep, f.fp
+       |FROM (${coreOracles("text_entropy")}) e
+       |JOIN (${coreOracles("text_quality")}) q USING (doc_id)
+       |JOIN (${coreOracles("text_repetition")}) r USING (doc_id)
+       |JOIN (${coreOracles("text_langid")}) l USING (doc_id)
+       |JOIN (${coreOracles("quality_gopher")}) g USING (doc_id)
+       |JOIN (${coreOracles("text_fingerprint")}) f USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
+  private def coreOracles: Map[String, String] = Map(
     "corpus_pipeline" -> corpusPipelineOracle,
     // greedy longest-match reimplemented as a recursive CTE: each step
     // advances by the longest vocab entry matching at `pos` (or 1 char for
