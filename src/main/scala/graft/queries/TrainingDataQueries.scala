@@ -1291,6 +1291,17 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Session event-sequence corpus (L86): the behavioral documents a
+    // sequence model pretrains on — per session, the ordered event-type
+    // token string (ties on ts break on event_id, else the emitted order
+    // would be partition-layout-dependent).
+    "session_sequences" -> ((s, dir) => {
+      import graft.operators.Sessionize
+      Sessionize.sessionSequences(Tables.events(s, dir), "user_id", "ts",
+        "30 minutes")
+        .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
+    }),
+
     "multimodal_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.attachMedia(Tables.documents(s, dir))
@@ -2861,6 +2872,25 @@ object TrainingDataQueries extends QueryPack {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
         |  date_diff('millisecond', min(ts), max(ts)) AS duration_ms
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // sessionize's island formulation extended with the ordered
+    // event-type string (same gap break, ties on event_id both sides)
+    "session_sequences" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 

@@ -1493,6 +1493,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("session sequences: gap breaks, ts-tie order, and stats match sessions()") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      // user 1: two events 10 min apart, then a 31-min gap → new session
+      (1L, t(0), 1L, "view"), (2L, t(10), 1L, "click"),
+      (3L, t(41), 1L, "buy"),
+      // user 2: two events at the SAME ts — order must follow event_id
+      (5L, t(100), 2L, "b_second"), (4L, t(100), 2L, "a_first"),
+      // exactly AT the 30-min gap → same session (break is strict >)
+      (6L, t(130), 2L, "tail"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Sessionize
+      .sessionSequences(events, "user_id", "ts", "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2.getTime))
+    assert(got === Seq(
+      (1L, t(0), 2L, "view click"),
+      (1L, t(41), 1L, "buy"),
+      (2L, t(100), 3L, "a_first b_second tail")))
+    // stats agree with the session_window-based sessions() on gap-broken data
+    val stats = graft.operators.Sessionize
+      .sessions(events, "user_id", "ts", "30 minutes")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2.getTime)).toSeq
+    assert(stats === got.map(x => (x._1, x._2, x._3)))
+  }
+
   test("tokenizer pipeline: id sequences account for every corpus token") {
     // the composed gate end-to-end on the smallest fixture corpus
     val out = graft.queries.TrainingDataQueries
