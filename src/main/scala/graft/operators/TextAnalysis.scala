@@ -44,6 +44,44 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Skip-gram (center, context) PAIR COUNTS — word2vec-style embedding
+    * training data (Mikolov et al. 2013): every token paired with its
+    * neighbors within ±`window` positions, with the signed distance kept
+    * (callers fold or weight it; the classic 1/d weighting is a
+    * projection away).
+    *
+    * Scale shape — NO self-join: the naive formulation joins positioned
+    * tokens per document on |Δpos| ≤ w, which materializes n² rows per
+    * document before the distance filter. Here the corpus explodes ONCE
+    * into positioned tokens and the 2w context columns are `lag`/`lead`
+    * window functions riding a single per-document sort; pairs unpivot
+    * as a projection (document edges yield nulls, filtered). Work is
+    * strictly linear in corpus tokens × window. */
+  def skipGramPairs(docs: DataFrame, window: Int = 2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window=$window")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.WordShingles.allShingles(col(textCol), 1))
+        .as(Seq("pos", "tok")))
+    val withCtx = (1 to window).foldLeft(tok) { (df, k) =>
+      df.withColumn(s"__m$k", lag(col("tok"), k).over(byPos))
+        .withColumn(s"__p$k", lead(col("tok"), k).over(byPos))
+    }
+    val pairs = (1 to window).flatMap(k => Seq(
+      struct(lit(-k).as("dist"), col(s"__m$k").as("ctx")),
+      struct(lit(k).as("dist"), col(s"__p$k").as("ctx"))))
+    withCtx
+      .select(col("tok").as("center"),
+        explode(array(pairs: _*)).as("__pc"))
+      .filter(col("__pc.ctx").isNotNull)
+      .groupBy(col("center"), col("__pc.ctx").as("context"),
+        col("__pc.dist").as("dist"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Tokenizer FERTILITY / compression evaluation per language — the
     * standard metric battery for choosing a vocabulary (fertility =
     * subword tokens per whitespace word; bytes per subword token =

@@ -1291,6 +1291,15 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Skip-gram pair counts (L87): word2vec-style embedding training
+    // data — lead/lag context columns over one per-doc sort, no
+    // self-join anywhere.
+    "skipgram_pairs" -> ((s, dir) => {
+      TextAnalysis.skipGramPairs(Tables.documents(s, dir), window = 2)
+        .localCheckpoint(true)
+        .orderBy(col("center"), col("context"), col("dist"))
+    }),
+
     // Session event-sequence corpus (L86): the behavioral documents a
     // sequence model pretrains on — per session, the ordered event-type
     // token string (ties on ts break on event_id, else the emitted order
@@ -2874,6 +2883,25 @@ object TrainingDataQueries extends QueryPack {
         |  date_diff('millisecond', min(ts), max(ts)) AS duration_ms
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the same lead/lag unpivot over positioned tokens (window = 2)
+    "skipgram_pairs" ->
+      s"""WITH $toksCte,
+         |tp AS MATERIALIZED (SELECT doc_id, i AS pos, t[i+1] AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+         |px AS (
+         |  SELECT tok AS center, -1 AS dist,
+         |    lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS ctx FROM tp
+         |  UNION ALL
+         |  SELECT tok, 1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) FROM tp
+         |  UNION ALL
+         |  SELECT tok, -2, lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) FROM tp
+         |  UNION ALL
+         |  SELECT tok, 2, lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) FROM tp)
+         |SELECT center, ctx AS context, dist, CAST(count(*) AS BIGINT) AS n
+         |FROM px WHERE ctx IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY center, context, dist""".stripMargin,
 
     // sessionize's island formulation extended with the ordered
     // event-type string (same gap break, ties on event_id both sides)

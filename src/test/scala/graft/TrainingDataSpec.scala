@@ -1493,6 +1493,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("skip-gram pairs: hand fixture and symmetry invariant") {
+    val d = docs(0L -> "a b c", 1L -> "a b")
+    val got = TextAnalysis.skipGramPairs(d, window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // doc0: a(b+1,c+2) b(a-1,c+1) c(b-1,a-2); doc1: a(b+1) b(a-1)
+    assert(got === Map(
+      ("a", "b", 1) -> 2L, ("a", "c", 2) -> 1L,
+      ("b", "a", -1) -> 2L, ("b", "c", 1) -> 1L,
+      ("c", "b", -1) -> 1L, ("c", "a", -2) -> 1L))
+    // symmetry: (x, y, +d) count equals (y, x, -d) count, always
+    got.foreach { case ((x, y, dist), n) =>
+      assert(got(((y, x, -dist))) === n, s"asymmetric pair ($x,$y,$dist)")
+    }
+  }
+
   test("session sequences: gap breaks, ts-tie order, and stats match sessions()") {
     import java.sql.Timestamp
     def t(min: Long) = new Timestamp(min * 60000L)
