@@ -82,6 +82,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Frequency-based token SUBSAMPLING (the word2vec t-threshold,
+    * Mikolov et al. 2013): each token occurrence survives with
+    * P(keep) = min(1, sqrt(t/r) + t/r) where r is the token's corpus
+    * frequency ratio — stopwords thin aggressively, rare words always
+    * survive. The standard companion to [[skipGramPairs]] (subsample,
+    * THEN pair) and a quality lever for any frequency-skewed corpus.
+    *
+    * Deterministic: the per-occurrence draw is the engine's md5 uniform
+    * keyed on (doc_id, pos); the keep probability is a fixed sequence of
+    * correctly-rounded IEEE ops (sqrt included) over exact counts, and
+    * the comparison runs in double on the exact 32-bit draw value — all
+    * mirrored by the oracle.
+    *
+    * Scale shape: positioned tokens explode once; the frequency table is
+    * vocabulary-sized (broadcast join) and the total is a one-row cross
+    * join; the filter is a projection. One corpus aggregation + one
+    * linear pass. */
+  def subsampleTokens(docs: DataFrame, t: Double = 1e-3,
+                      salt: String = "w2v", idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(t > 0, s"t=$t")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.WordShingles.allShingles(col(textCol), 1))
+        .as(Seq("pos", "tok")))
+    val freq = Dedup.persistTracked(
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("__f")))
+    val total = freq.agg(sum(col("__f")).as("__n"))
+    val ratio = col("__f").cast("double") / col("__n").cast("double")
+    val pKeep = least(lit(1.0), sqrt(lit(t) / ratio) + lit(t) / ratio)
+    val draw = conv(Sampling.draw(
+      concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string")), salt), 16, 10)
+      .cast("long").cast("double")
+    tok
+      .join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .filter(draw < pKeep * lit(4294967296.0))
+      .select(col("doc_id"), col("pos"), col("tok"))
+  }
+
   /** Tokenizer FERTILITY / compression evaluation per language — the
     * standard metric battery for choosing a vocabulary (fertility =
     * subword tokens per whitespace word; bytes per subword token =

@@ -1291,6 +1291,17 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Frequency-based token subsampling (L88): the word2vec t-threshold
+    // — stopwords thin, rare tokens always survive; deterministic
+    // per-occurrence md5 draws against a count-derived keep probability.
+    "token_subsample" -> ((s, dir) => {
+      val out = TextAnalysis.subsampleTokens(Tables.documents(s, dir),
+        t = 1e-3)
+        .localCheckpoint(true).orderBy(col("doc_id"), col("pos"))
+      Dedup.releaseIntermediateCaches()
+      out
+    }),
+
     // Skip-gram pair counts (L87): word2vec-style embedding training
     // data — lead/lag context columns over one per-doc sort, no
     // self-join anywhere.
@@ -2883,6 +2894,22 @@ object TrainingDataQueries extends QueryPack {
         |  date_diff('millisecond', min(ts), max(ts)) AS duration_ms
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // same draws, same IEEE op order (sqrt is correctly rounded in both
+    // engines), double compare on the exact 32-bit draw value
+    "token_subsample" ->
+      s"""WITH $toksCte,
+         |tp AS MATERIALIZED (SELECT doc_id, i AS pos, t[i+1] AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+         |f AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tp GROUP BY 1),
+         |n AS (SELECT CAST(sum(cf) AS BIGINT) AS cn FROM f)
+         |SELECT doc_id, pos, tok
+         |FROM tp JOIN f USING (tok) CROSS JOIN n
+         |WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |        CAST(pos AS VARCHAR) || ':w2v'), 1, 8) AS BIGINT) AS DOUBLE)
+         |      < least(1.0, sqrt(0.001 / (CAST(cf AS DOUBLE) / CAST(cn AS DOUBLE)))
+         |               + 0.001 / (CAST(cf AS DOUBLE) / CAST(cn AS DOUBLE))) * 4294967296.0
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // the same lead/lag unpivot over positioned tokens (window = 2)
     "skipgram_pairs" ->

@@ -1493,6 +1493,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("token subsampling: rare tokens always survive, frequent ones thin") {
+    // "the" dominates; "rare" appears once — its keep probability is 1
+    // (ratio below t), so every occurrence must survive any draw
+    val text = (Seq.fill(400)("the") :+ "rare").mkString(" ")
+    val out = TextAnalysis.subsampleTokens(docs(0L -> text), t = 1e-3)
+      .collect().map(r => r.getString(2))
+    Dedup.releaseIntermediateCaches()
+    assert(out.contains("rare"))
+    val nThe = out.count(_ == "the")
+    // P(keep) for ratio 400/401 at t=1e-3 is ~0.033 — all 400 surviving
+    // would need every draw under 0.033 (p < 1e-580); bound loosely
+    assert(nThe < 100, s"frequent token barely thinned: $nThe of 400")
+    // determinism: a second run is bit-identical
+    val out2 = TextAnalysis.subsampleTokens(docs(0L -> text), t = 1e-3)
+      .collect().map(r => r.getString(2))
+    Dedup.releaseIntermediateCaches()
+    assert(out.toSeq === out2.toSeq)
+  }
+
   test("skip-gram pairs: hand fixture and symmetry invariant") {
     val d = docs(0L -> "a b c", 1L -> "a b")
     val got = TextAnalysis.skipGramPairs(d, window = 2)
