@@ -174,6 +174,24 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("tokenizer_pipeline")
   }
 
+  // the L85-L88 additions: composed signals join, events islands,
+  // lead/lag unpivot, and the subsample broadcast-filter
+  test("quality_signals plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("quality_signals")
+  }
+
+  test("session_sequences plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("session_sequences")
+  }
+
+  test("skipgram_pairs plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("skipgram_pairs")
+  }
+
+  test("token_subsample plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("token_subsample")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
