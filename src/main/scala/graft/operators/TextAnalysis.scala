@@ -122,6 +122,93 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("tok"))
   }
 
+  /** Word2vec NEGATIVE SAMPLING (Mikolov et al. 2013): `k` deterministic
+    * draws per (center, context, dist) pair from the unigram^`power`
+    * noise distribution — the third leg of the word2vec data trio
+    * ([[skipGramPairs]], [[subsampleTokens]], this).
+    *
+    * Weighted sampling without a hot spot, engine-exactly:
+    *  - weights quantize to integer micro-units (round(f^p·10⁶) — the
+    *    micro-nat discipline: pow's last-ulp variance is absorbed before
+    *    any arithmetic that could cascade);
+    *  - the cumulative interval table builds with a TWO-PHASE cumsum
+    *    (per-prefix bucket sums → exclusive bases over the tiny bucket
+    *    aggregate → in-bucket window + base), so no single task ever
+    *    sorts the whole vocabulary — the [[Packing.shardAssign]] cut
+    *    discipline, and the gate oracle is the single-window formulation,
+    *    so parity doubles as two-phase-exactness evidence;
+    *  - each draw maps its 32-bit md5 value onto [0, W) as
+    *    min(⌊u/2³²·W⌋, W−1) — two correctly-rounded IEEE ops + an exact
+    *    floor (u·W in integers would overflow past W ≈ 2³¹; doubles are
+    *    exact to W < 2⁵³, and the clamp absorbs the one representable
+    *    round-up at the top) — and probes a BUCKETIZED interval index
+    *    (each interval exploded into the fixed-width buckets it
+    *    overlaps) — an EQUI-join, so no per-draw vocabulary scan and no
+    *    broadcast-nested-loop anywhere.
+    *
+    * Output: pairs columns + (j, neg) for j in 0..k-1. */
+  def negativeSamples(pairs: DataFrame, corpus: DataFrame, k: Int = 2,
+                      power: Double = 0.75, numBuckets: Int = 64,
+                      salt: String = "neg", textCol: String = "text")
+      : DataFrame = {
+    require(k >= 1 && numBuckets >= 1, s"k=$k numBuckets=$numBuckets")
+    val freq = corpus
+      .select(explode(graft.functions.WordShingles
+        .allShingles(col(textCol), 1)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+      .withColumn("__wq",
+        round(pow(col("__f").cast("double"), power) * lit(1e6)).cast("long"))
+    // two-phase exclusive cumsum in lexicographic token order: prefix
+    // buckets ARE order prefixes, so (prefix, tok) order == tok order
+    val pfx = substring(col("tok"), 1, 1)
+    val bucketSums = freq.groupBy(pfx.as("__pfx"))
+      .agg(sum(col("__wq")).as("__bs"))
+    val bases = bucketSums
+      .withColumn("__base", coalesce(sum(col("__bs")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__pfx"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pfx"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(pfx).orderBy(col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val intervals = Dedup.persistTracked(freq
+      .withColumn("__incum", coalesce(sum(col("__wq")).over(wIn), lit(0L)))
+      .join(broadcast(bases), pfx === col("__pfx"))
+      .select(col("tok"), (col("__base") + col("__incum")).as("__lo"),
+        (col("__base") + col("__incum") + col("__wq")).as("__hi")))
+    val total = intervals.agg(max(col("__hi")).as("__w"))
+    // bucketized interval index: equi-join key for the draws
+    val index = intervals.crossJoin(broadcast(total))
+      .withColumn("__bw", expr(s"(__w - 1) div $numBuckets + 1"))
+      .select(col("tok"), col("__lo"), col("__hi"),
+        explode(sequence(expr("__lo div __bw"),
+          expr("(__hi - 1) div __bw"))).as("__b"))
+    val draws = pairs
+      .crossJoin(broadcast(total))
+      .withColumn("__bw", expr(s"(__w - 1) div $numBuckets + 1"))
+      .select(pairs.columns.map(c => col(s"`$c`")) ++ Seq(
+        col("__w"), col("__bw"),
+        explode(sequence(lit(0), lit(k - 1))).as("j")): _*)
+      // \u0001 separators keep the draw key unambiguous (tokens are
+      // whitespace-free; adjacent fields must not be confusable)
+      .withColumn("__u", conv(Sampling.draw(
+        concat_ws("\u0001", col("center"), col("context"),
+          col("dist").cast("string"), col("j").cast("string")), salt),
+        16, 10).cast("long"))
+      .withColumn("__pos", least(
+        floor(col("__u").cast("double") / lit(4294967296.0) *
+          col("__w").cast("double")).cast("long"),
+        col("__w") - 1L))
+      .withColumn("__b", expr("__pos div __bw"))
+    draws
+      .join(index, Seq("__b"))
+      .filter(col("__pos") >= col("__lo") && col("__pos") < col("__hi"))
+      .select(pairs.columns.map(c => col(s"`$c`")) ++
+        Seq(col("j"), col("tok").as("neg")): _*)
+  }
+
   /** Tokenizer FERTILITY / compression evaluation per language — the
     * standard metric battery for choosing a vocabulary (fertility =
     * subword tokens per whitespace word; bytes per subword token =

@@ -1291,6 +1291,19 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Word2vec negative sampling (L89): k deterministic draws per
+    // skip-gram pair from the unigram^0.75 noise distribution —
+    // two-phase cumsum intervals + bucketized equi-join probe.
+    "negative_samples" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = TextAnalysis.negativeSamples(
+        TextAnalysis.skipGramPairs(docs, window = 2), docs, k = 2)
+        .localCheckpoint(true)
+        .orderBy(col("center"), col("context"), col("dist"), col("j"))
+      Dedup.releaseIntermediateCaches()
+      out
+    }),
+
     // Frequency-based token subsampling (L88): the word2vec t-threshold
     // — stopwords thin, rare tokens always survive; deterministic
     // per-occurrence md5 draws against a count-derived keep probability.
@@ -2227,7 +2240,39 @@ object TrainingDataQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] =
-    coreOracles + ("quality_signals" -> qualitySignalsOracle)
+    coreOracles + ("quality_signals" -> qualitySignalsOracle) +
+      ("negative_samples" -> negativeSamplesOracle)
+
+  /** Composed oracle for `negative_samples`: the skip-gram oracle embeds
+    * as a subquery (own WITH scope); intervals come from the
+    * SINGLE-WINDOW cumsum in lexicographic token order (the Spark side
+    * runs the two-phase cut, so parity doubles as two-phase-exactness
+    * evidence); each draw maps and probes the intervals by range. */
+  private def negativeSamplesOracle: String = {
+    s"""WITH $toksCte,
+       |f AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS cf
+       |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+       |wq AS MATERIALIZED (SELECT tok,
+       |  CAST(round(pow(CAST(cf AS DOUBLE), 0.75) * 1000000) AS BIGINT) AS w
+       |  FROM f),
+       |iv AS MATERIALIZED (SELECT tok,
+       |  CAST(coalesce(sum(w) OVER (ORDER BY tok
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo,
+       |  CAST(sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+       |  FROM wq),
+       |tot AS MATERIALIZED (SELECT max(hi) AS tw FROM iv),
+       |pairsq AS MATERIALIZED (SELECT * FROM (${coreOracles("skipgram_pairs")})),
+       |draws AS MATERIALIZED (SELECT center, context, dist, n, j,
+       |  least(CAST(floor(
+       |    CAST(CAST('0x' || substring(md5(center || chr(1) || context || chr(1) ||
+       |      CAST(dist AS VARCHAR) || chr(1) || CAST(j AS VARCHAR) || ':neg'), 1, 8)
+       |      AS BIGINT) AS DOUBLE) / 4294967296.0 * CAST(tw AS DOUBLE)) AS BIGINT),
+       |    tw - 1) AS pos
+       |  FROM pairsq CROSS JOIN (SELECT unnest([0, 1]) AS j) CROSS JOIN tot)
+       |SELECT d.center, d.context, d.dist, d.n, d.j, iv.tok AS neg
+       |FROM draws d JOIN iv ON d.pos >= iv.lo AND d.pos < iv.hi
+       |ORDER BY d.center, d.context, d.dist, d.j""".stripMargin
+  }
 
   /** Composed oracle for `quality_signals`: the six per-signal oracles
     * embedded verbatim as subqueries joined on doc_id — each keeps its

@@ -1493,6 +1493,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("negative sampling: one draw each, frequency-biased, deterministic") {
+    // "the" dominates the noise distribution (f^0.75 keeps it heavy)
+    val text = (Seq.fill(200)("the") ++ Seq("cat", "dog", "sat")).mkString(" ")
+    val d = docs(0L -> text)
+    val pairs = TextAnalysis.skipGramPairs(d, window = 2)
+    val nPairs = pairs.count()
+    val out = TextAnalysis.negativeSamples(pairs, d, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getInt(4), r.getString(5)))
+    Dedup.releaseIntermediateCaches()
+    // exactly one negative per (pair, j): the interval probe is total
+    assert(out.length === nPairs * 3)
+    assert(out.map(x => (x._1, x._2, x._3, x._4)).distinct.length === out.length)
+    // frequency bias: "the" carries ~97% of the noise mass at power 0.75
+    val negs = out.map(_._5)
+    assert(negs.count(_ == "the").toDouble / negs.length > 0.7,
+      s"noise draws not frequency-biased: ${negs.groupBy(identity).view.mapValues(_.size).toMap}")
+    // determinism: bit-identical rerun
+    val out2 = TextAnalysis.negativeSamples(
+      TextAnalysis.skipGramPairs(d, window = 2), d, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getInt(4), r.getString(5)))
+    Dedup.releaseIntermediateCaches()
+    assert(out.sortBy(_.toString).toSeq === out2.sortBy(_.toString).toSeq)
+  }
+
   test("token subsampling: rare tokens always survive, frequent ones thin") {
     // "the" dominates; "rare" appears once — its keep probability is 1
     // (ratio below t), so every occurrence must survive any draw
