@@ -257,6 +257,51 @@ object Packing {
         Seq(col("epoch_rank"), col("order_key"))).toSeq: _*)
   }
 
+  /** Multi-epoch training SCHEDULE with per-stratum epoch counts — the
+    * "repeat epochs at the loader" side of up-weighting that
+    * [[Sampling.temperatureMix]]'s scaladoc defers to (the Llama-style
+    * mixing where a curated source runs ~4 epochs against 1 of web):
+    * stratum s with weight w_s appears in ⌊w_s⌋ full epochs plus an
+    * md5-gated FRACTIONAL epoch keeping share w_s − ⌊w_s⌋ of its
+    * documents — no document duplication on disk, the schedule IS the
+    * repetition.
+    *
+    * Each (doc, epoch) occurrence then gets the [[epochInterleave]]
+    * proportional order key computed per (stratum, epoch) — a composite
+    * stratum through the same two-phase rank machinery, so every epoch
+    * is its own reproducible proportionally-interleaved permutation
+    * (the epoch rides the draw key: permutations differ across epochs).
+    *
+    * Scale shape: the epoch explode is output-shaped (⌈w_s⌉ rows per
+    * doc); everything else is [[epochInterleave]]'s documented shape.
+    * Rows whose stratum has no weight drop (the mix convention).
+    *
+    * Output: input columns + (epoch, epoch_rank, order_key). */
+  def epochSchedule(df: DataFrame, strataCol: String,
+                    epochs: Map[String, Double], keyCol: String,
+                    salt: String = "", drawPrefixLen: Int = 2): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(_ > 0),
+      "epochs must be a non-empty map of positive per-stratum weights")
+    val wMap = map(epochs.toSeq.flatMap { case (s, w) =>
+      Seq(lit(s), lit(w)) }: _*)
+    val w = element_at(wMap, col(strataCol))
+    val nFull = floor(w).cast("long")
+    val frac = w - floor(w)
+    val keepFrac = conv(Sampling.draw(col(keyCol), salt + ":frac"), 16, 10)
+      .cast("long").cast("double") < frac * lit(4294967296.0)
+    val staged = df
+      .withColumn("__tot", nFull + when(keepFrac, 1L).otherwise(0L))
+      .filter(col("__tot") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__tot") - 1L)))
+      .drop("__tot")
+      .withColumn("__es", concat_ws("\u0001", col(strataCol),
+        col("epoch").cast("string")))
+      .withColumn("__ek", concat_ws("\u0001", col(keyCol).cast("string"),
+        col("epoch").cast("string")))
+    epochInterleave(staged, "__es", "__ek", salt, drawPrefixLen)
+      .drop("__es", "__ek")
+  }
+
   /** Stateless ORDER-KEY twin of [[epochInterleave]] for streaming
     * ingest: `order_key = (draw + 0.5) / 2³²` — the document's position
     * in the uniform-hash CDF — assigned as a pure projection, no ranks,

@@ -359,6 +359,46 @@ object TrainingDataQueries extends QueryPack {
   /** FIM gate rate — feeds the operator and the generated oracle. */
   private[queries] val FimRate = 0.5
 
+  /** Per-language epoch weights for the `epoch_schedule` gate — ONE map
+    * feeds the Spark operator and the generated oracle (fractional
+    * weights exercise the md5-gated partial epoch on every stratum
+    * class: sub-1, integral, and mixed). */
+  private[queries] val EpochWeights: Map[String, Double] = Map(
+    "en" -> 1.5, "fr" -> 2.25, "de" -> 1.0, "es" -> 0.5, "zh" -> 3.0)
+
+  /** Generated oracle for `epoch_schedule`: the same weight CASE, the
+    * same fractional-epoch draw, the epoch explode, then the
+    * epoch_interleave SINGLE-WINDOW order replay per (lang, epoch) —
+    * the Spark side runs the two-phase rank, so parity doubles as
+    * two-phase-exactness evidence on the composite strata. */
+  private def epochScheduleOracle: String = {
+    val caseW = EpochWeights.toSeq.sortBy(_._1).map { case (l, w) =>
+      s"WHEN '$l' THEN $w" }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CASE lang $caseW END AS w
+       |  FROM documents),
+       |e AS (SELECT doc_id, lang, w,
+       |    CAST(floor(w) AS BIGINT)
+       |    + CASE WHEN CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':es:frac'), 1, 8) AS BIGINT) AS DOUBLE)
+       |             < (w - floor(w)) * 4294967296.0 THEN 1 ELSE 0 END AS tot
+       |  FROM d WHERE w IS NOT NULL),
+       |x AS (SELECT doc_id, lang, unnest(range(tot)) AS epoch
+       |      FROM e WHERE tot > 0),
+       |h AS (SELECT doc_id, lang, epoch,
+       |    CAST(doc_id AS VARCHAR) || chr(1) || CAST(epoch AS VARCHAR) AS ek,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || CAST(epoch AS VARCHAR) || ':es'), 1, 8) AS hh
+       |  FROM x),
+       |r AS (SELECT doc_id, lang, epoch,
+       |    CAST(row_number() OVER (PARTITION BY lang, epoch ORDER BY hh, ek)
+       |      AS BIGINT) - 1 AS epoch_rank
+       |  FROM h),
+       |n AS (SELECT lang, epoch, count(*) AS ns FROM h GROUP BY 1, 2)
+       |SELECT r.doc_id, r.lang, r.epoch, r.epoch_rank,
+       |  (CAST(r.epoch_rank AS DOUBLE) + 0.5) / CAST(n.ns AS DOUBLE) AS order_key
+       |FROM r JOIN n USING (lang, epoch)
+       |ORDER BY r.doc_id, r.epoch""".stripMargin
+  }
+
   /** Generated oracle for [[graft.operators.LanguageModel
     * .scoreDocumentsKn]] at order `n` — mirrors the Spark float
     * expression op-for-op (same cast points, same op order, micro-nat
@@ -1781,6 +1821,18 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Multi-epoch schedule (L90): per-stratum epoch counts with a
+    // fractional last epoch — the Llama-style repeat plan; each
+    // (stratum, epoch) gets its own proportional interleave permutation.
+    "epoch_schedule" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.epochSchedule(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        strataCol = "lang", epochs = EpochWeights, keyCol = "doc_id",
+        salt = "es")
+        .localCheckpoint(true).orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Snapshot delta between two corpus versions (recrawl step) — old/new
     // derived from the one table by in-table rules both engines compute:
     // doc_id%7==3 absent from old (-> added), %11==5 absent from new
@@ -2623,6 +2675,8 @@ object TrainingDataQueries extends QueryPack {
     "span_corruption" -> spanCorruptionOracle,
 
     "fill_in_middle" -> fillInMiddleOracle,
+
+    "epoch_schedule" -> epochScheduleOracle,
 
     // mirrors Packing.concatSlice: same bucket draw, same cumsum offsets,
     // same intersect-range explode via generate_series, ordered string_agg

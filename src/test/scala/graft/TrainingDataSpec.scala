@@ -1493,6 +1493,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got("xx") === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("epoch schedule: integral repeats, fractional last epoch, distinct permutations") {
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "whole" else "frac")).toDF("doc_id", "lang")
+    val out = Packing.epochSchedule(rows, "lang",
+      Map("whole" -> 2.0, "frac" -> 1.5), "doc_id", salt = "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // integral stratum: every doc appears in exactly 2 epochs
+    val wholeByDoc = out.filter(_._2 == "whole").groupBy(_._1)
+    assert(wholeByDoc.values.forall(_.map(_._3).toSet == Set(0L, 1L)))
+    // fractional stratum: every doc gets epoch 0; a md5-gated ~half gets 1
+    val fracByDoc = out.filter(_._2 == "frac").groupBy(_._1)
+    assert(fracByDoc.values.forall(v =>
+      v.map(_._3).toSet == Set(0L) || v.map(_._3).toSet == Set(0L, 1L)))
+    val nSecond = fracByDoc.values.count(_.exists(_._3 == 1L))
+    assert(nSecond > 20 && nSecond < 80, s"fractional share off: $nSecond/100")
+    // each (stratum, epoch) is a full 0..n-1 rank permutation, and the
+    // two whole-stratum epochs are DIFFERENT permutations
+    val e0 = out.filter(x => x._2 == "whole" && x._3 == 0L)
+      .sortBy(_._4).map(_._1).toSeq
+    val e1 = out.filter(x => x._2 == "whole" && x._3 == 1L)
+      .sortBy(_._4).map(_._1).toSeq
+    assert(e0.toSet === e1.toSet)
+    assert(e0 != e1, "epoch permutations should differ")
+    // unweighted strata drop
+    val dropped = Packing.epochSchedule(rows, "lang",
+      Map("whole" -> 1.0), "doc_id", salt = "t").collect()
+    assert(dropped.forall(_.getString(1) == "whole"))
+  }
+
   test("negative sampling: one draw each, frequency-biased, deterministic") {
     // "the" dominates the noise distribution (f^0.75 keeps it heavy)
     val text = (Seq.fill(200)("the") ++ Seq("cat", "dog", "sat")).mkString(" ")
