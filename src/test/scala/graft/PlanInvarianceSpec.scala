@@ -192,6 +192,14 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("token_subsample")
   }
 
+  test("negative_samples plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("negative_samples")
+  }
+
+  test("epoch_schedule plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("epoch_schedule")
+  }
+
   test("dedup_components_stars round vocabulary is identical at sf0.001 and sf0.1") {
     // star contraction converges in a graph-dependent number of rounds —
     // the distributed route runs at BOTH SFs (no size gate in
