@@ -81,11 +81,18 @@ object Packing {
                   eod: String = "<eod>"): DataFrame = {
     require(seqLen > 0 && numBuckets > 0,
       s"seqLen=$seqLen numBuckets=$numBuckets")
+    val reserved = Seq("bucket", "seq_id", "__key", "__toks", "__n", "__s")
+    require(!docs.columns.exists(c => reserved.contains(c) && c != keyCol),
+      s"${reserved.mkString("/")} are reserved by concatSlice")
     val w = Window.partitionBy(col("bucket")).orderBy(col("__key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL text chunks like empty text (one separator token) — without
+    // the coalesce, size(NULL)=-1 shifts EVERY later offset in the
+    // bucket and the null doc's own slice length goes negative
     val staged = docs
       .select(col(keyCol).as("__key"),
-        concat(graft.functions.WordShingles.allShingles(col(textCol), 1),
+        concat(graft.functions.WordShingles
+          .allShingles(coalesce(col(textCol), lit("")), 1),
           array(lit(eod))).as("__toks"))
       .withColumn("bucket", (conv(Sampling.draw(col("__key"), "slice"),
         16, 10).cast("long") % numBuckets).cast("int"))
@@ -282,6 +289,10 @@ object Packing {
                     salt: String = "", drawPrefixLen: Int = 2): DataFrame = {
     require(epochs.nonEmpty && epochs.values.forall(_ > 0),
       "epochs must be a non-empty map of positive per-stratum weights")
+    val reserved = Seq("__tot", "epoch", "epoch_rank", "order_key",
+      "__es", "__ek")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by epochSchedule")
     val wMap = map(epochs.toSeq.flatMap { case (s, w) =>
       Seq(lit(s), lit(w)) }: _*)
     val w = element_at(wMap, col(strataCol))

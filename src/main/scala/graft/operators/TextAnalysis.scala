@@ -148,10 +148,11 @@ object TextAnalysis {
     *
     * Output: pairs columns + (j, neg) for j in 0..k-1. */
   def negativeSamples(pairs: DataFrame, corpus: DataFrame, k: Int = 2,
-                      power: Double = 0.75, numBuckets: Int = 64,
+                      power: Double = 0.75, numBuckets: Option[Int] = None,
                       salt: String = "neg", textCol: String = "text")
       : DataFrame = {
-    require(k >= 1 && numBuckets >= 1, s"k=$k numBuckets=$numBuckets")
+    require(k >= 1 && numBuckets.forall(_ >= 1),
+      s"k=$k numBuckets=$numBuckets")
     val freq = corpus
       .select(explode(graft.functions.WordShingles
         .allShingles(col(textCol), 1)).as("tok"))
@@ -179,15 +180,21 @@ object TextAnalysis {
       .select(col("tok"), (col("__base") + col("__incum")).as("__lo"),
         (col("__base") + col("__incum") + col("__wq")).as("__hi")))
     val total = intervals.agg(max(col("__hi")).as("__w"))
+    // bucket count ~ vocabulary size (a vocab-sized count job — the
+    // model-scale driver boundary): a FIXED small count would make every
+    // draw's probe scan ~V/nb candidate intervals before the range
+    // filter, exactly the per-draw vocabulary scan the index exists to
+    // avoid; explicit numBuckets remains for tests/tuning
+    val nb = numBuckets.getOrElse(math.max(64L, intervals.count()).toInt)
     // bucketized interval index: equi-join key for the draws
     val index = intervals.crossJoin(broadcast(total))
-      .withColumn("__bw", expr(s"(__w - 1) div $numBuckets + 1"))
+      .withColumn("__bw", expr(s"(__w - 1) div $nb + 1"))
       .select(col("tok"), col("__lo"), col("__hi"),
         explode(sequence(expr("__lo div __bw"),
           expr("(__hi - 1) div __bw"))).as("__b"))
     val draws = pairs
       .crossJoin(broadcast(total))
-      .withColumn("__bw", expr(s"(__w - 1) div $numBuckets + 1"))
+      .withColumn("__bw", expr(s"(__w - 1) div $nb + 1"))
       .select(pairs.columns.map(c => col(s"`$c`")) ++ Seq(
         col("__w"), col("__bw"),
         explode(sequence(lit(0), lit(k - 1))).as("j")): _*)

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * keeps its constituents' markers verbatim (`a`+`##b` → `a##b`) so the
   * concat-only merge kernel applies unchanged; [[display]] maps the
   * internal form to the standard emitted form (`a##b` → `ab`,
-  * `##a##b` → `##ab`) — a bijection, since markers sit exactly at
-  * constituent boundaries.
+  * `##a##b` → `##ab`) — a bijection for any corpus whose words don't
+  * START with the literal `#` (see [[display]]'s precondition; the
+  * degeneracy is the `##` convention's own, shared with BERT).
   *
   * Determinism contract (the oracle-parity discipline): counts are exact
   * longs; the score is ONE correctly-rounded IEEE division of two exact
@@ -49,7 +50,16 @@ object WordPiece {
                          left_cnt: Long, right_cnt: Long)
 
   /** Internal → emitted symbol form: strip constituent-boundary `##`
-    * markers, keeping only a word-initial continuation marker. */
+    * markers, keeping only a word-initial continuation marker.
+    *
+    * PRECONDITION (shared with BERT's own vocabulary format): corpus
+    * words must not START with the literal character `#` — a
+    * word-initial symbol over such a word ("#a" → internal "###a")
+    * starts with the marker and is indistinguishable from a
+    * continuation form, so it would serve from the continuation trie
+    * only. This is the `##`-prefix convention's inherent degeneracy,
+    * not an implementation artifact; a corpus with #-initial words
+    * should strip or escape them upstream (spec-characterized). */
   def display(sym: String): String =
     if (sym.startsWith("##")) "##" + sym.drop(2).replace("##", "")
     else sym.replace("##", "")
@@ -87,10 +97,15 @@ object WordPiece {
               "array<struct<l:string,r:string>>"))).as("__p"))
         .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
         .agg(sum(col("cnt")).as("w"))
-      // symbol counts — vocabulary-scale, broadcast to the pair frame
+      // symbol counts — vocabulary-scale, broadcast to the pair frame.
+      // Materialized once per round: the cl and cr joins below would
+      // otherwise each re-run this aggregation over the word table
+      // (structurally-distinct broadcast subtrees defeat exchange reuse
+      // — the documented gotcha), doubling per-round work
       val syms = st
         .select(col("cnt"), explode(col("pieces")).as("sym"))
         .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
+        .localCheckpoint(true)
       val best = pairs
         .join(broadcast(syms.select(col("sym").as("l"), col("c").as("cl"))),
           Seq("l"))

@@ -1025,9 +1025,14 @@ object TrainingDataQueries extends QueryPack {
       val merges = BpeLearn.learn(docs, numMerges = BpeMergeCount,
         endOfWord = None)
       // alphabet from the (vocabulary-sized) word table — the same
-      // driver boundary the learn loop already has
+      // driver boundary the learn loop already has. CODE POINTS, not
+      // UTF-16 code units: a supplementary character must enter the
+      // trie as its real 4-byte sequence, matching the oracle's
+      // code-point alphabet (lone surrogates encode as replacement
+      // bytes and could never match)
       val alpha = BpeLearn.wordFrequencies(docs).select(col("word"))
-        .collect().flatMap(_.getString(0).map(_.toString)).distinct
+        .collect().flatMap(_.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))).distinct
       val pieces = (alpha ++ merges.map(_.merged)).distinct.sorted.toSeq
       val idMap = map(pieces.zipWithIndex.flatMap { case (v, i) =>
         Seq(lit(v), lit(i.toLong)) }: _*)
@@ -2682,7 +2687,7 @@ object TrainingDataQueries extends QueryPack {
     // same intersect-range explode via generate_series, ordered string_agg
     "concat_slice" ->
       s"""WITH $toksCte,
-         |d AS (SELECT doc_id, t || ['<eod>'] AS tk FROM toks),
+         |d AS (SELECT doc_id, coalesce(t, []) || ['<eod>'] AS tk FROM toks),
          |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
          |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':slice'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
          |      FROM d),

@@ -1689,6 +1689,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(1L) === ((false, "")))
   }
 
+  test("concat-slice: NULL text chunks like empty text") {
+    val d = Seq((0L, "a b"), (1L, null), (2L, "c"))
+      .toDF("doc_id", "text")
+    val got = Packing.concatSlice(d, seqLen = 3, numBuckets = 1)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getString(4))).toMap
+    // stream = a b <eod> | <eod> | c <eod>  (6 tokens, L=3)
+    assert(got(0L) === ((3L, "a b <eod>")))
+    assert(got(1L) === ((3L, "<eod> c <eod>")))
+  }
+
+  test("wordpiece display degeneracy on #-initial words is characterized") {
+    // a word STARTING with the literal '#' produces an initial symbol
+    // whose internal form starts with the marker — display classifies it
+    // as a continuation form (the ## convention's inherent degeneracy,
+    // documented precondition)
+    val got = WordPiece.learn(docs(0L -> "#a #a"), numMerges = 1)
+    assert(got.map(m => (m.left, m.right)) === Seq(("#", "##a")))
+    // internal "###a" keeps a leading marker → display keeps it too
+    assert(got.head.merged === "###a")
+  }
+
   test("concat-slice: exact sequence cuts straddling document boundaries") {
     // one bucket → one stream: docs ordered by id, each + <eod>
     // stream = a b c <eod> d e f g <eod> h <eod>  (11 tokens, L=5)
