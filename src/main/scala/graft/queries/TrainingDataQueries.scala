@@ -2011,6 +2011,70 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
       Dedup.releaseIntermediateCaches()
       out
+    }),
+
+    // SFT example construction (L91): deterministic (prompt, response)
+    // split rendered through the chat template with the LOSS-MASK span —
+    // [mask_start, mask_end) covers the assistant response + end tag, so
+    // only the response trains. Pure projection, zero shuffle.
+    "sft_format" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      SftPrep.formatExamples(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // No-straddle greedy packing (L92): first-fit whole-document bins in
+    // md5-draw order — the SFT packing contract (an example never splits
+    // across sequences). maxLocalExamples = 0 FORCES the distributed
+    // POINTER-DOUBLING route (log₂ m rounds of bucket-keyed joins, no
+    // driver loop) so the oracle's sequential recursive walk gates the
+    // scale path; the size-gated driver walk is the production default
+    // at this size and is gated by the composed sft_pipeline below.
+    "pack_greedy" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val lens = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("long").as("len"))
+      SftPrep.packGreedy(lens, "len", seqLen = 64, keyCol = "doc_id",
+        numBuckets = 4, maxLocalExamples = 0)
+        .localCheckpoint(true).orderBy(col("bucket"), col("pack_idx"))
+    }),
+
+    // Preference-pair mining (L93): per source stratum, rank-i best by
+    // quality score pairs with rank-i worst (margin-gated) — the
+    // DPO/RLHF data shape. Spark runs the TWO-PHASE k-bounded funnel
+    // (subPartitions = 4); the oracle is the single-window formulation,
+    // so parity doubles as funnel-exactness evidence.
+    "preference_pairs" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+      val score = TextAnalysis
+        .qualityColumnsFromTokens(col("text"), col("__toks"))
+        .toMap.apply("quality_score")
+      SftPrep.preferencePairs(
+        docs.select(col("doc_id"), col("source"), score.as("score")),
+        strataCol = "source", scoreCol = "score", idCol = "doc_id",
+        k = 20, minMargin = 0.3, subPartitions = 4)
+        .localCheckpoint(true).orderBy(col("stratum"), col("pair_rank"))
+    }),
+
+    // ——— THE COMPOSED SFT PIPELINE (L94): quality gate → example
+    // construction with loss masks → no-straddle packing, each stage the
+    // REAL operator; one oracle replays the chain, so the composition
+    // can never drift from the stages it claims to run.
+    "sft_pipeline" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val docs = Tables.documents(s, dir)
+      val keep = TextAnalysis.gopherRules(docs)
+        .filter(col("gopher_keep")).select(col("doc_id"))
+      val ex = SftPrep.formatExamples(docs.join(keep, Seq("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("mask_start"),
+          col("mask_end"))
+      SftPrep.packGreedy(ex, "n_tokens", seqLen = 96, keyCol = "doc_id",
+        numBuckets = 4)
+        .localCheckpoint(true).orderBy(col("bucket"), col("pack_idx"))
     })
   )
 
@@ -2298,7 +2362,9 @@ object TrainingDataQueries extends QueryPack {
 
   override def oracles: Map[String, String] =
     coreOracles + ("quality_signals" -> qualitySignalsOracle) +
-      ("negative_samples" -> negativeSamplesOracle)
+      ("negative_samples" -> negativeSamplesOracle) +
+      ("preference_pairs" -> preferencePairsOracle) +
+      ("sft_pipeline" -> sftPipelineOracle)
 
   /** Composed oracle for `negative_samples`: the skip-gram oracle embeds
     * as a subquery (own WITH scope); intervals come from the
@@ -2330,6 +2396,97 @@ object TrainingDataQueries extends QueryPack {
        |FROM draws d JOIN iv ON d.pos >= iv.lo AND d.pos < iv.hi
        |ORDER BY d.center, d.context, d.dist, d.j""".stripMargin
   }
+
+  /** The greedy no-straddle pack replay as reusable CTE chain — expects a
+    * `plens(doc_id, len)` CTE upstream and a `WITH RECURSIVE` header. The
+    * hop f(c) = max(c+1, #{j : S_j <= S_c + L}) is precomputed
+    * NON-recursively (join-aggregate — the correlated-subquery landmine
+    * documented on the wordpiece oracle), and the recursion only follows
+    * the pointers: cuts are the orbit of 0 under f, exactly the Spark
+    * side's pointer-doubling result walked sequentially — parity proves
+    * the doubling exact. */
+  private def packOracleCtes(seqLen: Int, numBuckets: Int): String =
+    s"""pb AS MATERIALIZED (SELECT doc_id, len,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8) AS draw
+       |  FROM plens),
+       |pbb AS MATERIALIZED (SELECT doc_id, len, draw,
+       |    CAST(CAST('0x' || draw AS BIGINT) % $numBuckets AS INT) AS bucket
+       |  FROM pb),
+       |ppos AS MATERIALIZED (SELECT bucket, doc_id, len,
+       |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY draw, doc_id)
+       |      AS BIGINT) AS idx,
+       |    CAST(sum(len) OVER (PARTITION BY bucket ORDER BY draw, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS S
+       |  FROM pbb),
+       |pm AS MATERIALIZED (SELECT bucket, max(idx) AS m FROM ppos GROUP BY 1),
+       |pq AS MATERIALIZED (SELECT bucket, idx - 1 AS c, S - len + $seqLen AS qv
+       |  FROM ppos),
+       |pcnt AS MATERIALIZED (SELECT q.bucket, q.c, count(*) AS cnt
+       |  FROM pq q JOIN ppos p ON p.bucket = q.bucket AND p.S <= q.qv
+       |  GROUP BY 1, 2),
+       |phop AS MATERIALIZED (SELECT q.bucket, q.c,
+       |    least(m.m, greatest(coalesce(cc.cnt, 0), q.c + 1)) AS f
+       |  FROM pq q JOIN pm m USING (bucket)
+       |  LEFT JOIN pcnt cc ON cc.bucket = q.bucket AND cc.c = q.c),
+       |pcuts AS (SELECT bucket, CAST(0 AS BIGINT) AS c FROM pm
+       |  UNION ALL
+       |  SELECT h.bucket, h.f FROM pcuts r
+       |  JOIN phop h ON h.bucket = r.bucket AND h.c = r.c
+       |  JOIN pm m ON m.bucket = r.bucket
+       |  WHERE h.f < m.m),
+       |pasn AS (SELECT p.bucket, p.idx, count(*) - 1 AS bin_id,
+       |    p.idx - max(c.c) - 1 AS pos_in_bin
+       |  FROM ppos p JOIN pcuts c ON c.bucket = p.bucket AND c.c < p.idx
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Composed oracle for `sft_pipeline`: Gopher keep → SFT example
+    * construction (the sft_format expressions) → no-straddle pack replay.
+    * The embedded quality_gopher oracle keeps its own WITH scope. */
+  private def sftPipelineOracle: String =
+    s"""WITH RECURSIVE $toksCte,
+       |kept AS MATERIALIZED (SELECT doc_id
+       |  FROM (${coreOracles("quality_gopher")}) WHERE gopher_keep),
+       |fe AS MATERIALIZED (SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n,
+       |    CAST((len(t.t) + 2) // 3 AS BIGINT) AS p
+       |  FROM toks t JOIN kept k USING (doc_id) WHERE len(t.t) >= 2),
+       |plens AS MATERIALIZED (SELECT doc_id, n + 3 AS len FROM fe),
+       |${packOracleCtes(96, 4)}
+       |SELECT f.doc_id, f.n + 3 AS n_tokens, f.p + 2 AS mask_start,
+       |  f.n + 3 AS mask_end, p.bucket, p.idx AS pack_idx, a.bin_id,
+       |  a.pos_in_bin, p.len > 96 AS overlong
+       |FROM ppos p JOIN pasn a ON a.bucket = p.bucket AND a.idx = p.idx
+       |JOIN fe f ON f.doc_id = p.doc_id
+       |ORDER BY p.bucket, pack_idx""".stripMargin
+
+  /** Oracle for `preference_pairs`: the SINGLE-window per-stratum ranks
+    * (the Spark side funnels through sub-partitions, so parity doubles
+    * as funnel-exactness evidence); the embedded text_quality oracle
+    * supplies the identical composite score. */
+  private def preferencePairsOracle: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT d.source AS stratum, q.quality_score AS score, d.doc_id
+       |  FROM (${coreOracles("text_quality")}) q
+       |  JOIN documents d USING (doc_id)),
+       |m AS MATERIALIZED (SELECT stratum, count(*) AS m FROM base GROUP BY 1),
+       |top AS (SELECT stratum, row_number() OVER (PARTITION BY stratum
+       |    ORDER BY score DESC, doc_id) AS pair_rank,
+       |    doc_id AS chosen_id, score AS chosen_score FROM base),
+       |bot AS (SELECT stratum, row_number() OVER (PARTITION BY stratum
+       |    ORDER BY score ASC, doc_id) AS pair_rank,
+       |    doc_id AS rejected_id, score AS rejected_score FROM base)
+       |SELECT t.stratum, CAST(t.pair_rank AS BIGINT) AS pair_rank,
+       |  t.chosen_id, b.rejected_id,
+       |  CAST(t.chosen_score AS DOUBLE) AS chosen_score,
+       |  CAST(b.rejected_score AS DOUBLE) AS rejected_score,
+       |  CAST(t.chosen_score AS DOUBLE) - CAST(b.rejected_score AS DOUBLE)
+       |    AS margin
+       |FROM top t JOIN bot b ON t.stratum = b.stratum
+       |  AND t.pair_rank = b.pair_rank
+       |JOIN m ON m.stratum = t.stratum
+       |WHERE t.pair_rank <= least(20, m.m // 2)
+       |  AND CAST(t.chosen_score AS DOUBLE) - CAST(b.rejected_score AS DOUBLE)
+       |    >= 0.3
+       |ORDER BY t.stratum, t.pair_rank""".stripMargin
 
   /** Composed oracle for `quality_signals`: the six per-signal oracles
     * embedded verbatim as subqueries joined on doc_id — each keeps its
@@ -3760,6 +3917,35 @@ object TrainingDataQueries extends QueryPack {
         |  CASE WHEN h < 'e6666666' THEN 'train'
         |       WHEN h < 'f3333333' THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // exact integer math both sides: p = ceil(n/3) = (n+2) div 3;
+    // 1 <= p <= n-1 for every kept doc (n >= 2)
+    "sft_format" ->
+      s"""WITH $toksCte,
+         |e AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |        CAST((len(t) + 2) // 3 AS BIGINT) AS p
+         |      FROM toks WHERE len(t) >= 2)
+         |SELECT doc_id,
+         |  '<|user|> ' || array_to_string(t[1:CAST(p AS INT)], ' ') ||
+         |  ' <|assistant|> ' ||
+         |  array_to_string(t[CAST(p + 1 AS INT):CAST(n AS INT)], ' ') ||
+         |  ' <|eot|>' AS sft_text,
+         |  n + 3 AS n_tokens, p AS n_prompt_tokens,
+         |  n - p AS n_response_tokens, p + 2 AS mask_start,
+         |  n + 3 AS mask_end
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the sequential recursive walk of the greedy recurrence — the Spark
+    // side computes the same orbit by pointer doubling
+    "pack_greedy" ->
+      s"""WITH RECURSIVE $toksCte,
+         |plens AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS BIGINT) AS len
+         |  FROM toks),
+         |${packOracleCtes(64, 4)}
+         |SELECT p.doc_id, p.len, p.bucket, p.idx AS pack_idx, a.bin_id,
+         |  a.pos_in_bin, p.len > 64 AS overlong
+         |FROM ppos p JOIN pasn a ON a.bucket = p.bucket AND a.idx = p.idx
+         |ORDER BY p.bucket, pack_idx""".stripMargin
   )
 }

@@ -208,4 +208,27 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("dedup_components_stars",
       roundMultiplicityVaries = true)
   }
+
+  // the L91-L94 SFT tier: the template render is a pure projection, the
+  // preference funnel is two windows + a rank join, and the composed
+  // pipeline runs the size-gated local boundary walk (fixed execution
+  // sequence at any SF)
+  test("sft_format plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sft_format")
+  }
+
+  test("preference_pairs plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("preference_pairs")
+  }
+
+  test("sft_pipeline plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sft_pipeline")
+  }
+
+  test("pack_greedy round vocabulary is identical at sf0.001 and sf0.1") {
+    // the gate forces the pointer-doubling route; the orbit needs
+    // ceil(log2(m+1)) rounds, so the execution COUNT is data-sized while
+    // every round's shape must be scale-invariant
+    assertScaleInvariant("pack_greedy", roundMultiplicityVaries = true)
+  }
 }

@@ -1467,4 +1467,39 @@ class StreamingSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("sft example construction streams unchanged (pure projection twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.SftPrep
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // formatExamples is a stateless codegen'd projection + filter, so the
+    // BATCH OPERATOR ITSELF runs on an unbounded stream in append mode —
+    // no twin needed (the L91 contract). Packing is the batch half of the
+    // pair (a global greedy order cannot stream); the split mirrors the
+    // reference's fit-batch/apply-stream discipline.
+    val input = MemoryStream[(Long, String)]
+    val q = SftPrep.formatExamples(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sft_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, "x"), (3L, "p q r"))
+      q.processAllAvailable()
+      input.addData((4L, "m n"))
+      q.processAllAvailable()
+      val streamed = spark.table("sft_stream")
+        .select(col("doc_id"), col("sft_text"), col("mask_start"),
+          col("mask_end"))
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      val batch = SftPrep.formatExamples(Seq(
+          (1L, "a b c d e"), (2L, "x"), (3L, "p q r"), (4L, "m n"))
+          .toDF("doc_id", "text"))
+        .select(col("doc_id"), col("sft_text"), col("mask_start"),
+          col("mask_end"))
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      // drained stream == batch composition row-for-row (doc 2 dropped
+      // by the n >= 2 gate on both sides)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(!streamed.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
