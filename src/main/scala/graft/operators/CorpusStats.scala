@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group corpus reporting — the summary a training-data pipeline prints
@@ -84,4 +85,68 @@ object CorpusStats {
       .drop("__lo", "__hi")
       .select(docs.columns.map(col).toSeq: _*)
   }
+
+  /** EXACT per-group quantiles with NO per-group value buffer — the third
+    * tier beside [[stats]] (exact, per-group buffer) and [[approxStats]]
+    * (t-digest sketch): for DISCRETE-valued columns (token counts, line
+    * counts, byte lengths) the per-(group, value) HISTOGRAM is
+    * cardinality-bounded however large the corpus grows, so exact
+    * quantiles cost one map-side-combinable aggregation plus a window
+    * over the histogram — bounded memory AND zero rank error, where the
+    * buffer tier risks the aggregation buffer and the sketch tier pays a
+    * documented error. (Continuous doubles would need value bucketing
+    * first; that re-introduces an error bound and the sketch tier is
+    * then the honest choice.)
+    *
+    * Quantile definition (mirrored literally by the oracle): rank
+    * r_p = max(1, ceil(p·n)) (1-based), quantile = smallest value whose
+    * cumulative histogram count reaches r_p — the discrete lower
+    * quantile. The ceil runs on the p·n DOUBLE product in both engines,
+    * so the cut index is engine-exact.
+    *
+    * Output: (group, n, q_<p> per requested p — 0.25 → "q_25"). */
+  def histogramQuantiles(docs: DataFrame, groupCol: String,
+                         valueCol: String,
+                         ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95))
+      : DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must lie in (0, 1], got $ps")
+    val reserved = Seq("__cnt", "__cum", "n")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by histogramQuantiles")
+    val hist = docs.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("n", sum(col("__cnt")).over(wAll))
+    def qName(p: Double): String =
+      "q_" + math.round(p * 100).toString
+    val aggs = max(col("n")).as("n") +: ps.map { p =>
+      val r = greatest(lit(1L),
+        ceil(lit(p) * col("n").cast("double")).cast("long"))
+      min(when(col("__cum") >= r, col(valueCol))).as(qName(p))
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Dataset-card rollup: doc and token counts over every grouping-set
+    * combination of two dimensions (each alone, both, and the grand
+    * total) in ONE pass — Spark's `cube` expands the sets map-side, so
+    * the corpus is read once however many combinations report.
+    * `gid` is `grouping_id(dim1, dim2)` (bit 1 = dim1 grouped out,
+    * bit 0 = dim2 — the same encoding DuckDB's GROUPING() emits), which
+    * disambiguates a genuine NULL dimension value from a rolled-up row.
+    *
+    * Output: (dim1, dim2, gid, n_docs, total_tokens). */
+  def rollupReport(docs: DataFrame, dim1: String, dim2: String,
+                   tokenCountCol: String): DataFrame =
+    docs.cube(col(dim1), col(dim2))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("total_tokens"))
+      .select(col(dim1), col(dim2), col("gid"), col("n_docs"),
+        col("total_tokens"))
 }

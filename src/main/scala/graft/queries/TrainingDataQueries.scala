@@ -2060,6 +2060,32 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("stratum"), col("pair_rank"))
     }),
 
+    // Exact histogram quantiles (L95): per-language token-count
+    // quantiles through the (group, value) histogram — EXACT with NO
+    // per-group value buffer (the third tier beside the exact-buffer and
+    // t-digest stats); cardinality-bounded state at any corpus size.
+    "exact_quantiles" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val lens = Tables.documents(s, dir).select(col("lang"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("long").as("len"))
+      CorpusStats.histogramQuantiles(lens, "lang", "len")
+        .localCheckpoint(true).orderBy(col("lang"))
+    }),
+
+    // Dataset-card rollup (L96): doc/token counts over every grouping
+    // set of (lang, source) in ONE corpus pass; gid disambiguates
+    // rolled-up rows from genuine NULL dimension values.
+    "corpus_rollup" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val lens = Tables.documents(s, dir).select(col("lang"), col("source"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("long").as("len"))
+      CorpusStats.rollupReport(lens, "lang", "source", "len")
+        .localCheckpoint(true)
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
     // ——— THE COMPOSED SFT PIPELINE (L94): quality gate → example
     // construction with loss masks → no-straddle packing, each stage the
     // REAL operator; one oracle replays the chain, so the composition
@@ -3918,6 +3944,41 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'f3333333' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the histogram-cum formulation mirrored literally (rank
+    // r_p = max(1, ceil(p*n)) on the DOUBLE product — engine-exact)
+    "exact_quantiles" -> {
+      val qSel = Seq(0.25, 0.5, 0.75, 0.95).map { p =>
+        val nm = "q_" + math.round(p * 100)
+        s"""CAST(min(CASE WHEN cum >= greatest(1, CAST(ceil($p * CAST(n AS DOUBLE)) AS BIGINT))
+           |  THEN len END) AS BIGINT) AS $nm""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |lv AS (SELECT d.lang, CAST(len(t.t) AS BIGINT) AS len
+         |       FROM toks t JOIN documents d USING (doc_id)),
+         |h AS MATERIALIZED (SELECT lang, len, count(*) AS cnt
+         |  FROM lv GROUP BY 1, 2),
+         |c AS (SELECT lang, len,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY len
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM h)
+         |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+         |$qSel
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // DuckDB GROUPING() emits the same bit encoding as Spark's
+    // grouping_id (first dim = high bit; verified empirically)
+    "corpus_rollup" ->
+      s"""WITH $toksCte,
+         |lv AS (SELECT d.lang, d.source, CAST(len(t.t) AS BIGINT) AS len
+         |       FROM toks t JOIN documents d USING (doc_id))
+         |SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS total_tokens
+         |FROM lv GROUP BY CUBE(lang, source)
+         |ORDER BY gid, lang, source""".stripMargin,
 
     // exact integer math both sides: p = ceil(n/3) = (n+2) div 3;
     // 1 <= p <= n-1 for every kept doc (n >= 2)

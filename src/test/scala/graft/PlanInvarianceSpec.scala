@@ -231,4 +231,14 @@ class PlanInvarianceSpec extends AnyFunSuite {
     // every round's shape must be scale-invariant
     assertScaleInvariant("pack_greedy", roundMultiplicityVaries = true)
   }
+
+  // L95/L96 reporting ops: one narrow aggregation + small-frame window,
+  // and the single-pass cube expansion — fixed execution sequences
+  test("exact_quantiles plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("exact_quantiles")
+  }
+
+  test("corpus_rollup plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("corpus_rollup")
+  }
 }

@@ -317,6 +317,63 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(approx === Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("histogram quantiles equal the sorted-sequence rank reference (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val rowsGen = for {
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.zip(Gen.oneOf("en", "de"),
+        Gen.choose(0L, 12L))) // narrow range -> dense ties
+    } yield vals
+    val prop = forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((l, v), i) => (i.toLong, l, v) }
+        .toDF("id", "lang", "len")
+      val got = CorpusStats.histogramQuantiles(
+          df.select(col("lang"), col("len")), "lang", "len", ps)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), ps.indices.map(i => r.getLong(2 + i))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (l, g) =>
+        val sorted = g.map(_._2).sorted
+        val n = sorted.length.toLong
+        l -> (n, ps.map { p =>
+          val r = math.max(1L, math.ceil(p * n.toDouble).toLong)
+          sorted((r - 1).toInt)
+        })
+      }
+      Prop(got == want) :| s"n=${rows.length}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rollup report covers every grouping set and gid disambiguates real nulls") {
+    val d = Seq(
+      ("en", "web", 10L), ("en", "book", 20L), ("de", "web", 5L),
+      (null.asInstanceOf[String], "web", 1L)) // a GENUINE null dim value
+      .toDF("lang", "source", "len")
+    val out = CorpusStats.rollupReport(d, "lang", "source", "len")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Number]("gid").longValue(), r.getLong(3), r.getLong(4)))
+      .toSet
+    // gid 0 = fully grouped: the genuine-null row keeps gid 0
+    assert(out.contains((None, Some("web"), 0L, 1L, 1L)))
+    // gid 2 = lang rolled up: same (None, web) key but distinct gid
+    assert(out.contains((None, Some("web"), 2L, 3L, 16L)))
+    // grand total
+    assert(out.contains((None, None, 3L, 4L, 36L)))
+    // every one of the 4 grouping sets reports
+    assert(out.map(_._3) === Set(0L, 1L, 2L, 3L))
+    // per-dim rollups are complete
+    assert(out.contains((Some("en"), None, 1L, 2L, 30L)))
+    assert(out.contains((None, Some("book"), 2L, 1L, 20L)))
+  }
+
   test("native token count equals split-based tokens on arbitrary strings (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.forAll
