@@ -192,6 +192,41 @@ object Packing {
       .select((df.columns.map(col) ++ Seq(col("shard"), col("pos_in_shard"))).toSeq: _*)
   }
 
+  /** Reproducibility manifest for a sharded training output: per shard,
+    * member count, token total, the position span, and an ORDER-DEFINED
+    * digest — md5 over the member ids joined in `pos_in_shard` order,
+    * exactly the sequence a data loader replays — so two pipeline runs
+    * (or two engines) can assert byte-identical training order by
+    * comparing one row per shard instead of the shards themselves.
+    *
+    * Scale shape: the ordered digest rides the window-ordered collection
+    * idiom on the shard partitioning (same discipline as
+    * [[concatSlice]]'s per-sequence assembly) — one exchange, shard
+    * membership never leaves its partition. A shard's id list must fit a
+    * collection buffer (shards are sized by numShards — pick it so
+    * corpus/numShards ids ≈ tens of MB, the same bound the shard FILE
+    * itself obeys). */
+  def shardManifest(sharded: DataFrame, idCol: String,
+                    tokenCountCol: String): DataFrame = {
+    val reserved = Seq("n_docs", "total_tokens", "first_pos", "last_pos",
+      "members_md5", "__arr")
+    require(!sharded.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by shardManifest")
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos_in_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("__arr",
+        collect_list(col(idCol).cast("string")).over(w))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("total_tokens"),
+        min(col("pos_in_shard")).as("first_pos"),
+        max(col("pos_in_shard")).as("last_pos"),
+        md5(concat_ws("|", max(col("__arr"))).cast("binary"))
+          .as("members_md5"))
+  }
+
   /** Deterministic PROPORTIONAL-INTERLEAVE training order — the epoch
     * ordering step: every prefix of the global order carries each stratum
     * (language, source, mixture component) in proportion to its size, so

@@ -2086,6 +2086,22 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("gid"), col("lang"), col("source"))
     }),
 
+    // Shard reproducibility manifest (L97): per shard the member count,
+    // token total, position span, and the ORDER-DEFINED md5 digest over
+    // ids in pos_in_shard order — the one-row-per-shard artifact two
+    // runs compare to assert byte-identical training order.
+    "shard_manifest" -> ((s, dir) => {
+      import graft.operators.Packing
+      val lens = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("long").as("len"))
+      Packing.shardManifest(
+        Packing.shardAssign(lens, numShards = 4, keyCol = "doc_id",
+          salt = "mani"),
+        idCol = "doc_id", tokenCountCol = "len")
+        .localCheckpoint(true).orderBy(col("shard"))
+    }),
+
     // ——— THE COMPOSED SFT PIPELINE (L94): quality gate → example
     // construction with loss masks → no-straddle packing, each stage the
     // REAL operator; one oracle replays the chain, so the composition
@@ -3967,6 +3983,25 @@ object TrainingDataQueries extends QueryPack {
          |$qSel
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // the shardAssign single-window replay + ORDER BY pos_in_shard
+    // string_agg digest (ids join in replay order, never sorted as text)
+    "shard_manifest" ->
+      s"""WITH $toksCte,
+         |lv AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+         |shd AS MATERIALIZED (SELECT doc_id, len,
+         |    CAST(pos % 4 AS INT) AS shard, pos // 4 AS pos_in_shard
+         |  FROM (SELECT doc_id, len,
+         |          row_number() OVER (ORDER BY
+         |            substring(md5(CAST(doc_id AS VARCHAR) || ':mani'), 1, 8),
+         |            doc_id) - 1 AS pos
+         |        FROM lv))
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS total_tokens,
+         |  min(pos_in_shard) AS first_pos, max(pos_in_shard) AS last_pos,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+         |    ORDER BY pos_in_shard)) AS members_md5
+         |FROM shd GROUP BY shard ORDER BY shard""".stripMargin,
 
     // DuckDB GROUPING() emits the same bit encoding as Spark's
     // grouping_id (first dim = high bit; verified empirically)

@@ -65,6 +65,29 @@ object NewOpAudit {
     println("=== fill-in-middle ===")
     println(fim.queryExecution.executedPlan.toString.linesIterator
       .map(_.take(110)).take(12).mkString("\n"))
+    // SFT tier (L91-L96): the format is a pure projection (no exchange);
+    // the packer's hop pass is one per-bucket window over the event
+    // union; quantiles are one narrow agg + small-frame window; the
+    // rollup is a single Expand + aggregate
+    val sft = graft.operators.SftPrep.formatExamples(docs)
+    println("=== sft format ===")
+    println(sft.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(10).mkString("\n"))
+    val lens = docs.select(col("doc_id"),
+      size(graft.functions.WordShingles.allShingles(col("text"), 1))
+        .cast("long").as("len"))
+    val eq = graft.operators.CorpusStats.histogramQuantiles(
+      lens.select(col("doc_id").cast("string").as("lang"), col("len"))
+        .withColumnRenamed("lang", "g"), "g", "len")
+    println("=== histogram quantiles ===")
+    println(eq.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(16).mkString("\n"))
+    val ru = graft.operators.CorpusStats.rollupReport(
+      docs.select(col("lang"), col("source"), col("n_chars").as("len")),
+      "lang", "source", "len")
+    println("=== rollup report ===")
+    println(ru.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(110)).take(12).mkString("\n"))
     spark.stop()
   }
 }

@@ -3179,6 +3179,41 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(a !== c)   // the salt re-shuffles
   }
 
+  test("shard manifest digests the replay order and detects any membership change") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val d = (1 to 97).map(i => (i.toLong, (i % 11).toLong))
+      .toDF("doc_id", "len")
+    val sharded = Packing.shardAssign(d, numShards = 3, keyCol = "doc_id",
+      salt = "mani")
+    val manifest = Packing.shardManifest(sharded, "doc_id", "len")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    // reference: md5 over ids joined in pos_in_shard order
+    val byShard = sharded.select("shard", "pos_in_shard", "doc_id", "len")
+      .as[(Int, Long, Long, Long)].collect().groupBy(_._1)
+    val want = byShard.map { case (s, rs) =>
+      val ordered = rs.sortBy(_._2)
+      s -> ((rs.length.toLong, rs.map(_._4).sum, 0L,
+        rs.length.toLong - 1,
+        DigestUtils.md5Hex(ordered.map(_._3).mkString("|"))))
+    }
+    assert(manifest === want)
+    // layout independence
+    val again = Packing.shardManifest(
+        Packing.shardAssign(d.repartition(9), 3, "doc_id", salt = "mani"),
+        "doc_id", "len")
+      .collect().map(r => r.getInt(0) -> r.getString(5)).toMap
+    assert(again === manifest.map { case (s, v) => s -> v._5 })
+    // dropping ONE document flips its shard's digest and no other count
+    val dropped = Packing.shardManifest(
+        Packing.shardAssign(d.filter(col("doc_id") =!= 42L), 3, "doc_id",
+          salt = "mani"),
+        "doc_id", "len")
+      .collect().map(r => r.getInt(0) -> r.getString(5)).toMap
+    assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
+  }
+
   test("scalar quantization: code range, endpoints, reconstruction bound") {
     val vecs = Seq(
       (1L, Array(0.0f, -2.0f, 7.0f)),
