@@ -60,6 +60,51 @@ object TrainingDataQueries extends QueryPack {
     * Spark learner and the generated DuckDB oracle below. */
   private[queries] val BpeMergeCount = 8
 
+  /** Power-iteration round count for the `host_pagerank` gate — ONE
+    * constant feeds the Spark operator call and the unrolled DuckDB
+    * oracle rounds. */
+  private[queries] val PrIterations = 5
+
+  /** Generated DuckDB oracle for [[graft.operators.LinkGraph.pageRank]]:
+    * the same deterministic host graph the gate synthesizes (hash-drawn
+    * destination host per document, last host's out-edges dropped so a
+    * dangling node exists), then [[PrIterations]] unrolled rounds of the
+    * exact fixed-point update — every division an integer floor, so the
+    * trajectory matches Spark bit for bit. */
+  private def pageRankOracle: String = {
+    val scale = graft.operators.LinkGraph.Scale
+    val rounds = (1 to PrIterations).map { i =>
+      val p = if (i == 1) "r0" else s"r${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(r.r), 0) AS dang
+         |  FROM $p r LEFT JOIN deg g ON g.node = r.node WHERE g.dg IS NULL),
+         |c$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.r // g.dg) AS inc
+         |  FROM edges e JOIN $p r ON r.node = e.src
+         |  JOIN deg g ON g.node = e.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT n.node,
+         |    ((100 - 85) * ($scale // nn.n)) // 100
+         |    + (85 * (COALESCE(c.inc, 0) + (d.dang // nn.n))) // 100 AS r
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
+         |  LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (SELECT source,
+       |    row_number() OVER (ORDER BY source) - 1 AS i
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |ns AS MATERIALIZED (SELECT count(*) AS c, max(source) AS last FROM srcs),
+       |edges AS MATERIALIZED (SELECT DISTINCT d.source AS src, s.source AS dst
+       |  FROM documents d CROSS JOIN ns
+       |  JOIN srcs s ON s.i = (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':pr'), 1, 8) AS BIGINT) % ns.c)
+       |  WHERE d.source <> ns.last AND d.source <> s.source),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, $scale // nn.n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, r AS rank_int,
+       |  CAST(r AS DOUBLE) / 1000000000000.0 AS "rank"
+       |FROM r$PrIterations ORDER BY node""".stripMargin
+  }
+
   /** Batch size for the `bpe_merges_batched` gate (the production path's
     * contract: per round, greedily accept up to batchSize symbol-disjoint
     * candidates from the top weight-ranked pairs, apply them in ONE
@@ -2102,6 +2147,35 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("shard"))
     }),
 
+    // Host-graph PageRank quality signal (L98): a deterministic
+    // pseudo-link graph over the source hosts (each document links its
+    // host to a hash-drawn host; the lexicographically-last host's
+    // out-edges are dropped so the gate exercises the dangling-mass
+    // redistribution), then PrIterations exact fixed-point power
+    // iterations. The graph is HOST-sized — the corpus-scale work is the
+    // one edge-extraction projection.
+    "host_pagerank" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val docs = Tables.documents(s, dir)
+      val srcs = docs.select(col("source")).distinct()
+      // host-sized frame (dozens of rows): single-partition window is fine
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val srcIdx = srcs.select(col("source").as("__dsts"),
+        (row_number().over(w) - 1).cast("long").as("__i"))
+      val bounds = srcs.agg(count(lit(1)).as("__ns"),
+        max(col("source")).as("__last"))
+      val e = docs.select(col("doc_id"), col("source").as("src"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("src") =!= col("__last"))
+        .withColumn("__i", pmod(graft.functions.Md5Prefix.prefix(
+          concat(col("doc_id").cast("string"), lit(":pr")), 8), col("__ns")))
+        .join(broadcast(srcIdx), Seq("__i"))
+        .filter(col("src") =!= col("__dsts"))
+        .select(col("src"), col("__dsts").as("dst"))
+      LinkGraph.pageRank(e, iterations = PrIterations)
+        .localCheckpoint(true).orderBy(col("node"))
+    }),
+
     // ——— THE COMPOSED SFT PIPELINE (L94): quality gate → example
     // construction with loss masks → no-straddle packing, each stage the
     // REAL operator; one oracle replays the chain, so the composition
@@ -4002,6 +4076,9 @@ object TrainingDataQueries extends QueryPack {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), '|'
          |    ORDER BY pos_in_shard)) AS members_md5
          |FROM shd GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the same deterministic host graph + unrolled fixed-point rounds
+    "host_pagerank" -> pageRankOracle,
 
     // DuckDB GROUPING() emits the same bit encoding as Spark's
     // grouping_id (first dim = high bit; verified empirically)

@@ -3214,6 +3214,86 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— LinkGraph.pageRank ———
+
+  /** Plain-Scala reference with the operator's exact integer fixed-point
+    * semantics (every division a floor of non-negative longs). */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+                          dampNum: Long = 85L,
+                          dampDen: Long = 100L): Map[String, Long] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val out = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+    val scale = LinkGraph.Scale
+    val base = (dampDen - dampNum) * (scale / n) / dampDen
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val in = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(v => v ->
+        (base + dampNum * (in.getOrElse(v, 0L) + dang / n) / dampDen)).toMap
+    }
+    r
+  }
+
+  private def runPageRank(edges: Seq[(String, String)], iters: Int) = {
+    val out = LinkGraph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.map(t => t._1 -> t._2).toMap -> out
+  }
+
+  test("pagerank matches the integer reference on a graph with a dangling sink and a self-loop") {
+    // x has no out-edges (dangling — its mass redistributes uniformly);
+    // d carries a self-loop (an ordinary edge by contract)
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "a" -> "x", "c" -> "d", "d" -> "d")
+    val (got, rows) = runPageRank(edges, 5)
+    assert(got === refPageRank(edges, 5))
+    // fixed-point floors only ever DROP mass: total stays in (0.99, 1]·Scale
+    val total = got.values.sum
+    assert(total <= LinkGraph.Scale && total > LinkGraph.Scale * 99 / 100)
+    // the double column is exactly rank_int / 1e12
+    rows.foreach { case (_, ri, rd) => assert(rd === ri.toDouble / 1e12) }
+  }
+
+  test("pagerank matches the reference on random graphs") {
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until 30).map(i => s"h$i")
+      val edges = Seq.fill(100)(
+        nodes(rnd.nextInt(30)) -> nodes(rnd.nextInt(30)))
+      val (got, _) = runPageRank(edges, 4)
+      assert(got === refPageRank(edges, 4), s"seed $seed")
+    }
+  }
+
+  test("pagerank deduplicates edges and is layout-independent") {
+    val edges = Seq("a" -> "b", "a" -> "b", "b" -> "c", "c" -> "a")
+    val want = refPageRank(edges, 3)
+    val (got, _) = runPageRank(edges ++ edges, 3)
+    assert(got === want)
+    val scattered = LinkGraph.pageRank(
+        edges.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scattered === want)
+  }
+
+  test("pagerank rejects empty graphs and invalid damping") {
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq.empty[(String, String)].toDF("src", "dst"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq("a" -> "b").toDF("src", "dst"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(Seq("a" -> "b").toDF("src", "dst"), 3,
+        dampNum = 101L, dampDen = 100L)
+    }
+  }
+
   test("scalar quantization: code range, endpoints, reconstruction bound") {
     val vecs = Seq(
       (1L, Array(0.0f, -2.0f, 7.0f)),
