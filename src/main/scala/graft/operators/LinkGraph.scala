@@ -98,4 +98,63 @@ object LinkGraph {
     r.select(col("node"), col("rank_int"),
       (col("rank_int").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
+
+  /** Seeded label propagation over an UNDIRECTED view of the edge list —
+    * spread a small curated labeling (a quality whitelist, a topic
+    * taxonomy over hosts) to the whole graph.
+    *
+    * Semantics (deterministic, mirrored by the DuckDB oracle):
+    *  - the edge list is symmetrized and de-duplicated; only nodes
+    *    appearing in it are emitted (seeds outside the graph are ignored,
+    *    the [[Dedup.connectedComponents]] contract); a node seeded with
+    *    several labels keeps the lexicographically smallest;
+    *  - synchronous rounds: every node's candidate label is the MAJORITY
+    *    label among its currently-labeled neighbors, ties to the
+    *    lexicographically smallest label;
+    *  - per round, label(v) = coalesce(seed(v), majority(v), previous(v))
+    *    — seeds are clamped, and a node with no labeled neighbor keeps
+    *    what it had (possibly null).
+    *
+    * Scale shape: one vote aggregation keyed (node, label) per round plus
+    * a node-partitioned window for the argmax — both partition on the
+    * node id; label frames are node-sized and eagerly checkpointed per
+    * round (each is referenced by the next round's votes AND its
+    * keep-previous leg). Output: (node, label nullable, is_seed). */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                     srcCol: String = "src", dstCol: String = "dst",
+                     nodeCol: String = "node",
+                     labelCol: String = "label"): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations: need >= 1")
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = raw.unionByName(
+        raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = e0.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.groupBy(col(nodeCol).as("node"))
+      .agg(min(col(labelCol)).as("__seed")).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("__c").desc, col("__nl").asc)
+    var l = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val pick = e0
+        .join(l.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label").as("__nl")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__nl").as("__win"))
+      l = nodes
+        .join(sd, Seq("node"), "left")
+        .join(pick, Seq("node"), "left")
+        .join(l.select(col("node"), col("label").as("__prev")), Seq("node"))
+        .select(col("node"),
+          coalesce(col("__seed"), col("__win"), col("__prev")).as("label"))
+        .localCheckpoint(true)
+    }
+    l.join(sd, Seq("node"), "left")
+      .select(col("node"), col("label"), col("__seed").isNotNull.as("is_seed"))
+  }
 }

@@ -65,6 +65,93 @@ object TrainingDataQueries extends QueryPack {
     * oracle rounds. */
   private[queries] val PrIterations = 5
 
+  /** Propagation round count for the `host_label_prop` gate. */
+  private[queries] val LpIterations = 3
+
+  /** Deterministic pseudo-link HOST graph shared by the link-graph gates
+    * (`host_pagerank`, `host_label_prop`): each document links its host to
+    * a hash-drawn host, the lexicographically-last host's out-edges are
+    * dropped (so a dangling node exists), self-links are dropped. The
+    * graph is HOST-sized; the corpus-scale work is this one projection. */
+  private def hostEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcs = docs.select(col("source")).distinct()
+    // host-sized frame (dozens of rows): single-partition window is fine
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    val srcIdx = srcs.select(col("source").as("__dsts"),
+      (row_number().over(w) - 1).cast("long").as("__i"))
+    val bounds = srcs.agg(count(lit(1)).as("__ns"),
+      max(col("source")).as("__last"))
+    docs.select(col("doc_id"), col("source").as("src"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("src") =!= col("__last"))
+      .withColumn("__i", pmod(graft.functions.Md5Prefix.prefix(
+        concat(col("doc_id").cast("string"), lit(":pr")), 8), col("__ns")))
+      .join(broadcast(srcIdx), Seq("__i"))
+      .filter(col("src") =!= col("__dsts"))
+      .select(col("src"), col("__dsts").as("dst"))
+  }
+
+  /** Seed labels for `host_label_prop`: the four lexicographically-first
+    * hosts, alternating between two labels. */
+  private def hostSeeds(s: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(s, dir).select(col("source")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    srcs.select(col("source").as("node"),
+        (row_number().over(w) - 1).cast("long").as("__i"))
+      .filter(col("__i") < 4)
+      .select(col("node"),
+        when(col("__i") % 2 === 0, lit("edu")).otherwise(lit("ref"))
+          .as("label"))
+  }
+
+  /** The DuckDB mirror of [[hostEdges]] — the shared CTE prefix of both
+    * link-graph oracles. */
+  private val hostGraphCte =
+    """srcs AS MATERIALIZED (SELECT source,
+      |    row_number() OVER (ORDER BY source) - 1 AS i
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |ns AS MATERIALIZED (SELECT count(*) AS c, max(source) AS last FROM srcs),
+      |edges AS MATERIALIZED (SELECT DISTINCT d.source AS src, s.source AS dst
+      |  FROM documents d CROSS JOIN ns
+      |  JOIN srcs s ON s.i = (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':pr'), 1, 8) AS BIGINT) % ns.c)
+      |  WHERE d.source <> ns.last AND d.source <> s.source)""".stripMargin
+
+  /** Generated DuckDB oracle for [[graft.operators.LinkGraph.labelPropagate]]:
+    * symmetrized host graph, clamped seeds, [[LpIterations]] unrolled
+    * synchronous majority rounds (ties to the smallest label; a node with
+    * no labeled neighbor keeps its previous label). */
+  private def labelPropOracle: String = {
+    val rounds = (1 to LpIterations).map { i =>
+      val p = if (i == 1) "l0" else s"l${i - 1}"
+      s"""v$i AS MATERIALIZED (SELECT e.dst AS node, l.label AS nl, count(*) AS c
+         |  FROM eu e JOIN $p l ON l.node = e.src
+         |  WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
+         |p$i AS MATERIALIZED (SELECT node, nl FROM
+         |  (SELECT node, nl, row_number() OVER
+         |     (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM v$i)
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT n.node,
+         |    COALESCE(s.label, p.nl, l.label) AS label
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+         |  LEFT JOIN p$i p ON p.node = n.node
+         |  LEFT JOIN $p l ON l.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $hostGraphCte,
+       |eu AS MATERIALIZED (SELECT src, dst FROM edges
+       |  UNION SELECT dst, src FROM edges),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM eu),
+       |seeds AS MATERIALIZED (SELECT source AS node,
+       |    CASE WHEN i % 2 = 0 THEN 'edu' ELSE 'ref' END AS label
+       |  FROM srcs WHERE i < 4),
+       |l0 AS MATERIALIZED (SELECT n.node, s.label
+       |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+       |$rounds
+       |SELECT l.node, l.label, (s.node IS NOT NULL) AS is_seed
+       |FROM l$LpIterations l LEFT JOIN seeds s ON s.node = l.node
+       |ORDER BY l.node""".stripMargin
+  }
+
   /** Generated DuckDB oracle for [[graft.operators.LinkGraph.pageRank]]:
     * the same deterministic host graph the gate synthesizes (hash-drawn
     * destination host per document, last host's out-edges dropped so a
@@ -86,14 +173,7 @@ object TrainingDataQueries extends QueryPack {
          |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
          |  LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH srcs AS MATERIALIZED (SELECT source,
-       |    row_number() OVER (ORDER BY source) - 1 AS i
-       |  FROM (SELECT DISTINCT source FROM documents)),
-       |ns AS MATERIALIZED (SELECT count(*) AS c, max(source) AS last FROM srcs),
-       |edges AS MATERIALIZED (SELECT DISTINCT d.source AS src, s.source AS dst
-       |  FROM documents d CROSS JOIN ns
-       |  JOIN srcs s ON s.i = (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':pr'), 1, 8) AS BIGINT) % ns.c)
-       |  WHERE d.source <> ns.last AND d.source <> s.source),
+    s"""WITH $hostGraphCte,
        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
@@ -2156,23 +2236,18 @@ object TrainingDataQueries extends QueryPack {
     // one edge-extraction projection.
     "host_pagerank" -> ((s, dir) => {
       import graft.operators.LinkGraph
-      val docs = Tables.documents(s, dir)
-      val srcs = docs.select(col("source")).distinct()
-      // host-sized frame (dozens of rows): single-partition window is fine
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
-      val srcIdx = srcs.select(col("source").as("__dsts"),
-        (row_number().over(w) - 1).cast("long").as("__i"))
-      val bounds = srcs.agg(count(lit(1)).as("__ns"),
-        max(col("source")).as("__last"))
-      val e = docs.select(col("doc_id"), col("source").as("src"))
-        .crossJoin(broadcast(bounds))
-        .filter(col("src") =!= col("__last"))
-        .withColumn("__i", pmod(graft.functions.Md5Prefix.prefix(
-          concat(col("doc_id").cast("string"), lit(":pr")), 8), col("__ns")))
-        .join(broadcast(srcIdx), Seq("__i"))
-        .filter(col("src") =!= col("__dsts"))
-        .select(col("src"), col("__dsts").as("dst"))
-      LinkGraph.pageRank(e, iterations = PrIterations)
+      LinkGraph.pageRank(hostEdges(s, dir), iterations = PrIterations)
+        .localCheckpoint(true).orderBy(col("node"))
+    }),
+
+    // Seeded label propagation (L99): a curated 4-host labeling spreads
+    // over the symmetrized host graph in LpIterations synchronous
+    // majority rounds (ties to the smallest label, seeds clamped) — the
+    // whitelist-expansion step of web-scale curation.
+    "host_label_prop" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      LinkGraph.labelPropagate(hostEdges(s, dir), hostSeeds(s, dir),
+          iterations = LpIterations)
         .localCheckpoint(true).orderBy(col("node"))
     }),
 
@@ -4079,6 +4154,9 @@ object TrainingDataQueries extends QueryPack {
 
     // the same deterministic host graph + unrolled fixed-point rounds
     "host_pagerank" -> pageRankOracle,
+
+    // symmetrized host graph + unrolled synchronous majority rounds
+    "host_label_prop" -> labelPropOracle,
 
     // DuckDB GROUPING() emits the same bit encoding as Spark's
     // grouping_id (first dim = high bit; verified empirically)

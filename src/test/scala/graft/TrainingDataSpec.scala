@@ -3294,6 +3294,76 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // ——— LinkGraph.labelPropagate ———
+
+  /** Plain-Scala reference of the synchronous clamped-majority semantics. */
+  private def refLabelProp(edges: Seq[(String, String)],
+                           seeds: Map[String, String],
+                           iters: Int): Map[String, Option[String]] = {
+    val eu = (edges ++ edges.map(_.swap)).distinct
+    val nodes = eu.map(_._1).distinct.sorted
+    val adj = eu.groupBy(_._2).map { case (d, g) => d -> g.map(_._1) }
+    var l: Map[String, Option[String]] =
+      nodes.map(v => v -> seeds.get(v).filter(_ => nodes.contains(v))).toMap
+    for (_ <- 1 to iters) {
+      val next = nodes.map { v =>
+        val votes = adj.getOrElse(v, Nil).flatMap(l(_))
+          .groupBy(identity).map { case (lb, g) => lb -> g.size }
+        val win = if (votes.isEmpty) None
+          else Some(votes.toSeq.minBy { case (lb, c) => (-c, lb) }._1)
+        v -> seeds.get(v).orElse(win).orElse(l(v))
+      }.toMap
+      l = next
+    }
+    l
+  }
+
+  private def runLabelProp(edges: Seq[(String, String)],
+                           seeds: Seq[(String, String)], iters: Int) =
+    LinkGraph.labelPropagate(edges.toDF("src", "dst"),
+        seeds.toDF("node", "label"), iters)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+
+  test("label propagation: clamped seeds, majority with min-label ties, keep-previous") {
+    // path a-b-c-d-e; seeds a='x', e='y'. Round 1 labels b and d; round 2
+    // hits c with a {x, y} TIE -> min label 'x'; seeds never flip even
+    // when outvoted.
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val seeds = Seq("a" -> "x", "e" -> "y")
+    val got = runLabelProp(edges, seeds, 3)
+    val want = refLabelProp(edges, seeds.toMap, 3)
+    assert(got.map { case (n, (l, _)) => n -> l } === want)
+    assert(got("c")._1 === Some("x")) // the tie broke to the smaller label
+    assert(got("a") === ((Some("x"), true)) && got("e") === ((Some("y"), true)))
+    // one round: c has no labeled neighbor yet and stays null
+    val r1 = runLabelProp(edges, seeds, 1)
+    assert(r1("c")._1 === None && r1("b")._1 === Some("x"))
+  }
+
+  test("label propagation matches the reference on random graphs and ignores off-graph seeds") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until 25).map(i => s"h$i")
+      val edges = Seq.fill(60)(
+        nodes(rnd.nextInt(25)) -> nodes(rnd.nextInt(25)))
+      val seeds = Seq("h0" -> "edu", "h1" -> "ref", "h2" -> "edu",
+        "zz-not-in-graph" -> "spam")
+      val got = runLabelProp(edges, seeds, 4)
+      assert(!got.contains("zz-not-in-graph"))
+      assert(got.map { case (n, (l, _)) => n -> l } ===
+        refLabelProp(edges, seeds.toMap, 4))
+    }
+  }
+
+  test("label propagation: multi-label seed keeps the smallest; duplicate edges collapse") {
+    val edges = Seq("a" -> "b", "a" -> "b", "b" -> "a")
+    val got = runLabelProp(edges, Seq("a" -> "zz", "a" -> "aa"), 2)
+    assert(got("a") === ((Some("aa"), true)))
+    assert(got("b")._1 === Some("aa"))
+  }
+
   test("scalar quantization: code range, endpoints, reconstruction bound") {
     val vecs = Seq(
       (1L, Array(0.0f, -2.0f, 7.0f)),
