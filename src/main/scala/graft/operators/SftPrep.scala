@@ -318,25 +318,10 @@ object SftPrep {
     val m = docs.groupBy(col(strataCol).as("stratum"))
       .agg(count(lit(1)).as("__m"))
 
-    def ranked(desc: Boolean): DataFrame = {
-      val ord =
-        if (desc) Seq(col("__score").desc, col("__id").asc)
-        else Seq(col("__score").asc, col("__id").asc)
-      val in = docs.select(col(strataCol).as("stratum"),
-        col(scoreCol).cast("double").as("__score"), col(idCol).as("__id"))
-      val funneled =
-        if (subPartitions == 1) in
-        else {
-          val w1 = Window.partitionBy(col("stratum"),
-              pmod(xxhash64(col("__id")), lit(subPartitions.toLong)))
-            .orderBy(ord: _*)
-          in.withColumn("__r1", row_number().over(w1))
-            .filter(col("__r1") <= k).drop("__r1")
-        }
-      val w = Window.partitionBy(col("stratum")).orderBy(ord: _*)
-      funneled.withColumn("pair_rank", row_number().over(w))
-        .filter(col("pair_rank") <= k)
-    }
+    def ranked(desc: Boolean): DataFrame =
+      funnelTopK(docs.select(col(strataCol).as("stratum"),
+          col(scoreCol).cast("double").as("__score"), col(idCol).as("__id")),
+        desc, k, subPartitions, "pair_rank")
 
     val top = ranked(desc = true)
       .select(col("stratum"), col("pair_rank"),
@@ -353,5 +338,60 @@ object SftPrep {
       .select(col("stratum"), col("pair_rank").cast("long").as("pair_rank"),
         col("chosen_id"), col("rejected_id"), col("chosen_score"),
         col("rejected_score"), col("margin"))
+  }
+
+  /** The shared k-bounded TWO-PHASE funnel: ranks 1..k per `stratum` by
+    * (__score desc|asc, __id asc) without a full per-stratum sort through
+    * one task — phase 1 takes top-k inside each (stratum, id-hash
+    * sub-partition), phase 2 ranks the ≤ k·subPartitions survivors. The
+    * funnel is EXACT (rank r ≤ k survives its sub-partition because at
+    * most r−1 rows precede it there); parity of the consuming gates
+    * against single-window oracles doubles as the exactness evidence.
+    * Input columns: stratum, __score (double), __id. */
+  private def funnelTopK(in: DataFrame, desc: Boolean, k: Int,
+                         subPartitions: Int, rankName: String): DataFrame = {
+    val ord =
+      if (desc) Seq(col("__score").desc, col("__id").asc)
+      else Seq(col("__score").asc, col("__id").asc)
+    val funneled =
+      if (subPartitions == 1) in
+      else {
+        val w1 = Window.partitionBy(col("stratum"),
+            pmod(xxhash64(col("__id")), lit(subPartitions.toLong)))
+          .orderBy(ord: _*)
+        in.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= k).drop("__r1")
+      }
+    val w = Window.partitionBy(col("stratum")).orderBy(ord: _*)
+    funneled.withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= k)
+  }
+
+  /** Rejection sampling / best-of-n selection — the RLHF-style candidate
+    * filter: from a pool of scored responses per prompt (n sampled
+    * generations judged by a reward model), keep the top `k` whose score
+    * clears `minScore`, ranked best-first with ties to the lowest id.
+    * This is the standard best-of-n / RFT (rejection-sampling
+    * fine-tuning) data-prep step; the kept rows feed
+    * [[formatExamples]]-style rendering or [[preferencePairs]] mining.
+    *
+    * Scale shape: the threshold prunes scan-side (predicate on the score
+    * column, before any exchange); ranking rides the shared
+    * [[funnelTopK]] two-phase funnel, so a hot prompt (thousands of
+    * candidates) never funnels through one task. Output: (promptCol,
+    * sample_rank 1..k, idCol, scoreCol) — score re-emitted as double. */
+  def rejectionSample(candidates: DataFrame, promptCol: String,
+                      scoreCol: String, idCol: String, k: Int,
+                      minScore: Double, subPartitions: Int = 1): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(subPartitions >= 1, s"subPartitions=$subPartitions")
+    val in = candidates
+      .select(col(promptCol).as("stratum"),
+        col(scoreCol).cast("double").as("__score"), col(idCol).as("__id"))
+      .filter(col("__score") >= minScore)
+    funnelTopK(in, desc = true, k, subPartitions, "sample_rank")
+      .select(col("stratum").as(promptCol),
+        col("sample_rank").cast("long").as("sample_rank"),
+        col("__id").as(idCol), col("__score").as(scoreCol))
   }
 }

@@ -2185,6 +2185,27 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("stratum"), col("pair_rank"))
     }),
 
+    // Rejection sampling / best-of-n selection (L100): candidates group
+    // by prompt (doc_id mod 40), reward = lexical diversity (distinct
+    // tokens / tokens — one native shingle pass each); keep the top 3
+    // per prompt clearing reward >= 0.5, through the two-phase funnel
+    // (subPartitions=4) — parity vs the single-window oracle doubles as
+    // funnel-exactness evidence.
+    "rejection_sample" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val all = graft.functions.WordShingles.allShingles(col("text"), 1)
+      val dst = graft.functions.WordShingles.shingles(col("text"), 1)
+      val cands = Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(40L)).as("prompt_id"),
+          (size(dst).cast("double") / size(all)).as("reward"),
+          size(all).as("__n"))
+        .filter(col("__n") > 0).drop("__n")
+      SftPrep.rejectionSample(cands, promptCol = "prompt_id",
+          scoreCol = "reward", idCol = "doc_id", k = 3, minScore = 0.5,
+          subPartitions = 4)
+        .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
+    }),
+
     // Exact histogram quantiles (L95): per-language token-count
     // quantiles through the (group, value) histogram — EXACT with NO
     // per-group value buffer (the third tier beside the exact-buffer and
@@ -4157,6 +4178,22 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // single-window replay of the two-phase funnel: threshold, then
+    // rank per prompt by (reward desc, doc_id)
+    "rejection_sample" ->
+      s"""WITH $toksCte,
+         |sc AS MATERIALIZED (SELECT doc_id, doc_id % 40 AS prompt_id,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS reward
+         |  FROM toks WHERE len(t) > 0),
+         |r AS (SELECT prompt_id, doc_id, reward,
+         |    row_number() OVER (PARTITION BY prompt_id
+         |      ORDER BY reward DESC, doc_id) AS sample_rank
+         |  FROM sc WHERE reward >= 0.5)
+         |SELECT prompt_id, CAST(sample_rank AS BIGINT) AS sample_rank,
+         |  doc_id, reward
+         |FROM r WHERE sample_rank <= 3
+         |ORDER BY prompt_id, sample_rank""".stripMargin,
 
     // DuckDB GROUPING() emits the same bit encoding as Spark's
     // grouping_id (first dim = high bit; verified empirically)

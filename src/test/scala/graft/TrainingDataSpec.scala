@@ -3214,6 +3214,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— SftPrep.rejectionSample ———
+
+  test("rejection sampling keeps top-k above threshold, ties to the lowest id") {
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.95), (1L, 13L, 0.4),
+      (1L, 14L, 0.7), (2L, 20L, 0.3), (3L, 30L, 0.6))
+      .toDF("prompt", "resp", "reward")
+    val got = SftPrep.rejectionSample(cands, "prompt", "reward", "resp",
+        k = 2, minScore = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 12L, 0.95), // best
+      (1L, 2L, 10L, 0.9),  // 0.9 tie -> lower id wins rank 2
+      (3L, 1L, 30L, 0.6))) // prompt 2's only candidate is under threshold
+  }
+
+  test("rejection sampling funnel is exact: subPartitions N equals the single window") {
+    val rnd = new scala.util.Random(5)
+    // one HOT prompt with 400 candidates plus a cold tail
+    val cands = ((1 to 400).map(i => (0L, i.toLong, rnd.nextInt(50) / 50.0)) ++
+      (1 to 60).map(i => ((i % 7 + 1).toLong, 1000L + i, rnd.nextDouble())))
+      .toDF("prompt", "resp", "reward")
+    def run(sp: Int) = SftPrep.rejectionSample(cands, "prompt", "reward",
+        "resp", k = 5, minScore = 0.2, subPartitions = sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(4) === run(1))
+    assert(run(16) === run(1))
+  }
+
   // ——— LinkGraph.pageRank ———
 
   /** Plain-Scala reference with the operator's exact integer fixed-point
