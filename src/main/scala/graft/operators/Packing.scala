@@ -299,6 +299,60 @@ object Packing {
         Seq(col("epoch_rank"), col("order_key"))).toSeq: _*)
   }
 
+  /** Deterministic CURRICULUM training order: equal-population difficulty
+    * bands (exact quantile cuts over `scoreCol`), easy band first, an
+    * md5-shuffled permutation WITHIN each band — the curriculum-learning
+    * data order (difficulty ramps across training, examples decorrelate
+    * within a stage).
+    *
+    * Band cuts are the numBands−1 exact percentiles of the score in ONE
+    * narrow aggregation (the CCNet-cut discipline — `percentile`'s
+    * interpolation matches DuckDB's quantile_cont bit for bit); the cut
+    * row broadcasts and band(x) = #cuts strictly below x is a static
+    * codegen'd sum of comparisons (ties at a cut land in the LOWER band).
+    * NOTE exact percentile buffers (value → count) per aggregation
+    * buffer — fine for the discrete difficulty scores curricula use
+    * (length, integer quality tiers); for unbounded continuous scores
+    * pre-quantize or take cuts from [[CorpusStats.histogramQuantiles]].
+    *
+    * Within-band ranks ride [[epochInterleave]]'s two-phase rank
+    * machinery with the band as the stratum — no band ever sorts through
+    * one task. The global order needs NO band-offset pass:
+    * `curriculum_key = (band + order_key) / numBands` is a pure
+    * projection, strictly increasing in (band, band_rank) — sorting by
+    * it replays the curriculum, and every prefix of a band's key range
+    * interleaves that band's strata-of-one uniformly.
+    *
+    * Output: input columns + (band, band_rank, curriculum_key). */
+  def curriculumOrder(df: DataFrame, scoreCol: String, keyCol: String,
+                      numBands: Int, salt: String = "",
+                      drawPrefixLen: Int = 2): DataFrame = {
+    require(numBands >= 1, s"numBands=$numBands: need >= 1")
+    val reserved = Seq("band", "band_rank", "curriculum_key", "__cuts")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by curriculumOrder")
+    val banded =
+      if (numBands == 1) df.withColumn("band", lit(0))
+      else {
+        val fracs = (1 until numBands).map(_.toDouble / numBands)
+        val cuts = df.agg(
+          percentile(col(scoreCol), typedlit(fracs)).as("__cuts"))
+        val bandCol = (1 until numBands)
+          .map(i => when(col(scoreCol) > element_at(col("__cuts"), i), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        df.crossJoin(broadcast(cuts)).withColumn("band", bandCol)
+          .drop("__cuts")
+      }
+    epochInterleave(banded, "band", keyCol, salt, drawPrefixLen)
+      .withColumn("band_rank", col("epoch_rank"))
+      .withColumn("curriculum_key",
+        (col("band").cast("double") + col("order_key"))
+          / lit(numBands.toDouble))
+      .select((df.columns.map(col) ++ Seq(col("band"), col("band_rank"),
+        col("curriculum_key"))).toSeq: _*)
+  }
+
   /** Multi-epoch training SCHEDULE with per-stratum epoch counts — the
     * "repeat epochs at the loader" side of up-weighting that
     * [[Sampling.temperatureMix]]'s scaladoc defers to (the Llama-style

@@ -2206,6 +2206,21 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
     }),
 
+    // Curriculum training order (L101): 4 equal-population difficulty
+    // bands over token count (short = easy), md5-shuffled within band;
+    // curriculum_key = (band + order_key)/4 replays the whole order as
+    // one sort key. Two-phase ranks vs the oracle's single window —
+    // parity doubles as two-phase exactness on the band strata.
+    "curriculum_order" -> ((s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("double").as("score"))
+      Packing.curriculumOrder(docs, scoreCol = "score", keyCol = "doc_id",
+          numBands = 4, salt = "cur")
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Exact histogram quantiles (L95): per-language token-count
     // quantiles through the (group, value) histogram — EXACT with NO
     // per-group value buffer (the third tier beside the exact-buffer and
@@ -4178,6 +4193,33 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // quantile_cont cuts (matches Spark's exact percentile), band =
+    // #cuts strictly below, single-window within-band ranks, and the
+    // same float op order for curriculum_key
+    "curriculum_order" ->
+      s"""WITH $toksCte,
+         |sc AS MATERIALIZED (SELECT doc_id, CAST(len(t) AS DOUBLE) AS score
+         |  FROM toks),
+         |q AS MATERIALIZED (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS c
+         |  FROM sc),
+         |b AS MATERIALIZED (SELECT doc_id, score,
+         |    (CASE WHEN score > c[1] THEN 1 ELSE 0 END
+         |     + CASE WHEN score > c[2] THEN 1 ELSE 0 END
+         |     + CASE WHEN score > c[3] THEN 1 ELSE 0 END) AS band,
+         |    substring(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8) AS d
+         |  FROM sc CROSS JOIN q),
+         |n AS MATERIALIZED (SELECT band, count(*) AS ns FROM b GROUP BY band),
+         |r AS (SELECT b.doc_id, b.score, b.band,
+         |    row_number() OVER (PARTITION BY b.band
+         |      ORDER BY b.d, b.doc_id) - 1 AS band_rank,
+         |    n.ns
+         |  FROM b JOIN n USING (band))
+         |SELECT doc_id, score, band, CAST(band_rank AS BIGINT) AS band_rank,
+         |  (CAST(band AS DOUBLE)
+         |   + (CAST(band_rank AS DOUBLE) + 0.5) / CAST(ns AS DOUBLE)) / 4
+         |  AS curriculum_key
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // single-window replay of the two-phase funnel: threshold, then
     // rank per prompt by (reward desc, doc_id)

@@ -3214,6 +3214,44 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— Packing.curriculumOrder ———
+
+  test("curriculum order: equal-population bands, ramped key, md5 within-band permutation") {
+    val d = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "score")
+    val out = Packing.curriculumOrder(d, "score", "doc_id", numBands = 4,
+        salt = "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    // equal-population bands over a uniform score, in score order
+    val byBand = out.groupBy(_._3).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byBand.keySet === Set(0, 1, 2, 3))
+    assert(byBand.values.forall(_.length == 50))
+    assert(byBand(0).max < byBand(1).min && byBand(2).max < byBand(3).min)
+    // sorting by curriculum_key IS sorting by (band, band_rank)
+    val byKey = out.sortBy(_._5).map(t => (t._3, t._4)).toSeq
+    assert(byKey === out.map(t => (t._3, t._4)).sortBy(identity).toSeq)
+    // within a band the permutation is the (md5 draw, key) order
+    val want0 = out.filter(_._3 == 0).map(_._1).sortBy(id =>
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:t")
+        .take(8), id))
+    assert(out.filter(_._3 == 0).sortBy(_._4).map(_._1).toSeq === want0.toSeq)
+  }
+
+  test("curriculum order: cut ties land in the lower band; one band degenerates") {
+    // 4 copies of each score value — cuts fall ON values
+    val d = (0 until 40).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("doc_id", "score")
+    val out = Packing.curriculumOrder(d, "score", "doc_id", numBands = 2,
+        salt = "t").collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    // median of 0..9 ×4 is 4.5 -> scores <= 4.5 band 0, > 4.5 band 1
+    assert(out.filter(_._1 <= 4.5).forall(_._2 == 0))
+    assert(out.filter(_._1 > 4.5).forall(_._2 == 1))
+    val one = Packing.curriculumOrder(d, "score", "doc_id", numBands = 1,
+        salt = "t").collect().map(r => r.getInt(2)).distinct
+    assert(one.toSeq === Seq(0))
+  }
+
   // ——— SftPrep.rejectionSample ———
 
   test("rejection sampling keeps top-k above threshold, ties to the lowest id") {
