@@ -241,4 +241,29 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("corpus_rollup plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("corpus_rollup")
   }
+
+  // L97-L101: the shard digest (one window + one agg), both link-graph
+  // gates (FIXED round counts — the edge/node/degree checkpoints plus
+  // one execution per unrolled round, the same sequence at any corpus
+  // size), the rejection funnel (two windows), and the curriculum ramp
+  // (one percentile agg + the two-phase rank windows)
+  test("shard_manifest plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("shard_manifest")
+  }
+
+  test("host_pagerank plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("host_pagerank")
+  }
+
+  test("host_label_prop plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("host_label_prop")
+  }
+
+  test("rejection_sample plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("rejection_sample")
+  }
+
+  test("curriculum_order plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("curriculum_order")
+  }
 }
