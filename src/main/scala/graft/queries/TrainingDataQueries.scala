@@ -185,6 +185,79 @@ object TrainingDataQueries extends QueryPack {
        |FROM r$PrIterations ORDER BY node""".stripMargin
   }
 
+  /** The curation rule set shared by the `filter_provenance` /
+    * `filter_ablation` gates — ONE ordered definition feeds the Spark
+    * rules, the DuckDB predicates, and both oracles. Signals: ntok
+    * (whitespace tokens), n_chars, divr (distinct/total tokens, 0.0 for
+    * empty docs), lang. */
+  private val CurationRuleSql = Seq(
+    "min_tokens" -> "(ntok >= 25)",
+    "max_chars" -> "(n_chars <= 400)",
+    "diversity" -> "(divr >= 0.35)",
+    "english" -> "(lang = 'en')")
+
+  /** Spark twin of [[CurationRuleSql]] over the signals frame below. */
+  private def curationRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "min_tokens" -> (col("ntok") >= 25),
+    "max_chars" -> (col("n_chars") <= 400),
+    "diversity" -> (col("divr") >= 0.35),
+    "english" -> (col("lang") === "en"))
+
+  private def curationSignals(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.functions.WordShingles.allShingles(col("text"), 1)
+    val dst = graft.functions.WordShingles.shingles(col("text"), 1)
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars"), size(all).as("ntok"),
+      when(size(all) > 0, size(dst).cast("double") / size(all))
+        .otherwise(lit(0.0)).as("divr"))
+  }
+
+  /** Shared DuckDB CTE: the per-document rule predicates p0..pN. */
+  private def curationPredCte: String = {
+    val preds = CurationRuleSql.zipWithIndex
+      .map { case ((_, sql), i) => s"$sql AS p$i" }.mkString(", ")
+    s"""$toksCte,
+       |sig AS MATERIALIZED (SELECT d.doc_id, d.lang, d.n_chars,
+       |    len(t) AS ntok,
+       |    CASE WHEN len(t) > 0
+       |         THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+       |         ELSE 0.0 END AS divr
+       |  FROM toks JOIN documents d USING (doc_id)),
+       |p AS MATERIALIZED (SELECT doc_id, $preds FROM sig)""".stripMargin
+  }
+
+  private def filterProvenanceOracle: String = {
+    val idx = CurationRuleSql.indices
+    val lists = CurationRuleSql.zipWithIndex.map { case ((n, _), i) =>
+      s"(CASE WHEN p$i THEN CAST([] AS VARCHAR[]) ELSE ['$n'] END)"
+    }.mkString(" || ")
+    s"""WITH $curationPredCte
+       |SELECT doc_id,
+       |  (${idx.map(i => s"p$i").mkString(" AND ")}) AS keep,
+       |  (${idx.map(i => s"CASE WHEN p$i THEN 0 ELSE 1 END").mkString(" + ")})
+       |    AS n_fails,
+       |  COALESCE(array_to_string($lists, '|'), '') AS fail_reasons,
+       |  ($lists)[1] AS first_fail
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  private def filterAblationOracle: String = {
+    val rows = CurationRuleSql.zipWithIndex.map { case ((n, _), i) =>
+      val others = CurationRuleSql.indices.filter(_ != i)
+        .map(j => s"p$j").mkString(" AND ")
+      val prefix = (0 to i).map(j => s"p$j").mkString(" AND ")
+      s"""SELECT '$n' AS rule, $i AS rule_idx,
+         |  (SELECT count(*) FROM p WHERE NOT p$i) AS n_fail,
+         |  (SELECT count(*) FROM p WHERE NOT p$i AND $others)
+         |    AS n_unique_fail,
+         |  (SELECT count(*) FROM p WHERE NOT ($prefix)) AS n_cum_killed,
+         |  (SELECT count(*) FROM p) AS n_docs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $curationPredCte
+       |$rows
+       |ORDER BY rule_idx""".stripMargin
+  }
+
   /** Batch size for the `bpe_merges_batched` gate (the production path's
     * contract: per round, greedily accept up to batchSize symbol-disjoint
     * candidates from the top weight-ranked pairs, apply them in ONE
@@ -2206,6 +2279,28 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
     }),
 
+    // Rule-based curation with an audit trail (L102): every document
+    // tagged keep/drop with the ordered '|'-joined names of the rules it
+    // fails and the first failure — the Dolma-mixer contract (decisions
+    // reproducible and debuggable). Pure codegen'd projection.
+    "filter_provenance" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.filterWithProvenance(curationSignals(s, dir), curationRules)
+        .select(col("doc_id"), col("keep"), col("n_fails"),
+          col("fail_reasons"), col("first_fail"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Filter ablation report (L103): per rule its total kills, UNIQUE
+    // kills (what dropping the rule buys back), and the cumulative kill
+    // curve in rule order — the curation tuning table, one narrow
+    // aggregation unpivoted through a static struct array.
+    "filter_ablation" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.filterAblation(curationSignals(s, dir), curationRules)
+        .localCheckpoint(true).orderBy(col("rule_idx"))
+    }),
+
     // Curriculum training order (L101): 4 equal-population difficulty
     // bands over token count (short = easy), md5-shuffled within band;
     // curriculum_key = (band + order_key)/4 replays the whole order as
@@ -4193,6 +4288,12 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // the per-rule predicate CTE + list-concat provenance assembly
+    "filter_provenance" -> filterProvenanceOracle,
+
+    // per-rule scalar-subquery counts over the same predicate CTE
+    "filter_ablation" -> filterAblationOracle,
 
     // quantile_cont cuts (matches Spark's exact percentile), band =
     // #cuts strictly below, single-window within-band ranks, and the

@@ -266,4 +266,15 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("curriculum_order plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("curriculum_order")
   }
+
+  // L102/L103: the provenance tagger is a pure projection and the
+  // ablation report one aggregation + static unpivot — no join, no
+  // window, at any corpus size
+  test("filter_provenance plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("filter_provenance")
+  }
+
+  test("filter_ablation plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("filter_ablation")
+  }
 }

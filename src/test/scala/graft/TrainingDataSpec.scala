@@ -3214,6 +3214,62 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— Curation.filterWithProvenance / filterAblation ———
+
+  test("filter provenance tags keep, ordered reasons, first fail; null predicates fail") {
+    val d = Seq(
+      (1L, 30, 0.5),            // passes everything
+      (2L, 3, 0.5),             // fails min_len only
+      (3L, 3, 0.1),             // fails both
+      (4L, 30, Double.NaN)      // NaN comparison -> null predicate -> fail
+    ).toDF("doc_id", "len", "score")
+    val rules = Seq(
+      "min_len" -> (col("len") >= 10),
+      "min_score" -> (when(isnan(col("score")), lit(null)
+        .cast("boolean")).otherwise(col("score") >= 0.3)))
+    val got = Curation.filterWithProvenance(d, rules)
+      .select("doc_id", "keep", "n_fails", "fail_reasons", "first_fail")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getString(3),
+          Option(r.getString(4))))).toMap
+    assert(got(1L) === ((true, 0, "", None)))
+    assert(got(2L) === ((false, 1, "min_len", Some("min_len"))))
+    assert(got(3L) === ((false, 2, "min_len|min_score", Some("min_len"))))
+    assert(got(4L) === ((false, 1, "min_score", Some("min_score"))))
+    intercept[IllegalArgumentException] {
+      Curation.filterWithProvenance(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterWithProvenance(d,
+        Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterWithProvenance(d, Seq("a|b" -> lit(true)))
+    }
+  }
+
+  test("filter ablation counts total, unique, and cumulative kills per rule") {
+    // 10 docs: 0-5 pass all; 6 fails r1 only; 7 fails r2 only;
+    // 8 fails r1+r2; 9 fails r2+r3
+    val d = (0 to 9).map { i =>
+      (i.toLong,
+        !(i == 6 || i == 8),  // r1 pass
+        !(i == 7 || i == 8 || i == 9), // r2 pass
+        i != 9)               // r3 pass
+    }.toDF("doc_id", "a", "b", "c")
+    val rules = Seq("r1" -> col("a"), "r2" -> col("b"), "r3" -> col("c"))
+    val got = Curation.filterAblation(d, rules).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("r1") === ((0, 2L, 1L, 2L, 10L))) // fails {6,8}; unique {6}; cum {6,8}
+    assert(got("r2") === ((1, 3L, 1L, 4L, 10L))) // fails {7,8,9}; unique {7}; cum {6,7,8,9}
+    assert(got("r3") === ((2, 1L, 0L, 4L, 10L))) // fails {9}; unique none; cum unchanged
+    // identities: the last cumulative equals total minus keeps
+    val keeps = Curation.filterWithProvenance(d, rules)
+      .filter(col("keep")).count()
+    assert(got("r3")._4 === 10L - keeps)
+  }
+
   // ——— Packing.curriculumOrder ———
 
   test("curriculum order: equal-population bands, ramped key, md5 within-band permutation") {
