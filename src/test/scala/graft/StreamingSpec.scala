@@ -1502,4 +1502,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(!streamed.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("host-rank enrichment + provenance filter gate an ingest stream under batch fits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Curation, LinkGraph}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the L98/L102 production arrangement: PageRank is a batch fit over
+    // the host graph; the ingest stream enriches per-document via a
+    // broadcast stream-static join and a provenance-tagged rule gate —
+    // both pure projections, append-safe. An UNKNOWN host gets a null
+    // rank, and the null-predicate-counts-as-failure contract makes the
+    // min_rank rule fail it (a crawl from an unranked host must not
+    // silently pass a rank gate).
+    val edges = Seq("a.com" -> "b.com", "b.com" -> "a.com",
+      "a.com" -> "c.com", "c.com" -> "a.com").toDF("src", "dst")
+    val ranks = LinkGraph.pageRank(edges, iterations = 3)
+      .select(col("node").as("host"), col("rank_int"))
+      .localCheckpoint(true)
+    val minRank = ranks.agg(
+      org.apache.spark.sql.functions.min(col("rank_int"))).head.getLong(0)
+    val rules = Seq(
+      "min_rank" -> (col("rank_int") >= minRank),
+      "min_tokens" -> (org.apache.spark.sql.functions.size(
+        graft.functions.WordShingles.allShingles(col("text"), 1)) >= 2))
+    def curate(docs: org.apache.spark.sql.DataFrame) =
+      Curation.filterWithProvenance(
+        docs.join(broadcast(ranks), Seq("host"), "left"), rules)
+        .select(col("doc_id"), col("keep"), col("fail_reasons"))
+    val rows = Seq(
+      (10L, "a.com", "long enough text"),
+      (11L, "c.com", "x"),                 // fails min_tokens
+      (12L, "nowhere.example", "plenty of words here")) // null rank
+    val input = MemoryStream[(Long, String, String)]
+    val q = curate(input.toDF().toDF("doc_id", "host", "text"))
+      .writeStream.format("memory").queryName("rank_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rank_gate_stream")
+        .as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = curate(rows.toDF("doc_id", "host", "text"))
+        .as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed === batch)
+      assert(streamed(10L) === ((true, "")))
+      assert(streamed(11L) === ((false, "min_tokens")))
+      assert(streamed(12L) === ((false, "min_rank")))
+    } finally q.stop()
+  }
 }
