@@ -299,6 +299,36 @@ object Packing {
         Seq(col("epoch_rank"), col("order_key"))).toSeq: _*)
   }
 
+  /** Fixed-size CONTEXT GROUPS within strata — the in-context-pretraining
+    * arrangement (Shi et al. 2023: fill each training context with
+    * RELATED documents instead of random ones): upstream clustering
+    * (semantic cells from [[KMeans.assign]], a topic label, a domain)
+    * provides the stratum, and this operator deals each stratum's
+    * members into consecutive groups of `groupSize` under a reproducible
+    * md5 permutation — group g of stratum s is one context window's
+    * membership, every member semantically adjacent by construction.
+    * The last group of a stratum may be short (the loader pads it).
+    *
+    * Ranks ride [[epochInterleave]]'s two-phase machinery (no stratum
+    * sorts through one task); the group split is a pure integer
+    * projection on the rank. Output: input + (ctx_rank, ctx_group,
+    * pos_in_group). */
+  def contextGroups(df: DataFrame, strataCol: String, keyCol: String,
+                    groupSize: Int, salt: String = "",
+                    drawPrefixLen: Int = 2): DataFrame = {
+    require(groupSize >= 1, s"groupSize=$groupSize: need >= 1")
+    val reserved = Seq("ctx_rank", "ctx_group", "pos_in_group")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by contextGroups")
+    epochInterleave(df, strataCol, keyCol, salt, drawPrefixLen)
+      .withColumn("ctx_rank", col("epoch_rank"))
+      .withColumn("ctx_group", expr(s"epoch_rank div $groupSize"))
+      .withColumn("pos_in_group",
+        pmod(col("epoch_rank"), lit(groupSize.toLong)))
+      .select((df.columns.map(col) ++ Seq(col("ctx_rank"),
+        col("ctx_group"), col("pos_in_group"))).toSeq: _*)
+  }
+
   /** Deterministic CURRICULUM training order: equal-population difficulty
     * bands (exact quantile cuts over `scoreCol`), easy band first, an
     * md5-shuffled permutation WITHIN each band — the curriculum-learning

@@ -2279,6 +2279,22 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
     }),
 
+    // Semantic context groups (L104, the in-context-pretraining
+    // arrangement): KMeans cells as strata, members dealt into groups of
+    // 16 under the md5 permutation — each ctx_group is one context
+    // window's semantically-adjacent membership. Composes the REAL
+    // kmeans fit/assign; two-phase ranks vs single-window oracle.
+    "semantic_pack" -> ((s, dir) => {
+      import graft.operators.{KMeans, Packing}
+      val e = Tables.embeddings(s, dir)
+      val assigned = KMeans
+        .assign(e, KMeans.fit(e, k = KmeansK, iters = KmeansIters))
+        .select(col("vec_id"), col("cell"))
+      Packing.contextGroups(assigned, strataCol = "cell",
+          keyCol = "vec_id", groupSize = 16, salt = "icp")
+        .localCheckpoint(true).orderBy(col("vec_id"))
+    }),
+
     // Rule-based curation with an audit trail (L102): every document
     // tagged keep/drop with the ordered '|'-joined names of the rules it
     // fails and the first failure — the Dolma-mixer contract (decisions
@@ -4288,6 +4304,26 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // the kmeans assignment (unrolled rounds) + per-cell md5-permutation
+    // window + integer group split
+    "semantic_pack" ->
+      s"""WITH $kmeansCtes,
+         |fin AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |        FROM emb e, cent$KmeansIters c),
+         |a AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM fin) WHERE rn = 1),
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY substring(md5(CAST(vec_id AS VARCHAR) || ':icp'), 1, 8),
+         |        vec_id) - 1 AS ctx_rank
+         |  FROM a)
+         |SELECT vec_id, cell, CAST(ctx_rank AS BIGINT) AS ctx_rank,
+         |  CAST(ctx_rank // 16 AS BIGINT) AS ctx_group,
+         |  CAST(ctx_rank % 16 AS BIGINT) AS pos_in_group
+         |FROM r ORDER BY vec_id""".stripMargin,
 
     // the per-rule predicate CTE + list-concat provenance assembly
     "filter_provenance" -> filterProvenanceOracle,

@@ -277,4 +277,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("filter_ablation plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("filter_ablation")
   }
+
+  // L104: kmeans fit (fixed rounds) + in-row assign + the two-phase
+  // context-group ranks — a fixed execution sequence at any corpus size
+  test("semantic_pack plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("semantic_pack")
+  }
 }

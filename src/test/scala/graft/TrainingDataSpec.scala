@@ -3214,6 +3214,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— Packing.contextGroups ———
+
+  test("context groups deal each stratum's md5 permutation into fixed-size windows") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val d = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 15).map(i => (i.toLong, "b"))).toDF("vec_id", "cell")
+    val got = Packing.contextGroups(d, "cell", "vec_id", groupSize = 4,
+        salt = "g")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // rank within stratum follows the (md5 draw, key) permutation
+    def perm(ids: Seq[Long]) = ids.sortBy(id =>
+      (DigestUtils.md5Hex(s"$id:g").take(8), id))
+    for ((cell, ids) <- Map("a" -> (1L to 10L), "b" -> (11L to 15L))) {
+      val want = perm(ids)
+      val byRank = got.filter(_._2 == cell).sortBy(_._3).map(_._1).toSeq
+      assert(byRank === want, cell)
+    }
+    // groups of 4: stratum a -> [4,4,2], b -> [4,1]; pos = rank mod 4
+    val sizes = got.groupBy(t => (t._2, t._4)).view.mapValues(_.length).toMap
+    assert(sizes === Map(("a", 0L) -> 4, ("a", 1L) -> 4, ("a", 2L) -> 2,
+      ("b", 0L) -> 4, ("b", 1L) -> 1))
+    assert(got.forall(t => t._5 === t._3 % 4))
+    intercept[IllegalArgumentException] {
+      Packing.contextGroups(d, "cell", "vec_id", groupSize = 0)
+    }
+  }
+
   // ——— Curation.filterWithProvenance / filterAblation ———
 
   test("filter provenance tags keep, ordered reasons, first fail; null predicates fail") {
