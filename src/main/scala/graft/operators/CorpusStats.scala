@@ -149,4 +149,79 @@ object CorpusStats {
         sum(col(tokenCountCol)).as("total_tokens"))
       .select(col(dim1), col(dim2), col("gid"), col("n_docs"),
         col("total_tokens"))
+
+  /** Distribution DRIFT report — Population Stability Index per signal
+    * between a `reference` snapshot and the `current` ingest: the
+    * monitoring gate a continuously-fed corpus runs before letting a new
+    * crawl batch into the pool (PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted — the standard reading).
+    *
+    * Semantics (engine-exact, mirrored by the oracle):
+    *  - per signal, bucket edges are the numBuckets−1 exact percentiles
+    *    of the REFERENCE (equal-population reference buckets, the
+    *    standard PSI arrangement); bucket(x) = #cuts strictly below x —
+    *    the [[Packing.curriculumOrder]] cut discipline;
+    *  - proportions are add-one smoothed — p = (n + 1)/(N + numBuckets) —
+    *    so an empty bucket on either side stays finite;
+    *  - each term (p_cur − p_ref)·ln(p_cur/p_ref) is quantized to integer
+    *    MICRO units before summation (the [[LanguageModel]] micro-nat
+    *    discipline: ln's last-ULP engine differences vanish under the
+    *    1e6 rounding, and the long sum is order-independent). Terms are
+    *    provably non-negative (both factors share a sign).
+    *
+    * Scale shape: per signal, ONE percentile aggregation over the
+    * reference, a broadcast cut row, one codegen'd bucket projection +
+    * count per side, and a numBuckets-sized report frame — the corpus
+    * never shuffles. Output: (signal, psi, n_ref, n_cur), one row per
+    * signal. */
+  def driftReport(reference: DataFrame, current: DataFrame,
+                  signalCols: Seq[String], numBuckets: Int = 10): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets=$numBuckets: need >= 2")
+    require(signalCols.nonEmpty, "driftReport: need at least one signal")
+    val perSignal = signalCols.map { sc =>
+      val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
+      val cuts = reference.agg(
+        percentile(col(sc), typedlit(fracs)).as("__cuts"))
+      def bucketCounts(df: DataFrame) = {
+        val b = (1 until numBuckets)
+          .map(i => when(col(sc) > element_at(col("__cuts"), i), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        df.select(col(sc)).crossJoin(broadcast(cuts))
+          .select(b.as("__b")).groupBy(col("__b"))
+          .agg(count(lit(1)).as("__n"))
+      }
+      val dom = reference.sparkSession.range(numBuckets)
+        .select(col("id").cast("int").as("__b"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      // numBuckets-sized frame from here on
+      dom
+        .join(bucketCounts(reference).withColumnRenamed("__n", "__nr"),
+          Seq("__b"), "left")
+        .join(bucketCounts(current).withColumnRenamed("__n", "__nc"),
+          Seq("__b"), "left")
+        .select(
+          coalesce(col("__nr"), lit(0L)).as("__nr"),
+          coalesce(col("__nc"), lit(0L)).as("__nc"))
+        .withColumn("__tr", sum(col("__nr")).over(wAll))
+        .withColumn("__tc", sum(col("__nc")).over(wAll))
+        .select(
+          ((col("__nr") + 1).cast("double")
+            / (col("__tr") + numBuckets).cast("double")).as("__pr"),
+          ((col("__nc") + 1).cast("double")
+            / (col("__tc") + numBuckets).cast("double")).as("__pc"),
+          col("__tr"), col("__tc"))
+        .select(
+          round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))
+            * 1e6).cast("long").as("__term"),
+          col("__tr"), col("__tc"))
+        .agg(
+          (sum(col("__term")).cast("double") / 1e6).as("psi"),
+          first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"))
+        .select(lit(sc).as("signal"), col("psi"), col("n_ref"),
+          col("n_cur"))
+    }
+    perSignal.reduce(_.unionByName(_))
+  }
 }

@@ -241,6 +241,52 @@ object TrainingDataQueries extends QueryPack {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated DuckDB oracle for `drift_report`: per signal, reference
+    * quantile_cont cuts, bucket counts on both sides over the full
+    * bucket domain, add-one smoothed proportions, and micro-quantized
+    * PSI terms summed as integers — every float op in the same order as
+    * [[graft.operators.CorpusStats.driftReport]]. */
+  private def driftOracle: String = {
+    val b = 5
+    val sigs = Seq("ntok", "n_chars")
+    val ctes = sigs.map { sig =>
+      val cond = (1 until b)
+        .map(i => s"CASE WHEN $sig > c[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val fr = (1 until b).map(i => s"${i.toDouble / b}").mkString(", ")
+      s"""q_$sig AS MATERIALIZED (SELECT quantile_cont(CAST($sig AS DOUBLE),
+         |    [$fr]) AS c
+         |  FROM sig WHERE lang = 'en'),
+         |b_$sig AS MATERIALIZED (SELECT (lang = 'en') AS isref,
+         |    ($cond) AS bk FROM sig CROSS JOIN q_$sig),
+         |g_$sig AS MATERIALIZED (SELECT
+         |    coalesce(r.n, 0) AS nr, coalesce(cu.n, 0) AS nc
+         |  FROM (SELECT unnest(range($b)) AS bk) d
+         |  LEFT JOIN (SELECT bk, count(*) AS n FROM b_$sig
+         |             WHERE isref GROUP BY bk) r ON r.bk = d.bk
+         |  LEFT JOIN (SELECT bk, count(*) AS n FROM b_$sig
+         |             WHERE NOT isref GROUP BY bk) cu ON cu.bk = d.bk),
+         |p_$sig AS MATERIALIZED (SELECT
+         |    CAST(nr + 1 AS DOUBLE)
+         |      / CAST((SELECT sum(nr) FROM g_$sig) + $b AS DOUBLE) AS pr,
+         |    CAST(nc + 1 AS DOUBLE)
+         |      / CAST((SELECT sum(nc) FROM g_$sig) + $b AS DOUBLE) AS pc,
+         |    (SELECT CAST(sum(nr) AS BIGINT) FROM g_$sig) AS tr,
+         |    (SELECT CAST(sum(nc) AS BIGINT) FROM g_$sig) AS tc
+         |  FROM g_$sig)""".stripMargin
+    }.mkString(",\n")
+    val rows = sigs.map { sig =>
+      s"""SELECT '$sig' AS signal,
+         |  CAST(CAST(sum(CAST(round((pc - pr) * ln(pc / pr) * 1e6)
+         |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS psi,
+         |  first(tr) AS n_ref, first(tc) AS n_cur
+         |FROM p_$sig""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $curationPredCte,
+       |$ctes
+       |SELECT * FROM ($rows) ORDER BY signal""".stripMargin
+  }
+
   private def filterAblationOracle: String = {
     val rows = CurationRuleSql.zipWithIndex.map { case ((n, _), i) =>
       val others = CurationRuleSql.indices.filter(_ != i)
@@ -2279,6 +2325,20 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
     }),
 
+    // Distribution drift report (L105): PSI per signal between the 'en'
+    // reference slice and the rest of the pool — the monitoring gate a
+    // continuously-fed corpus runs on a new crawl batch. Reference-
+    // quantile buckets, add-one smoothing, micro-quantized terms.
+    "drift_report" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val sigs = curationSignals(s, dir)
+      CorpusStats.driftReport(
+          sigs.filter(col("lang") === "en"),
+          sigs.filter(col("lang") =!= "en"),
+          signalCols = Seq("ntok", "n_chars"), numBuckets = 5)
+        .localCheckpoint(true).orderBy(col("signal"))
+    }),
+
     // Semantic context groups (L104, the in-context-pretraining
     // arrangement): KMeans cells as strata, members dealt into groups of
     // 16 under the md5 permutation — each ctx_group is one context
@@ -4304,6 +4364,9 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // reference-quantile buckets + micro-quantized PSI terms per signal
+    "drift_report" -> driftOracle,
 
     // the kmeans assignment (unrolled rounds) + per-cell md5-permutation
     // window + integer group split

@@ -283,4 +283,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("semantic_pack plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("semantic_pack")
   }
+
+  // L105: per signal one reference percentile agg + broadcast cut row +
+  // two bucket counts — the corpus never shuffles
+  test("drift_report plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("drift_report")
+  }
 }

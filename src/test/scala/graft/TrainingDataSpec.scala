@@ -3214,6 +3214,51 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— CorpusStats.driftReport ———
+
+  test("drift report: identical distributions score exactly zero, shifts score high") {
+    val ref = (1 to 200).map(i => (i.toLong, (i % 50).toDouble))
+      .toDF("id", "x")
+    val sameGot = CorpusStats.driftReport(ref, ref, Seq("x"), numBuckets = 5)
+      .collect().head
+    assert(sameGot.getString(0) === "x")
+    assert(sameGot.getDouble(1) === 0.0) // pc == pr per bucket, term exactly 0
+    assert(sameGot.getLong(2) === 200L && sameGot.getLong(3) === 200L)
+    // a hard shift: current sits entirely above the reference range
+    val cur = (1 to 100).map(i => (i.toLong, 1000.0 + i)).toDF("id", "x")
+    val shifted = CorpusStats.driftReport(ref, cur, Seq("x"), 5)
+      .collect().head.getDouble(1)
+    assert(shifted > 0.25, s"psi=$shifted") // "shifted" per the standard reading
+  }
+
+  test("drift report matches a plain-Scala PSI with the same quantization") {
+    val rnd = new scala.util.Random(9)
+    val ref = (1 to 300).map(i => (i.toLong, rnd.nextInt(40).toDouble))
+      .toDF("id", "x")
+    val cur = (1 to 150).map(i => (i.toLong, (rnd.nextInt(40) / 2).toDouble))
+      .toDF("id", "x")
+    val b = 4
+    val got = CorpusStats.driftReport(ref, cur, Seq("x"), b)
+      .collect().head.getDouble(1)
+    // reference: exact percentile cuts (Spark's own, to isolate the PSI
+    // arithmetic), then the documented smoothing + micro-quantization
+    val cuts = ref.agg(percentile(col("x"),
+        typedlit((1 until b).map(_.toDouble / b)))).head
+      .getSeq[Double](0)
+    def counts(xs: Seq[Double]) = (0 until b).map { k =>
+      xs.count(v => cuts.count(v > _) == k).toLong
+    }
+    val xr = ref.select("x").as[Double].collect().toSeq
+    val xc = cur.select("x").as[Double].collect().toSeq
+    val (nr, nc) = (counts(xr), counts(xc))
+    val terms = (0 until b).map { k =>
+      val pr = (nr(k) + 1).toDouble / (xr.size + b)
+      val pc = (nc(k) + 1).toDouble / (xc.size + b)
+      math.round((pc - pr) * math.log(pc / pr) * 1e6)
+    }
+    assert(got === terms.sum.toDouble / 1e6)
+  }
+
   // ——— Packing.contextGroups ———
 
   test("context groups deal each stratum's md5 permutation into fixed-size windows") {
