@@ -1061,4 +1061,31 @@ object Dedup {
       .join(winners, Seq("id"), "left_anti")
     docs.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** Cross-GROUP duplication matrix — dedup forensics: which sources /
+    * domains / crawl snapshots duplicate WHICH (mirror detection, content
+    * laundering, snapshot overlap). `pairs` are near-dup pairs from any
+    * pair engine ([[minhashLshPairs]], [[jaccardPairs]], …); `membership`
+    * maps ids to groups; each pair lands on its unordered (least,
+    * greatest) group pair. A pair whose id is missing from `membership`
+    * drops (inner joins) — run the matrix over the same corpus the pairs
+    * came from.
+    *
+    * Scale shape: two id-keyed joins on the OUTPUT-sized pair frame plus
+    * one aggregation keyed on the group pair — the corpus itself never
+    * re-shuffles here (pair generation upstream is the corpus-scale
+    * work). Output: (group_a, group_b, n_pairs), group_a <= group_b. */
+  def pairGroupMatrix(pairs: DataFrame, membership: DataFrame,
+                      idCol: String = "doc_id", groupCol: String = "group",
+                      aCol: String = "doc_a",
+                      bCol: String = "doc_b"): DataFrame = {
+    val m = membership.select(col(idCol).as("__id"), col(groupCol).as("__g"))
+    pairs.select(col(aCol), col(bCol))
+      .join(m.select(col("__id").as(aCol), col("__g").as("__ga")), Seq(aCol))
+      .join(m.select(col("__id").as(bCol), col("__g").as("__gb")), Seq(bCol))
+      .select(least(col("__ga"), col("__gb")).as("group_a"),
+        greatest(col("__ga"), col("__gb")).as("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

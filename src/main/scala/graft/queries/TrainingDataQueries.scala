@@ -185,6 +185,29 @@ object TrainingDataQueries extends QueryPack {
        |FROM r$PrIterations ORDER BY node""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain: MinHash band signatures (shingles → 28-bit
+    * base hash → 8 fixed universal-hash permutations → 2-hash band
+    * digests) — the pair-generation prefix both `dedup_minhash_lsh` and
+    * `dedup_source_matrix` replay. Constants mirror
+    * [[graft.operators.Dedup.MinhashA]]/[[graft.operators.Dedup.MinhashB]]
+    * VERBATIM. */
+  private def lshBandsCtes: String =
+    s"""$shinglesCte,
+       |hs AS (SELECT doc_id,
+       |         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+       |       FROM sh),
+       |perm(i, pa, pb) AS (VALUES
+       |  (0, 981238597, 825377933), (1, 673562387, 743900233),
+       |  (2, 552963643, 621445373), (3, 413158523, 536870923),
+       |  (4, 316199399, 433024253), (5, 247073897, 362867483),
+       |  (6, 198491317, 297779117), (7, 153889403, 247073891)),
+       |mh AS (SELECT doc_id, i, min((pa * h + pb) % 268435456) AS mh
+       |       FROM hs CROSS JOIN perm GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+       |            md5(string_agg(CAST(i AS VARCHAR) || '|' || mh, ''
+       |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
+       |          FROM mh GROUP BY 1, 2)""".stripMargin
+
   /** The curation rule set shared by the `filter_provenance` /
     * `filter_ablation` gates — ONE ordered definition feeds the Spark
     * rules, the DuckDB predicates, and both oracles. Signals: ntok
@@ -1417,6 +1440,17 @@ object TrainingDataQueries extends QueryPack {
       Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8,
         bandSize = 2, maxBucketSize = Some(1000))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Cross-source duplication matrix (L106): the LSH near-dup pairs
+    // aggregated per unordered source pair — mirror/overlap forensics.
+    "dedup_source_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, numHashes = 8, bandSize = 2,
+        maxBucketSize = Some(1000))
+      Dedup.pairGroupMatrix(pairs, docs.select(col("doc_id"), col("source")),
+          idCol = "doc_id", groupCol = "source")
+        .localCheckpoint(true).orderBy(col("group_a"), col("group_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -3383,25 +3417,25 @@ object TrainingDataQueries extends QueryPack {
 
     // permutation constants mirror Dedup.MinhashA/B/Mod verbatim
     "dedup_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |hs AS (SELECT doc_id,
-         |         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h
-         |       FROM sh),
-         |perm(i, pa, pb) AS (VALUES
-         |  (0, 981238597, 825377933), (1, 673562387, 743900233),
-         |  (2, 552963643, 621445373), (3, 413158523, 536870923),
-         |  (4, 316199399, 433024253), (5, 247073897, 362867483),
-         |  (6, 198491317, 297779117), (7, 153889403, 247073891)),
-         |mh AS (SELECT doc_id, i, min((pa * h + pb) % 268435456) AS mh
-         |       FROM hs CROSS JOIN perm GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
-         |            md5(string_agg(CAST(i AS VARCHAR) || '|' || mh, ''
-         |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
-         |          FROM mh GROUP BY 1, 2)
+      s"""WITH $lshBandsCtes
          |SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
          |FROM bands b1 JOIN bands b2
          |  ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
          |ORDER BY 1, 2""".stripMargin,
+
+    // the LSH pair chain + two membership joins + canonicalized group agg
+    "dedup_source_matrix" ->
+      s"""WITH $lshBandsCtes,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands b1 JOIN bands b2
+         |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)
+         |SELECT least(da.source, db.source) AS group_a,
+         |  greatest(da.source, db.source) AS group_b,
+         |  count(*) AS n_pairs
+         |FROM prs JOIN documents da ON da.doc_id = prs.doc_a
+         |JOIN documents db ON db.doc_id = prs.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $toksCte,

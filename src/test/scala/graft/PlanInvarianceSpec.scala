@@ -289,4 +289,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("drift_report plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("drift_report")
   }
+
+  // L106: the LSH pair chain + two id-keyed joins on the output-sized
+  // pair frame + one group-pair aggregation
+  test("dedup_source_matrix plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_source_matrix")
+  }
 }

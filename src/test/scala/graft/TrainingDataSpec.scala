@@ -3214,6 +3214,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— Dedup.pairGroupMatrix ———
+
+  test("pair group matrix canonicalizes unordered group pairs and counts") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (1L, 6L))
+      .toDF("doc_a", "doc_b")
+    val members = Seq((1L, "web"), (2L, "books"), (3L, "web"),
+      (4L, "books"), (5L, "books")) // 6 has NO membership -> pair drops
+      .toDF("doc_id", "source")
+    val got = Dedup.pairGroupMatrix(pairs, members, groupCol = "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("books", "web") -> 2L,  // (1,2) and (2,3), both directions canonicalize
+      ("web", "web") -> 1L,    // (1,3)
+      ("books", "books") -> 1L)) // (4,5)
+  }
+
   // ——— CorpusStats.driftReport ———
 
   test("drift report: identical distributions score exactly zero, shifts score high") {
