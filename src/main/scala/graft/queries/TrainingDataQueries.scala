@@ -2359,6 +2359,18 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("prompt_id"), col("sample_rank"))
     }),
 
+    // DEFLATE compression-ratio quality signal (L107): templated/looping
+    // text compresses far below prose — the RedPajama-v2/Dolma attribute.
+    // ROWS-ONLY gate: DuckDB has no zlib, so no SQL oracle exists; the
+    // semantics are pinned by the java.util.zip reference spec and the
+    // value is a pure function of (bytes, fixed level 6).
+    "text_compress_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.CompressRatio.ratio(col("text"))
+          .as("compress_ratio"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Distribution drift report (L105): PSI per signal between the 'en'
     // reference slice and the rest of the pool — the monitoring gate a
     // continuously-fed corpus runs on a new crawl batch. Reference-

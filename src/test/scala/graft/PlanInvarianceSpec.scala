@@ -295,4 +295,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("dedup_source_matrix plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("dedup_source_matrix")
   }
+
+  // L107: one codegen'd projection
+  test("text_compress_ratio plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("text_compress_ratio")
+  }
 }

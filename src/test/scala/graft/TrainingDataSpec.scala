@@ -3214,6 +3214,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dropped !== manifest.map { case (s, v) => s -> v._5 })
   }
 
+  // ——— functions.CompressRatio ———
+
+  test("compress ratio matches the java.util.zip reference and orders repetition below prose") {
+    def ref(s: String): Double = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.isEmpty) return 1.0
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total.toDouble / bytes.length
+    }
+    val texts = Seq(
+      1L -> "spam spam spam spam spam spam spam spam spam spam spam spam",
+      2L -> "the quick brown fox jumps over one lazy dog near riverbanks",
+      3L -> "",
+      4L -> "züricher straße — ünïcode bytes compress too")
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.CompressRatio.ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) === ref(t), s"doc $id") }
+    assert(got(3L) === 1.0)
+    assert(got(1L) < got(2L)) // repetition compresses below prose
+    // layout independence (thread-local deflater state never leaks)
+    val scattered = texts.toDF("doc_id", "text").repartition(7)
+      .select(col("doc_id"),
+        graft.functions.CompressRatio.ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scattered === got)
+  }
+
   // ——— Dedup.pairGroupMatrix ———
 
   test("pair group matrix canonicalizes unordered group pairs and counts") {
