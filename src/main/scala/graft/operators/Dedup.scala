@@ -1069,7 +1069,10 @@ object Dedup {
     * maps ids to groups; each pair lands on its unordered (least,
     * greatest) group pair. A pair whose id is missing from `membership`
     * drops (inner joins) — run the matrix over the same corpus the pairs
-    * came from.
+    * came from. `membership` must be UNIQUE per id (a duplicate id row
+    * multiplies every pair it touches — the joins are taken as given, not
+    * deduplicated, so a caller aggregating per-snapshot membership keeps
+    * control of that semantics).
     *
     * Scale shape: two id-keyed joins on the OUTPUT-sized pair frame plus
     * one aggregation keyed on the group pair — the corpus itself never

@@ -107,7 +107,9 @@ object LinkGraph {
     *  - the edge list is symmetrized and de-duplicated; only nodes
     *    appearing in it are emitted (seeds outside the graph are ignored,
     *    the [[Dedup.connectedComponents]] contract); a node seeded with
-    *    several labels keeps the lexicographically smallest;
+    *    several labels keeps the lexicographically smallest non-null one
+    *    (min skips nulls), and a node whose only seed label is null is
+    *    treated as unseeded;
     *  - synchronous rounds: every node's candidate label is the MAJORITY
     *    label among its currently-labeled neighbors, ties to the
     *    lexicographically smallest label;

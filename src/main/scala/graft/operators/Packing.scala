@@ -205,7 +205,10 @@ object Packing {
     * membership never leaves its partition. A shard's id list must fit a
     * collection buffer (shards are sized by numShards — pick it so
     * corpus/numShards ids ≈ tens of MB, the same bound the shard FILE
-    * itself obeys). */
+    * itself obeys). `idCol` must be non-null: collect_list skips nulls,
+    * so a null id would silently vanish from the digest while still
+    * counting in n_docs — shardAssign keys are ids, so this holds by
+    * construction on its output. */
   def shardManifest(sharded: DataFrame, idCol: String,
                     tokenCountCol: String): DataFrame = {
     val reserved = Seq("n_docs", "total_tokens", "first_pos", "last_pos",
