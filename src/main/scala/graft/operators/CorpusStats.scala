@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,59 +169,81 @@ object CorpusStats {
     *    1e6 rounding, and the long sum is order-independent). Terms are
     *    provably non-negative (both factors share a sign).
     *
-    * Scale shape: per signal, ONE percentile aggregation over the
-    * reference, a broadcast cut row, one codegen'd bucket projection +
-    * count per side, and a numBuckets-sized report frame — the corpus
-    * never shuffles. Output: (signal, psi, n_ref, n_cur), one row per
-    * signal. */
+    * Scale shape: THREE jobs total, independent of the signal count —
+    * one reference aggregation carrying every signal's cut array, then
+    * one conditional aggregation per side carrying every (signal,
+    * bucket) count against the broadcast cut row; the PSI assembly is a
+    * static projection over the two one-row frames. The corpus never
+    * shuffles and is read once per side. NULL signal values get a null
+    * bucket (see [[bucketOf]]) and are excluded from that signal's
+    * counts on BOTH sides — n_ref/n_cur are per-signal non-null counts.
+    * Output: (signal, psi, n_ref, n_cur), one row per signal. */
+  /** Equal-population cut row for [[bucketOf]]: the n−1 exact percentiles
+    * of `valueCol` as one `__cuts<tag>` array column — ONE narrow
+    * aggregation, broadcast by the caller. The shared definition of the
+    * quantile-bucket discipline ([[Packing.curriculumOrder]] bands and
+    * [[driftReport]] PSI buckets ride the same two functions, so the cut
+    * and tie semantics cannot drift apart). */
+  private[operators] def quantileCutExpr(valueCol: Column, n: Int,
+                                         tag: String = ""): Column =
+    percentile(valueCol,
+      typedlit((1 until n).map(_.toDouble / n))).as(s"__cuts$tag")
+
+  /** bucket(x) = #cuts strictly below x, against the `__cuts<tag>` column
+    * a broadcast [[quantileCutExpr]] row provides — a static codegen'd
+    * comparison sum; ties at a cut land in the LOWER bucket. A NULL value
+    * gets a NULL bucket (every comparison is null), so null-signal rows
+    * are VISIBLE to the caller rather than silently landing in bucket
+    * 0 — [[Packing.curriculumOrder]] surfaces them as a null band,
+    * [[driftReport]] excludes them from both sides' counts. */
+  private[operators] def bucketOf(valueCol: Column, n: Int,
+                                  tag: String = ""): Column =
+    when(valueCol.isNull, lit(null))
+      .otherwise((1 until n)
+        .map(i => when(valueCol > element_at(col(s"__cuts$tag"), i), 1)
+          .otherwise(0))
+        .reduce(_ + _))
+
   def driftReport(reference: DataFrame, current: DataFrame,
                   signalCols: Seq[String], numBuckets: Int = 10): DataFrame = {
     require(numBuckets >= 2, s"numBuckets=$numBuckets: need >= 2")
     require(signalCols.nonEmpty, "driftReport: need at least one signal")
-    val perSignal = signalCols.map { sc =>
-      val fracs = (1 until numBuckets).map(_.toDouble / numBuckets)
-      val cuts = reference.agg(
-        percentile(col(sc), typedlit(fracs)).as("__cuts"))
-      def bucketCounts(df: DataFrame) = {
-        val b = (1 until numBuckets)
-          .map(i => when(col(sc) > element_at(col("__cuts"), i), 1)
-            .otherwise(0))
-          .reduce(_ + _)
-        df.select(col(sc)).crossJoin(broadcast(cuts))
-          .select(b.as("__b")).groupBy(col("__b"))
-          .agg(count(lit(1)).as("__n"))
-      }
-      val dom = reference.sparkSession.range(numBuckets)
-        .select(col("id").cast("int").as("__b"))
-      val wAll = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      // numBuckets-sized frame from here on
-      dom
-        .join(bucketCounts(reference).withColumnRenamed("__n", "__nr"),
-          Seq("__b"), "left")
-        .join(bucketCounts(current).withColumnRenamed("__n", "__nc"),
-          Seq("__b"), "left")
-        .select(
-          coalesce(col("__nr"), lit(0L)).as("__nr"),
-          coalesce(col("__nc"), lit(0L)).as("__nc"))
-        .withColumn("__tr", sum(col("__nr")).over(wAll))
-        .withColumn("__tc", sum(col("__nc")).over(wAll))
-        .select(
-          ((col("__nr") + 1).cast("double")
-            / (col("__tr") + numBuckets).cast("double")).as("__pr"),
-          ((col("__nc") + 1).cast("double")
-            / (col("__tc") + numBuckets).cast("double")).as("__pc"),
-          col("__tr"), col("__tc"))
-        .select(
-          round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))
-            * 1e6).cast("long").as("__term"),
-          col("__tr"), col("__tc"))
-        .agg(
-          (sum(col("__term")).cast("double") / 1e6).as("psi"),
-          first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"))
-        .select(lit(sc).as("signal"), col("psi"), col("n_ref"),
-          col("n_cur"))
+    // ONE reference aggregation carries every signal's cut array; ONE
+    // conditional aggregation per side carries every (signal, bucket)
+    // count — three jobs total, independent of the signal count (a 100 TB
+    // crawl batch is read once, not once per signal). NULL signal values
+    // get a null bucket (see bucketOf) and are excluded from that
+    // signal's counts on both sides.
+    val cutCols = signalCols.zipWithIndex.map { case (sc, si) =>
+      quantileCutExpr(col(sc), numBuckets, si.toString)
     }
-    perSignal.reduce(_.unionByName(_))
+    val cuts = reference.agg(cutCols.head, cutCols.tail: _*)
+    def countsRow(df: DataFrame, side: String): DataFrame = {
+      val aggs = signalCols.zipWithIndex.flatMap { case (sc, si) =>
+        val b = bucketOf(col(sc), numBuckets, si.toString)
+        (0 until numBuckets).map { k =>
+          sum(when(b === k, 1L).otherwise(0L)).as(s"__${side}_${si}_$k")
+        }
+      }
+      df.crossJoin(broadcast(cuts)).agg(aggs.head, aggs.tail: _*)
+    }
+    val row = countsRow(reference, "r").crossJoin(countsRow(current, "c"))
+    val entries = signalCols.zipWithIndex.map { case (sc, si) =>
+      val nr = (0 until numBuckets).map(k => col(s"__r_${si}_$k"))
+      val nc = (0 until numBuckets).map(k => col(s"__c_${si}_$k"))
+      val tr = nr.reduce(_ + _)
+      val tc = nc.reduce(_ + _)
+      val terms = (0 until numBuckets).map { k =>
+        val pr = (nr(k) + 1).cast("double") /
+          (tr + numBuckets).cast("double")
+        val pc = (nc(k) + 1).cast("double") /
+          (tc + numBuckets).cast("double")
+        round((pc - pr) * log(pc / pr) * 1e6).cast("long")
+      }
+      struct(lit(sc).as("signal"),
+        (terms.reduce(_ + _).cast("double") / 1e6).as("psi"),
+        tr.as("n_ref"), tc.as("n_cur"))
+    }
+    row.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
   }
 }

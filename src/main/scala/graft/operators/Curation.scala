@@ -27,14 +27,20 @@ object Curation {
     * names must be unique and '|'-free. Keeping EVERY row tagged — not
     * dropping — is the contract: downstream gates filter on `keep`,
     * ablation reads the reasons, and "clean" is an answer. */
-  def filterWithProvenance(docs: DataFrame,
-                           rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "filterWithProvenance: need at least one rule")
+  private def validateRules(rules: Seq[(String, Column)]): Unit = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.forall(_._1.nonEmpty), "rule names must be non-empty")
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique")
     require(rules.forall(!_._1.contains("|")),
       "rule names must not contain '|' (the reason separator)")
-    val reserved = Seq("keep", "n_fails", "fail_reasons", "first_fail")
+  }
+
+  def filterWithProvenance(docs: DataFrame,
+                           rules: Seq[(String, Column)]): DataFrame = {
+    validateRules(rules)
+    val reserved = Seq("keep", "n_fails", "fail_reasons", "first_fail",
+      "__fr")
     require(!docs.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by filterWithProvenance")
     // a failed predicate contributes its name; nulls count as FAILURES
@@ -61,21 +67,22 @@ object Curation {
     * array (rules-sized, no shuffle beyond the single agg). */
   def filterAblation(docs: DataFrame,
                      rules: Seq[(String, Column)]): DataFrame = {
-    val tagged = filterWithProvenance(docs, rules)
-    val names = rules.map(_._1)
-    val failSet = split(col("fail_reasons"), "\\|") // '' -> [''] never matches
-    val aggs = count(lit(1)).as("__n") +: names.zipWithIndex.flatMap {
-      case (n, i) =>
-        val fails = array_contains(failSet, n)
-        Seq(
-          sum(when(fails, 1L).otherwise(0L)).as(s"__f$i"),
-          sum(when(fails && col("n_fails") === 1, 1L).otherwise(0L))
-            .as(s"__u$i"),
-          sum(when(col("first_fail").isin(names.take(i + 1): _*), 1L)
-            .otherwise(0L)).as(s"__c$i"))
+    validateRules(rules)
+    // counts straight from the predicates (same null-counts-as-failure
+    // contract as the tagger: coalesce(p, false)) — no string round-trip
+    // through fail_reasons
+    val pass = rules.map { case (_, p) => coalesce(p, lit(false)) }
+    val aggs = count(lit(1)).as("__n") +: rules.indices.toSeq.flatMap { i =>
+      val othersPass = rules.indices.filter(_ != i).map(pass)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val prefixPass = (0 to i).map(pass).reduce(_ && _)
+      Seq(
+        sum(when(!pass(i), 1L).otherwise(0L)).as(s"__f$i"),
+        sum(when(!pass(i) && othersPass, 1L).otherwise(0L)).as(s"__u$i"),
+        sum(when(!prefixPass, 1L).otherwise(0L)).as(s"__c$i"))
     }
-    val row = tagged.agg(aggs.head, aggs.tail: _*)
-    val entries = names.zipWithIndex.map { case (n, i) =>
+    val row = docs.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.map(_._1).zipWithIndex.map { case (n, i) =>
       struct(lit(n).as("rule"), lit(i).as("rule_idx"),
         col(s"__f$i").as("n_fail"), col(s"__u$i").as("n_unique_fail"),
         col(s"__c$i").as("n_cum_killed"), col("__n").as("n_docs"))

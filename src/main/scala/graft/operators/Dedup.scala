@@ -1068,8 +1068,11 @@ object Dedup {
     * pair engine ([[minhashLshPairs]], [[jaccardPairs]], …); `membership`
     * maps ids to groups; each pair lands on its unordered (least,
     * greatest) group pair. A pair whose id is missing from `membership`
-    * drops (inner joins) — run the matrix over the same corpus the pairs
-    * came from. `membership` must be UNIQUE per id (a duplicate id row
+    * drops (inner joins), and a NULL group is treated as missing
+    * membership — least/greatest skip nulls, so keeping such rows would
+    * fabricate an intra-group (g, g) pair out of (null, g). Run the
+    * matrix over the same corpus the pairs came from.
+    * `membership` must be UNIQUE per id (a duplicate id row
     * multiplies every pair it touches — the joins are taken as given, not
     * deduplicated, so a caller aggregating per-snapshot membership keeps
     * control of that semantics).
@@ -1083,6 +1086,7 @@ object Dedup {
                       aCol: String = "doc_a",
                       bCol: String = "doc_b"): DataFrame = {
     val m = membership.select(col(idCol).as("__id"), col(groupCol).as("__g"))
+      .filter(col("__g").isNotNull)
     pairs.select(col(aCol), col(bCol))
       .join(m.select(col("__id").as(aCol), col("__g").as("__ga")), Seq(aCol))
       .join(m.select(col("__id").as(bCol), col("__g").as("__gb")), Seq(bCol))

@@ -356,34 +356,46 @@ object Packing {
     * it replays the curriculum, and every prefix of a band's key range
     * interleaves that band's strata-of-one uniformly.
     *
+    * NULL difficulty scores get a NULL band (and a null curriculum_key):
+    * percentile cuts skip nulls, so silently banding them would both
+    * front-load unscored documents as "easiest" and break the
+    * equal-population contract — the null band makes them visible, and
+    * the caller decides their fate (filter, impute, or train last).
+    *
     * Output: input columns + (band, band_rank, curriculum_key). */
   def curriculumOrder(df: DataFrame, scoreCol: String, keyCol: String,
                       numBands: Int, salt: String = "",
                       drawPrefixLen: Int = 2): DataFrame = {
     require(numBands >= 1, s"numBands=$numBands: need >= 1")
-    val reserved = Seq("band", "band_rank", "curriculum_key", "__cuts")
+    val reserved = Seq("band", "band_rank", "curriculum_key", "__cuts",
+      "__rawband")
     require(!df.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by curriculumOrder")
+    // null-score rows ride the SAME interleave pass under a sentinel
+    // band (-1 — a null stratum would drop at the bucket equi-join, and
+    // a bypass union would re-scan the source) and come out with null
+    // band/rank/key: emitted, not silently lost — every input row is an
+    // output row
     val banded =
-      if (numBands == 1) df.withColumn("band", lit(0))
+      if (numBands == 1)
+        df.withColumn("__rawband",
+          when(col(scoreCol).isNull, lit(-1)).otherwise(lit(0)))
       else {
-        val fracs = (1 until numBands).map(_.toDouble / numBands)
-        val cuts = df.agg(
-          percentile(col(scoreCol), typedlit(fracs)).as("__cuts"))
-        val bandCol = (1 until numBands)
-          .map(i => when(col(scoreCol) > element_at(col("__cuts"), i), 1)
-            .otherwise(0))
-          .reduce(_ + _)
-        df.crossJoin(broadcast(cuts)).withColumn("band", bandCol)
+        // shared cut/tie/null semantics with CorpusStats.driftReport —
+        // one definition of the quantile-bucket discipline
+        val cuts = df.agg(CorpusStats.quantileCutExpr(col(scoreCol), numBands))
+        df.crossJoin(broadcast(cuts))
+          .withColumn("__rawband",
+            coalesce(CorpusStats.bucketOf(col(scoreCol), numBands), lit(-1)))
           .drop("__cuts")
       }
-    epochInterleave(banded, "band", keyCol, salt, drawPrefixLen)
-      .withColumn("band_rank", col("epoch_rank"))
-      .withColumn("curriculum_key",
-        (col("band").cast("double") + col("order_key"))
-          / lit(numBands.toDouble))
-      .select((df.columns.map(col) ++ Seq(col("band"), col("band_rank"),
-        col("curriculum_key"))).toSeq: _*)
+    val scored = col("__rawband") >= 0
+    epochInterleave(banded, "__rawband", keyCol, salt, drawPrefixLen)
+      .select((df.columns.map(col) ++ Seq(
+        when(scored, col("__rawband")).as("band"),
+        when(scored, col("epoch_rank")).as("band_rank"),
+        when(scored, (col("__rawband").cast("double") + col("order_key"))
+          / lit(numBands.toDouble)).as("curriculum_key"))).toSeq: _*)
   }
 
   /** Multi-epoch training SCHEDULE with per-stratum epoch counts — the

@@ -77,8 +77,8 @@ object NewOpAudit {
       size(graft.functions.WordShingles.allShingles(col("text"), 1))
         .cast("long").as("len"))
     val eq = graft.operators.CorpusStats.histogramQuantiles(
-      lens.select(col("doc_id").cast("string").as("lang"), col("len"))
-        .withColumnRenamed("lang", "g"), "g", "len")
+      lens.select(col("doc_id").cast("string").as("g"), col("len")),
+      "g", "len")
     println("=== histogram quantiles ===")
     println(eq.queryExecution.executedPlan.toString.linesIterator
       .map(_.take(110)).take(16).mkString("\n"))

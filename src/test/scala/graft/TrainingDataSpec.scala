@@ -3251,11 +3251,14 @@ class TrainingDataSpec extends AnyFunSuite {
   // ——— Dedup.pairGroupMatrix ———
 
   test("pair group matrix canonicalizes unordered group pairs and counts") {
-    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (1L, 6L))
-      .toDF("doc_a", "doc_b")
-    val members = Seq((1L, "web"), (2L, "books"), (3L, "web"),
-      (4L, "books"), (5L, "books")) // 6 has NO membership -> pair drops
-      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (1L, 6L),
+      (3L, 7L)).toDF("doc_a", "doc_b")
+    val members = Seq((1L, Some("web")), (2L, Some("books")),
+      (3L, Some("web")), (4L, Some("books")), (5L, Some("books")),
+      // 6 has NO membership and 7 a NULL group -> both pairs drop (a
+      // null group must NOT fabricate an intra-group pair via
+      // least/greatest null-skipping)
+      (7L, None)).toDF("doc_id", "source")
     val got = Dedup.pairGroupMatrix(pairs, members, groupCol = "source")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
@@ -3370,6 +3373,12 @@ class TrainingDataSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.filterWithProvenance(d, Seq("a|b" -> lit(true)))
     }
+    intercept[IllegalArgumentException] {
+      Curation.filterWithProvenance(d, Seq("" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterAblation(d, Seq("" -> lit(true)))
+    }
   }
 
   test("filter ablation counts total, unique, and cumulative kills per rule") {
@@ -3415,6 +3424,26 @@ class TrainingDataSpec extends AnyFunSuite {
       (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:t")
         .take(8), id))
     assert(out.filter(_._3 == 0).sortBy(_._4).map(_._1).toSeq === want0.toSeq)
+  }
+
+  test("curriculum order and drift report surface null scores instead of banding them") {
+    val d = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Some(4.0)), (5L, None)).toDF("doc_id", "score")
+    val out = Packing.curriculumOrder(d, "score", "doc_id", numBands = 2,
+        salt = "t").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(4)))))
+      .toMap
+    // the unscored doc gets a NULL band and null curriculum_key — it
+    // must not lead the curriculum as "easiest"
+    assert(out(5L) === ((None, None)))
+    assert(out(1L)._1 === Some(0) && out(4L)._1 === Some(1))
+    // drift report: null signal rows are excluded from BOTH sides' counts
+    val ref = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("x")
+    val curr = Seq(Some(1.0), None, None).toDF("x")
+    val row = CorpusStats.driftReport(ref, curr, Seq("x"), numBuckets = 2)
+      .collect().head
+    assert(row.getLong(2) === 4L && row.getLong(3) === 1L)
   }
 
   test("curriculum order: cut ties land in the lower band; one band degenerates") {
