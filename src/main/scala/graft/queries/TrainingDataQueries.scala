@@ -121,7 +121,10 @@ object TrainingDataQueries extends QueryPack {
     * symmetrized host graph, clamped seeds, [[LpIterations]] unrolled
     * synchronous majority rounds (ties to the smallest label; a node with
     * no labeled neighbor keeps its previous label). */
-  private def labelPropOracle: String = {
+  /** The LP CTE chain (symmetrized graph, seeds, unrolled rounds) with a
+    * parameterized node-CTE name so it can coexist with the PR chain in
+    * one composed WITH scope. Final labels live in `l<LpIterations>`. */
+  private def labelPropCtes(nodesCte: String): String = {
     val rounds = (1 to LpIterations).map { i =>
       val p = if (i == 1) "l0" else s"l${i - 1}"
       s"""v$i AS MATERIALIZED (SELECT e.dst AS node, l.label AS nl, count(*) AS c
@@ -133,24 +136,27 @@ object TrainingDataQueries extends QueryPack {
          |  WHERE rn = 1),
          |l$i AS MATERIALIZED (SELECT n.node,
          |    COALESCE(s.label, p.nl, l.label) AS label
-         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+         |  FROM $nodesCte n LEFT JOIN seeds s ON s.node = n.node
          |  LEFT JOIN p$i p ON p.node = n.node
          |  LEFT JOIN $p l ON l.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $hostGraphCte,
-       |eu AS MATERIALIZED (SELECT src, dst FROM edges
+    s"""eu AS MATERIALIZED (SELECT src, dst FROM edges
        |  UNION SELECT dst, src FROM edges),
-       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM eu),
+       |$nodesCte AS MATERIALIZED (SELECT DISTINCT src AS node FROM eu),
        |seeds AS MATERIALIZED (SELECT source AS node,
        |    CASE WHEN i % 2 = 0 THEN 'edu' ELSE 'ref' END AS label
        |  FROM srcs WHERE i < 4),
        |l0 AS MATERIALIZED (SELECT n.node, s.label
-       |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
-       |$rounds
+       |  FROM $nodesCte n LEFT JOIN seeds s ON s.node = n.node),
+       |$rounds""".stripMargin
+  }
+
+  private def labelPropOracle: String =
+    s"""WITH $hostGraphCte,
+       |${labelPropCtes("nodes")}
        |SELECT l.node, l.label, (s.node IS NOT NULL) AS is_seed
        |FROM l$LpIterations l LEFT JOIN seeds s ON s.node = l.node
        |ORDER BY l.node""".stripMargin
-  }
 
   /** Generated DuckDB oracle for [[graft.operators.LinkGraph.pageRank]]:
     * the same deterministic host graph the gate synthesizes (hash-drawn
@@ -158,7 +164,10 @@ object TrainingDataQueries extends QueryPack {
     * dangling node exists), then [[PrIterations]] unrolled rounds of the
     * exact fixed-point update — every division an integer floor, so the
     * trajectory matches Spark bit for bit. */
-  private def pageRankOracle: String = {
+  /** The PR CTE chain (nodes, degrees, unrolled fixed-point rounds) —
+    * final masses live in `r<PrIterations>`; node CTE name parameterized
+    * for composed WITH scopes. */
+  private def pageRankCtes(nodesCte: String): String = {
     val scale = graft.operators.LinkGraph.Scale
     val rounds = (1 to PrIterations).map { i =>
       val p = if (i == 1) "r0" else s"r${i - 1}"
@@ -170,20 +179,46 @@ object TrainingDataQueries extends QueryPack {
          |r$i AS MATERIALIZED (SELECT n.node,
          |    ((100 - 85) * ($scale // nn.n)) // 100
          |    + (85 * (COALESCE(c.inc, 0) + (d.dang // nn.n))) // 100 AS r
-         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$i d
+         |  FROM $nodesCte n CROSS JOIN nn CROSS JOIN d$i d
          |  LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $hostGraphCte,
-       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+    s"""$nodesCte AS MATERIALIZED (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM $nodesCte),
        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS dg FROM edges GROUP BY src),
-       |r0 AS MATERIALIZED (SELECT node, $scale // nn.n AS r FROM nodes CROSS JOIN nn),
-       |$rounds
+       |r0 AS MATERIALIZED (SELECT node, $scale // nn.n AS r FROM $nodesCte CROSS JOIN nn),
+       |$rounds""".stripMargin
+  }
+
+  private def pageRankOracle: String =
+    s"""WITH $hostGraphCte,
+       |${pageRankCtes("nodes")}
        |SELECT node, r AS rank_int,
        |  CAST(r AS DOUBLE) / 1000000000000.0 AS "rank"
        |FROM r$PrIterations ORDER BY node""".stripMargin
-  }
+
+  /** Composed oracle for `host_report`: ONE host graph, the PR chain and
+    * the LP chain side by side (distinct node-CTE names), plus per-host
+    * document aggregates — the reputation table joined exactly as the
+    * Spark gate joins it. */
+  private def hostReportOracle: String =
+    s"""WITH $toksCte,
+       |$hostGraphCte,
+       |${pageRankCtes("prnodes")},
+       |${labelPropCtes("lpnodes")},
+       |agg AS MATERIALIZED (SELECT d.source AS node,
+       |    count(*) AS n_docs,
+       |    CAST(sum(len(t)) AS BIGINT) AS total_tokens
+       |  FROM documents d JOIN toks USING (doc_id) GROUP BY d.source)
+       |SELECT l.node, l.label, (s.node IS NOT NULL) AS is_seed,
+       |  p.r AS rank_int,
+       |  COALESCE(a.n_docs, 0) AS n_docs,
+       |  COALESCE(a.total_tokens, 0) AS total_tokens
+       |FROM l$LpIterations l
+       |JOIN r$PrIterations p ON p.node = l.node
+       |LEFT JOIN seeds s ON s.node = l.node
+       |LEFT JOIN agg a ON a.node = l.node
+       |ORDER BY l.node""".stripMargin
 
   /** Shared DuckDB CTE chain: MinHash band signatures (shingles → 28-bit
     * base hash → 8 fixed universal-hash permutations → 2-hash band
@@ -2401,6 +2436,30 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("vec_id"))
     }),
 
+    // Composed host reputation report (L108): PageRank centrality ×
+    // propagated labels × per-host corpus aggregates in one table — the
+    // per-host view a curation run consults before weighting sources.
+    // ONE edge materialization feeds both graph algorithms.
+    "host_report" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val e = hostEdges(s, dir).localCheckpoint(true)
+      val pr = LinkGraph.pageRank(e, iterations = PrIterations)
+        .select(col("node"), col("rank_int"))
+      val lp = LinkGraph.labelPropagate(e, hostSeeds(s, dir),
+        iterations = LpIterations)
+      val agg = Tables.documents(s, dir)
+        .groupBy(col("source").as("node"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.WordShingles.allShingles(col("text"), 1))
+            .cast("long")).as("total_tokens"))
+      lp.join(pr, Seq("node"))
+        .join(agg, Seq("node"), "left")
+        .select(col("node"), col("label"), col("is_seed"), col("rank_int"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+        .localCheckpoint(true).orderBy(col("node"))
+    }),
+
     // Rule-based curation with an audit trail (L102): every document
     // tagged keep/drop with the ordered '|'-joined names of the rules it
     // fails and the first failure — the Dolma-mixer contract (decisions
@@ -4410,6 +4469,9 @@ object TrainingDataQueries extends QueryPack {
 
     // symmetrized host graph + unrolled synchronous majority rounds
     "host_label_prop" -> labelPropOracle,
+
+    // both unrolled graph chains over ONE host graph + the doc aggregate
+    "host_report" -> hostReportOracle,
 
     // reference-quantile buckets + micro-quantized PSI terms per signal
     "drift_report" -> driftOracle,

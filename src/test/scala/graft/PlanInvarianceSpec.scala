@@ -300,4 +300,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("text_compress_ratio plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("text_compress_ratio")
   }
+
+  // L108: one shared edge checkpoint + both fixed-round graph chains +
+  // the per-host aggregate join — a fixed execution sequence at any SF
+  test("host_report plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("host_report")
+  }
 }
