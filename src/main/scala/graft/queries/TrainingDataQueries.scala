@@ -243,6 +243,30 @@ object TrainingDataQueries extends QueryPack {
        |                ORDER BY CAST(i AS VARCHAR) || '|' || mh)) AS sig
        |          FROM mh GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the n-gram-heuristic language id —
+    * mirrors TextAnalysis.langScoresFromTokens/predictedLangFromTokens;
+    * `pred` carries (doc_id, predicted, score_*). Feeds `text_langid`
+    * and `langid_confusion`. */
+  private val langidCtes: String =
+    s"""lt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |            FROM documents),
+       |lsc AS (SELECT doc_id,
+       |  len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS score_de,
+       |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS score_en,
+       |  len(list_filter(t, x -> x IN ('el','la','de','y'))) AS score_es,
+       |  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS score_fr,
+       |  len(list_filter(t, x -> x IN ('de','shi','le','he'))) AS score_zh
+       |  FROM lt),
+       |pred AS (SELECT doc_id,
+       |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
+       |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
+       |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
+       |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
+       |       WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS predicted,
+       |  score_de, score_en, score_es, score_fr, score_zh
+       |FROM lsc)""".stripMargin
+
   /** The curation rule set shared by the `filter_provenance` /
     * `filter_ablation` gates — ONE ordered definition feeds the Spark
     * rules, the DuckDB predicates, and both oracles. Signals: ntok
@@ -1164,6 +1188,23 @@ object TrainingDataQueries extends QueryPack {
         .select(Seq(col("doc_id"),
           TextAnalysis.predictedLangFromTokens(col("__toks")).as("predicted")) ++ scores: _*)
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Language-id confusion matrix (L109): declared vs predicted counts
+    // plus per-declared-language shares — the langid QA artifact a
+    // multilingual curation run reads before trusting either label.
+    // One corpus aggregation; the share rides a langs²-sized window.
+    "langid_confusion" -> ((s, dir) => {
+      val cm = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.predictedLangFromTokens(
+          TextAnalysis.tokens(lower(col("text")))).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      cm.withColumn("lang_total", sum(col("n")).over(w))
+        .withColumn("share",
+          col("n").cast("double") / col("lang_total").cast("double"))
+        .localCheckpoint(true).orderBy(col("lang"), col("predicted"))
     }),
 
     "text_fingerprint" -> ((s, dir) => {
@@ -3148,24 +3189,24 @@ object TrainingDataQueries extends QueryPack {
          |ORDER BY f.doc_id""".stripMargin,
 
     "text_langid" ->
-      s"""WITH lt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-         |            FROM documents),
-         |sc AS (SELECT doc_id,
-         |  len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS score_de,
-         |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS score_en,
-         |  len(list_filter(t, x -> x IN ('el','la','de','y'))) AS score_es,
-         |  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS score_fr,
-         |  len(list_filter(t, x -> x IN ('de','shi','le','he'))) AS score_zh
-         |  FROM lt)
-         |SELECT doc_id,
-         |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_de > 0 THEN 'de'
-         |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_en > 0 THEN 'en'
-         |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_es > 0 THEN 'es'
-         |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_fr > 0 THEN 'fr'
-         |       WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) AND score_zh > 0 THEN 'zh'
-         |       ELSE 'und' END AS predicted,
+      s"""WITH $langidCtes
+         |SELECT doc_id, predicted,
          |  score_de, score_en, score_es, score_fr, score_zh
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |FROM pred ORDER BY doc_id""".stripMargin,
+
+    // the same langid CTE chain, joined back to the declared language —
+    // per (lang, predicted) counts and the per-lang share via a window
+    "langid_confusion" ->
+      s"""WITH $langidCtes,
+         |cm AS MATERIALIZED (SELECT d.lang, p.predicted,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pred p JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang, p.predicted)
+         |SELECT lang, predicted, n,
+         |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |  CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+         |FROM cm ORDER BY lang, predicted""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
