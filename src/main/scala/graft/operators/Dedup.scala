@@ -1062,6 +1062,19 @@ object Dedup {
     docs.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Component-size histogram — the dedup SUMMARY a curation run prints:
+    * per near-dup cluster size, how many clusters, how many documents
+    * they hold, and how many a keep-one policy removes (size −1 each).
+    * Input is any [[connectedComponents]]-shaped frame; singletons are
+    * not in the pair graph (the CC contract) and report via the corpus
+    * total the caller already has. Two component-keyed aggregations over
+    * the OUTPUT-sized label frame — the corpus never appears. */
+  def componentSizeReport(components: DataFrame): DataFrame =
+    components.groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"), sum(col("__sz")).as("n_docs"))
+      .withColumn("n_removed", col("n_docs") - col("n_components"))
+
   /** Cross-GROUP duplication matrix — dedup forensics: which sources /
     * domains / crawl snapshots duplicate WHICH (mirror detection, content
     * laundering, snapshot overlap). `pairs` are near-dup pairs from any

@@ -1518,6 +1518,26 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Dedup summary report (L110): the component-size histogram a
+    // curation run prints — per cluster size: #clusters, #docs, #removed
+    // under keep-one. Same pair chain as dedup_components; the report is
+    // two aggregations over the OUTPUT-sized label frame.
+    "dedup_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      Dedup.componentSizeReport(
+          Dedup.connectedComponents(jp.unionByName(ep)))
+        .localCheckpoint(true).orderBy(col("component_size"))
+    }),
+
     // Cross-source duplication matrix (L106): the LSH near-dup pairs
     // aggregated per unordered source pair — mirror/overlap forensics.
     "dedup_source_matrix" -> ((s, dir) => {
@@ -2709,8 +2729,11 @@ object TrainingDataQueries extends QueryPack {
   /** One oracle for BOTH connected-components implementations (min-label
     * BSP and star contraction): the cluster map is a function of the pair
     * graph, not of the algorithm. */
-  private lazy val componentsOracle: String =
-    s"""WITH RECURSIVE $shinglesCte,
+  /** The components CTE chain (pair generation + recursive min-label
+    * walk) — shared by [[componentsOracle]] and the dedup-report oracle;
+    * the final labels aggregate from `walk`. */
+  private lazy val componentsCtes: String =
+    s"""$shinglesCte,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2726,10 +2749,28 @@ object TrainingDataQueries extends QueryPack {
        |walk(id, lab) AS (
        |  SELECT a, a FROM edges
        |  UNION
-       |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)
+       |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id)""".stripMargin
+
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS component,
        |       (min(lab) = id) AS is_canonical
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Composed oracle for `dedup_report`: the same walk, aggregated to the
+    * component-size histogram (singletons are not in the pair graph and
+    * report via the corpus total). */
+  private lazy val dedupReportOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS MATERIALIZED (SELECT id, min(lab) AS component
+       |  FROM walk GROUP BY id),
+       |szs AS MATERIALIZED (SELECT component, CAST(count(*) AS BIGINT) AS sz
+       |  FROM comp GROUP BY component)
+       |SELECT sz AS component_size,
+       |  CAST(count(*) AS BIGINT) AS n_components,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removed
+       |FROM szs GROUP BY sz ORDER BY sz""".stripMargin
 
   /** Generated DuckDB oracle replaying the COMPOSED curation chain — see
     * the `corpus_pipeline` query for the stage list. Every stage reuses its
@@ -3518,6 +3559,9 @@ object TrainingDataQueries extends QueryPack {
     // the star-contraction implementation must produce the identical
     // cluster map — one oracle, two engines' worth of evidence
     "dedup_components_stars" -> componentsOracle,
+
+    // the same recursive walk, aggregated to the size histogram
+    "dedup_report" -> dedupReportOracle,
 
     "dedup_jaccard" -> jaccardOracle,
 

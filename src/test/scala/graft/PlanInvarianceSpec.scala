@@ -306,4 +306,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("host_report plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("host_report")
   }
+
+  // L110: the components rounds are data-dependent (same as
+  // dedup_components_stars) — pin the plan VOCABULARY
+  test("dedup_report round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_report", roundMultiplicityVaries = true)
+  }
 }

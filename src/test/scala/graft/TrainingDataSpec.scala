@@ -3268,6 +3268,20 @@ class TrainingDataSpec extends AnyFunSuite {
       ("books", "books") -> 1L)) // (4,5)
   }
 
+  // ——— Dedup.componentSizeReport ———
+
+  test("component size report histograms clusters and keep-one removals") {
+    // components: {1,2,3} -> 1, {4,5} -> 4, {6,7} -> 6
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L)).toDF("id", "component")
+    val got = Dedup.componentSizeReport(comps).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      3L -> ((1L, 3L, 2L)),  // one 3-cluster, 3 docs, keep-one removes 2
+      2L -> ((2L, 4L, 2L)))) // two 2-clusters, 4 docs, 2 removed
+  }
+
   // ——— CorpusStats.driftReport ———
 
   test("drift report: identical distributions score exactly zero, shifts score high") {
