@@ -111,6 +111,10 @@ object CorpusStats {
       : DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"quantiles must lie in (0, 1], got $ps")
+    // q_<p> names round to whole percents — two requested quantiles that
+    // round to the same percent would silently collide (ADVICE r12)
+    require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
+      s"quantile column names collide after rounding to percents: $ps")
     val reserved = Seq("__cnt", "__cum", "n")
     require(!docs.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by histogramQuantiles")

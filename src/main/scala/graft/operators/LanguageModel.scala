@@ -209,10 +209,15 @@ object LanguageModel {
       col("__d2") * col("__n2c").cast("double") +
       col("__d3") * col("__n3c").cast("double")) /
       col("__ctot").cast("double")
-    val p = when(col("__ctot").isNotNull,
+    // Floor p at 1e-12: on skewed counts-of-counts a discount can clamp
+    // to 0.0 and a seen context whose mass is all at that count gets
+    // gamma = 0 — an unseen token under it would score p = 0 and its
+    // log(0) = -Inf term would corrupt the document sum (ADVICE r12).
+    // The floor is one exact max, mirrored in the oracle.
+    val p = greatest(when(col("__ctot").isNotNull,
       greatest(c.cast("double") - dsel, lit(0.0)) /
         col("__ctot").cast("double") + gamma * puni)
-      .otherwise(puni)
+      .otherwise(puni), lit(1e-12))
     val term = round(log(p) * lit(1e6)).cast("long")
     val scored = transitions(docs, n, idCol, textCol)
       .join(m, Seq("context", "token"), "left")

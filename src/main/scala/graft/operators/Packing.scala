@@ -81,8 +81,11 @@ object Packing {
                   eod: String = "<eod>"): DataFrame = {
     require(seqLen > 0 && numBuckets > 0,
       s"seqLen=$seqLen numBuckets=$numBuckets")
+    // no exemption for keyCol: a key named e.g. "seq_id" is renamed to
+    // __key and then shadowed by internal columns — confusing schemas,
+    // not a supported use (ADVICE r12)
     val reserved = Seq("bucket", "seq_id", "__key", "__toks", "__n", "__s")
-    require(!docs.columns.exists(c => reserved.contains(c) && c != keyCol),
+    require(!docs.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by concatSlice")
     val w = Window.partitionBy(col("bucket")).orderBy(col("__key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -134,6 +134,123 @@ object WordPiece {
     merges.result()
   }
 
+  /** [[learn]]'s batched production shape (mirroring
+    * [[BpeLearn.learnBatched]] — r12 left WordPiece one-merge-per-round,
+    * the exact shape that made 30k-merge BPE builds impractical before
+    * batching; a 30k WordPiece vocabulary is the real BERT setting): per
+    * round, rank candidates by the likelihood score, greedily accept up
+    * to `batchSize` pairwise SYMBOL-DISJOINT pairs, apply the whole
+    * batch in one [[graft.functions.ApplyMerges]] re-segmentation pass —
+    * driver round-trips and checkpoints drop from numMerges to
+    * ~numMerges/batchSize.
+    *
+    * The disjointness argument is STRONGER here than for BPE: merging
+    * (a,b) changes only the counts of a, b and the minted symbol, so a
+    * disjoint pair's w, cl and cr — hence its score — are EXACTLY
+    * invariant under the rest of the batch; the only divergence from
+    * strict sequential order is that a mid-batch minted symbol could
+    * have out-scored a later batch member (the same large-vocab trade
+    * BPE's batching accepts). At `batchSize = 1` the selection
+    * degenerates to [[learn]]'s argmax and the result is IDENTICAL
+    * (spec-checked). Deterministic for any batchSize: candidate order is
+    * (score desc, left, right) — the score ONE correctly-rounded IEEE
+    * division of exact counts — and the greedy scan is a pure function
+    * of it.
+    *
+    * Candidate headroom is adaptive exactly like BPE's (see
+    * [[BpeLearn.learnBatched]]): start at 3× the want, double when a
+    * FULL list exhausts before filling, re-center on the observed
+    * scan-to-fill ratio when it fills. Rounds that fill within the
+    * first 3× candidates are ask-invariant, so the oracle gates stay
+    * multiplier-free. */
+  def learnBatched(corpus: DataFrame, numMerges: Int, batchSize: Int,
+                   textCol: String = "text", minFrequency: Long = 2L,
+                   onRound: (Int, Int, Int) => Unit = (_, _, _) => ())
+      : Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val words = BpeLearn.wordFrequencies(corpus, textCol)
+    var st = words
+      .select(col("cnt"), initialPieces(col("word")).as("pieces"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    val MaxAsk = 500000
+    var mult = 3.0
+    while (rank < numMerges && !exhausted) {
+      val want = math.min(numMerges - rank, batchSize)
+      val ask = math.min(MaxAsk.toDouble,
+        math.max(want * 3.0, want * mult)).toInt
+      val pairs = st
+        .select(col("cnt"), explode(
+          when(size(col("pieces")) >= 2,
+            transform(sequence(lit(1), size(col("pieces")) - 1),
+              i => struct(element_at(col("pieces"), i).as("l"),
+                element_at(col("pieces"), i + 1).as("r"))))
+            .otherwise(array().cast(
+              "array<struct<l:string,r:string>>"))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("cnt")).as("w"))
+      // one symbol-count materialization per round (two broadcast joins
+      // below — structurally-distinct broadcast subtrees defeat exchange
+      // reuse, the documented gotcha)
+      val syms = st
+        .select(col("cnt"), explode(col("pieces")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
+        .localCheckpoint(true)
+      val top = pairs
+        .join(broadcast(syms.select(col("sym").as("l"), col("c").as("cl"))),
+          Seq("l"))
+        .join(broadcast(syms.select(col("sym").as("r"), col("c").as("cr"))),
+          Seq("r"))
+        .filter(col("w") >= minFrequency)
+        .select(col("l"), col("r"), col("w"), col("cl"), col("cr"),
+          (col("w").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(ask)
+        .collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = Seq.newBuilder[(String, String, Long, Long, Long)]
+      var n = 0
+      var scanned = 0
+      top.iterator.foreach { row =>
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (n < want) {
+          scanned += 1
+          if (!used(l) && !used(r)) {
+            batch += ((l, r, row.getLong(2), row.getLong(3), row.getLong(4)))
+            used += l; used += r; n += 1
+          }
+        }
+      }
+      val accepted = batch.result()
+      // retune (the BPE discipline): every collected candidate already
+      // passed the frequency floor (filtered pre-rank here), so a FULL
+      // list that under-fills always justifies growing the ask
+      if (accepted.length < want) {
+        if (top.length == ask && ask < MaxAsk)
+          mult = math.min(mult * 2.0, MaxAsk.toDouble / math.max(1, want))
+      } else {
+        mult = math.max(3.0, 1.5 * scanned.toDouble / want)
+      }
+      onRound(rank, want, accepted.length)
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.foreach { case (l, r, w, cl, cr) =>
+          merges += Merge(rank, l, r, display(l + r), w, cl, cr); rank += 1
+        }
+        st = st.select(col("cnt"),
+          graft.functions.ApplyMerges(col("pieces"),
+            accepted.map { case (l, r, _, _, _) => (l, r) }).as("pieces"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.result()
+  }
+
   /** The learned merge table as a DataFrame — the persistable artifact
     * and the gate surface (rank, left, right, merged, weight, left_cnt,
     * right_cnt). */
@@ -142,6 +259,15 @@ object WordPiece {
                  minFrequency: Long = 2L): DataFrame = {
     import spark.implicits._
     learn(corpus, numMerges, textCol, minFrequency).toDF()
+  }
+
+  /** [[learnBatched]]'s merge table — same surface as [[learnTable]]. */
+  def learnBatchedTable(spark: SparkSession, corpus: DataFrame,
+                        numMerges: Int, batchSize: Int,
+                        textCol: String = "text",
+                        minFrequency: Long = 2L): DataFrame = {
+    import spark.implicits._
+    learnBatched(corpus, numMerges, batchSize, textCol, minFrequency).toDF()
   }
 
   /** The vocabulary a merge table induces: the initial alphabet (bare +

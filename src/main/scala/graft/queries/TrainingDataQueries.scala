@@ -193,8 +193,7 @@ object TrainingDataQueries extends QueryPack {
   private def pageRankOracle: String =
     s"""WITH $hostGraphCte,
        |${pageRankCtes("nodes")}
-       |SELECT node, r AS rank_int,
-       |  CAST(r AS DOUBLE) / 1000000000000.0 AS "rank"
+       |SELECT node, r AS rank_int
        |FROM r$PrIterations ORDER BY node""".stripMargin
 
   /** Composed oracle for `host_report`: ONE host graph, the PR chain and
@@ -766,7 +765,7 @@ object TrainingDataQueries extends QueryPack {
        |          (k1 > 0 AND k2 > 0 AND k3 > 0 AND k4 > 0) AS healthy
        |        FROM scal)),
        |sc AS (SELECT r.doc_id, cn.c AS c,
-       |         CAST(round(ln(
+       |         CAST(round(ln(greatest(
        |           CASE WHEN cs.ct IS NOT NULL THEN
        |             greatest(CAST(coalesce(cn.c, 0) AS DOUBLE) -
        |               (CASE WHEN coalesce(cn.c, 0) = 1 THEN d.d1
@@ -775,7 +774,7 @@ object TrainingDataQueries extends QueryPack {
        |             + ((d.d1 * CAST(cs.n1c AS DOUBLE) + d.d2 * CAST(cs.n2c AS DOUBLE) + d.d3 * CAST(cs.n3c AS DOUBLE)) / CAST(cs.ct AS DOUBLE))
        |               * (CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE))
        |           ELSE CAST(coalesce(co.cw, 0) + 1 AS DOUBLE) / CAST(d.bigrams + d.v + 1 AS DOUBLE) END
-       |         ) * 1000000) AS BIGINT) AS term
+       |         , 1e-12)) * 1000000) AS BIGINT) AS term
        |       FROM tr r
        |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
        |       LEFT JOIN cstat cs ON r.ctx = cs.ctx
@@ -2457,16 +2456,6 @@ object TrainingDataQueries extends QueryPack {
 
     // DEFLATE compression-ratio quality signal (L107): templated/looping
     // text compresses far below prose — the RedPajama-v2/Dolma attribute.
-    // ROWS-ONLY gate: DuckDB has no zlib, so no SQL oracle exists; the
-    // semantics are pinned by the java.util.zip reference spec and the
-    // value is a pure function of (bytes, fixed level 6).
-    "text_compress_ratio" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        graft.functions.CompressRatio.ratio(col("text"))
-          .as("compress_ratio"))
-        .localCheckpoint(true).orderBy(col("doc_id"))
-    }),
-
     // Distribution drift report (L105): PSI per signal between the 'en'
     // reference slice and the rest of the pool — the monitoring gate a
     // continuously-fed corpus runs on a new crawl batch. Reference-
@@ -2606,10 +2595,15 @@ object TrainingDataQueries extends QueryPack {
     // out-edges are dropped so the gate exercises the dangling-mass
     // redistribution), then PrIterations exact fixed-point power
     // iterations. The graph is HOST-sized — the corpus-scale work is the
-    // one edge-extraction projection.
+    // one edge-extraction projection. The gate contract is INTEGER-PURE
+    // (node, rank_int): the convenience DOUBLE rank = rank_int/1e12 stays
+    // in the operator's API, pinned by spec — keeping the hashed contract
+    // free of IEEE values (round-12 adjudication: the float column was
+    // the only delta between the red PR gates and the green LP gate).
     "host_pagerank" -> ((s, dir) => {
       import graft.operators.LinkGraph
       LinkGraph.pageRank(hostEdges(s, dir), iterations = PrIterations)
+        .select(col("node"), col("rank_int"))
         .localCheckpoint(true).orderBy(col("node"))
     }),
 
@@ -2944,6 +2938,22 @@ object TrainingDataQueries extends QueryPack {
        |LEFT JOIN epo USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Spec-only query surfaces — operators whose VALUE DuckDB cannot
+    * reproduce (no zlib), so they carry no driver gate: delisted from
+    * [[queries]] round 13 (a permanent `no_oracle` red row trains readers
+    * to ignore red rows — ADVICE r12). The DEFLATE semantics stay pinned
+    * by the `java.util.zip` reference spec in TrainingDataSpec; the plan
+    * shape stays pinned by PlanInvarianceSpec through this map. */
+  private[graft] val specOnlyQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.CompressRatio.ratio(col("text"))
+          .as("compress_ratio"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    })
+  )
 
   override def oracles: Map[String, String] =
     coreOracles + ("quality_signals" -> qualitySignalsOracle) +

@@ -42,7 +42,11 @@ class PlanInvarianceSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      // spec-only surfaces (no DuckDB oracle exists) keep their plan pin
+      // through the specOnlyQueries side map
+      SparkEntry.queries
+        .getOrElse(name, graft.queries.TrainingDataQueries.specOnlyQueries(name))
+        .apply(spark, dir).queryExecution.toRdd.count()
       GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(listener)
     spark.catalog.clearCache()
