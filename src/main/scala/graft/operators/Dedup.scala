@@ -1062,18 +1062,50 @@ object Dedup {
     docs.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** [[applyKeepListBest]] generalized to a KEEP-K policy: per duplicate
+    * cluster keep the TOP-K members by `rank` (ties to the lowest id)
+    * instead of a single winner — the diversity-preserving choice when a
+    * modern mix wants in-cluster variation retained (near-duplicate
+    * paraphrases, translations, version histories) while still capping
+    * redundancy. `k = 1` is EXACTLY [[applyKeepListBest]] (spec-checked:
+    * both order by (−rank, id)).
+    *
+    * Scale shape unchanged from keep-best: the per-component ranking is
+    * one window over the OUTPUT-sized member frame (partitioned by
+    * component — never a global window), and the corpus pays the same
+    * single id-only anti-join. */
+  def applyKeepListK(docs: DataFrame, components: DataFrame, rank: Column,
+                     k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k: need >= 1")
+    val members = components.select(col("id"), col("component"))
+    val scored = docs.select(col(idCol).as("id"), rank.as("__q"))
+      .join(members, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(negate(col("__q")), col("id"))
+    val dropIds = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > k).select(col("id"))
+    docs.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Component-size histogram — the dedup SUMMARY a curation run prints:
     * per near-dup cluster size, how many clusters, how many documents
-    * they hold, and how many a keep-one policy removes (size −1 each).
-    * Input is any [[connectedComponents]]-shaped frame; singletons are
-    * not in the pair graph (the CC contract) and report via the corpus
-    * total the caller already has. Two component-keyed aggregations over
-    * the OUTPUT-sized label frame — the corpus never appears. */
-  def componentSizeReport(components: DataFrame): DataFrame =
+    * they hold, how many a keep-one policy removes (size −1 each), and
+    * how many a KEEP-K policy would remove (max(0, size − keepK) each —
+    * the [[applyKeepListK]] budget column, r13). Input is any
+    * [[connectedComponents]]-shaped frame; singletons are not in the
+    * pair graph (the CC contract) and report via the corpus total the
+    * caller already has. Two component-keyed aggregations over the
+    * OUTPUT-sized label frame — the corpus never appears. */
+  def componentSizeReport(components: DataFrame, keepK: Int = 1): DataFrame = {
+    require(keepK >= 1, s"keepK=$keepK: need >= 1")
     components.groupBy(col("component")).agg(count(lit(1)).as("__sz"))
       .groupBy(col("__sz").as("component_size"))
       .agg(count(lit(1)).as("n_components"), sum(col("__sz")).as("n_docs"))
       .withColumn("n_removed", col("n_docs") - col("n_components"))
+      .withColumn("n_removed_at_k",
+        col("n_components") *
+          greatest(col("component_size") - lit(keepK.toLong), lit(0L)))
+  }
 
   /** Cross-GROUP duplication matrix — dedup forensics: which sources /
     * domains / crawl snapshots duplicate WHICH (mirror detection, content

@@ -128,6 +128,106 @@ object Packing {
         concat_ws(" ", max(col("__arr"))).as("seq_text"))
   }
 
+  /** Packing-efficiency sweep — the "choose your sequence length" table
+    * a training run consults before fixing its context size: for each
+    * candidate seqLen, the waste each packing discipline pays, computed
+    * in ONE corpus pass (a static per-candidate struct array unpivoted
+    * at the end — the [[Curation.filterAblation]] discipline; adding a
+    * candidate adds codegen'd columns, never a pass).
+    *
+    * Semantics per candidate L (mirrored by the DuckDB oracle):
+    *  - CONCAT-AND-SLICE ([[concatSlice]]'s exact bucketing: md5 "slice"
+    *    draw mod numBuckets, key order, each doc contributing
+    *    tokenCount + eodTokens stream positions):
+    *    `concat_sequences` = Σ_b ⌊stream_b / L⌋ full sequences,
+    *    `concat_tail_tokens` = Σ_b (stream_b mod L) trailing tokens
+    *    (the only waste this discipline pays), and `n_straddle` = docs
+    *    whose [s, s+n) span crosses an L boundary (the
+    *    attention-contamination count the no-straddle disciplines avoid);
+    *  - NO-STRADDLE bin packing ([[packByBudget]] / [[SftPrep.packGreedy]]
+    *    shape, raw token counts, no separators): `n_oversize` = docs with
+    *    count > L (packGreedy's `overlong` — they truncate or drop),
+    *    `overflow_tokens` = Σ max(0, count − L) lost to that,
+    *    `lb_sequences` = Σ_b ⌈fit_b / L⌉ (the bin-packing LOWER bound per
+    *    packing bucket — no algorithm beats it, so `lb_padding` =
+    *    lb_sequences·L − Σ fit is the padding floor any greedy pays at
+    *    least).
+    *
+    * Scale shape: one per-bucket window cumsum (the concatSlice window),
+    * one bucket-keyed aggregation, one numBuckets-row global aggregation
+    * — the corpus is scanned once and shuffles only its (key, count)
+    * projection.
+    *
+    * Output: (seq_len, n_docs, total_tokens, n_oversize, overflow_tokens,
+    * lb_sequences, lb_padding, concat_sequences, concat_tail_tokens,
+    * n_straddle), one row per candidate, ordered by the caller. */
+  def packingEfficiency(docs: DataFrame, tokenCountCol: String,
+                        seqLens: Seq[Int], keyCol: String,
+                        numBuckets: Int = 8,
+                        eodTokens: Int = 1): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"seqLens must be positive, got $seqLens")
+    require(seqLens.distinct.size == seqLens.size,
+      s"duplicate candidate seqLens: $seqLens")
+    require(numBuckets > 0 && eodTokens >= 0,
+      s"numBuckets=$numBuckets eodTokens=$eodTokens")
+    val reserved = Seq("bucket", "__key", "__n", "__sn", "__s")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by packingEfficiency")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = docs
+      .select(col(keyCol).as("__key"),
+        col(tokenCountCol).cast("long").as("__n"))
+      .withColumn("bucket", (conv(Sampling.draw(col("__key"), "slice"),
+        16, 10).cast("long") % numBuckets).cast("int"))
+      .withColumn("__sn", col("__n") + lit(eodTokens.toLong))
+      .withColumn("__s", sum(col("__sn")).over(w) - col("__sn"))
+    // per-bucket partials: per candidate L the doc-level sums, plus the
+    // bucket stream length the concat metrics derive from
+    val bucketAggs: Seq[Column] =
+      Seq(count(lit(1)).as("__docs"), sum(col("__n")).as("__toks"),
+        sum(col("__sn")).as("__stream")) ++
+        seqLens.zipWithIndex.flatMap { case (l, i) =>
+          val L = lit(l.toLong)
+          Seq(
+            sum(when(expr(s"__s div $l") =!=
+                expr(s"(__s + __sn - 1) div $l"), 1L).otherwise(0L))
+              .as(s"__st$i"),
+            sum(when(col("__n") > L, 1L).otherwise(0L)).as(s"__ov$i"),
+            sum(greatest(col("__n") - L, lit(0L))).as(s"__of$i"),
+            sum(least(col("__n"), L)).as(s"__fit$i"))
+        }
+    val perBucket = staged.groupBy(col("bucket"))
+      .agg(bucketAggs.head, bucketAggs.tail: _*)
+    // numBuckets-row global rollup; ⌈fit_b/L⌉ and stream_b div/mod fold
+    // here, where the per-bucket values still exist
+    val globalAggs: Seq[Column] =
+      Seq(sum(col("__docs")).as("__docs"), sum(col("__toks")).as("__toks")) ++
+        seqLens.zipWithIndex.flatMap { case (l, i) =>
+          Seq(
+            sum(col(s"__st$i")).as(s"__st$i"),
+            sum(col(s"__ov$i")).as(s"__ov$i"),
+            sum(col(s"__of$i")).as(s"__of$i"),
+            sum(col(s"__fit$i")).as(s"__fit$i"),
+            sum(expr(s"(__fit$i + ${l - 1}) div $l")).as(s"__lb$i"),
+            sum(expr(s"__stream div $l")).as(s"__cs$i"),
+            sum(expr(s"__stream % $l")).as(s"__ct$i"))
+        }
+    val global = perBucket.agg(globalAggs.head, globalAggs.tail: _*)
+    val entries = seqLens.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("seq_len"), col("__docs").as("n_docs"),
+        col("__toks").as("total_tokens"),
+        col(s"__ov$i").as("n_oversize"), col(s"__of$i").as("overflow_tokens"),
+        col(s"__lb$i").as("lb_sequences"),
+        (col(s"__lb$i") * lit(l.toLong) - col(s"__fit$i")).as("lb_padding"),
+        col(s"__cs$i").as("concat_sequences"),
+        col(s"__ct$i").as("concat_tail_tokens"),
+        col(s"__st$i").as("n_straddle"))
+    }
+    global.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+  }
+
   /** Deterministic global shuffle + shard assignment — the training-output
     * prep step: order the corpus by an md5 hash draw (a reproducible
     * permutation), number it 0..N-1, and deal positions round-robin into

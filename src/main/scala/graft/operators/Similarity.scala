@@ -209,6 +209,45 @@ object Similarity {
     * penalized. Ground truth is usually computed on a small query SAMPLE
     * (truth is the quadratic side); the join here is id-only and
     * sample-sized, nowhere near corpus scale. */
+  /** Eval-set EMBEDDING-NN leakage report — the semantic-contamination
+    * audit n-gram decontamination ([[Decontaminate]]) cannot see: for
+    * every benchmark document, its MAX-COSINE training neighbor and a
+    * `leaked` verdict at `threshold` (a paraphrased or translated eval
+    * item shares no 13-gram with its training twin, but their embeddings
+    * sit at cosine ≈ 1).
+    *
+    * Scale shape — deliberately NOT [[bruteForceTopK]]'s window: the
+    * benchmark side is broadcast (eval sets are small by construction),
+    * the corpus is scanned ONCE, and the per-benchmark max rides a
+    * hash aggregation with map-side partial combine (`max(struct(cos,
+    * −neighbor))` — ties to the LOWEST neighbor id; an exact IEEE
+    * comparison, engine-deterministic) — the train×bench score frame is
+    * never shuffled, only |bench|-sized partials are. At larger eval
+    * sets, pre-bucket with [[ivfTopK]]'s coarse quantizer and run this
+    * per probed cell — the machinery exists; the exact pass here is the
+    * ground-truth baseline [[recallAtK]] can grade that index against. */
+  def nnLeakageReport(train: DataFrame, bench: DataFrame, threshold: Double,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(bench
+      .select(col(idCol).as("doc_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val c = train.select(col(idCol).as("__nid"),
+        toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    c.crossJoin(q)
+      .select(col("doc_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("__cos"),
+        col("__nid"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__cos").as("c"), negate(col("__nid")).as("n")))
+        .as("__b"))
+      .select(col("doc_id"), negate(col("__b.n")).as("neighbor_id"),
+        col("__b.c").as("max_cos"),
+        (col("__b.c") >= lit(threshold)).as("leaked"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))

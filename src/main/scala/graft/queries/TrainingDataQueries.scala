@@ -599,6 +599,114 @@ object TrainingDataQueries extends QueryPack {
     s"CASE WHEN $e LIKE '##%' THEN '##' || replace(substr($e, 3), '##', '') " +
       s"ELSE replace($e, '##', '') END"
 
+  /** Batch size for the `wordpiece_merges_batched` gate (same contract
+    * as [[BpeBatchSize]]: per round, greedily accept up to batchSize
+    * symbol-disjoint candidates from the top SCORE-ranked pairs). The
+    * oracle unrolls ceil(count/batch) rounds; an under-accepting round
+    * misaligns the unroll and fails the gate loudly. */
+  private[queries] val WpBatchSize = 4
+
+  /** Generated DuckDB oracle for BATCHED WordPiece learning
+    * ([[graft.operators.WordPiece.learnBatched]]): each unrolled round
+    * counts pairs and symbols exactly like the sequential
+    * [[wordpieceLayers]], ranks the top batchSize×3 candidates by the
+    * likelihood score (w/(cl·cr) — one correctly-rounded IEEE division
+    * of exact counts; ties lexicographic on (l, r)), replays the greedy
+    * symbol-disjoint selection as a RECURSIVE scan down the rank order
+    * (the [[bpeBatchedOracle]] machinery — the accumulator carries the
+    * used-symbol list), and applies the whole accepted batch in ONE
+    * string-fold re-segmentation. Disjointness makes the fold's branch
+    * order immaterial, the same argument as BPE's. */
+  private def wordpieceBatchedOracle: String = {
+    val rounds = (WpMergeCount + WpBatchSize - 1) / WpBatchSize
+    val base = Seq(
+      toksCte,
+      """wf AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1)""".stripMargin,
+      """seg0 AS MATERIALIZED (SELECT cnt,
+        |           array_to_string(list_transform(range(len(word)),
+        |             i -> CASE WHEN i = 0 THEN word[i+1:i+1]
+        |                       ELSE '##' || word[i+1:i+1] END), ' ') AS s
+        |         FROM wf)""".stripMargin)
+    val layers = (0 until rounds).flatMap { k =>
+      val want = math.min(WpMergeCount - k * WpBatchSize, WpBatchSize)
+      val pair =
+        s"""p$k AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS w
+           |        FROM (SELECT cnt, parts[i+1] AS l, parts[i+2] AS r
+           |              FROM (SELECT cnt, parts, unnest(range(len(parts) - 1)) AS i
+           |                    FROM (SELECT cnt, string_split(s, ' ') AS parts
+           |                          FROM seg$k)))
+           |        GROUP BY 1, 2)""".stripMargin
+      val syms =
+        s"""y$k AS MATERIALIZED (SELECT x AS sym, CAST(sum(cnt) AS BIGINT) AS c
+           |        FROM (SELECT cnt, unnest(string_split(s, ' ')) AS x FROM seg$k)
+           |        GROUP BY 1)""".stripMargin
+      val cand =
+        s"""c$k AS MATERIALIZED (SELECT l, r, w, cl, cr, rn FROM (
+           |        SELECT p.l, p.r, p.w AS w, yl.c AS cl, yr.c AS cr,
+           |          row_number() OVER (ORDER BY
+           |            CAST(p.w AS DOUBLE) / (CAST(yl.c AS DOUBLE) * CAST(yr.c AS DOUBLE)) DESC,
+           |            p.l, p.r) AS rn
+           |        FROM p$k p JOIN y$k yl ON yl.sym = p.l JOIN y$k yr ON yr.sym = p.r
+           |        WHERE p.w >= 2) WHERE rn <= ${want * 3})""".stripMargin
+      val ok = s"(s.n < $want AND NOT list_contains(s.used, c.l)" +
+        " AND NOT list_contains(s.used, c.r))"
+      val sel =
+        s"""sel$k(rn, n, used, acc) AS (
+           |  SELECT CAST(0 AS BIGINT), 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+           |  UNION ALL
+           |  SELECT c.rn,
+           |    CASE WHEN $ok THEN s.n + 1 ELSE s.n END,
+           |    CASE WHEN $ok THEN s.used || [c.l, c.r] ELSE s.used END,
+           |    CASE WHEN $ok
+           |         THEN s.acc || [c.l || chr(9) || c.r || chr(9) || CAST(c.w AS VARCHAR)
+           |                        || chr(9) || CAST(c.cl AS VARCHAR) || chr(9) || CAST(c.cr AS VARCHAR)]
+           |         ELSE s.acc END
+           |  FROM sel$k s JOIN c$k c ON c.rn = s.rn + 1)""".stripMargin
+      val accepted =
+        s"""bt$k AS MATERIALIZED (SELECT CAST(u[2] AS INT) - 1 AS idx,
+           |          string_split(u[1], chr(9))[1] AS l,
+           |          string_split(u[1], chr(9))[2] AS r,
+           |          CAST(string_split(u[1], chr(9))[3] AS BIGINT) AS w,
+           |          CAST(string_split(u[1], chr(9))[4] AS BIGINT) AS cl,
+           |          CAST(string_split(u[1], chr(9))[5] AS BIGINT) AS cr
+           |        FROM (SELECT unnest(list_zip(acc, range(1, len(acc) + 1))) AS u
+           |              FROM sel$k WHERE rn = (SELECT max(rn) FROM c$k)))""".stripMargin
+      val pivot = {
+        val cols = (0 until WpBatchSize).map(i =>
+          s"max(CASE WHEN idx = $i THEN l END) AS l$i, " +
+            s"max(CASE WHEN idx = $i THEN r END) AS r$i").mkString(",\n          ")
+        s"""pv$k AS MATERIALIZED (SELECT
+           |          $cols
+           |        FROM bt$k)""".stripMargin
+      }
+      val reseg = if (k == rounds - 1) Nil else {
+        val branches = (0 until WpBatchSize).map { i =>
+          s"""WHEN b.l$i IS NOT NULL AND acc = b.l$i AND x = b.r$i THEN b.l$i || b.r$i
+             |       WHEN b.l$i IS NOT NULL AND len(acc) > len(b.l$i)
+             |            AND acc[len(acc)-len(b.l$i):] = ' ' || b.l$i AND x = b.r$i
+             |         THEN acc[1:len(acc)-len(b.l$i)-1] || ' ' || b.l$i || b.r$i""".stripMargin
+        }.mkString("\n       ")
+        Seq(
+          s"""seg${k + 1} AS MATERIALIZED (SELECT cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+             |  CASE $branches
+             |       ELSE acc || ' ' || x END) AS s
+             |  FROM seg$k, pv$k b)""".stripMargin)
+      }
+      Seq(pair, syms, cand, sel, accepted, pivot) ++ reseg
+    }
+    val selects = (0 until rounds).map { k =>
+      val offset =
+        if (k == 0) "0"
+        else (0 until k).map(j => s"(SELECT count(*) FROM bt$j)").mkString(" + ")
+      s"""SELECT CAST($offset + idx AS INT) AS "rank", l AS "left", r AS "right",
+         |  ${wpDisplaySql("l || r")} AS merged,
+         |  w AS weight, cl AS left_cnt, cr AS right_cnt FROM bt$k""".stripMargin
+    }
+    (base ++ layers).mkString("WITH RECURSIVE ", ",\n", "\n") +
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"rank\"")
+  }
+
   /** Generated oracle for `wordpiece_merges`. */
   private def wordpieceOracle: String = {
     val selects = (0 until WpMergeCount).map { k =>
@@ -960,6 +1068,66 @@ object TrainingDataQueries extends QueryPack {
   private[queries] val KmeansK = 8
   private[queries] val KmeansIters = 3
 
+  /** Candidate sequence lengths for the `packing_efficiency` sweep —
+    * ONE list feeds the Spark gate and the generated oracle. */
+  private[queries] val PackSweepLens = Seq(32, 64, 96, 128)
+
+  /** Generated oracle for `packing_efficiency`: the same per-bucket
+    * stream cumsum as the concat_slice oracle, per-bucket partial sums
+    * per candidate L, and the numBuckets-row rollup where ⌈fit/L⌉ and
+    * stream div/mod fold — mirroring [[graft.operators.Packing
+    * .packingEfficiency]] aggregate-for-aggregate. */
+  private def packingEfficiencyOracle: String = {
+    val perL = PackSweepLens.zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        s"CAST(sum(CASE WHEN s // $l <> (s + sn - 1) // $l THEN 1 ELSE 0 END) AS BIGINT) AS st$i",
+        s"CAST(sum(CASE WHEN n > $l THEN 1 ELSE 0 END) AS BIGINT) AS ov$i",
+        s"CAST(sum(greatest(n - $l, 0)) AS BIGINT) AS of$i",
+        s"CAST(sum(least(n, $l)) AS BIGINT) AS fit$i")
+    }.mkString(",\n        ")
+    val perLG = PackSweepLens.zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        s"CAST(sum(st$i) AS BIGINT) AS st$i",
+        s"CAST(sum(ov$i) AS BIGINT) AS ov$i",
+        s"CAST(sum(of$i) AS BIGINT) AS of$i",
+        s"CAST(sum(fit$i) AS BIGINT) AS fit$i",
+        s"CAST(sum((fit$i + ${l - 1}) // $l) AS BIGINT) AS lb$i",
+        s"CAST(sum(stream // $l) AS BIGINT) AS cs$i",
+        s"CAST(sum(stream % $l) AS BIGINT) AS ct$i")
+    }.mkString(",\n        ")
+    val selects = PackSweepLens.zipWithIndex.map { case (l, i) =>
+      s"""SELECT $l AS seq_len, docs AS n_docs, toks AS total_tokens,
+         |  ov$i AS n_oversize, of$i AS overflow_tokens,
+         |  lb$i AS lb_sequences, CAST(lb$i * $l - fit$i AS BIGINT) AS lb_padding,
+         |  cs$i AS concat_sequences, ct$i AS concat_tail_tokens,
+         |  st$i AS n_straddle FROM g""".stripMargin
+    }
+    s"""WITH $toksCte,
+       |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+       |b AS (SELECT doc_id, n, n + 1 AS sn,
+       |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':slice'), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+       |      FROM d),
+       |c AS (SELECT *, CAST(sum(sn) OVER (PARTITION BY bucket ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sn AS BIGINT) AS s
+       |      FROM b),
+       |bk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+       |        CAST(sum(n) AS BIGINT) AS toks, CAST(sum(sn) AS BIGINT) AS stream,
+       |        $perL
+       |      FROM c GROUP BY bucket),
+       |g AS (SELECT CAST(sum(docs) AS BIGINT) AS docs,
+       |        CAST(sum(toks) AS BIGINT) AS toks,
+       |        $perLG
+       |      FROM bk)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY seq_len""".stripMargin
+  }
+
+  /** Cosine threshold for the `eval_nn_leakage` leaked verdict — ONE
+    * constant feeds the Spark gate and the oracle. 0.35 sits inside the
+    * synthetic corpus's max-cos range (0.29–0.42 at sf0.01), so the gate
+    * exercises BOTH verdicts. */
+  private[queries] val NnLeakThreshold = 0.35
+
   /** Generated DuckDB CTE chain replaying KMeans.fit over `vecSql` (a
     * double-list expression over `embeddings`): Lloyd is sequential, so
     * the FIXED iteration budget unrolls into one CTE layer per round —
@@ -1315,6 +1483,19 @@ object TrainingDataQueries extends QueryPack {
         numMerges = WpMergeCount).localCheckpoint(true).orderBy(col("rank"))
     }),
 
+    // BATCHED WordPiece learning (L111, round 13): the production path
+    // for BERT-scale (30k) vocabularies — per round greedily accept up
+    // to WpBatchSize symbol-disjoint pairs from the score-ranked
+    // candidates, apply them in one re-segmentation pass. The oracle
+    // replays the greedy disjoint selection recursively, pinning the
+    // batched contract itself (the batchSize=1 ≡ sequential degeneration
+    // is spec-covered).
+    "wordpiece_merges_batched" -> ((s, dir) => {
+      WordPiece.learnBatchedTable(s, Tables.documents(s, dir),
+        numMerges = WpMergeCount, batchSize = WpBatchSize)
+        .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
     // WordPiece serving side (L78): MaxMatch tokenization of every word
     // occurrence under the vocabulary the 8 learned merges induce
     // (alphabet + merged display forms) — train → vocab → tokenize
@@ -1438,6 +1619,20 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("bucket"), col("seq_id"))
     }),
 
+    // Packing-efficiency sweep (L114, round 13): the "choose your
+    // sequence length" table — per candidate seqLen the padding floor,
+    // truncation loss and straddle counts of the packing disciplines,
+    // in ONE corpus pass (static struct array + unpivot, the
+    // filter_ablation discipline).
+    "packing_efficiency" -> ((s, dir) => {
+      val lens = Tables.documents(s, dir).select(col("doc_id"),
+        size(graft.functions.WordShingles.allShingles(col("text"), 1))
+          .cast("long").as("len"))
+      Packing.packingEfficiency(lens, "len", PackSweepLens,
+          keyCol = "doc_id", numBuckets = 8)
+        .localCheckpoint(true).orderBy(col("seq_len"))
+    }),
+
     // T5-style span corruption (L81): sentinel-masked input/target pairs
     // under deterministic md5 span draws — p=0.05, L=3 ≈ the T5 recipe's
     // 15% noise density at mean span 3.
@@ -1533,7 +1728,7 @@ object TrainingDataQueries extends QueryPack {
         .filter(col("a") =!= col("doc_id"))
         .select(col("a"), col("doc_id").as("b"))
       Dedup.componentSizeReport(
-          Dedup.connectedComponents(jp.unionByName(ep)))
+          Dedup.connectedComponents(jp.unionByName(ep)), keepK = ReportKeepK)
         .localCheckpoint(true).orderBy(col("component_size"))
     }),
 
@@ -1642,6 +1837,29 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // KEEP-K policy over the same detector chain (L112, round 13): per
+    // duplicate cluster keep the ReportKeepK longest members (ties to
+    // lowest id) — the diversity-preserving alternative to keep-one;
+    // same id-only anti-join scale shape, ranking is one window over the
+    // OUTPUT-sized member frame.
+    "dedup_keep_k" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      val comps = Dedup.connectedComponents(jp.unionByName(ep))
+      Dedup.applyKeepListK(docs, comps,
+        TextAnalysis.tokenCount(col("text")).cast("long"), k = ReportKeepK)
+        .select(col("doc_id"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup of an ingest batch against corpus history: the
     // history (doc_id % 7 == 0) is Bloom-sketched once; the batch streams
     // past the sketch and only the flagged sliver is confirmed exactly.
@@ -1670,6 +1888,20 @@ object TrainingDataQueries extends QueryPack {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Eval-set embedding-NN leakage report (L113, round 13): per
+    // benchmark vector its max-cosine TRAINING neighbor + a leaked
+    // verdict — the semantic-contamination audit n-gram decontamination
+    // (L20/L53) cannot see. One corpus scan, broadcast bench, map-side
+    // partial max — the train×bench score frame never shuffles.
+    "eval_nn_leakage" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.nnLeakageReport(
+          e.filter(col("vec_id") % 23 =!= 0),
+          e.filter(col("vec_id") % 23 === 0),
+          threshold = NnLeakThreshold)
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // IVF ANN: fixed seed-vector coarse quantizer, nProbe nearest cells
@@ -2763,8 +2995,14 @@ object TrainingDataQueries extends QueryPack {
        |SELECT sz AS component_size,
        |  CAST(count(*) AS BIGINT) AS n_components,
        |  CAST(sum(sz) AS BIGINT) AS n_docs,
-       |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removed
+       |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+       |  CAST(count(*) * greatest(sz - $ReportKeepK, 0) AS BIGINT) AS n_removed_at_k
        |FROM szs GROUP BY sz ORDER BY sz""".stripMargin
+
+  /** keep-k budget the `dedup_report` histogram prices (and the k the
+    * `dedup_keep_k` gate applies) — ONE constant feeds the Spark gates
+    * and both oracles. */
+  private[queries] val ReportKeepK = 2
 
   /** Generated DuckDB oracle replaying the COMPOSED curation chain — see
     * the `corpus_pipeline` query for the stage list. Every stage reuses its
@@ -3276,6 +3514,7 @@ object TrainingDataQueries extends QueryPack {
     "tokenizer_pipeline" -> tokenizerPipelineOracle,
 
     "wordpiece_merges" -> wordpieceOracle,
+    "wordpiece_merges_batched" -> wordpieceBatchedOracle,
 
     "wordpiece_tokenize" -> wordpieceTokenizeOracle,
 
@@ -3458,6 +3697,8 @@ object TrainingDataQueries extends QueryPack {
          |FROM x GROUP BY 1, 2
          |ORDER BY bucket, seq_id""".stripMargin,
 
+    "packing_efficiency" -> packingEfficiencyOracle,
+
     // mirrors LanguageModel.scoreDocumentsKn expression-for-expression:
     // same cast points, same op order, micro-nat rounding before the sum
     "lm_score_kn" -> knOracleFor(2),
@@ -3562,6 +3803,38 @@ object TrainingDataQueries extends QueryPack {
          |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
          |ORDER BY doc_id""".stripMargin,
 
+    // keep-best's window generalized to rn <= k — the keep-k policy
+    "dedup_keep_k" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jp AS (SELECT doc_a AS a, doc_b AS b
+         |       FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |       WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3),
+         |ep AS (SELECT a, b FROM (
+         |         SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
+         |         FROM documents) WHERE a <> b),
+         |edges AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep
+         |          UNION SELECT b, a FROM jp UNION SELECT b, a FROM ep),
+         |walk(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         |memb AS (SELECT id, min(lab) AS comp FROM walk GROUP BY id),
+         |scored AS (SELECT m.id, m.comp, len(t.t) AS q
+         |           FROM memb m JOIN toks t ON t.doc_id = m.id),
+         |win AS (SELECT id FROM (
+         |          SELECT id, row_number() OVER (PARTITION BY comp
+         |            ORDER BY q DESC, id) AS rn
+         |          FROM scored) WHERE rn <= $ReportKeepK),
+         |drop_ids AS (SELECT s.id FROM scored s
+         |             WHERE s.id NOT IN (SELECT id FROM win))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         |ORDER BY doc_id""".stripMargin,
+
     // min-label closure as a recursive CTE: seed every edge endpoint with
     // its own id, propagate along (symmetric) edges, take the min label —
     // set-semantics UNION terminates the recursion at the fixed point.
@@ -3641,6 +3914,23 @@ object TrainingDataQueries extends QueryPack {
          |SELECT vec_a, vec_b, d / (na * nb) AS cos
          |FROM s WHERE d / (na * nb) >= 0.4
          |ORDER BY 1, 2""".stripMargin,
+
+    // the leakage report replays brute-force max-cosine per bench vector;
+    // row_number (cos DESC, nid) top-1 ≡ Spark's max(struct(cos, −nid))
+    "eval_nn_leakage" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS doc_id, v AS qv FROM e WHERE vec_id % 23 = 0),
+         |c AS (SELECT vec_id AS nid, v AS cv FROM e WHERE vec_id % 23 <> 0),
+         |s AS (SELECT q.doc_id, c.nid,
+         |        ${dotSql("q.qv", "c.cv")} / (sqrt(${dotSql("q.qv", "q.qv")}) * sqrt(${dotSql("c.cv", "c.cv")})) AS cos
+         |      FROM q, c),
+         |r AS (SELECT doc_id, nid, cos,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, nid) AS rn
+         |      FROM s)
+         |SELECT doc_id, nid AS neighbor_id, cos AS max_cos,
+         |  (cos >= $NnLeakThreshold) AS leaked
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

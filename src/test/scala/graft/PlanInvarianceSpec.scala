@@ -316,4 +316,26 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("dedup_report round vocabulary is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("dedup_report", roundMultiplicityVaries = true)
   }
+
+  // Round-13 additions (L111-L114): batched WordPiece (fixed
+  // ceil(8/4)=2 learn rounds — the adaptive ask retunes a limit, never
+  // the per-round job sequence), the keep-k policy (keep-best's chain
+  // plus one window), the NN-leakage audit (one broadcast + one
+  // hash-aggregate pass, no window), and the packing sweep (one window
+  // cumsum + two aggregations at ANY candidate count)
+  test("wordpiece_merges_batched plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("wordpiece_merges_batched")
+  }
+
+  test("dedup_keep_k round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_keep_k", roundMultiplicityVaries = true)
+  }
+
+  test("eval_nn_leakage plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("eval_nn_leakage")
+  }
+
+  test("packing_efficiency plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("packing_efficiency")
+  }
 }

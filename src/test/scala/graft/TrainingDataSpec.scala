@@ -1206,6 +1206,95 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(minKept === Set(1L, 10L, 4L))
   }
 
+  test("keep-k: top-k per cluster by rank; k=1 equals keep-best") {
+    val comps = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)
+    ).toDF("id", "component", "is_canonical")
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d"), (3L, "a b c"),   // rank: 2 > 3 > 1
+      (10L, "x y"), (11L, "p q"),                     // tie → id order 10, 11
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.tokenCount(col("text")).cast("long")
+    // k=2: {1,2,3} keeps {2,3}; {10,11} keeps both; 4 untouched
+    val k2 = Dedup.applyKeepListK(docs, comps, q, k = 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(k2 === Set(2L, 3L, 10L, 11L, 4L))
+    // k beyond the largest cluster removes nothing
+    val k9 = Dedup.applyKeepListK(docs, comps, q, k = 9)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(k9 === Set(1L, 2L, 3L, 10L, 11L, 4L))
+    // k=1 degenerates to keep-best exactly (same (−rank, id) order)
+    val k1 = Dedup.applyKeepListK(docs, comps, q, k = 1)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val best = Dedup.applyKeepListBest(docs, comps, q)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(k1 === best)
+    // the report's keep-k budget column prices the same policy:
+    // sizes 3 and 2 at k=2 remove 1 and 0
+    val rep = Dedup.componentSizeReport(comps, keepK = 2)
+      .orderBy(col("component_size"))
+      .select("component_size", "n_removed", "n_removed_at_k")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep === Seq((2L, 1L, 0L), (3L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.applyKeepListK(docs, comps, q, k = 0)
+    }
+  }
+
+  test("packing efficiency: hand-computed sweep row and concatSlice consistency") {
+    val d = docs(1L -> "a b c", 2L -> "a b c d e", 3L -> "a b")
+    val lens = d.select(col("doc_id"),
+      size(graft.functions.WordShingles.allShingles(col("text"), 1))
+        .cast("long").as("len"))
+    // one bucket → stream offsets are the plain prefix sums 0, 4, 10;
+    // stream = 13 (each doc pays one <eod>)
+    val row = Packing.packingEfficiency(lens, "len", Seq(4), "doc_id",
+        numBuckets = 1)
+      .select("seq_len", "n_docs", "total_tokens", "n_oversize",
+        "overflow_tokens", "lb_sequences", "lb_padding",
+        "concat_sequences", "concat_tail_tokens", "n_straddle")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // L=4: oversize = {doc 2 (5 > 4)}, overflow = 1, fit = 3+4+2 = 9,
+    // lb = ⌈9/4⌉ = 3, lb_padding = 12−9 = 3; concat: ⌊13/4⌋ = 3 full,
+    // tail 1; straddles: doc 2 spans [4,10) and doc 3 spans [10,13)
+    assert(row === Seq((4, 3L, 10L, 1L, 1L, 3L, 3L, 3L, 1L, 2L)))
+    // the concat metrics ARE concatSlice's: same bucketing, same stream
+    val sliced = Packing.concatSlice(d, seqLen = 4, numBuckets = 1)
+    assert(sliced.filter(col("n_tokens") === 4).count() === 3L)
+    assert(sliced.filter(col("n_tokens") < 4)
+      .agg(sum(col("n_tokens"))).as[Long].head() === 1L)
+    intercept[IllegalArgumentException] {
+      Packing.packingEfficiency(lens, "len", Seq(4, 4), "doc_id")
+    }
+  }
+
+  test("nn leakage: max-cosine train neighbor, ties to lowest id, threshold verdict") {
+    val train = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),  // both at cos 1 to bench 100
+      (3L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(2.0, 0.0)),                      // scale-invariant: cos 1
+      (101L, Seq(-1.0, 1.0))                      // best is 3 at cos 1/√2
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.nnLeakageReport(train, bench, threshold = 0.9)
+      .orderBy(col("doc_id"))
+      .select("doc_id", "neighbor_id", "max_cos", "leaked")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) ===
+      Seq((100L, 1L, true), (101L, 3L, false)))
+    assert(got(0)._3 === 1.0)
+    assert(math.abs(got(1)._3 - 1.0 / math.sqrt(2)) < 1e-15)
+    // agrees with the window-based brute-force top-1 on the same split
+    val bf = Similarity.bruteForceTopK(train, bench, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(r => (r._1, r._2)).toMap === bf)
+  }
+
   test("ivfpq: joint fit is bit-identical to the solo trainers") {
     val vecs = (0L until 20L).map { i =>
       (i, Seq(math.sin(i * 0.7) * 3, math.cos(i * 1.3) * 2,
@@ -2196,6 +2285,41 @@ class TrainingDataSpec extends AnyFunSuite {
     val v = WordPiece.vocabulary(d, merges).collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
     assert(v === Map("a" -> -1, "##b" -> -1, "ab" -> 0))
+  }
+
+  test("batched WordPiece at batchSize=1 is identical to the sequential learner") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(ws => Seq(ws.mkString(" "))))
+    val prop = forAll(corpusGen) { corpus =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val seq = WordPiece.learn(docs(d: _*), numMerges = 4)
+      val b1 = WordPiece.learnBatched(docs(d: _*), numMerges = 4, batchSize = 1)
+      Prop(seq == b1) :| s"seq=$seq b1=$b1 corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("batched WordPiece: disjoint batch scores are invariant mid-batch") {
+    // two symbol-disjoint high-score stems: batching ("l","##o") and
+    // ("e","##s") in one round must reproduce their sequential scores
+    // exactly — merging one cannot perturb the other's w, cl or cr
+    val corpus = Seq("lo lo lo lo es es es es", "lo es lo es")
+    val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = WordPiece.learnBatched(docs(d: _*), numMerges = 2, batchSize = 2)
+    val seq = WordPiece.learn(docs(d: _*), numMerges = 2)
+    // same pair set with the same exact counts (order may differ only if
+    // a minted symbol out-scored a later member — not the case here)
+    assert(got.map(m => (m.left, m.right, m.weight, m.left_cnt, m.right_cnt))
+      .toSet ===
+      seq.map(m => (m.left, m.right, m.weight, m.left_cnt, m.right_cnt))
+        .toSet)
+    assert(got.map(_.rank) === Seq(0, 1))
   }
 
   test("batched BPE at batchSize=1 is identical to the sequential learner") {
