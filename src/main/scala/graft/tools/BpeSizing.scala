@@ -61,23 +61,40 @@ object BpeSizing {
       .localCheckpoint(true)
     val nWords = BpeLearn.wordFrequencies(docs).count()
     println(s"BPE_SIZING sf=$sfDir distinct_words=$nWords max_merges=$maxMerges expand=$expand")
+    // arg 5: comma list of paths to time per batch size — "batched"
+    // (full per-round pair re-aggregation) and/or "incremental"
+    // (delta-maintained pair frame, r13); merge sequences are asserted
+    // identical when both run
+    val paths = args.lift(4).getOrElse("batched")
+      .split(",").map(_.trim).toSeq
     batchSizes.foreach { bs =>
-      var rounds = 0
-      var asked = 0L
-      var accepted = 0L
-      val t0 = System.nanoTime()
-      val merges = BpeLearn.learnBatched(docs, maxMerges, bs,
-        onRound = (_, want, got) => {
+      val results = paths.map { path =>
+        var rounds = 0
+        var asked = 0L
+        var accepted = 0L
+        val onRound = (_: Int, want: Int, got: Int) => {
           rounds += 1; asked += want; accepted += got
           if (rounds % 25 == 0)
-            System.err.println(s"[bpe] batch=$bs round=$rounds merges=$accepted")
-        })
-      val secs = (System.nanoTime() - t0) / 1e9
-      val accRate = if (asked == 0) 0.0 else accepted.toDouble / asked
-      println(f"BPE_SIZING batch=$bs%-5d merges=${merges.length}%-6d rounds=$rounds%-5d " +
-        f"wall_s=$secs%8.1f s_per_round=${secs / math.max(1, rounds)}%6.2f " +
-        f"s_per_merge=${secs / math.max(1, merges.length)}%8.4f acceptance=$accRate%5.2f " +
-        f"saturated=${merges.length < maxMerges}")
+            System.err.println(s"[bpe] path=$path batch=$bs round=$rounds merges=$accepted")
+        }
+        val t0 = System.nanoTime()
+        val merges = path match {
+          case "incremental" =>
+            BpeLearn.learnBatchedIncremental(docs, maxMerges, bs,
+              onRound = onRound)
+          case _ =>
+            BpeLearn.learnBatched(docs, maxMerges, bs, onRound = onRound)
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val accRate = if (asked == 0) 0.0 else accepted.toDouble / asked
+        println(f"BPE_SIZING path=$path%-11s batch=$bs%-5d merges=${merges.length}%-6d rounds=$rounds%-5d " +
+          f"wall_s=$secs%8.1f s_per_round=${secs / math.max(1, rounds)}%6.2f " +
+          f"s_per_merge=${secs / math.max(1, merges.length)}%8.4f acceptance=$accRate%5.2f " +
+          f"saturated=${merges.length < maxMerges}")
+        merges
+      }
+      if (results.size == 2)
+        println(s"BPE_SIZING batch=$bs merge_sequences_identical=${results(0) == results(1)}")
     }
     spark.stop()
   }

@@ -2340,6 +2340,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("incremental BPE: delta-maintained pair counts reproduce learnBatched exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(ws => Seq(ws.mkString(" "))))
+    val bsGen = Gen.oneOf(1, 2, 3)
+    val prop = forAll(corpusGen, bsGen) { (corpus, bs) =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val plain = BpeLearn.learnBatched(docs(d: _*), numMerges = 5,
+        batchSize = bs)
+      val inc = BpeLearn.learnBatchedIncremental(docs(d: _*), numMerges = 5,
+        batchSize = bs)
+      Prop(plain == inc) :| s"bs=$bs plain=$plain inc=$inc corpus=$corpus"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("batched BPE: symbol-disjoint batch matches a plain-Scala reference") {
     // two independent frequent stems: ("l","o") and ("e","s") don't share
     // symbols, so one batch of 2 accepts both; the third merge needs the
