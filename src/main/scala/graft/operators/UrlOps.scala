@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and domain extraction — the grouping keys of every
@@ -93,5 +93,58 @@ object UrlOps {
       when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
       pathOrRoot,
       when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** URL blocklist categorization (L115) — the FIRST filter of the
+    * RefinedWeb/FineWeb-style web-curation recipe: a small curated
+    * blocklist (UT1-shaped: adult/gambling/ads/... categories keyed by
+    * domain, host suffix, or path keyword) tags every crawled URL before
+    * any content-level work runs.
+    *
+    * `rules` are ordered (category, kind, pattern) triples — FIRST match
+    * wins, the provenance discipline [[Curation.filterWithProvenance]]
+    * set. Kinds:
+    *  - `domain`: [[registeredDomain]] equals the pattern;
+    *  - `host_suffix`: [[host]] equals the pattern or ends with
+    *    `"." + pattern` (label-boundary-safe — `evil.com` does not match
+    *    `notevil.com`);
+    *  - `path_kw`: [[path]] contains the pattern (case-sensitive; the
+    *    path's case is content, unlike the host's).
+    * Host-side patterns must be lowercase ([[host]] lowercases).
+    *
+    * Scale shape: a PURE in-row projection — the rule list compiles to
+    * one coalesce of when-chains (a real blocklist is thousands of
+    * entries: swap the literal fold for a broadcast join on domain +
+    * the suffix/path tails, same output contract). The corpus never
+    * shuffles and the whole filter rides whole-stage codegen.
+    *
+    * Output: input + (host, domain, category, blocked); category is the
+    * first matching rule's, null when unblocked. */
+  def categorize(urls: DataFrame, urlCol: String,
+                 rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "categorize: empty rule list")
+    val kinds = Set("domain", "host_suffix", "path_kw")
+    require(rules.forall(r => kinds(r._2)),
+      s"rule kinds must be in $kinds: ${rules.filterNot(r => kinds(r._2))}")
+    val reserved = Seq("host", "domain", "category", "blocked", "__path")
+    require(!urls.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by categorize")
+    val u = col(urlCol)
+    val withParts = urls
+      .withColumn("host", host(u))
+      .withColumn("domain", registeredDomain(col("host")))
+      .withColumn("__path", path(u))
+    def matches(kind: String, pat: String): Column = kind match {
+      case "domain"      => col("domain") === pat
+      case "host_suffix" => col("host") === pat ||
+        col("host").endsWith("." + pat)
+      case "path_kw"     => col("__path").contains(pat)
+    }
+    val category = coalesce(rules.map { case (c, k, p) =>
+      when(matches(k, p), lit(c)) } :+ lit(null).cast("string"): _*)
+    withParts
+      .withColumn("category", category)
+      .withColumn("blocked", col("category").isNotNull)
+      .drop("__path")
   }
 }

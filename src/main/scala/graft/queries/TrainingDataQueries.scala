@@ -1122,6 +1122,55 @@ object TrainingDataQueries extends QueryPack {
        |ORDER BY seq_len""".stripMargin
   }
 
+  /** Ordered blocklist for the `url_category_filter` gate — ONE list
+    * feeds [[graft.operators.UrlOps.categorize]] and the generated
+    * oracle. All three rule kinds represented; first match wins. */
+  private[queries] val UrlBlockRules: Seq[(String, String, String)] = Seq(
+    ("gambling", "domain", "bad-casino.com"),
+    ("social", "host_suffix", "src1.example.com"),
+    ("ads", "path_kw", "/promo"))
+
+  /** Generated oracle for `url_category_filter`: the same URL synthesis,
+    * the url_normalize oracle's host/domain extraction, and the rule
+    * ladder as one CASE chain (first match wins — CASE order IS rule
+    * order). */
+  private def urlCategoryOracle: String = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
+    val slTlds = graft.operators.UrlOps.SecondLevelTlds
+      .map(t => s"'$t'").mkString(", ")
+    val branches = UrlBlockRules.map { case (c, kind, p) =>
+      val cond = kind match {
+        case "domain"      => s"domain = '$p'"
+        case "host_suffix" => s"(h = '$p' OR h LIKE '%.' || '$p')"
+        case "path_kw"     => s"contains(pa, '$p')"
+      }
+      s"WHEN $cond THEN '$c'"
+    }.mkString(" ")
+    s"""WITH u AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       |    || '://'
+       |    || (CASE WHEN doc_id % 7 = 0 THEN 'bad-casino.com'
+       |             ELSE 'www.' || source || '.example.com' END)
+       |    || '/p/' || CAST(doc_id AS VARCHAR)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '/promo' ELSE '' END) AS url
+       |  FROM documents),
+       |p AS (SELECT doc_id,
+       |    lower(regexp_extract(regexp_extract(url, '$pat', 2), '^([^:]*)', 1)) AS h,
+       |    regexp_extract(url, '$pat', 3) AS pa
+       |  FROM u),
+       |d AS (SELECT *, string_split(h, '.') AS l FROM p),
+       |dd AS (SELECT doc_id, h, pa,
+       |    CASE WHEN len(l) <= 2 THEN h
+       |         WHEN array_to_string(l[-2:], '.') IN ($slTlds)
+       |           THEN array_to_string(l[-3:], '.')
+       |         ELSE array_to_string(l[-2:], '.') END AS domain
+       |  FROM d)
+       |SELECT doc_id, h AS host, domain,
+       |  CASE $branches ELSE NULL END AS category,
+       |  (CASE $branches ELSE NULL END) IS NOT NULL AS blocked
+       |FROM dd ORDER BY doc_id""".stripMargin
+  }
+
   /** Cosine threshold for the `eval_nn_leakage` leaked verdict — ONE
     * constant feeds the Spark gate and the oracle. 0.35 sits inside the
     * synthetic corpus's max-cos range (0.29–0.42 at sf0.01), so the gate
@@ -2332,6 +2381,29 @@ object TrainingDataQueries extends QueryPack {
     // URL canonicalization + domain extraction over synthesized URLs
     // (scheme/port/query/fragment variation derived from doc_id — an
     // in-table derivation both engines compute identically).
+    // URL blocklist / category filter (L115, round 13): the UT1-shaped
+    // first filter of web curation — ordered (category, kind, pattern)
+    // rules over domain / host-suffix / path-keyword, first match wins;
+    // a pure in-row coalesce of when-chains, zero shuffle. The synthesis
+    // exercises all three kinds and the priority order (doc 21 hits both
+    // the gambling domain and the promo path — domain rule is first).
+    "url_category_filter" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 7 === 0, lit("bad-casino.com"))
+          .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, "/promo").otherwise(lit("")))
+      UrlOps.categorize(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+          "url", UrlBlockRules)
+        .select(col("doc_id"), col("host"), col("domain"),
+          col("category"), col("blocked"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     "url_normalize" -> ((s, dir) => {
       import graft.operators.UrlOps
       val url = concat(
@@ -4499,6 +4571,8 @@ object TrainingDataQueries extends QueryPack {
     // full canonicalization replay: parse regex, tracking-param filter,
     // param sort, default-port strip, domain extraction — RE2 spells the
     // patterns exactly like Java here (no script classes involved)
+    "url_category_filter" -> urlCategoryOracle,
+
     "url_normalize" -> {
       val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
       val tracking = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid|mc_cid)(=.*)?$"

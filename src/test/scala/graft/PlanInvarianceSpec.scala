@@ -338,4 +338,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("packing_efficiency plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("packing_efficiency")
   }
+
+  // L115: the blocklist compiles to one coalesce of when-chains — a pure
+  // codegen'd projection at any corpus size
+  test("url_category_filter plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("url_category_filter")
+  }
 }

@@ -3945,6 +3945,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(shell.forall(_ === ":///"))
   }
 
+  test("url categorize: rule kinds, first-match priority, label-boundary suffix") {
+    val rules = Seq(
+      ("gambling", "domain", "bad-casino.com"),
+      ("social", "host_suffix", "social.example.com"),
+      ("ads", "path_kw", "/promo"))
+    val d = Seq(
+      (1L, "https://www.bad-casino.com/p/1/promo"),  // domain beats path
+      (2L, "http://feed.social.example.com/p/2"),    // suffix match
+      (3L, "http://social.example.com/p/3"),         // exact host counts too
+      (4L, "http://notsocial.example.com/p/4/promo"),// NOT a suffix; path hits
+      (5L, "https://www.clean.example.com/p/5")      // unblocked
+    ).toDF("doc_id", "url")
+    val got = UrlOps.categorize(d, "url", rules)
+      .select("doc_id", "category", "blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(got === Map(
+      1L -> ((Some("gambling"), true)),
+      2L -> ((Some("social"), true)),
+      3L -> ((Some("social"), true)),
+      4L -> ((Some("ads"), true)),
+      5L -> ((None, false))))
+    intercept[IllegalArgumentException] {
+      UrlOps.categorize(d, "url", Seq(("x", "badkind", "p")))
+    }
+  }
+
   test("mojibake repair inverts the corruption and leaves clean text alone") {
     import graft.operators.TextNormalize
     val clean = "café’s — naïve… “ok” ß straße"
