@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -488,6 +489,139 @@ object TextAnalysis {
           col("top_n").cast("double") /
             (col("word_total") - 1).cast("double"))
           .otherwise(lit(0.0)).as("top_bigram_share"))
+  }
+
+  /** Line-level repetition battery (L116) — the half of Gopher's
+    * repetition rules [[repetition]] doesn't cover (Rae et al. 2021,
+    * appendix A.1.1: "fraction of duplicate lines" / "fraction of
+    * characters in duplicate lines", plus the bullet-start and
+    * ellipsis-end line fractions from the formatting rules). A line is a
+    * duplicate on its SECOND and later occurrences within the document —
+    * the first copy is content, the repeats are boilerplate.
+    *
+    * Scale shape: one (doc_id, line) keyed aggregation (shuffle volume
+    * O(total lines), map-side partials) followed by one doc-keyed rollup
+    * — no window, no join, no per-doc collection. Line flags (bullet
+    * start / ellipsis end) are computed once per DISTINCT line after the
+    * first aggregation, not per occurrence.
+    *
+    * Fractions are single double divisions of exact integer counts (the
+    * oracle-parity discipline). Documents are never dropped: a document
+    * with no newline is one line. Empty lines count as lines (they carry
+    * zero characters, so they can only inflate the line-count fractions —
+    * which is what a format filter wants to see).
+    *
+    * Output: (doc_id, n_lines, n_distinct_lines, dup_line_frac,
+    * dup_line_char_frac, bullet_line_frac, ellipsis_line_frac). */
+  def lineRepetition(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n", -1)).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("doc_id"), col("__cnt"), length(col("line")).as("__len"),
+        when(col("line").startsWith("- ") || col("line").startsWith("* ") ||
+          col("line").startsWith("•"), 1L).otherwise(0L).as("__bul"),
+        when(col("line").endsWith("...") || col("line").endsWith("…"),
+          1L).otherwise(0L).as("__ell"))
+    val agg = lines.groupBy(col("doc_id")).agg(
+      sum(col("__cnt")).as("n_lines"),
+      count(lit(1)).as("n_distinct_lines"),
+      sum((col("__cnt") - 1) * col("__len")).as("__dupChars"),
+      sum(col("__cnt") * col("__len")).as("__totChars"),
+      sum(col("__cnt") * col("__bul")).as("__bullets"),
+      sum(col("__cnt") * col("__ell")).as("__ellipses"))
+    val nl = col("n_lines").cast("double")
+    agg.select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+      ((col("n_lines") - col("n_distinct_lines")).cast("double") / nl)
+        .as("dup_line_frac"),
+      when(col("__totChars") > 0,
+        col("__dupChars").cast("double") / col("__totChars").cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_char_frac"),
+      (col("__bullets").cast("double") / nl).as("bullet_line_frac"),
+      (col("__ellipses").cast("double") / nl).as("ellipsis_line_frac"))
+  }
+
+  /** Within-document duplicated n-gram coverage (L117) — Gopher's
+    * "fraction of characters in duplicate n-grams" (Rae et al. 2021,
+    * appendix A.1.1, n = 5…10): the share of a document's token
+    * positions (and token characters) covered by some n-gram that occurs
+    * at least twice IN THAT DOCUMENT. Coverage is a set union — the
+    * interval-merge discipline of [[SubstringDedup.duplicatedSpans]]
+    * scoped per document — so overlapping repeats are never double
+    * counted. Character weight is the sum of covered TOKEN lengths
+    * (inter-token whitespace is normalization noise, not content — the
+    * token-level contract every tokenized rewrite here uses).
+    *
+    * Scale shape: one all-windows shingle explode (native
+    * [[graft.functions.WordShingles]] scan), one (doc_id, gram) count,
+    * one (doc_id, pos) equi-join back, one per-doc window interval
+    * merge, and a bounded position re-expansion (merged spans cover at
+    * most n_tokens positions per doc) joined to per-position token
+    * lengths — every stage keyed by doc_id, nothing corpus-global.
+    *
+    * Output: (doc_id, n_tokens, token_chars, covered_tokens,
+    * covered_chars, dup_ngram_token_frac, dup_ngram_char_frac); docs
+    * with no within-doc duplicate report zero coverage. */
+  def dupNgramCoverage(docs: DataFrame, k: Int = 5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k=$k: the minimum window is 1 token")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // (doc, pos, token length) + per-doc totals from ONE token explode
+    val tokLens = base
+      .select(col("doc_id"), posexplode(
+        graft.functions.WordShingles.allShingles(col("__text"), 1)))
+      .select(col("doc_id"), col("pos"), length(col("col")).as("__tlen"))
+    // totals re-attach to the full id set so zero-token docs are kept
+    val totals = base.select(col("doc_id")).join(
+      tokLens.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"), sum(col("__tlen")).as("token_chars")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_chars"), lit(0L)).as("token_chars"))
+    // within-doc duplicated k-gram start positions
+    val occ = base
+      .select(col("doc_id"), posexplode(
+        graft.functions.WordShingles.allShingles(col("__text"), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("__gram"))
+    val dup = occ.groupBy(col("doc_id"), col("__gram"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+      .select(col("doc_id"), col("__gram"))
+    // interval merge per doc (the duplicatedSpans window), then re-expand
+    // the merged spans to covered positions and weigh by token length
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runningEnd = max(col("__e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = occ.join(dup, Seq("doc_id", "__gram"))
+      .select(col("doc_id"), col("pos"), (col("pos") + k).as("__e"))
+      .withColumn("__new",
+        when(col("pos") > coalesce(runningEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("__s"), max(col("__e")).as("__e"))
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("__s"), col("__e") - 1)).as("pos"))
+      .join(tokLens, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("covered_tokens"),
+        sum(col("__tlen")).as("covered_chars"))
+    totals.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("token_chars"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ngram_token_frac"),
+        when(col("token_chars") > 0,
+          coalesce(col("covered_chars"), lit(0L)).cast("double") /
+            col("token_chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ngram_char_frac"))
   }
 
   /** Hashed-feature linear quality classifier — the fasttext-shaped scoring

@@ -1804,6 +1804,34 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Line-level repetition battery (L116): the Gopher line rules over the
+    // derived multi-line view (same ' table ' → newline derivation as
+    // line_dedup/boilerplate_scrub); every 4th doc gets a deterministic
+    // trailer with a duplicated ellipsis line and a bullet line so all
+    // four fractions fire in both engines.
+    "text_line_repetition" -> ((s, dir) => {
+      val trailer = "\nfoo bar...\nfoo bar...\n- item"
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(expr("replace(text, ' table ', '\n')"),
+            when(col("doc_id") % 4 === 0, trailer).otherwise(lit("")))
+            .as("text"))
+      TextAnalysis.lineRepetition(lined)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Within-doc duplicated 5-gram coverage (L117): Gopher's duplicate
+    // n-gram character fraction — every 7th doc is self-concatenated so
+    // full-coverage and zero-coverage docs both exist at every SF.
+    "text_dup_ngram_coverage" -> ((s, dir) => {
+      val derived = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.dupNgramCoverage(derived, k = 5)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Detector consolidation: exact-dup pairs ∪ jaccard near-dup pairs →
     // connected components → canonical survivor per cluster (the keep-list
     // step every multi-detector dedup pipeline ends with).
@@ -3820,6 +3848,92 @@ object TrainingDataQueries extends QueryPack {
          |       ELSE 0.0 END AS top_bigram_share
          |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.lineRepetition over the same derived lined view
+    "text_line_repetition" ->
+      s"""WITH lined AS (SELECT doc_id,
+         |    replace(text, ' table ', chr(10))
+         |    || CASE WHEN doc_id % 4 = 0
+         |            THEN chr(10) || 'foo bar...' || chr(10) || 'foo bar...'
+         |                 || chr(10) || '- item'
+         |            ELSE '' END AS text
+         |  FROM documents),
+         |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |       FROM lined),
+         |g AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY 1, 2),
+         |f AS (SELECT doc_id, cnt, length(line) AS l,
+         |        CASE WHEN line LIKE '- %' OR line LIKE '* %'
+         |               OR line LIKE '•%' THEN 1 ELSE 0 END AS bul,
+         |        CASE WHEN line LIKE '%...' OR line LIKE '%…'
+         |             THEN 1 ELSE 0 END AS ell
+         |      FROM g),
+         |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+         |        CAST(count(*) AS BIGINT) AS n_distinct_lines,
+         |        CAST(sum((cnt - 1) * l) AS BIGINT) AS dc,
+         |        CAST(sum(cnt * l) AS BIGINT) AS tc,
+         |        CAST(sum(cnt * bul) AS BIGINT) AS bu,
+         |        CAST(sum(cnt * ell) AS BIGINT) AS el
+         |      FROM f GROUP BY 1)
+         |SELECT doc_id, n_lines, n_distinct_lines,
+         |  CAST(n_lines - n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |    AS dup_line_frac,
+         |  CASE WHEN tc > 0 THEN CAST(dc AS DOUBLE) / CAST(tc AS DOUBLE)
+         |       ELSE 0.0 END AS dup_line_char_frac,
+         |  CAST(bu AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+         |  CAST(el AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.dupNgramCoverage at k=5 over the self-concat
+    // derivation: within-doc duplicated 5-grams, interval merge, covered
+    // positions weighed by token length
+    "text_dup_ngram_coverage" ->
+      s"""WITH t2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+         |         FROM t2),
+         |tl AS (SELECT doc_id, i AS pos, length(t[i+1]) AS l
+         |       FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(l) AS BIGINT) AS token_chars
+         |        FROM tl GROUP BY 1),
+         |g5 AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+5], ' ') AS gram
+         |       FROM (SELECT doc_id, t,
+         |               unnest(range(CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS pos
+         |             FROM toks)),
+         |dup AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) >= 2),
+         |hit AS (SELECT g.doc_id, g.pos, g.pos + 5 AS e
+         |        FROM g5 g JOIN dup d ON g.doc_id = d.doc_id AND g.gram = d.gram),
+         |mrg AS (SELECT doc_id, pos, e,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |        FROM hit),
+         |flg AS (SELECT doc_id, pos, e,
+         |          CASE WHEN runmax IS NULL OR pos > runmax THEN 1 ELSE 0 END AS nf
+         |        FROM mrg),
+         |grp AS (SELECT doc_id, pos, e,
+         |          sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS gid
+         |        FROM flg),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+         |cov AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM spans),
+         |cv AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS ct,
+         |         CAST(sum(l) AS BIGINT) AS cc
+         |       FROM cov c JOIN tl USING (doc_id, pos) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(tot.n_tokens, 0) AS n_tokens,
+         |  coalesce(tot.token_chars, 0) AS token_chars,
+         |  coalesce(cv.ct, 0) AS covered_tokens,
+         |  coalesce(cv.cc, 0) AS covered_chars,
+         |  CASE WHEN coalesce(tot.n_tokens, 0) > 0
+         |       THEN CAST(coalesce(cv.ct, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+         |       ELSE 0.0 END AS dup_ngram_token_frac,
+         |  CASE WHEN coalesce(tot.token_chars, 0) > 0
+         |       THEN CAST(coalesce(cv.cc, 0) AS DOUBLE) / CAST(tot.token_chars AS DOUBLE)
+         |       ELSE 0.0 END AS dup_ngram_char_frac
+         |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN cv ON d.doc_id = cv.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_keep" ->
       s"""WITH RECURSIVE $shinglesCte,

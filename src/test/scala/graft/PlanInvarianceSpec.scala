@@ -344,4 +344,15 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("url_category_filter plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("url_category_filter")
   }
+
+  // L116/L117 (Gopher line + n-gram repetition): fixed aggregation
+  // chains — a (doc, line) rollup, and the shingle-count + interval-merge
+  // + length-join pipeline — identical shape at any corpus size
+  test("text_line_repetition plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("text_line_repetition")
+  }
+
+  test("text_dup_ngram_coverage plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("text_dup_ngram_coverage")
+  }
 }

@@ -4450,4 +4450,49 @@ class TrainingDataSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(segged.subsetOf(vocab.map(_._1).toSet))
   }
+
+  test("line repetition: hand-computed fractions, single-line and empty docs") {
+    val d = docs(
+      1L -> "a\nb\na\n\n- x\ny...",
+      2L -> "solo line",
+      3L -> "")
+    val r = TextAnalysis.lineRepetition(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val r1 = r(1L)
+    // lines: a, b, a, "", "- x", "y..." → 6 lines, 5 distinct
+    assert(r1.getLong(1) === 6L && r1.getLong(2) === 5L)
+    assert(r1.getDouble(3) === 1.0 / 6.0)          // dup_line_frac
+    // dup chars: second "a" = 1; total line chars = 1+1+1+0+3+4 = 10
+    assert(r1.getDouble(4) === 1.0 / 10.0)         // dup_line_char_frac
+    assert(r1.getDouble(5) === 1.0 / 6.0)          // bullet_line_frac ("- x")
+    assert(r1.getDouble(6) === 1.0 / 6.0)          // ellipsis_line_frac ("y...")
+    val r2 = r(2L)
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 1L &&
+      r2.getDouble(3) === 0.0 && r2.getDouble(4) === 0.0)
+    // empty text is one empty line: zero char mass, zero fractions
+    val r3 = r(3L)
+    assert(r3.getLong(1) === 1L && r3.getDouble(3) === 0.0 &&
+      r3.getDouble(4) === 0.0)
+  }
+
+  test("dup n-gram coverage: interval merge, overlap, full tile, empty doc") {
+    val d = docs(
+      1L -> "a b c a b d",   // "a b" twice → positions {0,1} ∪ {3,4}
+      2L -> "u v w x",       // no within-doc duplicate
+      3L -> "x x x",         // overlapping "x x" hits merge to [0,3)
+      4L -> "")
+    val r = TextAnalysis.dupNgramCoverage(d, k = 2).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val r1 = r(1L)
+    assert(r1.getLong(1) === 6L)                       // n_tokens
+    assert(r1.getLong(3) === 4L && r1.getLong(4) === 4L) // covered tok/chars
+    assert(r1.getDouble(5) === 4.0 / 6.0 && r1.getDouble(6) === 4.0 / 6.0)
+    assert(r(2L).getLong(3) === 0L && r(2L).getDouble(5) === 0.0)
+    val r3 = r(3L)
+    assert(r3.getLong(3) === 3L && r3.getDouble(5) === 1.0)
+    // empty doc kept with zero mass
+    val r4 = r(4L)
+    assert(r4.getLong(1) === 0L && r4.getDouble(5) === 0.0 &&
+      r4.getDouble(6) === 0.0)
+  }
 }
