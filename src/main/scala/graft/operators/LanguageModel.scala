@@ -121,6 +121,54 @@ object LanguageModel {
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
   }
 
+  /** Unigram model: (token, cnt) — the n=1 tier of [[ngramCounts]] (no
+    * context column; totals and vocabulary both derive from this frame).
+    * The weak-baseline model of choice: domain-reweighting recipes use it
+    * as the "no context" proxy against a contextual reference. */
+  def unigramCounts(corpus: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    TextAnalysis.explodeTokens(
+        corpus.select(col(textCol)), col(textCol), "token", Seq.empty)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Score documents under a unigram model ([[unigramCounts]] output):
+    * p = (c + k) / (T + k·V) per token, micro-nat quantized terms, exact
+    * integer per-document sums — the [[scoreDocuments]] contract one tier
+    * down. T and V are one-row broadcasts of the MODEL frame (never a
+    * corpus action). Output: (doc_id, n_tokens, n_hit, lm_score), one row
+    * per input document; empty docs score zero. */
+  def scoreDocumentsUnigram(docs: DataFrame, model: DataFrame,
+                            addK: Double = 1.0, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(addK > 0, s"addK=$addK: smoothing mass must be positive")
+    val m =
+      if (model.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        model
+      else Dedup.persistTracked(model)
+    val scal = m.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("__vocab"))
+    val term: Column = round(
+      log((coalesce(col("cnt"), lit(0L)) + lit(addK)) /
+        (col("__tot") + lit(addK) * col("__vocab")))
+        * lit(1e6)).cast("long")
+    val scored = TextAnalysis.explodeTokens(
+        docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col(textCol), "token", Seq(col("doc_id")))
+      .join(m, Seq("token"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("cnt"), term.as("__term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("__term")).as("lm_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+  }
+
   /** Score documents under interpolated MODIFIED Kneser-Ney smoothing
     * (Chen & Goodman 1999 — the KenLM/CCNet production smoothing), bigram
     * tier. Every auxiliary statistic is an aggregation of the MODEL frame

@@ -1700,6 +1700,26 @@ object TrainingDataQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-style domain reweighting (L118): one exponentiated-gradient
+    // step on the domain weights in integer micro-nat LOG space (exp()
+    // is not cross-engine-exact, so the float mixture stays spec-only —
+    // the NOTES r13 design question answered). Proxy = context-free
+    // unigram LM (the still-learning stand-in), reference = bigram —
+    // excess loss is where context buys the most and it varies ~3× by
+    // domain at sf0.01 (the zero-clamp branch is spec-covered; on real
+    // corpora it fires for domains the proxy already masters).
+    "domain_reweight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val proxy = LanguageModel.scoreDocumentsUnigram(docs,
+          LanguageModel.unigramCounts(docs))
+        .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+      val ref = LanguageModel.scoreDocuments(docs,
+          LanguageModel.ngramCounts(docs))
+        .select(col("doc_id"), col("n_trans"), col("lm_score"))
+      graft.operators.DomainReweight.excessWeights(docs, proxy, ref)
+        .localCheckpoint(true).orderBy(col("domain"))
+    }),
+
     // Interpolated MODIFIED Kneser-Ney bigram scoring (L79): the KenLM/
     // CCNet production smoothing — continuation counts, per-context
     // discount masses, and counts-of-counts-estimated discounts are all
@@ -3767,6 +3787,56 @@ object TrainingDataQueries extends QueryPack {
          |       coalesce(a.lm_score, 0) AS lm_score
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors DomainReweight.excessWeights over unigram-proxy/bigram-ref
+    // scoring: micro-nat terms, exact integer sums, positive-numerator
+    // floor divisions, and the EG step as integer arithmetic
+    "domain_reweight" ->
+      s"""WITH $toksCte,
+         |ut AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |uc AS (SELECT tok, count(*) AS c FROM ut GROUP BY 1),
+         |us AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM uc),
+         |usc AS (SELECT u.doc_id,
+         |          CAST(round(ln((coalesce(uc.c, 0) + 1.0) / (us.tt + 1.0 * us.v))
+         |               * 1000000) AS BIGINT) AS term
+         |        FROM ut u LEFT JOIN uc ON u.tok = uc.tok CROSS JOIN us),
+         |uagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |           CAST(sum(term) AS BIGINT) AS sc FROM usc GROUP BY 1),
+         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+         |bsc AS (SELECT r.doc_id,
+         |          CAST(round(ln((coalesce(cn.c, 0) + 1.0)
+         |                        / (coalesce(ct.ct, 0) + 1.0 * voc.v))
+         |               * 1000000) AS BIGINT) AS term
+         |        FROM tr r LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+         |        LEFT JOIN ctot ct ON r.ctx = ct.ctx CROSS JOIN voc),
+         |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |           CAST(sum(term) AS BIGINT) AS sc FROM bsc GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source AS domain,
+         |        coalesce(u.n, 0) AS un, coalesce(-u.sc, 0) AS ul,
+         |        coalesce(b.n, 0) AS bn, coalesce(-b.sc, 0) AS bl
+         |      FROM documents d LEFT JOIN uagg u USING (doc_id)
+         |      LEFT JOIN bagg b USING (doc_id)),
+         |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(un) AS BIGINT) AS units_proxy,
+         |        CAST(sum(bn) AS BIGINT) AS units_ref,
+         |        CAST(sum(ul) AS BIGINT) AS lp, CAST(sum(bl) AS BIGINT) AS lr
+         |      FROM j GROUP BY 1),
+         |f AS (SELECT domain, n_docs, units_proxy, units_ref,
+         |        CAST(CASE WHEN units_proxy > 0 THEN lp // units_proxy ELSE 0 END AS BIGINT)
+         |          AS loss_proxy_micro,
+         |        CAST(CASE WHEN units_ref > 0 THEN lr // units_ref ELSE 0 END AS BIGINT)
+         |          AS loss_ref_micro
+         |      FROM g)
+         |SELECT domain, n_docs, units_proxy, units_ref,
+         |  loss_proxy_micro, loss_ref_micro,
+         |  greatest(loss_proxy_micro - loss_ref_micro, 0) AS excess_micro,
+         |  CAST((1 * greatest(loss_proxy_micro - loss_ref_micro, 0)) // 2 AS BIGINT)
+         |    AS log_weight_micro
+         |FROM f ORDER BY domain""".stripMargin,
 
     "span_corruption" -> spanCorruptionOracle,
 

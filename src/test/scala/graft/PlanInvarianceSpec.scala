@@ -355,4 +355,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("text_dup_ngram_coverage plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("text_dup_ngram_coverage")
   }
+
+  // L118: two LM scoring chains + ONE dimension-sized domain rollup —
+  // the EG step itself is pure integer projection
+  test("domain_reweight plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("domain_reweight")
+  }
 }

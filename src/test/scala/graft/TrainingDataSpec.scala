@@ -4451,6 +4451,57 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(segged.subsetOf(vocab.map(_._1).toSet))
   }
 
+  test("unigram scoring: hand-computed micro-nat terms, empty doc kept") {
+    val d = docs(1L -> "a a b", 2L -> "b c", 3L -> "")
+    val model = LanguageModel.unigramCounts(d)
+    // counts: a=2, b=2, c=1; T=5, V=3 → p(a)=(2+1)/(5+3)=3/8, p(b)=3/8,
+    // p(c)=(1+1)/8=1/4
+    val r = LanguageModel.scoreDocumentsUnigram(d, model).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def micro(p: Double) = math.round(math.log(p) * 1e6)
+    assert(r(1L).getLong(1) === 3L && r(1L).getLong(2) === 3L)
+    assert(r(1L).getLong(3) === 2 * micro(3.0 / 8) + micro(3.0 / 8))
+    assert(r(2L).getLong(3) === micro(3.0 / 8) + micro(1.0 / 4))
+    assert(r(3L).getLong(1) === 0L && r(3L).getLong(3) === 0L)
+  }
+
+  test("domain reweight: hand-computed EG step including the zero clamp") {
+    val d = Seq((1L, "web"), (2L, "web"), (3L, "code"))
+      .toDF("doc_id", "source")
+    // proxy: web docs lose 10 micro-nats/unit, code 2; ref: flat 4
+    val proxy = Seq((1L, 10L, -100L), (2L, 10L, -100L), (3L, 5L, -10L))
+      .toDF("doc_id", "n_units", "score")
+    val ref = Seq((1L, 10L, -40L), (2L, 10L, -40L), (3L, 5L, -20L))
+      .toDF("doc_id", "n_units", "score")
+    val r = DomainReweight.excessWeights(d, proxy, ref,
+        etaNum = 1L, etaDen = 2L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val web = r("web")
+    assert(web.getLong(1) === 2L)                     // n_docs
+    assert(web.getLong(4) === 10L && web.getLong(5) === 4L) // losses
+    assert(web.getLong(6) === 6L && web.getLong(7) === 3L)  // excess, eta/2
+    val code = r("code")
+    // proxy 2/unit vs ref 4/unit → negative excess clamps to zero
+    assert(code.getLong(4) === 2L && code.getLong(5) === 4L)
+    assert(code.getLong(6) === 0L && code.getLong(7) === 0L)
+  }
+
+  test("mixed weights: sum to one, uniform floor, monotone in excess") {
+    val ew = Seq(("a", 0L), ("b", 500000L), ("c", 2000000L))
+      .toDF("domain", "log_weight_micro")
+    val c = 0.1
+    val w = DomainReweight.mixedWeights(ew, c).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    assert(w.values.forall(_ >= c / 3 - 1e-12))       // uniform floor c/K
+    assert(w("a") < w("b") && w("b") < w("c"))        // EG monotonicity
+    // c = 0: pure softmax of logw/1e6
+    val z = math.exp(0.0) + math.exp(0.5) + math.exp(2.0)
+    val pure = DomainReweight.mixedWeights(ew, 0.0).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(pure("c") - math.exp(2.0) / z) < 1e-12)
+  }
+
   test("line repetition: hand-computed fractions, single-line and empty docs") {
     val d = docs(
       1L -> "a\nb\na\n\n- x\ny...",
