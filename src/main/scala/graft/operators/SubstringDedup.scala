@@ -76,13 +76,23 @@ object SubstringDedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
       .select(col("gram"))
-    // classic interval merge over the duplicated start positions: a hit
-    // opens a new span iff it starts past the running max end of every
-    // earlier hit in the document
+    mergeStartPositions(occ.join(dup, Seq("gram")), k)
+  }
+
+  /** Classic interval merge over duplicated k-gram START positions: each
+    * hit covers [pos, pos + k); a hit opens a new span iff it starts past
+    * the running max end of every earlier hit in its document. `hits` is
+    * any (doc_id, pos) frame (extra columns ignored; duplicate positions
+    * harmless). One doc_id-keyed window — rows per document bounded by
+    * its hit count. Shared by the k-gram path above and the suffix-array
+    * path ([[SuffixArray.duplicatedSpans]]), which must produce identical
+    * spans from identical position sets. */
+  private[operators] def mergeStartPositions(hits: DataFrame,
+                                             k: Int): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runningEnd = max(col("span_end"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    occ.join(dup, Seq("gram"))
+    hits
       .select(col("doc_id"), col("pos"), (col("pos") + k).as("span_end"))
       .withColumn("__new", when(col("pos") > coalesce(runningEnd, lit(-1)), 1)
         .otherwise(0))

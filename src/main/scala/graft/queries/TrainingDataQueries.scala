@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BpeLearn, Dedup, FillInMiddle, KMeans, LanguageModel, Packing, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{BpeLearn, Dedup, FillInMiddle, KMeans, LanguageModel, Packing, ProductQuantization, Retrieval, SemDedup, Similarity, SpanCorruption, SubstringDedup, SuffixArray, TextAnalysis, UnigramLm, WordPiece}
 
 /** Gate queries for the training-data-pipeline operators: text analysis,
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
@@ -1171,6 +1171,45 @@ object TrainingDataQueries extends QueryPack {
        |FROM dd ORDER BY doc_id""".stripMargin
   }
 
+  /** Derived corpus shared by the three suffix-array gates (L119-L121):
+    * every 10th document, capped at its first 64 tokens. The cap bounds
+    * the doubling rounds (log₂ 64 = 6) and keeps the oracle's direct
+    * suffix-string sort at O(slice · 64) strings; the SLICE keeps the
+    * quadratic-ish oracle payload flat across SFs. Both engines apply
+    * the identical derivation. */
+  private def saCorpus(s: SparkSession, dir: String): DataFrame = {
+    // every 3rd slice doc carries a shared 8-token preamble so the
+    // corpus has guaranteed cross-document repeats at every SF (without
+    // it the capped slice can be repeat-free and the span gate vacuous)
+    val withPre = when(col("doc_id") % 30 === 0,
+      concat(lit(SaPreamble + " "), col("text"))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(graft.functions.WordShingles.allShingles(withPre, 1),
+          1, 64)).as("text"))
+  }
+
+  /** The injected shared passage — ONE constant feeds both engines. */
+  private[queries] val SaPreamble =
+    "alpha beta gamma delta epsilon zeta eta theta"
+
+  /** Shared DuckDB CTE chain for the suffix-array oracles: the derived
+    * corpus, capped token lists, and one row per suffix with its sort
+    * key (tokens joined by chr(1) — sorts exactly like the token
+    * sequence, shorter-prefix first) and its token-list suffix. */
+  private def saSfxCtes =
+    s"""sacorp AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 30 = 0 THEN '$SaPreamble ' || text
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |stoks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:64] AS t
+       |  FROM sacorp),
+       |sfx AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:], chr(1)) AS s,
+       |          t[i+1:] AS sl
+       |        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM stoks))""".stripMargin
+
   /** Cosine threshold for the `eval_nn_leakage` leaked verdict — ONE
     * constant feeds the Spark gate and the oracle. 0.35 sits inside the
     * synthetic corpus's max-cos range (0.29–0.42 at sf0.01), so the gate
@@ -1743,6 +1782,39 @@ object TrainingDataQueries extends QueryPack {
     // spans whose 5-grams occur at least twice corpus-wide, merged per doc.
     "dedup_substring_spans" -> ((s, dir) => {
       SubstringDedup.duplicatedSpans(Tables.documents(s, dir), k = 5)
+        .localCheckpoint(true).orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Distributed suffix array by prefix doubling (L119): global dense
+    // suffix ranks over the capped slice corpus (every 10th doc, first 64
+    // tokens — the cap keeps the DuckDB direct-suffix-sort oracle linear
+    // while the Spark side runs the real log-round construction). The
+    // oracle sorts suffix strings joined with chr(1) — below any token
+    // byte, so string order IS token-sequence order with the
+    // shorter-prefix-first rule.
+    "suffix_array" -> ((s, dir) => {
+      SuffixArray.fit(saCorpus(s, dir), maxPrefix = 64).sa
+        .select(col("doc_id"), col("pos"), col("rank"))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Longest duplicated passages (L120): top-10 adjacent-suffix LCPs
+    // with the repeated prefix spelled out — the binary-descent LCP over
+    // the retained doubling tables, clamped at full ties.
+    "sa_longest_dup" -> ((s, dir) => {
+      SuffixArray.longestDuplicated(
+          SuffixArray.fit(saCorpus(s, dir), maxPrefix = 64), topK = 10)
+        .localCheckpoint(true)
+        .orderBy(col("lcp").desc, col("d1"), col("p1"), col("d2"), col("p2"))
+    }),
+
+    // ExactSubstr spans from the suffix array (L121): neighbor-LCP ≥ 5
+    // marks duplicated starts; merged per doc. The oracle is the K-GRAM
+    // formulation over the same corpus — parity IS the cross-algorithm
+    // equivalence proof (and the spec pins it on random corpora).
+    "dedup_substring_sa" -> ((s, dir) => {
+      SuffixArray.duplicatedSpans(
+          SuffixArray.fit(saCorpus(s, dir), maxPrefix = 64), minLen = 5)
         .localCheckpoint(true).orderBy(col("doc_id"), col("span_start"))
     }),
 
@@ -3881,6 +3953,65 @@ object TrainingDataQueries extends QueryPack {
       s"""WITH $substrSpansCte
          |SELECT doc_id, CAST(span_start AS INT) AS span_start,
          |       CAST(span_end AS INT) AS span_end
+         |FROM spans5 ORDER BY doc_id, span_start""".stripMargin,
+
+    // direct suffix-string sort — algorithm-independent final-state
+    // oracle for the prefix-doubling construction
+    "suffix_array" ->
+      s"""WITH $saSfxCtes
+         |SELECT doc_id, pos,
+         |  CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS rank
+         |FROM sfx ORDER BY doc_id, pos""".stripMargin,
+
+    // adjacency by the same (suffix, doc, pos) total order; LCP by direct
+    // token-list comparison (first mismatch index, ties fall to min len)
+    "sa_longest_dup" ->
+      s"""WITH $saSfxCtes,
+         |ord AS (SELECT doc_id, pos, sl,
+         |          lead(doc_id) OVER w AS d2, lead(pos) OVER w AS p2,
+         |          lead(sl) OVER w AS sl2
+         |        FROM sfx WINDOW w AS (ORDER BY s, doc_id, pos)),
+         |lc AS (SELECT doc_id AS d1, pos AS p1, d2, p2,
+         |         -- list_position yields 0 (not NULL) when no mismatch
+         |         -- exists: nullif routes the full-tie case to min-len
+         |         CAST(coalesce(
+         |           nullif(list_position(list_transform(
+         |             range(least(len(sl), len(sl2))),
+         |             i -> sl[i+1] = sl2[i+1]), false), 0) - 1,
+         |           least(len(sl), len(sl2))) AS BIGINT) AS lcp
+         |       FROM ord WHERE d2 IS NOT NULL),
+         |top AS (SELECT * FROM lc WHERE lcp >= 1
+         |        ORDER BY lcp DESC, d1, p1, d2, p2 LIMIT 10)
+         |SELECT t.lcp, t.d1, t.p1, t.d2, t.p2,
+         |  array_to_string(st.t[CAST(t.p1 + 1 AS INT):CAST(t.p1 + t.lcp AS INT)], ' ') AS gram
+         |FROM top t JOIN stoks st ON st.doc_id = t.d1
+         |ORDER BY t.lcp DESC, t.d1, t.p1, t.d2, t.p2""".stripMargin,
+
+    // the K-GRAM formulation over the SA gates' derived corpus — parity
+    // against the suffix-array path IS the cross-algorithm equivalence
+    "dedup_substring_sa" ->
+      s"""WITH $saSfxCtes,
+         |g5 AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+5], ' ') AS gram
+         |       FROM (SELECT doc_id, t,
+         |               unnest(range(CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS pos
+         |             FROM stoks)),
+         |dup5 AS (SELECT gram FROM g5 GROUP BY gram HAVING count(*) >= 2),
+         |hit5 AS (SELECT doc_id, pos, pos + 5 AS e FROM g5 JOIN dup5 USING (gram)),
+         |mrg5 AS (SELECT doc_id, pos, e,
+         |           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |         FROM hit5),
+         |flg5 AS (SELECT doc_id, pos, e,
+         |           CASE WHEN runmax IS NULL OR pos > runmax THEN 1 ELSE 0 END AS nf
+         |         FROM mrg5),
+         |grp5 AS (SELECT doc_id, pos, e,
+         |           sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+         |             ROWS UNBOUNDED PRECEDING) AS gid
+         |         FROM flg5),
+         |spans5 AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+         |           FROM grp5 GROUP BY doc_id, gid)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end
          |FROM spans5 ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_substring_scrub" ->

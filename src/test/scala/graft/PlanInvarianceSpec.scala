@@ -361,4 +361,19 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("domain_reweight plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("domain_reweight")
   }
+
+  // L119-L121 (suffix array): maxPrefix is FIXED at 64, so the doubling
+  // construction is a strict 7-dense-rank sequence and the LCP descent a
+  // strict 7-join-round sequence at any corpus size
+  test("suffix_array plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("suffix_array")
+  }
+
+  test("sa_longest_dup plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sa_longest_dup")
+  }
+
+  test("dedup_substring_sa plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_substring_sa")
+  }
 }

@@ -4451,6 +4451,112 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(segged.subsetOf(vocab.map(_._1).toSet))
   }
 
+  // ---- suffix array (L119-L121) ----
+
+  /** Plain-Scala reference: token suffixes of every doc (capped), dense
+    * ranks under lexicographic token-sequence order. */
+  private def bruteSuffixes(rows: Seq[(Long, String)], cap: Int)
+      : Seq[((Long, Long), Seq[String])] =
+    for {
+      (id, text) <- rows
+      t = text.split("\\s+").filter(_.nonEmpty).take(cap).toSeq
+      p <- t.indices
+    } yield ((id, p.toLong), t.drop(p))
+
+  private def bruteRanks(rows: Seq[(Long, String)], cap: Int)
+      : Map[(Long, Long), Long] = {
+    import scala.math.Ordering.Implicits._
+    val suf = bruteSuffixes(rows, cap)
+    val rank = suf.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    suf.map { case (k, s) => k -> rank(s) }.toMap
+  }
+
+  private def randomCorpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val base = (0 until nDocs).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // duplicate a couple of docs so full-tie suffixes exist
+    base ++ Seq(100L -> base(0)._2, 101L -> base(1)._2)
+  }
+
+  test("suffix array ranks equal the brute-force dense suffix ranks (property)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rows = randomCorpus(seed, 20)
+      val expected = bruteRanks(rows, 16)
+      val got = SuffixArray.fit(docs(rows: _*), maxPrefix = 16).sa
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("adjacent-suffix LCP equals direct comparison in the same total order (property)") {
+    import scala.math.Ordering.Implicits._
+    for (seed <- Seq(4, 5)) {
+      val rows = randomCorpus(seed, 16)
+      val suf = bruteSuffixes(rows, 16)
+      val ranks = bruteRanks(rows, 16)
+      // total order (rank, doc, pos); adjacent pairs + direct LCP
+      val ordered = suf.sortBy { case (k, _) => (ranks(k), k._1, k._2) }
+      val expected = ordered.zip(ordered.drop(1)).map { case ((ka, a), (kb, b)) =>
+        (ka._1, ka._2, kb._1, kb._2) ->
+          a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      }.toMap
+      val got = SuffixArray
+        .lcpAdjacent(SuffixArray.fit(docs(rows: _*), maxPrefix = 16))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+          r.getLong(5)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("SA duplicated spans equal the k-gram formulation exactly (property)") {
+    for (seed <- Seq(6, 7)) {
+      val rows = randomCorpus(seed, 24)
+      val d = docs(rows: _*)
+      val viaSa = SuffixArray
+        .duplicatedSpans(SuffixArray.fit(d, maxPrefix = 16), minLen = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val viaKgram = SubstringDedup.duplicatedSpans(d, k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong))
+        .sorted.toSeq
+      assert(viaSa === viaKgram, s"seed=$seed")
+    }
+  }
+
+  test("suffix array: shorter prefix sorts first, identical suffixes share a rank") {
+    val d = docs(1L -> "b a", 2L -> "b a c", 3L -> "b a")
+    val sa = SuffixArray.fit(d, maxPrefix = 4).sa.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // suffixes: "a"(1,1)(3,1) < "a c"(2,1) < "b a"(1,0)(3,0) < "b a c"(2,0) < "c"(2,2)
+    assert(sa((1L, 1L)) === 1L && sa((3L, 1L)) === 1L) // tie shares rank
+    assert(sa((2L, 1L)) === 2L)                        // longer sorts after
+    assert(sa((1L, 0L)) === 3L && sa((3L, 0L)) === 3L)
+    assert(sa((2L, 0L)) === 4L && sa((2L, 2L)) === 5L)
+  }
+
+  test("global dense rank matches the in-memory sort on random keys (property)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map(i =>
+      (rnd.nextInt(40).toString, rnd.nextInt(5).toLong, i.toLong))
+    val df = rows.toDF("k1", "k2", "id")
+    val expected = {
+      val ranked = rows.map(r => (r._1, r._2)).distinct.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+      rows.map(r => r._3 -> ranked((r._1, r._2))).toMap
+    }
+    val got = SuffixArray.globalDenseRank(df, Seq("k1", "k2"), "rk")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got === expected)
+  }
+
   test("unigram scoring: hand-computed micro-nat terms, empty doc kept") {
     val d = docs(1L -> "a a b", 2L -> "b c", 3L -> "")
     val model = LanguageModel.unigramCounts(d)
