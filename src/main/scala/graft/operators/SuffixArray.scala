@@ -40,10 +40,13 @@ import org.apache.spark.sql.functions._
   * log rounds ([[lcpAdjacent]]), the same reuse Flick & Sundar make.
   *
   * Scale shape (100 TB): every frame is (doc_id, pos)-keyed and
-  * corpus-token-sized; each round is two hash joins + one range exchange.
-  * Rounds are log₂ of the LONGEST DOCUMENT (not the corpus): 4096-token
-  * documents cost 12 rounds regardless of corpus size. The LCP descent
-  * joins are all (doc_id, pos) equi-joins over the adjacent-pair frame.
+  * corpus-token-sized; each round is ONE doc-keyed window (the partner
+  * rank at pos+k is lead(rank, k) — positions are dense per document,
+  * so no self-join exists) + one range exchange for the re-rank. Rounds
+  * are log₂ of the LONGEST DOCUMENT (not the corpus) and stop early on
+  * rank convergence: 4096-token documents cost ≤ 12 rounds regardless
+  * of corpus size. The LCP descent joins are all (doc_id, pos)
+  * equi-joins over the adjacent-pair frame, planned as one linear job.
   */
 object SuffixArray {
 
@@ -68,10 +71,20 @@ object SuffixArray {
     * (local rank + distinct-count offsets are invariant to where the
     * range boundaries fall). */
   def globalDenseRank(df: DataFrame, keys: Seq[String],
-                      out: String): DataFrame = {
+                      out: String): DataFrame =
+    rankWithCount(df, keys, out)._1
+
+  /** [[globalDenseRank]] plus the TOTAL distinct-key count — the
+    * convergence signal [[fit]] stops on. The per-partition distinct
+    * counts are collected (bounded: one row per shuffle partition) and
+    * the cumulative offsets re-enter as a broadcast literal frame — no
+    * single-task window anywhere, and the total rides along free. */
+  private def rankWithCount(df: DataFrame, keys: Seq[String],
+                            out: String): (DataFrame, Long) = {
     require(keys.nonEmpty, "globalDenseRank: no keys")
     val keyCols = keys.map(col)
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
     val mat = df.repartitionByRange(n, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
@@ -79,14 +92,17 @@ object SuffixArray {
     val local = mat.withColumn("__lr", dense_rank().over(w).cast("long"))
     val cnts = mat.groupBy(col("__pid"))
       .agg(countDistinct(struct(keyCols: _*)).as("__nd"))
-    val wo = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = cnts
-      .withColumn("__off", coalesce(sum(col("__nd")).over(wo), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offs), Seq("__pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.toSeq.map { case (pid, nd) =>
+      val o = (pid, acc); acc += nd; o
+    }
+    val total = acc
+    import spark.implicits._
+    val offsDf = offs.toDF("__pid", "__off")
+    (local.join(broadcast(offsDf), Seq("__pid"))
       .withColumn(out, col("__off") + col("__lr"))
-      .drop("__pid", "__lr", "__off")
+      .drop("__pid", "__lr", "__off"), total)
   }
 
   /** Build the suffix array (and its doubling rank tables) over the
@@ -107,21 +123,37 @@ object SuffixArray {
       .localCheckpoint(true)
     val lens = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("len")).localCheckpoint(true)
-    var cur = globalDenseRank(toks, Seq("token"), "rank")
-      .select(col("doc_id"), col("pos"), col("rank"))
+    val nSuffixes = toks.count()
+    val (r0, d0) = rankWithCount(toks, Seq("token"), "rank")
+    var cur = r0.select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint(true)
     var levels = Seq(1 -> cur)
     var k = 1
-    while (k < maxPrefix) {
-      val partner = cur.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col("rank").as("__r2"))
-      val paired = cur.join(partner, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
-      cur = globalDenseRank(paired, Seq("rank", "__r2"), "__nr")
-        .select(col("doc_id"), col("pos"), col("__nr").as("rank"))
+    // Convergence early-exit (the standard prefix-doubling termination):
+    // stop once every rank is unique, or once a doubling fails to refine
+    // the partition — rank_k and rank_2k induce NESTED partitions, so an
+    // unchanged distinct count means equal-rank suffixes are IDENTICAL
+    // (to the cap) and ranks are final. Real text converges well before
+    // log₂(maxDocLen): only repeated passages keep refining deep rounds.
+    // Detection lags one round on the partition-stall path (the stalled
+    // level must be computed to be observed); it is kept in `levels` —
+    // harmless to the LCP descent, whose full-tie clamp covers it.
+    var lastDistinct = d0
+    var done = d0 == nSuffixes
+    // the partner rank at pos+k is a LEAD over the per-document position
+    // order (positions are dense 0..len-1), not a join: one doc_id-keyed
+    // exchange per round instead of a two-sided self-join
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    while (k < maxPrefix && !done) {
+      val paired = cur.withColumn("__r2",
+        coalesce(lead(col("rank"), k).over(byDoc), lit(0L)))
+      val (nxt, dist) = rankWithCount(paired, Seq("rank", "__r2"), "__nr")
+      cur = nxt.select(col("doc_id"), col("pos"), col("__nr").as("rank"))
         .localCheckpoint(true)
       k *= 2
       levels :+= k -> cur
+      done = dist == lastDistinct || dist == nSuffixes
+      lastDistinct = dist
     }
     Model(levels, cur, lens, toks)
   }
@@ -137,7 +169,9 @@ object SuffixArray {
     * end, which correctly reads as "no match". Full ties overshoot by
     * construction (level sums exceed the remainder), so the final lcp
     * clamps to both suffixes' remaining lengths. One (doc_id, pos)-keyed
-    * join pair per level, checkpointed — log₂(maxPrefix) rounds. */
+    * join pair per RETAINED level (convergence-bounded, ≤
+    * log₂(maxPrefix)), all planned as one linear job — no per-level
+    * barrier. */
   def lcpAdjacent(model: Model): DataFrame = {
     val idx = globalDenseRank(model.sa, Seq("rank", "doc_id", "pos"),
         "sa_idx")
@@ -154,6 +188,9 @@ object SuffixArray {
         col("rank").as("__ra"))
       val b = rk.select(col("doc_id").as("d2"), col("pos").as("__qb"),
         col("rank").as("__rb"))
+      // no checkpoint: each level is consumed exactly once, so lineage
+      // stays LINEAR (2 equi-joins per level) — Catalyst plans the whole
+      // descent as one job instead of one barrier per level
       pairs = pairs
         .withColumn("__qa", col("p1") + col("__acc"))
         .withColumn("__qb", col("p2") + col("__acc"))
@@ -163,7 +200,6 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__ra") === col("__rb"),
             col("__acc") + k).otherwise(col("__acc")))
         .drop("__qa", "__qb", "__ra", "__rb")
-        .localCheckpoint(true)
     }
     val l1 = model.lens.select(col("doc_id").as("d1"), col("len").as("__l1"))
     val l2 = model.lens.select(col("doc_id").as("d2"), col("len").as("__l2"))

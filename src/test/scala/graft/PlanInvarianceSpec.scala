@@ -362,18 +362,18 @@ class PlanInvarianceSpec extends AnyFunSuite {
     assertScaleInvariant("domain_reweight")
   }
 
-  // L119-L121 (suffix array): maxPrefix is FIXED at 64, so the doubling
-  // construction is a strict 7-dense-rank sequence and the LCP descent a
-  // strict 7-join-round sequence at any corpus size
-  test("suffix_array plan shape is identical at sf0.001 and sf0.1") {
-    assertScaleInvariant("suffix_array")
+  // L119-L121 (suffix array): the doubling construction stops on rank
+  // convergence (data-dependent round count — the dedup_components
+  // situation), so the pin is on the plan VOCABULARY
+  test("suffix_array round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("suffix_array", roundMultiplicityVaries = true)
   }
 
-  test("sa_longest_dup plan shape is identical at sf0.001 and sf0.1") {
-    assertScaleInvariant("sa_longest_dup")
+  test("sa_longest_dup round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sa_longest_dup", roundMultiplicityVaries = true)
   }
 
-  test("dedup_substring_sa plan shape is identical at sf0.001 and sf0.1") {
-    assertScaleInvariant("dedup_substring_sa")
+  test("dedup_substring_sa round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_substring_sa", roundMultiplicityVaries = true)
   }
 }
