@@ -196,4 +196,37 @@ object QualityModel {
       round(sigmoid(zn) * lit(1e6)).cast("long").as("prob_micro"),
       (zn >= 0L).as("predicted"))
   }
+
+  /** Calibration / reliability report over a [[score]] output — the
+    * standard check before a classifier's scores gate a corpus (a
+    * quality filter that says "0.9" should be right ~90% of the time;
+    * Guo et al. 2017's ECE is this table's weighted column sum):
+    * predicted probabilities bucket into `bins` equal-width bins and each
+    * bin reports its size, mean predicted probability, and empirical
+    * positive rate — all in INTEGER micro units (sums of micro
+    * probabilities are exact; means are floor divisions), so the table
+    * is engine-exact. ECE·10⁶ = Σ n·gap_micro / N over the rows.
+    *
+    * Scale shape: one map-side-combined aggregation to a `bins`-sized
+    * frame; the corpus never shuffles (the bin key is a pure projection
+    * of prob_micro). Empty bins are absent — a report row says what was
+    * observed, not what wasn't. */
+  def calibrationReport(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins=$bins")
+    // prob_micro spans [0, 10^6]; the 10^6 endpoint folds into the top bin
+    val bin = least(floor(col("prob_micro") * bins / 1000000L), lit(bins - 1))
+      .cast("long")
+    scored
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("prob_micro")).as("__sp"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        // `div` is INTEGER floor division — exact at any corpus size (a
+        // double-division detour loses bits once sums pass 2^53)
+        expr("__sp div n").as("mean_pred_micro"),
+        expr("(n_pos * 1000000) div n").as("pos_rate_micro"))
+      .withColumn("gap_micro",
+        abs(col("mean_pred_micro") - col("pos_rate_micro")))
+  }
 }

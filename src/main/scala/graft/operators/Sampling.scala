@@ -271,4 +271,55 @@ object Sampling {
     funneled.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= maxPerGroup).drop("__r")
   }
+
+  /** UniMax budget-constrained epoch allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", arXiv:2304.09151, Algorithm 1): given
+    * per-stratum token counts n_s, a total training token budget, and a
+    * per-stratum epoch cap E, allocate the budget by visiting strata
+    * SMALLEST FIRST — each receives min(n_s·E, R/k) tokens where R is the
+    * budget still unallocated and k the strata still unvisited. Small
+    * strata saturate at their epoch cap; whatever they cannot absorb
+    * flows to the larger ones, whose final quota is a uniform split of
+    * the remainder. This COMPUTES the budget map [[tokenBudgetMix]]
+    * consumes and the epoch counts [[graft.operators.Packing
+    * .epochSchedule]] replays.
+    *
+    * Determinism contract: allocation is pure INTEGER arithmetic — the
+    * uniform share is the floor division R div k, so every engine
+    * reproduces the table bit-for-bit; `epochs_micro` is the integer
+    * micro-epoch ratio alloc·10⁶ div n_s. Visit order is (n_s, stratum)
+    * ascending — the stratum name breaks count ties.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus to
+    * the stratum-sized count frame; the sequential scan runs on the
+    * collected stratum table (dozens-to-hundreds of rows — the same
+    * model-sized-collect discipline as [[graft.operators.DomainReweight]])
+    * and returns as a literal frame. The corpus never shuffles.
+    *
+    * @return one row per stratum: (strataCol, n_tokens, alloc_tokens,
+    *         epochs_micro), n_tokens-ascending visit order. */
+  def epochAllocation(docs: DataFrame, strataCol: String,
+                      tokenCountCol: String, totalBudget: Long,
+                      maxEpochs: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget=$totalBudget")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs")
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col(strataCol))
+      .agg(sum(col(tokenCountCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    var remaining = totalBudget
+    var left = counts.length
+    val rows = counts.map { case (s, n) =>
+      val quota = if (left > 0) remaining / left else 0L
+      val alloc = math.min(n * maxEpochs, quota)
+      remaining -= alloc
+      left -= 1
+      (s, n, alloc, alloc * 1000000L / n)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs_micro")
+  }
 }

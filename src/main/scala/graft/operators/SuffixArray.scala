@@ -172,11 +172,17 @@ object SuffixArray {
     * join pair per RETAINED level (convergence-bounded, ≤
     * log₂(maxPrefix)), all planned as one linear job — no per-level
     * barrier. */
-  def lcpAdjacent(model: Model): DataFrame = {
-    val idx = globalDenseRank(model.sa, Seq("rank", "doc_id", "pos"),
-        "sa_idx")
+  def lcpAdjacent(model: Model): DataFrame = lcpAdjacentFrom(model, saIndex(model))
+
+  /** The suffix array's total order as a dense 1-based index per suffix —
+    * ranks tie-broken by (doc_id, pos), materialized once so both the
+    * LCP descent and the cross-corpus scan ([[crossMaxMatch]]) share it. */
+  def saIndex(model: Model): DataFrame =
+    globalDenseRank(model.sa, Seq("rank", "doc_id", "pos"), "sa_idx")
       .select(col("doc_id"), col("pos"), col("sa_idx"))
       .localCheckpoint(true)
+
+  private def lcpAdjacentFrom(model: Model, idx: DataFrame): DataFrame = {
     val right = idx.select((col("sa_idx") - 1).as("sa_idx"),
       col("doc_id").as("d2"), col("pos").as("p2"))
     var pairs = idx
@@ -245,5 +251,136 @@ object SuffixArray {
     val hits = adj.select(col("d1").as("doc_id"), col("p1").as("pos"))
       .unionByName(adj.select(col("d2").as("doc_id"), col("p2").as("pos")))
     SubstringDedup.mergeStartPositions(hits, minLen)
+  }
+
+  /** FUSED two-phase pass for [[crossMaxMatch]]: global dense rank of
+    * (rank, doc_id, pos) as `sa_idx` AND the inclusive global running
+    * count of the train flag as `__ca`, in one range exchange — both
+    * scans ride the SAME partitioning+order (the cumsum's order key IS
+    * the ranking key), so per-partition windows and ONE collect of
+    * (distinct-count, flag-sum) per partition serve both. Returns the
+    * augmented frame (checkpointed) and the train-suffix total. */
+  private def indexWithTrainScan(tagged: DataFrame): (DataFrame, Long) = {
+    val spark = tagged.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keyCols = Seq(col("rank"), col("doc_id"), col("pos"))
+    val mat = tagged.repartitionByRange(n, keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wr = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
+    val wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = mat.groupBy(col("__pid"))
+      .agg(countDistinct(struct(keyCols: _*)).as("__nd"),
+        sum(col("__trf")).cast("long").as("__ts"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accR = 0L
+    var accT = 0L
+    val offs = stats.toSeq.map { case (pid, nd, ts) =>
+      val o = (pid, accR, accT); accR += nd; accT += ts; o
+    }
+    val total = accT
+    import spark.implicits._
+    val offsDf = offs.toDF("__pid", "__roff", "__coff")
+    (mat
+      .withColumn("__lr", dense_rank().over(wr).cast("long"))
+      .withColumn("__lc", sum(col("__trf")).over(wc).cast("long"))
+      .join(broadcast(offsDf), Seq("__pid"))
+      .withColumn("sa_idx", col("__roff") + col("__lr"))
+      .withColumn("__ca", col("__coff") + col("__lc"))
+      .drop("__pid", "__lr", "__lc", "__roff", "__coff")
+      .localCheckpoint(true), total)
+  }
+
+  /** Cross-corpus exact-substring matching — the decontamination view of
+    * the suffix array (Lee et al. 2022 §4.1 run ACROSS corpora): build
+    * [[fit]] over the union of a training corpus and an eval/benchmark
+    * corpus, then for every EVAL suffix report the length of its longest
+    * common prefix with ANY training suffix. N-gram decontamination
+    * ([[Decontaminate]]) answers "≥ k?"; this answers "exactly how long
+    * is the longest verbatim leak?" — the audit number a contamination
+    * report leads with.
+    *
+    * Method: in suffix-sorted order, the max common prefix between a
+    * suffix and a SET of suffixes is attained at the set's nearest member
+    * above or below (lexicographic order: a ≤ b ≤ c ⇒ lcp(a,c) =
+    * min(lcp(a,b), lcp(b,c)), so LCP can only shrink with sorted
+    * distance). Both "nearest train" LCPs come from ONE adjacent-LCP
+    * frame ([[lcpAdjacent]]) by a running min over the segments between
+    * consecutive train suffixes: segment ids are a global cumsum of the
+    * train flag, FUSED with the sa_idx ranking into one two-phase range
+    * exchange ([[indexWithTrainScan]] — same partitioning, same order,
+    * one collect serves both offsets), the running min a segment-keyed
+    * window in each direction. No join against the train side ever
+    * happens — the scan is linear in the union's token count.
+    *
+    * Skew note: a running-min window partition is one train-to-train
+    * gap. With train ≫ eval (the production shape — benchmarks are tiny)
+    * gaps are short; the degenerate all-eval corpus would collapse to
+    * one partition, which is the caller holding it wrong (nothing to
+    * decontaminate against).
+    *
+    * @param isTrain (doc_id, is_train boolean) covering every doc in the
+    *                fitted corpus.
+    * @return (doc_id, pos, match_len) for every EVAL suffix — match_len 0
+    *         when no train suffix shares even one token. */
+  def crossMaxMatch(model: Model, isTrain: DataFrame): DataFrame = {
+    // ONE doc-keyed join tags the suffix frame (isTrain is doc-count-
+    // sized — corpus-scale at 100 TB, so no unconditional broadcast),
+    // then the FUSED two-phase pass assigns sa_idx and the running
+    // train count in a single range exchange
+    val tagged0 = model.sa
+      .join(isTrain.select(col("doc_id"),
+        col("is_train").cast("boolean").as("__tr")), Seq("doc_id"))
+      .withColumn("__trf", col("__tr").cast("int"))
+    val (indexed, totalTrain) = indexWithTrainScan(tagged0)
+    val adj = lcpAdjacentFrom(model,
+        indexed.select(col("doc_id"), col("pos"), col("sa_idx")))
+      .select(col("sa_idx"), col("lcp")).localCheckpoint(true)
+    val tagged = indexed
+      .join(adj.select(col("sa_idx"), col("lcp").as("__lead")),
+        Seq("sa_idx"), "left")
+      .join(adj.select((col("sa_idx") + 1).as("sa_idx"),
+        col("lcp").as("__lag")), Seq("sa_idx"), "left")
+    // __ca = #train suffixes at sa_idx ≤ i (inclusive): a train row opens
+    // its own above-segment. __cb = #train at sa_idx ≥ i: a train row
+    // closes its own below-segment. Train rows' own lag/lead LCPs are
+    // masked out of the running mins — they span the wrong pair.
+    val scan = tagged.withColumn("__cb",
+      lit(totalTrain) - col("__ca") + col("__trf"))
+    val wa = Window.partitionBy(col("__ca")).orderBy(col("sa_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("__cb")).orderBy(col("sa_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val masked = when(!col("__tr"), col("__lag"))
+    val maskedLead = when(!col("__tr"), col("__lead"))
+    scan
+      .withColumn("__above",
+        when(col("__ca") >= 1, min(masked).over(wa)))
+      .withColumn("__below",
+        when(col("__cb") >= 1, min(maskedLead).over(wb)))
+      .filter(!col("__tr"))
+      .select(col("doc_id"), col("pos"),
+        greatest(coalesce(col("__above"), lit(0L)),
+          coalesce(col("__below"), lit(0L))).as("match_len"))
+  }
+
+  /** Per-EVAL-document contamination report over [[crossMaxMatch]]:
+    * the longest verbatim training overlap anywhere in the document and
+    * the number of positions starting a ≥ `minLen` leak. Every eval doc
+    * reports — "clean" (0, 0) is a result, not an absence; docs with no
+    * tokens report zeros. */
+  def leakageReport(model: Model, isTrain: DataFrame,
+                    minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen=$minLen")
+    val perDoc = crossMaxMatch(model, isTrain)
+      .groupBy(col("doc_id"))
+      .agg(max(col("match_len")).as("__mm"),
+        sum(when(col("match_len") >= minLen, 1L).otherwise(0L)).as("__nl"))
+    isTrain.filter(!col("is_train")).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__mm"), lit(0L)).as("max_match"),
+        coalesce(col("__nl"), lit(0L)).as("n_leak_starts"))
   }
 }

@@ -1194,6 +1194,30 @@ object TrainingDataQueries extends QueryPack {
   private[queries] val SaPreamble =
     "alpha beta gamma delta epsilon zeta eta theta"
 
+  /** Union corpus for the `decontaminate_sa` gate: TRAIN = [[saCorpus]];
+    * EVAL = (a) every %40 train doc's tokens 10..25 verbatim plus a novel
+    * trailing token (a guaranteed 16-token leak, ids +10⁹) and (b) clean
+    * non-train docs (%10==7 ∧ %3==0, first 32 tokens, ids +2·10⁹).
+    * Returns (docs, tags) — tags = (doc_id, is_train). */
+  private def deconSaCorpus(s: SparkSession,
+                            dir: String): (DataFrame, DataFrame) = {
+    val train = saCorpus(s, dir)
+    val trainToks = graft.functions.WordShingles.allShingles(col("text"), 1)
+    val ev1 = train.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat_ws(" ", concat(slice(trainToks, 10, 16),
+          array(lit("zzleak")))).as("text"))
+    val ev2 = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 7 && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat_ws(" ", slice(
+          graft.functions.WordShingles.allShingles(col("text"), 1),
+          1, 32)).as("text"))
+    val all = train.unionByName(ev1).unionByName(ev2)
+    (all, all.select(col("doc_id"),
+      (col("doc_id") < 1000000000L).as("is_train")))
+  }
+
   /** Shared DuckDB CTE chain for the suffix-array oracles: the derived
     * corpus, capped token lists, and one row per suffix with its sort
     * key (tokens joined by chr(1) — sorts exactly like the token
@@ -1215,6 +1239,67 @@ object TrainingDataQueries extends QueryPack {
     * synthetic corpus's max-cos range (0.29–0.42 at sf0.01), so the gate
     * exercises BOTH verdicts. */
   private[queries] val NnLeakThreshold = 0.35
+
+  /** The full replayed quality_lr GD trajectory as a WITH chain ending in
+    * `scored(doc_id, label, z_nano, prob_micro, predicted)` — shared by
+    * the `quality_lr` per-doc gate and the `classifier_calibration`
+    * rollup (mirrors QualityModel.train+score expression-for-expression:
+    * same cast points, same op order, nano margins, micro gradients). */
+  private lazy val qualityLrScoredWith: String = {
+    val B = 8
+    val iters = 8
+    val lr = "4.0"
+    val xs = (0 until B).map(j =>
+      s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS DOUBLE)" +
+        s" / CAST(count(*) AS DOUBLE) AS x$j").mkString(",\n         ")
+    def zExpr(w: String) =
+      ((0 until B).map(j =>
+        s"CAST(round($w.w_$j * f.x$j * 1e9) AS BIGINT)") :+
+        s"CAST(round($w.w_$B * 1.0 * 1e9) AS BIGINT)").mkString(" + ")
+    val sExpr = "0.5 + (CAST(znano AS DOUBLE) / 1e9)" +
+      " / (2.0 * (1.0 + abs(CAST(znano AS DOUBLE) / 1e9)))"
+    val w0 = (0 to B).map(j => s"0.0 AS w_$j").mkString(", ")
+    val layers = (1 to iters).map { k =>
+      val xCols = (0 until B).map(j => s"f.x$j").mkString(", ")
+      val gs = ((0 until B).map(j =>
+        s"CAST(sum(CAST(round((($sExpr) - y) * x$j * 1e6) AS BIGINT))" +
+          s" AS BIGINT) AS g_$j") :+
+        s"CAST(sum(CAST(round((($sExpr) - y) * 1.0 * 1e6) AS BIGINT))" +
+          s" AS BIGINT) AS g_$B").mkString(",\n          ")
+      val ws = (0 to B).map(j =>
+        s"w.w_$j - $lr * ((CAST(g.g_$j AS DOUBLE) / 1e6) / g.n) AS w_$j")
+        .mkString(",\n          ")
+      s"""z$k AS (SELECT f.doc_id, l.y, $xCols, (${zExpr("w")}) AS znano
+         |        FROM feat f JOIN lab l USING (doc_id)
+         |        CROSS JOIN w${k - 1} w),
+         |g$k AS (SELECT
+         |          $gs,
+         |          count(*) AS n
+         |        FROM z$k),
+         |w$k AS (SELECT
+         |          $ws
+         |        FROM w${k - 1} w CROSS JOIN g$k g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $toksCte,
+       |tb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 6))::BIGINT % $B AS b
+       |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |lab AS (SELECT doc_id,
+       |          CASE WHEN len(list_filter(t, x -> x = 'spark')) >= 2
+       |          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       |        FROM toks),
+       |feat AS (SELECT doc_id,
+       |         $xs
+       |         FROM tb GROUP BY doc_id),
+       |w0 AS (SELECT $w0),
+       |$layers,
+       |zf AS (SELECT f.doc_id, l.y, (${zExpr("w")}) AS znano
+       |       FROM feat f JOIN lab l USING (doc_id)
+       |       CROSS JOIN w$iters w),
+       |scored AS (SELECT doc_id, CAST(y AS BIGINT) AS label, znano AS z_nano,
+       |             CAST(round(($sExpr) * 1e6) AS BIGINT) AS prob_micro,
+       |             znano >= 0 AS predicted
+       |           FROM zf)""".stripMargin
+  }
 
   /** Generated DuckDB CTE chain replaying KMeans.fit over `vecSql` (a
     * double-list expression over `embeddings`): Lloyd is sequential, so
@@ -1818,6 +1903,21 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // Cross-corpus ExactSubstr decontamination (L122): suffix array over
+    // train ∪ eval, per-eval-suffix longest verbatim train overlap by
+    // running-min over the segments between train suffixes (sorted-order
+    // nearest-neighbor property). Eval side: verbatim 16-token slices of
+    // train docs (+ a novel tail token) plus clean non-train docs — both
+    // verdict shapes fire at every SF. Oracle computes each eval suffix's
+    // LCP against its nearest train suffix above/below in direct
+    // token-list comparison — the PROPERTY, not the algorithm.
+    "decontaminate_sa" -> ((s, dir) => {
+      val (docs, tags) = deconSaCorpus(s, dir)
+      SuffixArray.leakageReport(
+          SuffixArray.fit(docs, maxPrefix = 64), tags, minLen = 5)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // The scrubbed corpus: duplicated spans removed, every document kept
     // (untouched documents pass through with whitespace normalized).
     "dedup_substring_scrub" -> ((s, dir) => {
@@ -1851,6 +1951,19 @@ object TrainingDataQueries extends QueryPack {
       Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8,
         bandSize = 2, maxBucketSize = Some(1000))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Winnowing fingerprint matches (L123, Schleimer et al. 2003 / MOSS):
+    // rightmost-min-per-window fingerprint sketches, then doc pairs
+    // sharing ≥ 2 fingerprint values under a hot-fingerprint guard —
+    // the LOCAL-overlap detector (any ≥ w+k−1 = 6-token verbatim match
+    // shares a fingerprint) that MinHash's whole-doc similarity misses.
+    "winnow_pairs" -> ((s, dir) => {
+      import graft.operators.Winnow
+      Winnow.matchPairs(
+          Winnow.fingerprints(Tables.documents(s, dir), k = 3, w = 4),
+          minShared = 2, maxBucketSize = Some(64))
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Dedup summary report (L110): the component-size histogram a
@@ -2610,6 +2723,26 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Calibration / reliability report (L124) over the SAME trained
+    // classifier: per probability CENTILE (the fast sigmoid compresses
+    // this fixture into [0.51, 0.56], so deciles would collapse to one
+    // row) — size, mean predicted
+    // probability, empirical positive rate, |gap|, all integer micro
+    // units (ECE·10⁶ = Σ n·gap/N over the rows). The oracle re-derives
+    // the full GD trajectory and rolls the scored frame up.
+    "classifier_calibration" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val docs = Tables.documents(s, dir)
+      val label =
+        size(filter(TextAnalysis.tokens(col("text")), _ === "spark")) >= 2
+      val feats = QualityModel.features(docs, buckets = 8, labelExpr = label)
+        .localCheckpoint(true)
+      val w = QualityModel.train(feats, buckets = 8, iters = 8, lr = 4.0)
+      QualityModel.calibrationReport(
+          QualityModel.score(feats, w, buckets = 8), bins = 100)
+        .localCheckpoint(true).orderBy(col("bin"))
+    }),
+
     // Proportional-interleave epoch order: per-language reproducible
     // permutation, order_key = (rank + 0.5) / n_lang — every prefix of
     // the global order carries each language in proportion. Two-phase
@@ -2633,6 +2766,24 @@ object TrainingDataQueries extends QueryPack {
         strataCol = "lang", epochs = EpochWeights, keyCol = "doc_id",
         salt = "es")
         .localCheckpoint(true).orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // UniMax budget-constrained epoch allocation (L125, Chung et al.
+    // 2023): per-language token counts, budget = 3/4 of the corpus,
+    // epoch cap 1 — smallest-first integer allocation; with this
+    // fixture's language mix the two smallest saturate at the cap and
+    // the rest split the remainder (BOTH min() arms fire at every SF).
+    // Pure integer table;
+    // the oracle replays the sequential scan as a recursive CTE.
+    "epoch_allocation" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val total = docs.agg(sum(col("n_tok"))).head().getLong(0)
+      Sampling.epochAllocation(docs, "lang", "n_tok",
+          totalBudget = total * 3 / 4, maxEpochs = 1)
+        .orderBy(col("n_tokens"), col("lang"))
     }),
 
     // Snapshot delta between two corpus versions (recrawl step) — old/new
@@ -4014,6 +4165,115 @@ object TrainingDataQueries extends QueryPack {
          |       CAST(span_end AS BIGINT) AS span_end
          |FROM spans5 ORDER BY doc_id, span_start""".stripMargin,
 
+    // cross-corpus max-match by the sorted-order nearest-train property
+    // (lexicographic order: lcp(a,c) = min(lcp(a,b), lcp(b,c)) for
+    // a ≤ b ≤ c, so the longest train prefix is at the nearest train
+    // suffix above or below) — direct token-list LCPs, NOT the Spark
+    // side's doubling-table descent: parity proves the algorithm
+    "decontaminate_sa" ->
+      s"""WITH dcorp AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 30 = 0 THEN '$SaPreamble ' || text
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |dtr AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:64] AS t,
+         |    true AS is_train
+         |  FROM dcorp),
+         |dev1 AS (SELECT doc_id + 1000000000 AS doc_id,
+         |    t[10:25] || ['zzleak'] AS t, false AS is_train
+         |  FROM dtr WHERE doc_id % 40 = 0),
+         |dev2 AS (SELECT doc_id + 2000000000 AS doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:32] AS t,
+         |    false AS is_train
+         |  FROM documents WHERE doc_id % 10 = 7 AND doc_id % 3 = 0),
+         |dall AS (SELECT * FROM dtr UNION ALL SELECT * FROM dev1
+         |         UNION ALL SELECT * FROM dev2),
+         |dsfx AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:], chr(1)) AS s,
+         |           t[i+1:] AS sl, is_train
+         |         FROM (SELECT doc_id, t, is_train, unnest(range(len(t))) AS i
+         |               FROM dall)),
+         |dord AS (SELECT doc_id, pos, sl, is_train,
+         |    last_value(CASE WHEN is_train THEN sl END IGNORE NULLS)
+         |      OVER (ORDER BY s, doc_id, pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS psl,
+         |    first_value(CASE WHEN is_train THEN sl END IGNORE NULLS)
+         |      OVER (ORDER BY s, doc_id, pos
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nsl
+         |  FROM dsfx),
+         |dmm AS (SELECT doc_id, pos, greatest(
+         |    coalesce(CAST(coalesce(nullif(list_position(list_transform(
+         |      range(least(len(sl), len(psl))), i -> sl[i+1] = psl[i+1]),
+         |      false), 0) - 1, least(len(sl), len(psl))) AS BIGINT), 0),
+         |    coalesce(CAST(coalesce(nullif(list_position(list_transform(
+         |      range(least(len(sl), len(nsl))), i -> sl[i+1] = nsl[i+1]),
+         |      false), 0) - 1, least(len(sl), len(nsl))) AS BIGINT), 0)
+         |  ) AS match_len
+         |  FROM dord WHERE NOT is_train)
+         |SELECT e.doc_id,
+         |  coalesce(max(m.match_len), 0) AS max_match,
+         |  CAST(coalesce(sum(CASE WHEN m.match_len >= 5 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_leak_starts
+         |FROM (SELECT doc_id FROM dall WHERE NOT is_train) e
+         |LEFT JOIN dmm m USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // winnowing: window minima over ALL gram rows first (SQL's WHERE
+    // runs before window functions, so the complete-window filter must
+    // come a CTE later), rightmost tie via the bounded per-window join
+    "winnow_pairs" ->
+      s"""WITH $toksCte,
+         |wg AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(array_to_string(t[pos+1:pos+3], ' ')), 1, 12))::BIGINT AS h
+         |  FROM (SELECT doc_id, t,
+         |          unnest(range(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS pos
+         |        FROM toks)),
+         |wn AS (SELECT doc_id, count(*) AS ng FROM wg GROUP BY 1),
+         |wmin AS (SELECT doc_id, pos AS s,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+         |  FROM wg),
+         |wsel AS (SELECT m.doc_id, m.s, m.mn FROM wmin m JOIN wn n USING (doc_id)
+         |         WHERE m.s <= n.ng - 4 OR (n.ng < 4 AND m.s = 0)),
+         |wtie AS (SELECT w.doc_id, w.s, w.mn, max(g.pos) AS fpos
+         |         FROM wsel w JOIN wg g ON g.doc_id = w.doc_id
+         |           AND g.pos BETWEEN w.s AND w.s + 3 AND g.h = w.mn
+         |         GROUP BY 1, 2, 3),
+         |wdf AS (SELECT DISTINCT doc_id, mn AS fp FROM wtie),
+         |wok AS (SELECT * FROM wdf WHERE fp NOT IN
+         |        (SELECT fp FROM wdf GROUP BY fp HAVING count(*) > 64))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // the UniMax sequential allocation replayed as a recursive CTE over
+    // the (tokens, lang)-ascending stratum order — all-integer state
+    "epoch_allocation" ->
+      s"""WITH RECURSIVE $toksCte,
+         |tc AS (SELECT d.lang, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |       FROM toks JOIN documents d USING (doc_id)
+         |       GROUP BY 1 HAVING sum(len(t)) > 0),
+         |ord AS (SELECT lang, n_tokens,
+         |          CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i
+         |        FROM tc),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |          (SELECT 3 * CAST(sum(len(t)) AS BIGINT) // 4 FROM toks) AS budget
+         |        FROM ord),
+         |alloc AS (
+         |  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS lang,
+         |    CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS alloc_tokens,
+         |    (SELECT budget FROM tot) AS remaining, (SELECT k FROM tot) AS left_k
+         |  UNION ALL
+         |  SELECT o.i, o.lang, o.n_tokens,
+         |    least(o.n_tokens * 1, a.remaining // a.left_k),
+         |    a.remaining - least(o.n_tokens * 1, a.remaining // a.left_k),
+         |    a.left_k - 1
+         |  FROM alloc a JOIN ord o ON o.i = a.i + 1)
+         |SELECT lang, n_tokens, alloc_tokens,
+         |  CAST(alloc_tokens * 1000000 // n_tokens AS BIGINT) AS epochs_micro
+         |FROM alloc WHERE i > 0 ORDER BY n_tokens, lang""".stripMargin,
+
     "dedup_substring_scrub" ->
       s"""WITH $substrSpansCte,
          |tokpos AS (SELECT doc_id, pos, t[pos+1] AS tok
@@ -5100,61 +5360,25 @@ object TrainingDataQueries extends QueryPack {
     // iteration, generated from the SAME (buckets, iters, lr) constants as
     // the Spark gate; margin/gradient quantization and the rational
     // sigmoid mirror QualityModel expression-for-expression
-    "quality_lr" -> {
-      val B = 8
-      val iters = 8
-      val lr = "4.0"
-      val xs = (0 until B).map(j =>
-        s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS DOUBLE)" +
-          s" / CAST(count(*) AS DOUBLE) AS x$j").mkString(",\n         ")
-      def zExpr(w: String) =
-        ((0 until B).map(j =>
-          s"CAST(round($w.w_$j * f.x$j * 1e9) AS BIGINT)") :+
-          s"CAST(round($w.w_$B * 1.0 * 1e9) AS BIGINT)").mkString(" + ")
-      val sExpr = "0.5 + (CAST(znano AS DOUBLE) / 1e9)" +
-        " / (2.0 * (1.0 + abs(CAST(znano AS DOUBLE) / 1e9)))"
-      val w0 = (0 to B).map(j => s"0.0 AS w_$j").mkString(", ")
-      val layers = (1 to iters).map { k =>
-        val xCols = (0 until B).map(j => s"f.x$j").mkString(", ")
-        val gs = ((0 until B).map(j =>
-          s"CAST(sum(CAST(round((($sExpr) - y) * x$j * 1e6) AS BIGINT))" +
-            s" AS BIGINT) AS g_$j") :+
-          s"CAST(sum(CAST(round((($sExpr) - y) * 1.0 * 1e6) AS BIGINT))" +
-            s" AS BIGINT) AS g_$B").mkString(",\n          ")
-        val ws = (0 to B).map(j =>
-          s"w.w_$j - $lr * ((CAST(g.g_$j AS DOUBLE) / 1e6) / g.n) AS w_$j")
-          .mkString(",\n          ")
-        s"""z$k AS (SELECT f.doc_id, l.y, $xCols, (${zExpr("w")}) AS znano
-           |        FROM feat f JOIN lab l USING (doc_id)
-           |        CROSS JOIN w${k - 1} w),
-           |g$k AS (SELECT
-           |          $gs,
-           |          count(*) AS n
-           |        FROM z$k),
-           |w$k AS (SELECT
-           |          $ws
-           |        FROM w${k - 1} w CROSS JOIN g$k g)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $toksCte,
-         |tb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 6))::BIGINT % $B AS b
-         |       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-         |lab AS (SELECT doc_id,
-         |          CASE WHEN len(list_filter(t, x -> x = 'spark')) >= 2
-         |          THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
-         |        FROM toks),
-         |feat AS (SELECT doc_id,
-         |         $xs
-         |         FROM tb GROUP BY doc_id),
-         |w0 AS (SELECT $w0),
-         |$layers,
-         |zf AS (SELECT f.doc_id, l.y, (${zExpr("w")}) AS znano
-         |       FROM feat f JOIN lab l USING (doc_id)
-         |       CROSS JOIN w$iters w)
-         |SELECT doc_id, CAST(y AS BIGINT) AS label, znano AS z_nano,
-         |       CAST(round(($sExpr) * 1e6) AS BIGINT) AS prob_micro,
-         |       znano >= 0 AS predicted
-         |FROM zf ORDER BY doc_id""".stripMargin
-    },
+    "quality_lr" ->
+      s"""$qualityLrScoredWith
+         |SELECT doc_id, label, z_nano, prob_micro, predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the calibration rollup over the SAME replayed GD trajectory —
+    // integer micro means via floor division, deciles, 10⁶ folded into
+    // the top bin (mirrors QualityModel.calibrationReport)
+    "classifier_calibration" ->
+      s"""$qualityLrScoredWith
+         |SELECT bin, n, n_pos, mean_pred_micro, pos_rate_micro,
+         |  abs(mean_pred_micro - pos_rate_micro) AS gap_micro
+         |FROM (SELECT least(prob_micro * 100 // 1000000, 99) AS bin,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(label) AS BIGINT) AS n_pos,
+         |        CAST(sum(prob_micro) // count(*) AS BIGINT) AS mean_pred_micro,
+         |        CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS pos_rate_micro
+         |      FROM scored GROUP BY 1)
+         |ORDER BY bin""".stripMargin,
 
     // the single-window reference formulation of the two-phase rank
     "epoch_interleave" ->

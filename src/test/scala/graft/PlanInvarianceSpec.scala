@@ -376,4 +376,27 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("dedup_substring_sa round vocabulary is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("dedup_substring_sa", roundMultiplicityVaries = true)
   }
+
+  // L122: SA over train ∪ eval + the segment-scan — doubling rounds are
+  // convergence-bound, so vocabulary mode like the other SA gates
+  test("decontaminate_sa round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("decontaminate_sa", roundMultiplicityVaries = true)
+  }
+
+  // L123: one doc-keyed window + value-bucketed pair join — the
+  // hot-fingerprint guard's anti-join included
+  test("winnow_pairs plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("winnow_pairs")
+  }
+
+  // L124: the quality_lr trajectory + ONE bins-sized rollup
+  test("classifier_calibration plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("classifier_calibration")
+  }
+
+  // L125: one map-side-combined stratum aggregation; the sequential
+  // allocation runs on the collected stratum table
+  test("epoch_allocation plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("epoch_allocation")
+  }
 }

@@ -4652,4 +4652,163 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r4.getLong(1) === 0L && r4.getDouble(5) === 0.0 &&
       r4.getDouble(6) === 0.0)
   }
+
+  // ---- cross-corpus SA decontamination (L122) ----
+
+  test("crossMaxMatch equals brute-force max common prefix vs train suffixes (property)") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rows = randomCorpus(seed, 20)
+      // tag: even ids train, odd ids eval (both non-empty sets)
+      val tags = rows.map { case (id, _) => (id, id % 2 == 0) }
+      val trainSuf = bruteSuffixes(rows.filter(_._1 % 2 == 0), 16).map(_._2)
+      val expected = bruteSuffixes(rows.filter(_._1 % 2 != 0), 16)
+        .map { case (k, s) =>
+          k -> (if (trainSuf.isEmpty) 0L
+                else trainSuf.map(t =>
+                  s.zip(t).takeWhile { case (x, y) => x == y }.size.toLong).max)
+        }.toMap
+      val model = SuffixArray.fit(docs(rows: _*), maxPrefix = 16)
+      val got = SuffixArray
+        .crossMaxMatch(model, tags.toDF("doc_id", "is_train"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("leakage report: verbatim leak length, clean doc zero, minLen counting") {
+    val d = docs(
+      1L -> "p q r s t u",     // train
+      2L -> "x y z",           // train
+      10L -> "q r s t zz",     // eval: 4-token verbatim leak of doc 1
+      11L -> "n o",            // eval: clean (no shared token)
+      12L -> "x y z")          // eval: full 3-token leak of doc 2
+    val tags = Seq((1L, true), (2L, true), (10L, false), (11L, false),
+      (12L, false)).toDF("doc_id", "is_train")
+    val model = SuffixArray.fit(d, maxPrefix = 8)
+    val r = SuffixArray.leakageReport(model, tags, minLen = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L) === ((4L, 2L))) // match lens 4,3,2,1,0 → two ≥ 3
+    assert(r(11L) === ((0L, 0L)))
+    assert(r(12L) === ((3L, 1L)))
+    assert(r.size === 3) // train docs never report
+  }
+
+  // ---- winnowing fingerprints (L123) ----
+
+  /** Plain-Scala winnowing reference (rightmost-min rule, same md5-prefix
+    * hash as the operator). */
+  private def bruteWinnow(text: String, k: Int, w: Int)
+      : Set[(Long, Long)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = (0 to toks.size - k).map(i =>
+      toks.slice(i, i + k).mkString(" "))
+    val hs = grams.map(g => graft.functions.Md5Prefix.prefix(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g), 12))
+    val starts =
+      if (hs.isEmpty) Seq.empty[Int]
+      else if (hs.size < w) Seq(0)
+      else 0 to hs.size - w
+    starts.map { s =>
+      val win = hs.slice(s, math.min(s + w, hs.size))
+      val mn = win.min
+      val fpos = (s until s + win.size).filter(i => hs(i) == mn).max
+      (fpos.toLong, mn)
+    }.toSet
+  }
+
+  test("winnowing fingerprints equal the plain-Scala reference (property)") {
+    for (seed <- Seq(21, 22)) {
+      val rows = randomCorpus(seed, 24).filter(_._2.trim.nonEmpty)
+      val expected = rows.flatMap { case (id, t) =>
+        bruteWinnow(t, 3, 4).map { case (p, h) => (id, p, h) }
+      }.toSet
+      val got = Winnow.fingerprints(docs(rows: _*), k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("winnowing guarantee: a w+k-1-token verbatim overlap shares a fingerprint") {
+    val shared = "one two three four five six seven eight" // 8 ≥ w+k−1 = 6
+    val d = docs(
+      1L -> s"aa bb $shared cc dd",
+      2L -> s"xx $shared yy zz ww",
+      3L -> "totally different words here")
+    val fps = Winnow.fingerprints(d, k = 3, w = 4)
+    val pairs = Winnow.matchPairs(fps, minShared = 1, maxBucketSize = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: rightmost tie, short-doc partial window, hot-fp guard") {
+    // identical grams everywhere: every window's min ties; rightmost wins
+    val d1 = docs(1L -> "a a a a a a") // k=1 → 6 identical grams, w=3
+    val f1 = Winnow.fingerprints(d1, k = 1, w = 3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(f1 === Seq(2L, 3L, 4L, 5L)) // windows [0..3],[1..4],[2..5],[3..5]→rightmost
+    // fewer grams than w → one fingerprint from the partial window
+    val d2 = docs(2L -> "a b c d") // k=3 → 2 grams < w=4
+    assert(Winnow.fingerprints(d2, k = 3, w = 4).count() === 1L)
+    // sub-k doc → no grams, no fingerprints
+    assert(Winnow.fingerprints(docs(3L -> "a b"), k = 3, w = 4).count() === 0L)
+    // hot guard: a fingerprint in > maxBucketSize docs never pairs
+    val hot = docs((1L to 5L).map(i => i -> "same same same phrase"): _*)
+    val fph = Winnow.fingerprints(hot, k = 3, w = 4)
+    assert(Winnow.matchPairs(fph, 1, maxBucketSize = Some(2)).count() === 0L)
+    assert(Winnow.matchPairs(fph, 1, maxBucketSize = None).count() === 10L)
+  }
+
+  // ---- classifier calibration (L124) ----
+
+  test("calibration report: hand bins, floor-div means, top-bin folding") {
+    val scored = Seq(
+      (1L, 1L, 100000L),  // bin 0 (4 bins of width 250000)
+      (2L, 0L, 200000L),  // bin 0
+      (3L, 1L, 600000L),  // bin 2
+      (4L, 1L, 1000000L)) // prob 10⁶ folds into top bin 3
+      .toDF("doc_id", "label", "prob_micro")
+    val r = QualityModel.calibrationReport(scored, bins = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    // bin 0: n=2, pos=1, mean=(100000+200000) div 2, rate=10⁶ div 2
+    assert(r(0L) === ((2L, 1L, 150000L, 500000L, 350000L)))
+    assert(r(2L) === ((1L, 1L, 600000L, 1000000L, 400000L)))
+    assert(r(3L) === ((1L, 1L, 1000000L, 1000000L, 0L)))
+    assert(r.size === 3) // empty bins absent
+  }
+
+  // ---- UniMax epoch allocation (L125) ----
+
+  test("epoch allocation: smallest-first saturation and uniform remainder split") {
+    // strata sized 10/20/70 tokens; budget 60, cap 2 epochs
+    val d = Seq.tabulate(10)(i => ("s", 1L)) ++
+      Seq.tabulate(10)(i => ("m", 2L)) ++ Seq.tabulate(10)(i => ("l", 7L))
+    val r = Sampling.epochAllocation(d.toDF("lang", "n"), "lang", "n",
+        totalBudget = 60L, maxEpochs = 2L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // visit s(10): min(20, 60/3=20) = 20 (both arms equal) → R=40
+    // visit m(20): min(40, 40/2=20) = 20 → R=20; l(70): min(140, 20) = 20
+    assert(r("s") === ((10L, 20L, 2000000L)))
+    assert(r("m") === ((20L, 20L, 1000000L)))
+    assert(r("l") === ((70L, 20L, 285714L))) // 20·10⁶ div 70
+  }
+
+  test("epoch allocation: cap saturation frees budget for larger strata") {
+    val d = Seq(("tiny", 2L), ("big", 50L)).toDF("lang", "n")
+    val r = Sampling.epochAllocation(d, "lang", "n", 30L, 3L)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    // tiny: min(6, 30/2=15) = 6 saturates; big: min(150, 24/1) = 24
+    assert(r("tiny") === 6L && r("big") === 24L)
+    // zero-token strata drop; count ties break by name
+    val z = Sampling.epochAllocation(
+      Seq(("a", 5L), ("b", 5L), ("z", 0L)).toDF("lang", "n"),
+      "lang", "n", 7L, 9L).collect()
+    assert(z.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
+  }
 }
