@@ -100,6 +100,64 @@ object DomainReweight {
     * DOMAIN-sized frame only; exp() keeps this column out of gated
     * contracts (see object doc). Max-shifted before exponentiation so the
     * softmax is overflow-safe at any micro-nat magnitude. */
+  /** Per-DOCUMENT excess loss — the document-level counterpart of
+    * [[excessWeights]] (the RHO-loss selection signal, Mindermann et al.
+    * 2022: points whose training loss most exceeds a reference/holdout
+    * model's are the learnable-and-not-yet-learned ones): each document's
+    * mean proxy and reference losses in integer micro-nats (floor
+    * divisions of its own micro-nat sums) and their clamped difference.
+    * Documents missing from a score frame (unscoreable) read zero loss.
+    *
+    * Output: (doc_id, loss_proxy_micro, loss_ref_micro, excess_micro) —
+    * integer-pure; one doc-keyed join pair over frames the LM scorers
+    * already produce with doc-keyed shuffles. */
+  def docExcess(proxyScores: DataFrame, refScores: DataFrame): DataFrame = {
+    def adapt(scores: DataFrame, tag: String) = {
+      require(scores.columns.length == 3,
+        s"score frame must be exactly (id, units, score_micro): " +
+          s"got ${scores.columns.mkString(", ")}")
+      val Array(id, units, score) = scores.columns
+      scores.select(col(id).as("doc_id"),
+        col(units).as(s"__u_$tag"), (-col(score)).as(s"__l_$tag"))
+    }
+    val j = adapt(proxyScores, "p")
+      .join(adapt(refScores, "r"), Seq("doc_id"), "full")
+    val lossP = when(coalesce(col("__u_p"), lit(0L)) > 0,
+      expr("__l_p div __u_p")).otherwise(lit(0L))
+    val lossR = when(coalesce(col("__u_r"), lit(0L)) > 0,
+      expr("__l_r div __u_r")).otherwise(lit(0L))
+    j.select(col("doc_id"),
+        lossP.as("loss_proxy_micro"), lossR.as("loss_ref_micro"))
+      .withColumn("excess_micro",
+        greatest(col("loss_proxy_micro") - col("loss_ref_micro"), lit(0L)))
+  }
+
+  /** Excess-loss data selection: the documents whose [[docExcess]] clears
+    * the exact (1 − keepFraction) quantile of the corpus's excess
+    * distribution — "train on the top X% most informative data". The
+    * threshold comes from [[CorpusStats.histogramQuantiles]]'s exact
+    * integer-histogram quantile (cardinality-bounded state, no per-group
+    * buffer), so the kept set is engine-exact; ties AT the threshold are
+    * kept, so the selection can exceed keepFraction by the tie mass —
+    * the deterministic reading (a hash tiebreak would be a different,
+    * also-valid policy; this one never splits equal-signal documents).
+    *
+    * Scale shape: the excess frame aggregates to a (distinct excess
+    * value)-sized histogram, the threshold broadcasts back as one row,
+    * and the corpus-sized excess frame takes one filter — it never
+    * re-shuffles. */
+  def selectByExcess(excess: DataFrame, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1,
+      s"keepFraction=$keepFraction must be in (0, 1)")
+    val thr = CorpusStats.histogramQuantiles(
+        excess.select(col("excess_micro"), lit("all").as("__g")),
+        "__g", "excess_micro", Seq(1.0 - keepFraction))
+      .select(col(s"q_${math.round((1.0 - keepFraction) * 100)}").as("__thr"))
+    excess.crossJoin(broadcast(thr))
+      .filter(col("excess_micro") >= col("__thr"))
+      .drop("__thr")
+  }
+
   def mixedWeights(excess: DataFrame, c: Double = 0.01): DataFrame = {
     require(c >= 0 && c < 1, s"uniform mixing c=$c must be in [0, 1)")
     val scal = excess.agg(

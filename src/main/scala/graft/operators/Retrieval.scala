@@ -58,9 +58,17 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75, subPartitions: Int = 1,
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id",
-               queryTextCol: String = "text"): DataFrame = {
-    require(k >= 1, s"k=$k")
-    require(subPartitions >= 1, s"subPartitions=$subPartitions")
+               queryTextCol: String = "text"): DataFrame =
+    rankTopK(bm25Scored(corpus, queries, k1, b, idCol, textCol,
+      queryIdCol, queryTextCol), k, subPartitions)
+
+  /** Every (query, doc) BM25 score — [[bm25TopK]] before its rank cut:
+    * (query_id, doc_id, n_terms, score_micro), zero-overlap pairs absent. */
+  def bm25Scored(corpus: DataFrame, queries: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 queryIdCol: String = "query_id",
+                 queryTextCol: String = "text"): DataFrame = {
     val dt = docTermStats(corpus, idCol, textCol)
     val stats = corpus
       .select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("__dlen"))
@@ -94,9 +102,18 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * tfn * lit(1e6)).cast("long").as("__c"))
-    val scored = contrib
+    contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("__c")).as("score_micro"))
+  }
+
+  /** The per-query top-k cut over a [[bm25Scored]]-shaped frame (score
+    * desc, doc_id asc — fully deterministic), with the exact two-phase
+    * funnel at `subPartitions` > 1. */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       subPartitions: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(subPartitions >= 1, s"subPartitions=$subPartitions")
     val funneled =
       if (subPartitions == 1) scored
       else {
@@ -113,6 +130,35 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         col("score_micro"))
+  }
+
+  /** Hard-negative mining for dense-retriever training (Karpukhin et al.
+    * 2020, DPR §4.2: the strongest negatives are the top BM25 documents
+    * that are NOT labeled relevant — lexically close, semantically
+    * wrong): per query, the top-k [[bm25Scored]] documents after an
+    * anti-join against the (query_id, doc_id) `positives` pairs. The
+    * anti-join runs BEFORE the rank cut, so every query yields k true
+    * negatives even when its positives dominate the score order (a
+    * filter-after-top-k would come up short exactly for the queries
+    * with the best positives).
+    *
+    * Scale shape: [[bm25TopK]]'s joins unchanged; the positives frame is
+    * keyed (query_id, doc_id) like the scored frame — one extra
+    * hash-anti-join at query-set scale. Output contract identical to
+    * [[bm25TopK]]. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    subPartitions: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id",
+                    queryTextCol: String = "text"): DataFrame = {
+    val scored = bm25Scored(corpus, queries, k1, b, idCol, textCol,
+      queryIdCol, queryTextCol)
+    val pos = positives.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("doc_id"))
+    rankTopK(scored.join(pos, Seq("query_id", "doc_id"), "left_anti"),
+      k, subPartitions)
   }
 
   /** Per-document TF-IDF keyword extraction: the top-k most

@@ -1240,6 +1240,36 @@ object TrainingDataQueries extends QueryPack {
     * exercises BOTH verdicts. */
   private[queries] val NnLeakThreshold = 0.35
 
+  /** Shared DuckDB chain for the excess-loss oracles: per-doc unigram
+    * (add-one, micro-nat) and bigram scoring sums ending in
+    * `uagg(doc_id, n, sc)` / `bagg(doc_id, n, sc)` — consumed by
+    * `domain_reweight`'s domain rollup and `select_excess_loss`'s
+    * per-doc selection. */
+  private lazy val lmDocScoreCtes: String =
+    s"""$toksCte,
+       |ut AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |uc AS (SELECT tok, count(*) AS c FROM ut GROUP BY 1),
+       |us AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM uc),
+       |usc AS (SELECT u.doc_id,
+       |          CAST(round(ln((coalesce(uc.c, 0) + 1.0) / (us.tt + 1.0 * us.v))
+       |               * 1000000) AS BIGINT) AS term
+       |        FROM ut u LEFT JOIN uc ON u.tok = uc.tok CROSS JOIN us),
+       |uagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |           CAST(sum(term) AS BIGINT) AS sc FROM usc GROUP BY 1),
+       |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+       |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+       |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+       |bsc AS (SELECT r.doc_id,
+       |          CAST(round(ln((coalesce(cn.c, 0) + 1.0)
+       |                        / (coalesce(ct.ct, 0) + 1.0 * voc.v))
+       |               * 1000000) AS BIGINT) AS term
+       |        FROM tr r LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+       |        LEFT JOIN ctot ct ON r.ctx = ct.ctx CROSS JOIN voc),
+       |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |           CAST(sum(term) AS BIGINT) AS sc FROM bsc GROUP BY 1)""".stripMargin
+
   /** The full replayed quality_lr GD trajectory as a WITH chain ending in
     * `scored(doc_id, label, z_nano, prob_micro, predicted)` — shared by
     * the `quality_lr` per-doc gate and the `classifier_calibration`
@@ -1353,6 +1383,44 @@ object TrainingDataQueries extends QueryPack {
     (1, "spark stream window dup"),
     (2, "customer query join batch"))
   private[queries] val Bm25K = 10
+
+  /** Shared DuckDB chain replaying Retrieval.bm25Scored (query terms,
+    * query-term postings, micro-quantized per-(query,term,doc)
+    * contributions, exact integer sums) ending in
+    * `sc(query_id, doc_id, n_terms, score_micro)` — consumed by the
+    * `bm25_topk` rank tail and the `hard_negatives` anti-join tail. */
+  private lazy val bm25ScoredCtes: String = {
+    val values = Bm25QuerySet
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""$toksCte,
+       |q AS (SELECT * FROM (VALUES $values) AS t(query_id, qtext)),
+       |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
+       |         regexp_split_to_array(qtext, '\\s+'), x -> x <> ''))) AS term
+       |       FROM q),
+       |dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
+       |dt AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+       |dtq AS (SELECT dt.doc_id, dt.term, dt.tf, dl.dlen
+       |        FROM dt JOIN dl USING (doc_id)
+       |        JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+       |stats AS (SELECT count(*) AS nd, CAST(sum(len(t)) AS BIGINT) AS tok_total
+       |          FROM toks),
+       |dfq AS (SELECT term, count(*) AS df FROM dtq GROUP BY 1),
+       |c AS (SELECT qt.query_id, dtq.doc_id,
+       |        CAST(round(
+       |          ln((CAST(s.nd - f.df AS DOUBLE) + 0.5)
+       |             / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |          * ((CAST(dtq.tf AS DOUBLE) * (1.2 + 1.0))
+       |             / (CAST(dtq.tf AS DOUBLE)
+       |                + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dtq.dlen AS DOUBLE)
+       |                    / (CAST(s.tok_total AS DOUBLE) / CAST(s.nd AS DOUBLE))))))
+       |          * 1e6) AS BIGINT) AS c
+       |      FROM dtq JOIN qt USING (term) JOIN dfq f USING (term)
+       |      CROSS JOIN stats s),
+       |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(c) AS BIGINT) AS score_micro
+       |       FROM c GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Bucket width for the `dsir_weights` gate's hashed-n-gram feature
     * space (small vs the paper's 10⁴ so collisions are exercised). */
@@ -1593,6 +1661,51 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
       graft.operators.Dedup.releaseIntermediateCaches()
       out
+    }),
+
+    // DPR-style hard-negative mining (L126): top-k BM25 docs that are NOT
+    // labeled relevant, anti-joined BEFORE the rank cut so every query
+    // yields k true negatives. Relevance label: contains ALL the query's
+    // terms (264/12/241 positives per query at sf0.01 — the anti-join
+    // visibly reshapes the top-k vs bm25_topk).
+    "hard_negatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = s.createDataFrame(Bm25QuerySet).toDF("query_id", "text")
+      val qt = q.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      val posts = TextAnalysis.explodeTokens(docs, col("text"), "term",
+        Seq(col("doc_id"))).select(col("doc_id"), col("term")).distinct()
+      val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+      val positives = qt.join(posts, Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("__nm"))
+        .join(broadcast(qn), Seq("query_id"))
+        .filter(col("__nm") === col("__nq"))
+        .select(col("query_id"), col("doc_id"))
+      val out = Retrieval.hardNegatives(docs, q, positives, k = Bm25K,
+        subPartitions = 4)
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
+      graft.operators.Dedup.releaseIntermediateCaches()
+      out
+    }),
+
+    // Excess-loss data selection (L127, the RHO-loss signal at the
+    // corpus-prep tier): per-doc unigram-proxy vs bigram-ref mean losses,
+    // keep documents at or above the exact 75th-percentile excess —
+    // "train on the top quarter most informative data"; ties at the
+    // threshold kept (the deterministic policy).
+    "select_excess_loss" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val proxy = LanguageModel.scoreDocumentsUnigram(docs,
+          LanguageModel.unigramCounts(docs))
+        .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+      val ref = LanguageModel.scoreDocuments(docs,
+          LanguageModel.ngramCounts(docs))
+        .select(col("doc_id"), col("n_trans"), col("lm_score"))
+      graft.operators.DomainReweight.selectByExcess(
+          graft.operators.DomainReweight.docExcess(proxy, ref),
+          keepFraction = 0.25)
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // SemDeDup: k-means cells + in-cell cosine prune — kept=0 iff a
@@ -3929,44 +4042,34 @@ object TrainingDataQueries extends QueryPack {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
-    "bm25_topk" -> {
-      val values = Bm25QuerySet
-        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
-      s"""WITH $toksCte,
-         |q AS (SELECT * FROM (VALUES $values) AS t(query_id, qtext)),
-         |qt AS (SELECT query_id, unnest(list_distinct(list_filter(
-         |         regexp_split_to_array(qtext, '\\s+'), x -> x <> ''))) AS term
-         |       FROM q),
-         |dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
-         |dt AS (SELECT doc_id, term, count(*) AS tf
-         |       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
-         |dtq AS (SELECT dt.doc_id, dt.term, dt.tf, dl.dlen
-         |        FROM dt JOIN dl USING (doc_id)
-         |        JOIN (SELECT DISTINCT term FROM qt) USING (term)),
-         |stats AS (SELECT count(*) AS nd, CAST(sum(len(t)) AS BIGINT) AS tok_total
-         |          FROM toks),
-         |dfq AS (SELECT term, count(*) AS df FROM dtq GROUP BY 1),
-         |c AS (SELECT qt.query_id, dtq.doc_id,
-         |        CAST(round(
-         |          ln((CAST(s.nd - f.df AS DOUBLE) + 0.5)
-         |             / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
-         |          * ((CAST(dtq.tf AS DOUBLE) * (1.2 + 1.0))
-         |             / (CAST(dtq.tf AS DOUBLE)
-         |                + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dtq.dlen AS DOUBLE)
-         |                    / (CAST(s.tok_total AS DOUBLE) / CAST(s.nd AS DOUBLE))))))
-         |          * 1e6) AS BIGINT) AS c
-         |      FROM dtq JOIN qt USING (term) JOIN dfq f USING (term)
-         |      CROSS JOIN stats s),
-         |sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |         CAST(sum(c) AS BIGINT) AS score_micro
-         |       FROM c GROUP BY 1, 2),
+    "bm25_topk" ->
+      s"""WITH $bm25ScoredCtes,
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY score_micro DESC, doc_id) AS rank
          |      FROM sc)
          |SELECT query_id, rank, doc_id, n_terms, score_micro
          |FROM r WHERE rank <= $Bm25K
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the same scored frame anti-joined against the all-terms relevance
+    // pairs BEFORE the rank cut (mirrors Retrieval.hardNegatives)
+    "hard_negatives" ->
+      s"""WITH $bm25ScoredCtes,
+         |qn AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+         |pos AS (SELECT m.query_id, m.doc_id
+         |        FROM (SELECT qt.query_id, dtq.doc_id, count(DISTINCT dtq.term) AS nm
+         |              FROM qt JOIN dtq USING (term) GROUP BY 1, 2) m
+         |        JOIN qn USING (query_id) WHERE m.nm = qn.nq),
+         |neg AS (SELECT sc.* FROM sc
+         |        LEFT JOIN pos p ON sc.query_id = p.query_id
+         |          AND sc.doc_id = p.doc_id
+         |        WHERE p.doc_id IS NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank
+         |      FROM neg)
+         |SELECT query_id, rank, doc_id, n_terms, score_micro
+         |FROM r WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin,
 
     "semdedup_prune" ->
       s"""WITH $kmeansCtes,
@@ -4015,29 +4118,7 @@ object TrainingDataQueries extends QueryPack {
     // scoring: micro-nat terms, exact integer sums, positive-numerator
     // floor divisions, and the EG step as integer arithmetic
     "domain_reweight" ->
-      s"""WITH $toksCte,
-         |ut AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |uc AS (SELECT tok, count(*) AS c FROM ut GROUP BY 1),
-         |us AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM uc),
-         |usc AS (SELECT u.doc_id,
-         |          CAST(round(ln((coalesce(uc.c, 0) + 1.0) / (us.tt + 1.0 * us.v))
-         |               * 1000000) AS BIGINT) AS term
-         |        FROM ut u LEFT JOIN uc ON u.tok = uc.tok CROSS JOIN us),
-         |uagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-         |           CAST(sum(term) AS BIGINT) AS sc FROM usc GROUP BY 1),
-         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
-         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-         |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
-         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
-         |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
-         |bsc AS (SELECT r.doc_id,
-         |          CAST(round(ln((coalesce(cn.c, 0) + 1.0)
-         |                        / (coalesce(ct.ct, 0) + 1.0 * voc.v))
-         |               * 1000000) AS BIGINT) AS term
-         |        FROM tr r LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
-         |        LEFT JOIN ctot ct ON r.ctx = ct.ctx CROSS JOIN voc),
-         |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-         |           CAST(sum(term) AS BIGINT) AS sc FROM bsc GROUP BY 1),
+      s"""WITH $lmDocScoreCtes,
          |j AS (SELECT d.doc_id, d.source AS domain,
          |        coalesce(u.n, 0) AS un, coalesce(-u.sc, 0) AS ul,
          |        coalesce(b.n, 0) AS bn, coalesce(-b.sc, 0) AS bl
@@ -4060,6 +4141,30 @@ object TrainingDataQueries extends QueryPack {
          |  CAST((1 * greatest(loss_proxy_micro - loss_ref_micro, 0)) // 2 AS BIGINT)
          |    AS log_weight_micro
          |FROM f ORDER BY domain""".stripMargin,
+
+    // the per-doc tier of the same chains: floor-div mean losses, clamped
+    // excess, exact histogram-quantile threshold (min value whose rank
+    // reaches ceil(p·n)), ties at the threshold kept
+    "select_excess_loss" ->
+      s"""WITH $lmDocScoreCtes,
+         |exc AS (SELECT d.doc_id,
+         |          CAST(CASE WHEN coalesce(u.n, 0) > 0
+         |               THEN (-u.sc) // u.n ELSE 0 END AS BIGINT) AS loss_proxy_micro,
+         |          CAST(CASE WHEN coalesce(b.n, 0) > 0
+         |               THEN (-b.sc) // b.n ELSE 0 END AS BIGINT) AS loss_ref_micro
+         |        FROM documents d LEFT JOIN uagg u USING (doc_id)
+         |        LEFT JOIN bagg b USING (doc_id)),
+         |exc2 AS (SELECT doc_id, loss_proxy_micro, loss_ref_micro,
+         |           greatest(loss_proxy_micro - loss_ref_micro, 0) AS excess_micro
+         |         FROM exc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM exc2),
+         |rk AS (SELECT excess_micro,
+         |         row_number() OVER (ORDER BY excess_micro) AS rn FROM exc2),
+         |thr AS (SELECT min(excess_micro) AS t FROM rk CROSS JOIN nn
+         |        WHERE rn >= greatest(1, CAST(ceil(0.75 * c) AS BIGINT)))
+         |SELECT e.doc_id, e.loss_proxy_micro, e.loss_ref_micro, e.excess_micro
+         |FROM exc2 e CROSS JOIN thr WHERE e.excess_micro >= thr.t
+         |ORDER BY e.doc_id""".stripMargin,
 
     "span_corruption" -> spanCorruptionOracle,
 

@@ -399,4 +399,14 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("epoch_allocation plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("epoch_allocation")
   }
+
+  // L126: bm25_topk's joins + ONE anti-join before the rank cut
+  test("hard_negatives plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("hard_negatives")
+  }
+
+  // L127: two LM scoring chains + histogram-quantile threshold broadcast
+  test("select_excess_loss plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("select_excess_loss")
+  }
 }

@@ -4781,6 +4781,63 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(r.size === 3) // empty bins absent
   }
 
+  // ---- hard-negative mining (L126) ----
+
+  test("hard negatives: anti-join runs before the rank cut, empty positives = bm25TopK") {
+    val corpus = docs(
+      1L -> "apple banana cherry",   // matches both query terms → positive
+      2L -> "apple banana date",     // matches both → positive
+      3L -> "apple egg fig",         // matches one → negative candidate
+      4L -> "banana grape hazel",    // matches one → negative candidate
+      5L -> "iris juniper kiwi")     // matches none → never scored
+    val q = Seq((0, "apple banana")).toDF("query_id", "text")
+    val pos = Seq((0, 1L), (0, 2L)).toDF("query_id", "doc_id")
+    val negs = Retrieval.hardNegatives(corpus, q, pos, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    Dedup.releaseIntermediateCaches()
+    // both positives outscore both negatives (two matched terms vs one) —
+    // a filter AFTER top-2 would return nothing; ranks re-number 1..k
+    assert(negs.toSeq === Seq((1, 3L), (2, 4L)))
+    // empty positives degenerate to plain bm25TopK
+    val empty = Seq.empty[(Int, Long)].toDF("query_id", "doc_id")
+    val viaNeg = Retrieval.hardNegatives(corpus, q, empty, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val viaTop = Retrieval.bm25TopK(corpus, q, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    Dedup.releaseIntermediateCaches()
+    assert(viaNeg === viaTop)
+  }
+
+  // ---- excess-loss selection (L127) ----
+
+  test("doc excess: floor-div mean losses, clamp at zero, unscoreable doc zero") {
+    val proxy = Seq((1L, 3L, -1000001L), (2L, 2L, -100L), (3L, 0L, 0L))
+      .toDF("doc_id", "n", "score")
+    val ref = Seq((1L, 2L, -400001L), (2L, 2L, -1000L), (3L, 0L, 0L))
+      .toDF("doc_id", "n", "score")
+    val r = DomainReweight.docExcess(proxy, ref)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((333333L, 200000L, 133333L))) // 1000001 div 3, 400001 div 2
+    assert(r(2L) === ((50L, 500L, 0L)))             // proxy beats ref → clamp
+    assert(r(3L) === ((0L, 0L, 0L)))                // zero units → zero loss
+  }
+
+  test("excess selection: exact quantile threshold, ties at the threshold kept") {
+    // excess values 10,20,20,30 → p=0.5 rank ceil(0.5·4)=2 → thr = 20;
+    // keep ≥ 20 → three docs (both ties kept)
+    val exc = Seq((1L, 0L, 0L, 10L), (2L, 0L, 0L, 20L), (3L, 0L, 0L, 20L),
+      (4L, 0L, 0L, 30L))
+      .toDF("doc_id", "loss_proxy_micro", "loss_ref_micro", "excess_micro")
+    val kept = DomainReweight.selectByExcess(exc, keepFraction = 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 3L, 4L))
+    // keepFraction bounds enforced
+    intercept[IllegalArgumentException] {
+      DomainReweight.selectByExcess(exc, keepFraction = 1.0)
+    }
+  }
+
   // ---- UniMax epoch allocation (L125) ----
 
   test("epoch allocation: smallest-first saturation and uniform remainder split") {
