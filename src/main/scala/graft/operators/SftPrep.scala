@@ -81,6 +81,73 @@ object SftPrep {
         (col("__n") + 3).as("mask_end"))
   }
 
+  /** MULTI-TURN chat-template rendering with per-turn loss-mask spans —
+    * [[formatExamples]] generalized from (prompt, response) pairs to
+    * whole conversations (the production SFT shape: system/user/assistant
+    * alternations where ONLY assistant spans train; Ouyang et al. 2022's
+    * setup). Input is one row per turn: (convCol, turnIdxCol, roleCol,
+    * textCol). Every turn renders as `<|role|> tokens…` and each
+    * ASSISTANT turn closes with `<|eot|>`; the loss mask of an assistant
+    * turn covers its response tokens plus the end tag (never the role
+    * tag), non-assistant turns (user, system, tool — any role string)
+    * carry an empty mask.
+    *
+    * Output: one row per TURN — (conv_id, turn_idx, role, span_start,
+    * span_end, masked, mask_start, mask_end, n_tokens, sft_text) with
+    * spans in 0-based token indices of the conversation's `sft_text`
+    * (repeated per row, making each row self-contained; n_tokens is the
+    * conversation total). Empty/null turn text renders as the bare tag.
+    *
+    * Scale shape: tokenization and per-turn rendering are pure
+    * projections; span offsets are one conv-keyed window cumsum; the
+    * conversation text assembles via the window-ordered collection idiom
+    * ([[Packing.shardManifest]]: running collect_list, max = the full
+    * ordered list since every running list is a prefix) and joins back
+    * conv-keyed. Windows/joins are all bounded by a conversation's turn
+    * count. */
+  def formatConversation(turns: DataFrame, convCol: String = "conv_id",
+                         turnIdxCol: String = "turn_idx",
+                         roleCol: String = "role",
+                         textCol: String = "text"): DataFrame = {
+    val toks = graft.functions.WordShingles
+      .allShingles(coalesce(col(textCol), lit("")), 1)
+    val base = turns
+      .select(col(convCol).as("conv_id"),
+        col(turnIdxCol).cast("long").as("turn_idx"),
+        col(roleCol).as("role"), toks.as("__toks"))
+      .withColumn("__isa", col("role") === lit("assistant"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // rendered turn = role tag ++ tokens ++ (eot if assistant)
+      .withColumn("__rt", concat(
+        array(concat(lit("<|"), col("role"), lit("|>"))),
+        col("__toks"),
+        when(col("__isa"), array(lit(EotTag)))
+          .otherwise(array().cast("array<string>"))))
+      .withColumn("__len", size(col("__rt")).cast("long"))
+    val wCum = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSpans = base
+      .withColumn("__end", sum(col("__len")).over(wCum))
+      .withColumn("span_start", col("__end") - col("__len"))
+      .withColumn("__arr", collect_list(col("__rt")).over(wCum))
+    val conv = withSpans.groupBy(col("conv_id"))
+      .agg(max(col("__arr")).as("__all"), sum(col("__len")).as("n_tokens"))
+      .select(col("conv_id"), col("n_tokens"),
+        array_join(flatten(col("__all")), " ").as("sft_text"))
+    withSpans
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("span_start"), col("__end").as("span_end"), col("__isa"),
+        col("__n"))
+      .join(conv, Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("span_start"), col("span_end"),
+        col("__isa").as("masked"),
+        when(col("__isa"), col("span_start") + 1)
+          .otherwise(col("span_end")).as("mask_start"),
+        col("span_end").as("mask_end"),
+        col("n_tokens"), col("sft_text"))
+  }
+
   // ---------------------------------------------------------------------
   // No-straddle greedy packing (L92)
   // ---------------------------------------------------------------------

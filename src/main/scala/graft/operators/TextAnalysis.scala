@@ -725,4 +725,49 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Corpus-level top-K repeated n-grams — the boilerplate-mining report
+    * (the phrases a curation run turns into scrub rules or
+    * stop-fingerprints: navigation chrome, license blurbs, templated
+    * headers surface as high-frequency n-grams): every n-token window
+    * (multiplicity kept) aggregated to (gram, term_freq, doc_freq),
+    * ranked (term_freq desc, gram asc).
+    *
+    * Scale shape: [[vocabularyPerGroup]]'s exact bucketed two-phase
+    * heavy-hitter cut with a constant group — phase 1 ranks within
+    * xxhash64(gram) mod `buckets` sub-partitions (a global top-K gram is
+    * top-K in its own bucket), phase 2 ranks the ≤ buckets·topK
+    * survivors; the doc-frequency pass joins only the surviving grams
+    * (semi-join BEFORE the distinct-count, so the per-doc distinct
+    * aggregation runs on the winners, not the corpus vocabulary). */
+  def topNgrams(docs: DataFrame, n: Int, topK: Int,
+                idCol: String = "doc_id", textCol: String = "text",
+                buckets: Int = 64): DataFrame = {
+    require(n >= 1, s"n=$n"); require(topK >= 1, s"topK=$topK")
+    require(buckets >= 1, s"buckets=$buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"), explode(
+        graft.functions.WordShingles.allShingles(col(textCol), n))
+      .as("gram"))
+    val counts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("term_freq"))
+    val pruned =
+      if (buckets == 1) counts
+      else {
+        val bw = W.partitionBy(pmod(xxhash64(col("gram")), lit(buckets.toLong)))
+          .orderBy(col("term_freq").desc, col("gram").asc)
+        counts.withColumn("__brank", row_number().over(bw))
+          .filter(col("__brank") <= topK).drop("__brank")
+      }
+    val w = W.partitionBy().orderBy(col("term_freq").desc, col("gram").asc)
+    val top = pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .localCheckpoint(true)
+    val df = grams.join(broadcast(top.select(col("gram"))), Seq("gram"),
+        "left_semi")
+      .select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+    top.join(broadcast(df), Seq("gram"))
+      .select(col("rank"), col("gram"), col("term_freq"), col("doc_freq"))
+  }
 }

@@ -2588,6 +2588,14 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("lang"), col("rank"))
     }),
 
+    // Corpus-level top-30 repeated 5-grams (L129): the boilerplate-mining
+    // report — two-phase bucketed heavy-hitter cut, doc frequency joined
+    // for the winners only.
+    "corpus_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(Tables.documents(s, dir), n = 5, topK = 30)
+        .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
     // Per-language corpus report: doc count, token volume, source
     // diversity, exact median document length.
     "corpus_stats" -> ((s, dir) => {
@@ -3082,6 +3090,39 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.SftPrep
       SftPrep.formatExamples(Tables.documents(s, dir))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Multi-turn chat formatting (L128): documents quartered into
+    // user/assistant/user/assistant turns (docs under 4 tokens drop),
+    // rendered with role tags + assistant <|eot|>, per-turn loss-mask
+    // spans over the conversation's token indices.
+    "sft_chat_format" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val toks = graft.functions.WordShingles.allShingles(col("text"), 1)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("__t"))
+        .withColumn("__n", size(col("__t")).cast("long"))
+        .filter(col("__n") >= 4)
+        .withColumn("__q", expr("__n div 4"))
+      val turns = base.select(col("doc_id").as("conv_id"),
+          explode(array(
+            struct(lit(0L).as("turn_idx"), lit("user").as("role"),
+              slice(col("__t"), lit(1), col("__q").cast("int")).as("tt")),
+            struct(lit(1L).as("turn_idx"), lit("assistant").as("role"),
+              slice(col("__t"), (col("__q") + 1).cast("int"),
+                col("__q").cast("int")).as("tt")),
+            struct(lit(2L).as("turn_idx"), lit("user").as("role"),
+              slice(col("__t"), (col("__q") * 2 + 1).cast("int"),
+                col("__q").cast("int")).as("tt")),
+            struct(lit(3L).as("turn_idx"), lit("assistant").as("role"),
+              slice(col("__t"), (col("__q") * 3 + 1).cast("int"),
+                (col("__n") - col("__q") * 3).cast("int")).as("tt"))))
+            .as("tu"))
+        .select(col("conv_id"), col("tu.turn_idx").as("turn_idx"),
+          col("tu.role").as("role"),
+          concat_ws(" ", col("tu.tt")).as("text"))
+      SftPrep.formatConversation(turns)
+        .localCheckpoint(true).orderBy(col("conv_id"), col("turn_idx"))
     }),
 
     // No-straddle greedy packing (L92): first-fit whole-document bins in
@@ -5676,6 +5717,67 @@ object TrainingDataQueries extends QueryPack {
          |  n - p AS n_response_tokens, p + 2 AS mask_start,
          |  n + 3 AS mask_end
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the multi-turn tier: quartered turns, role-tag + eot rendering,
+    // exclusive-cumsum spans, ordered string_agg conversation text
+    "sft_chat_format" ->
+      s"""WITH $toksCte,
+         |c4 AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |         CAST(len(t) // 4 AS BIGINT) AS q
+         |       FROM toks WHERE len(t) >= 4),
+         |trn AS (SELECT doc_id AS conv_id, i AS turn_idx,
+         |          CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         |          CASE i WHEN 0 THEN t[1:CAST(q AS INT)]
+         |                 WHEN 1 THEN t[CAST(q + 1 AS INT):CAST(2 * q AS INT)]
+         |                 WHEN 2 THEN t[CAST(2 * q + 1 AS INT):CAST(3 * q AS INT)]
+         |                 ELSE t[CAST(3 * q + 1 AS INT):CAST(n AS INT)] END AS tt
+         |        FROM (SELECT *, CAST(unnest(range(4)) AS BIGINT) AS i FROM c4)),
+         |rt AS (SELECT conv_id, turn_idx, role,
+         |         ['<|' || role || '|>'] || tt ||
+         |           (CASE WHEN role = 'assistant' THEN ['<|eot|>']
+         |                 ELSE CAST([] AS VARCHAR[]) END) AS r
+         |       FROM trn),
+         |sp AS (SELECT conv_id, turn_idx, role, r,
+         |         CAST(len(r) AS BIGINT) AS tlen,
+         |         CAST(coalesce(sum(len(r)) OVER (PARTITION BY conv_id
+         |             ORDER BY turn_idx
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS s
+         |       FROM rt),
+         |conv AS (SELECT conv_id,
+         |           string_agg(array_to_string(r, ' '), ' ' ORDER BY turn_idx)
+         |             AS sft_text,
+         |           CAST(sum(tlen) AS BIGINT) AS n_tokens
+         |         FROM sp GROUP BY 1)
+         |SELECT sp.conv_id, sp.turn_idx, sp.role,
+         |  sp.s AS span_start, sp.s + sp.tlen AS span_end,
+         |  sp.role = 'assistant' AS masked,
+         |  CASE WHEN sp.role = 'assistant' THEN sp.s + 1
+         |       ELSE sp.s + sp.tlen END AS mask_start,
+         |  sp.s + sp.tlen AS mask_end,
+         |  c.n_tokens, c.sft_text
+         |FROM sp JOIN conv c USING (conv_id)
+         |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+
+    // top-30 corpus 5-grams by total frequency, gram-ascending tiebreak,
+    // doc frequency alongside
+    "corpus_top_ngrams" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram
+         |      FROM (SELECT doc_id, t,
+         |              unnest(range(CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END)) AS i
+         |            FROM toks)),
+         |tf AS (SELECT gram, CAST(count(*) AS BIGINT) AS term_freq
+         |       FROM g GROUP BY 1),
+         |top AS (SELECT gram, term_freq,
+         |          CAST(row_number() OVER (ORDER BY term_freq DESC, gram)
+         |            AS INT) AS rank
+         |        FROM tf QUALIFY rank <= 30),
+         |df AS (SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |       FROM g JOIN top USING (gram) GROUP BY 1)
+         |SELECT rank, top.gram, term_freq, doc_freq
+         |FROM top JOIN df USING (gram)
+         |ORDER BY rank""".stripMargin,
 
     // the sequential recursive walk of the greedy recurrence — the Spark
     // side computes the same orbit by pointer doubling

@@ -409,4 +409,15 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("select_excess_loss plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("select_excess_loss")
   }
+
+  // L128: conv-keyed window cumsum + ordered-collection assembly + one
+  // conv-keyed join back
+  test("sft_chat_format plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sft_chat_format")
+  }
+
+  // L129: bucketed heavy-hitter cut + winners-only doc-frequency join
+  test("corpus_top_ngrams plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("corpus_top_ngrams")
+  }
 }

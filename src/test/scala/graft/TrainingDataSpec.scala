@@ -4838,6 +4838,60 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // ---- multi-turn chat formatting (L128) ----
+
+  test("chat formatting: spans, masks, rendering — hand-computed conversation") {
+    val turns = Seq(
+      (7L, 0L, "system", "be helpful"),
+      (7L, 1L, "user", "hi there"),
+      (7L, 2L, "assistant", "hello world"),
+      (7L, 3L, "user", ""),          // empty turn → bare tag
+      (7L, 4L, "assistant", "bye"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = SftPrep.formatConversation(turns).collect()
+      .map(x => x.getLong(1) -> x).toMap
+    val text = r(0L).getString(9)
+    assert(text === "<|system|> be helpful <|user|> hi there " +
+      "<|assistant|> hello world <|eot|> <|user|> <|assistant|> bye <|eot|>")
+    // n_tokens equals the rendered text's whitespace token count
+    assert(r(0L).getLong(8) === text.split("\\s+").length.toLong)
+    // spans: system [0,3), user [3,6), assistant [6,10), user [10,11),
+    // assistant [11,14)
+    assert((r(2L).getLong(3), r(2L).getLong(4)) === ((6L, 10L)))
+    assert(r(2L).getBoolean(5))                       // masked
+    assert((r(2L).getLong(6), r(2L).getLong(7)) === ((7L, 10L))) // skips tag
+    // tokens 7..9 of the conversation are exactly "hello world <|eot|>"
+    assert(text.split("\\s+").slice(7, 10).toSeq ===
+      Seq("hello", "world", "<|eot|>"))
+    // non-assistant turns carry an EMPTY mask at their span end
+    assert(!r(0L).getBoolean(5))
+    assert((r(0L).getLong(6), r(0L).getLong(7)) === ((3L, 3L)))
+    // empty user turn: one tag token, empty mask
+    assert((r(3L).getLong(3), r(3L).getLong(4)) === ((10L, 11L)))
+  }
+
+  // ---- corpus top n-grams (L129) ----
+
+  test("top n-grams: counts, doc frequency, tiebreak; bucketed equals buckets=1") {
+    val d = docs(
+      1L -> "a b c a b c",   // "a b c" ×2 (overlapping windows: abc,bca,cab,abc)
+      2L -> "a b c x y z",
+      3L -> "x y z w")
+    val got = TextAnalysis.topNgrams(d, n = 3, topK = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // "a b c": tf=3 (twice in doc1, once in doc2), df=2; "x y z": tf=2, df=2
+    assert(got.head === ((1, "a b c", 3L, 2L)))
+    assert(got(1) === ((2, "x y z", 2L, 2L)))
+    // rank-3 breaks the tf=1 tie by gram ascending ("b c a" < "b c x" <
+    // "c a b" < "c x y" < "y z w")
+    assert(got(2) === ((3, "b c a", 1L, 1L)))
+    val single = TextAnalysis.topNgrams(d, n = 3, topK = 3, buckets = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(single === got)
+  }
+
   // ---- UniMax epoch allocation (L125) ----
 
   test("epoch allocation: smallest-first saturation and uniform remainder split") {
