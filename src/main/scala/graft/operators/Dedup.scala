@@ -1140,4 +1140,51 @@ object Dedup {
       .groupBy(col("group_a"), col("group_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Blocked-Levenshtein near-duplicate pairs over a SHORT key column —
+    * the record-linkage tier (titles, names, product strings: fields
+    * where "one typo apart" is the duplicate signal k-gram Jaccard
+    * misses on short text). Standard ER blocking: only rows sharing the
+    * key's first `blockLen` characters ever compare (a leading-character
+    * edit escapes the block — the classic blocking trade-off; run again
+    * with a different block, e.g. a suffix, to tighten recall), and the
+    * candidate pairs verify with exact unit-cost edit distance —
+    * Levenshtein's integer DP is bit-identical in any engine, so the
+    * gate needs no quantization.
+    *
+    * `maxBlockSize` drops blocks with more distinct rows than the bound
+    * before pairing (the hot-prefix quadratic defense — same contract as
+    * [[minhashLshPairs]]'s maxBucketSize); `None` disables.
+    *
+    * Output: (id_a, id_b, key_a, key_b, distance), id_a < id_b,
+    * distance ≤ maxDistance. Null/empty keys block together under the
+    * empty prefix and compare by their (short) distance like any pair. */
+  def levenshteinPairs(df: DataFrame, keyCol: String, blockLen: Int,
+                       maxDistance: Int, idCol: String = "doc_id",
+                       maxBlockSize: Option[Int] = Some(1000)): DataFrame = {
+    require(blockLen >= 1, s"blockLen=$blockLen")
+    require(maxDistance >= 0, s"maxDistance=$maxDistance")
+    val keyed = df.select(col(idCol).as("__id"),
+        coalesce(col(keyCol), lit("")).as("__k"))
+      .withColumn("__blk", substring(col("__k"), 1, blockLen))
+    val guarded = maxBlockSize match {
+      case Some(m) =>
+        require(m >= 2, s"maxBlockSize=$m")
+        val hot = keyed.groupBy(col("__blk"))
+          .agg(count(lit(1)).as("__nb")).filter(col("__nb") > m)
+          .select(col("__blk"))
+        keyed.join(hot, Seq("__blk"), "left_anti")
+      case None => keyed
+    }
+    val a = guarded.select(col("__blk"), col("__id").as("id_a"),
+      col("__k").as("key_a"))
+    val b = guarded.select(col("__blk"), col("__id").as("id_b"),
+      col("__k").as("key_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("distance", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("distance"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity + approximate-nearest-neighbor search over an embedding
@@ -246,6 +247,75 @@ object Similarity {
       .select(col("doc_id"), negate(col("__b.n")).as("neighbor_id"),
         col("__b.c").as("max_cos"),
         (col("__b.c") >= lit(threshold)).as("leaked"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the CCMatrix/LASER alignment recipe): a candidate pair (x, y)
+    * across two embedding spaces scores by the RATIO margin
+    * cos(x,y) / ((avg cos of x's k-NN in B + avg cos of y's k-NN in A)/2)
+    * — absolute cosine is miscalibrated across language pairs and hubs;
+    * the margin normalizes by each side's local neighborhood density.
+    * Output: side A's best candidate per vector with its margin and a
+    * threshold verdict (the forward-mining direction; run with sides
+    * swapped and intersect for the paper's strictest variant).
+    *
+    * Determinism contract: cosines quantize to integer NANO units per
+    * pair (the left-fold [[dot]] then one round — the ann-gate
+    * discipline); k-NN averages are floor divisions of exact nano sums;
+    * the margin is one integer expression
+    * `(2·cos_nano·10⁶) div (avgA + avgB)` — engine-exact end to end.
+    * Pairs whose denominator is ≤ 0 (both neighborhoods anti-aligned)
+    * are dropped — the margin is undefined there.
+    *
+    * Scale shape: the score frame is the A×B cross product — this is
+    * the EXACT tier (the fixture/recall baseline); at corpus scale
+    * pre-bucket candidates with [[ivfAssign]]/[[lshTopK]] and feed the
+    * bucketed pairs through the same margin arithmetic ([[recallAtK]]
+    * grades that path against this one). k-NN cuts are per-vector
+    * windows bounded by the OTHER side's size; everything downstream is
+    * output-sized. */
+  def bitextMarginPairs(sideA: DataFrame, sideB: DataFrame, k: Int,
+                        thresholdMicro: Long,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    def side(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), toDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+    val a = side(sideA, "__ia", "__av", "__an")
+    val b = side(sideB, "__ib", "__bv", "__bn")
+    val cross = a.crossJoin(b)
+      .select(col("__ia"), col("__ib"),
+        round(dot(col("__av"), col("__bv")) / (col("__an") * col("__bn"))
+          * lit(1e9)).cast("long").as("__cn"))
+      .localCheckpoint(true) // three consumers: two k-NN cuts + the join
+    def knnAvg(key: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__cn").desc,
+          col(if (key == "__ia") "__ib" else "__ia").asc)
+      cross.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(col(key))
+        .agg(expr("sum(__cn) div count(1)").as(out))
+    }
+    val withM = cross
+      .join(knnAvg("__ia", "__ka"), Seq("__ia"))
+      .join(knnAvg("__ib", "__kb"), Seq("__ib"))
+      // cn ≥ 0 keeps the division's numerator non-negative — Spark's
+      // `div` truncates and DuckDB's `//` floors, which only agree for
+      // non-negative numerators; semantically a negative-cosine
+      // candidate is never a mined pair anyway (a vector whose every
+      // candidate is anti-aligned mines nothing and emits no row)
+      .filter(col("__cn") >= 0 && col("__ka") + col("__kb") > 0)
+      .withColumn("margin_micro",
+        expr("(2 * __cn * 1000000) div (__ka + __kb)"))
+    val w = Window.partitionBy(col("__ia"))
+      .orderBy(col("margin_micro").desc, col("__ib").asc)
+    withM.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__ia").as("vec_id_a"), col("__ib").as("vec_id_b"),
+        col("__cn").as("cos_nano"), col("margin_micro"),
+        (col("margin_micro") >= thresholdMicro).as("accepted"))
   }
 
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {

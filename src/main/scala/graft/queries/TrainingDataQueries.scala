@@ -1240,6 +1240,11 @@ object TrainingDataQueries extends QueryPack {
     * exercises BOTH verdicts. */
   private[queries] val NnLeakThreshold = 0.35
 
+  /** Accept threshold (margin·10⁶) for the `bitext_margin` gate — inside
+    * the fixture's best-margin range (0.94–1.46 at sf0.01; ~1.06 is the
+    * paper's production setting), so both verdicts fire. */
+  private[queries] val BitextThresholdMicro = 1150000L
+
   /** Shared DuckDB chain for the excess-loss oracles: per-doc unigram
     * (add-one, micro-nat) and bigram scoring sums ending in
     * `uagg(doc_id, n, sc)` / `bagg(doc_id, n, sc)` — consumed by
@@ -2064,6 +2069,32 @@ object TrainingDataQueries extends QueryPack {
       Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 8,
         bandSize = 2, maxBucketSize = Some(1000))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Blocked-Levenshtein near-dup pairs (L130): record linkage over a
+    // derived title (first 4 tokens) — 6-char blocking, edit distance
+    // ≤ 2 (27 pairs from 2126 block candidates at sf0.01).
+    "dedup_levenshtein" -> ((s, dir) => {
+      val titled = Tables.documents(s, dir)
+        .select(col("doc_id"), concat_ws(" ", slice(
+          graft.functions.WordShingles.allShingles(col("text"), 1),
+          1, 4)).as("title"))
+      Dedup.levenshteinPairs(titled, keyCol = "title", blockLen = 6,
+          maxDistance = 2, maxBlockSize = Some(64))
+        .localCheckpoint(true).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Margin-based bitext mining (L131): embeddings split into two
+    // "language" sides by vec_id parity; per side-A vector its best
+    // ratio-margin candidate with the accept verdict (threshold 1.15 —
+    // best-margin range 0.94–1.46 at sf0.01, so both verdicts fire).
+    "bitext_margin" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMarginPairs(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          k = 4, thresholdMicro = BitextThresholdMicro)
+        .localCheckpoint(true).orderBy(col("vec_id_a"))
     }),
 
     // Winnowing fingerprint matches (L123, Schleimer et al. 2003 / MOSS):
@@ -4724,6 +4755,52 @@ object TrainingDataQueries extends QueryPack {
          |SELECT doc_id, nid AS neighbor_id, cos AS max_cos,
          |  (cos >= $NnLeakThreshold) AS leaked
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // 6-char blocking + exact integer edit distance; the hot-block guard
+    // mirrored (no block exceeds 64 at any SF — exercise-without-effect
+    // here, the quadratic defense at scale)
+    "dedup_levenshtein" ->
+      s"""WITH $toksCte,
+         |ti AS (SELECT doc_id, array_to_string(t[1:4], ' ') AS title FROM toks),
+         |bl AS (SELECT doc_id, title, substr(title, 1, 6) AS blk FROM ti),
+         |ok AS (SELECT * FROM bl WHERE blk NOT IN
+         |       (SELECT blk FROM bl GROUP BY blk HAVING count(*) > 64))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.title AS key_a, b.title AS key_b,
+         |  CAST(levenshtein(a.title, b.title) AS INT) AS distance
+         |FROM ok a JOIN ok b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.title, b.title) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ratio margin in pure integers over nano-quantized cosines; k-NN
+    // averages as floor divisions; per-A-vector argmax (margin desc, id)
+    "bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |sa AS (SELECT vec_id AS ia, v FROM e WHERE vec_id % 2 = 0),
+         |sb AS (SELECT vec_id AS ib, v FROM e WHERE vec_id % 2 = 1),
+         |x AS (SELECT sa.ia, sb.ib,
+         |        CAST(round(${dotSql("sa.v", "sb.v")}
+         |          / (sqrt(${dotSql("sa.v", "sa.v")}) * sqrt(${dotSql("sb.v", "sb.v")}))
+         |          * 1e9) AS BIGINT) AS cn
+         |      FROM sa, sb),
+         |ka AS (SELECT ia, CAST(sum(cn) AS BIGINT) // count(*) AS av
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY ia
+         |               ORDER BY cn DESC, ib) AS rn FROM x)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |kb AS (SELECT ib, CAST(sum(cn) AS BIGINT) // count(*) AS bv
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY ib
+         |               ORDER BY cn DESC, ia) AS rn FROM x)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |m AS (SELECT x.ia, x.ib, x.cn,
+         |        CAST((2 * x.cn * 1000000) // (ka.av + kb.bv) AS BIGINT) AS mm
+         |      FROM x JOIN ka USING (ia) JOIN kb USING (ib)
+         |      WHERE x.cn >= 0 AND ka.av + kb.bv > 0)
+         |SELECT ia AS vec_id_a, ib AS vec_id_b, cn AS cos_nano,
+         |  mm AS margin_micro, mm >= $BitextThresholdMicro AS accepted
+         |FROM (SELECT *, row_number() OVER (PARTITION BY ia
+         |        ORDER BY mm DESC, ib) AS rn FROM m)
+         |WHERE rn = 1 ORDER BY vec_id_a""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -420,4 +420,15 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("corpus_top_ngrams plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("corpus_top_ngrams")
   }
+
+  // L130: blocked self-join + hot-block anti-join, edit-distance verify
+  test("dedup_levenshtein plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_levenshtein")
+  }
+
+  // L131: one checkpointed cross score frame feeding two k-NN cuts + the
+  // margin join — the exact tier's fixed shape
+  test("bitext_margin plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("bitext_margin")
+  }
 }

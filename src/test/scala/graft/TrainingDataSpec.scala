@@ -4838,6 +4838,48 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // ---- blocked-Levenshtein pairs (L130) ----
+
+  test("levenshtein pairs: typo pair found, cross-block edit missed, hot guard") {
+    val d = Seq(
+      (1L, "acme widget deluxe"),
+      (2L, "acme widget deluxxe"),   // 1 edit from doc 1, same 6-prefix
+      (3L, "zcme widget deluxe"),    // 1 edit from doc 1 but different block
+      (4L, "totally unrelated row"))
+      .toDF("doc_id", "title")
+    val got = Dedup.levenshteinPairs(d, keyCol = "title", blockLen = 6,
+        maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    assert(got === Seq((1L, 2L, 1)))  // the leading-char edit escapes its block
+    // hot-block guard: five rows sharing a block never pair at max 4
+    val hot = Seq.tabulate(5)(i => (i.toLong, "same prefix here"))
+      .toDF("doc_id", "title")
+    assert(Dedup.levenshteinPairs(hot, "title", 6, 2,
+      maxBlockSize = Some(4)).count() === 0L)
+    assert(Dedup.levenshteinPairs(hot, "title", 6, 2,
+      maxBlockSize = None).count() === 10L)
+  }
+
+  // ---- margin-based bitext mining (L131) ----
+
+  test("bitext margin: hand-computed ratio margins, argmax, threshold verdicts") {
+    // integer-component vectors → exact cosines (1, 0.8, 0.6, 0)
+    val a = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(2f, 0f)), (3L, Seq(4f, 3f)), (5L, Seq(0f, 5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bitextMarginPairs(a, b, k = 2,
+        thresholdMicro = 1500000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(3), x.getBoolean(4))).toMap
+    // kA: a0 → (1e9+8e8)/2 = 9e8, a2 → (1e9+6e8)/2 = 8e8
+    // kB: b1 → 5e8, b3 → 7e8, b5 → 5e8
+    // a0 margins: b1 2e15/1.4e9 = 1428571, b3 1.6e15/1.6e9 = 1000000, b5 0
+    // a2 margins: b5 2e15/1.3e9 = 1538461, b3 1.2e15/1.5e9 = 800000, b1 0
+    assert(r(0L) === ((1L, 1428571L, false)))
+    assert(r(2L) === ((5L, 1538461L, true)))
+  }
+
   // ---- multi-turn chat formatting (L128) ----
 
   test("chat formatting: spans, masks, rendering — hand-computed conversation") {
