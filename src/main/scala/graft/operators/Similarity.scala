@@ -302,11 +302,11 @@ object Similarity {
     val withM = cross
       .join(knnAvg("__ia", "__ka"), Seq("__ia"))
       .join(knnAvg("__ib", "__kb"), Seq("__ib"))
-      // cn ≥ 0 keeps the division's numerator non-negative — Spark's
-      // `div` truncates and DuckDB's `//` floors, which only agree for
-      // non-negative numerators; semantically a negative-cosine
-      // candidate is never a mined pair anyway (a vector whose every
-      // candidate is anti-aligned mines nothing and emits no row)
+      // a negative-cosine candidate is never a mined pair — dropping
+      // them here keeps the margin's numerator non-negative (and a
+      // vector whose every candidate is anti-aligned mines nothing and
+      // emits no row); Spark `div` and DuckDB `//` both truncate toward
+      // zero (verified), so the division agrees on signed values anyway
       .filter(col("__cn") >= 0 && col("__ka") + col("__kb") > 0)
       .withColumn("margin_micro",
         expr("(2 * __cn * 1000000) div (__ka + __kb)"))

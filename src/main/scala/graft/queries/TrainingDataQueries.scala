@@ -1245,6 +1245,36 @@ object TrainingDataQueries extends QueryPack {
     * paper's production setting), so both verdicts fire. */
   private[queries] val BitextThresholdMicro = 1150000L
 
+  /** Unrolled integer power-iteration rounds replaying
+    * EmbeddingPca.topComponent (floor(v·10⁹) ingestion, truncated-mean
+    * centering, per-round dot/mat-vec/max-renormalize in truncating
+    * integer division) — ends at `px$iters(pos, x)`. Shared by the
+    * `embedding_top_pc` and `embedding_pc_coef` oracles. */
+  private def pcaCtes(iters: Int): String = {
+    val base = Seq(
+      s"""pv AS (SELECT vec_id, CAST(i AS INT) AS pos,
+         |         CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e9) AS BIGINT) AS vi
+         |       FROM (SELECT vec_id, embedding,
+         |               unnest(range(len(embedding))) AS i FROM embeddings))""".stripMargin,
+      "pmu AS (SELECT pos, CAST(sum(vi) AS BIGINT) // count(*) AS mu FROM pv GROUP BY 1)",
+      "pu AS (SELECT vec_id, pv.pos, vi - mu AS u FROM pv JOIN pmu USING (pos))",
+      s"""px0 AS (SELECT DISTINCT pos,
+         |          CASE WHEN pos = 0 THEN CAST(1000000 AS BIGINT)
+         |               ELSE CAST(0 AS BIGINT) END AS x
+         |        FROM pu)""".stripMargin)
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(
+        s"""pd$r AS (SELECT vec_id, CAST(sum(u * x) AS BIGINT) // 1000000000000 AS d
+           |        FROM pu JOIN px${r - 1} USING (pos) GROUP BY 1)""".stripMargin,
+        s"""py$r AS (SELECT pos, CAST(sum(d * u) AS BIGINT) AS y
+           |        FROM pu JOIN pd$r USING (vec_id) GROUP BY 1)""".stripMargin,
+        s"""ps$r AS (SELECT greatest(CAST(1 AS BIGINT),
+           |          CAST(max(abs(y)) AS BIGINT) // 1000000) AS sc FROM py$r)""".stripMargin,
+        s"px$r AS (SELECT pos, y // sc AS x FROM py$r, ps$r)")
+    }
+    (base ++ rounds).mkString(",\n")
+  }
+
   /** Shared DuckDB chain for the excess-loss oracles: per-doc unigram
     * (add-one, micro-nat) and bigram scoring sums ending in
     * `uagg(doc_id, n, sc)` / `bagg(doc_id, n, sc)` — consumed by
@@ -2082,6 +2112,26 @@ object TrainingDataQueries extends QueryPack {
       Dedup.levenshteinPairs(titled, keyCol = "title", blockLen = 6,
           maxDistance = 2, maxBlockSize = Some(64))
         .localCheckpoint(true).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // All-but-the-top (L132, Mu & Viswanath 2018): the embedding set's
+    // top principal direction by 4 rounds of INTEGER power iteration
+    // (floor(v·1e9) quantization, truncating divisions both engines
+    // share, max-|component| renormalization — no sqrt, no per-round
+    // float, engine-exact trajectory).
+    "embedding_top_pc" -> ((s, dir) => {
+      graft.operators.EmbeddingPca
+        .topComponent(Tables.embeddings(s, dir), iters = 4)
+        .localCheckpoint(true).orderBy(col("pos"))
+    }),
+
+    // the per-vector removal coefficients under the same fitted
+    // direction — the magnitude all-but-the-top subtracts
+    "embedding_pc_coef" -> ((s, dir) => {
+      import graft.operators.EmbeddingPca
+      val e = Tables.embeddings(s, dir)
+      EmbeddingPca.projections(e, EmbeddingPca.topComponent(e, iters = 4))
+        .localCheckpoint(true).orderBy(col("vec_id"))
     }),
 
     // Margin-based bitext mining (L131): embeddings split into two
@@ -4772,8 +4822,23 @@ object TrainingDataQueries extends QueryPack {
          |WHERE levenshtein(a.title, b.title) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // the unrolled integer power-iteration trajectory, round for round
+    "embedding_top_pc" ->
+      s"""WITH ${pcaCtes(4)}
+         |SELECT pos, x AS pc_micro FROM px4 ORDER BY pos""".stripMargin,
+
+    // same trajectory + the staged coefficient divisions
+    "embedding_pc_coef" ->
+      s"""WITH ${pcaCtes(4)},
+         |pxn AS (SELECT greatest(CAST(1 AS BIGINT),
+         |          CAST(sum(x * x) AS BIGINT) // 1000000) AS x6 FROM px4),
+         |ppf AS (SELECT vec_id, CAST(sum(u * x) AS BIGINT) // 1000000 AS p6
+         |        FROM pu JOIN px4 USING (pos) GROUP BY 1)
+         |SELECT vec_id, (p6 * 1000) // x6 AS coef_micro
+         |FROM ppf, pxn ORDER BY vec_id""".stripMargin,
+
     // ratio margin in pure integers over nano-quantized cosines; k-NN
-    // averages as floor divisions; per-A-vector argmax (margin desc, id)
+    // averages as truncating divisions; per-A-vector argmax (margin desc, id)
     "bitext_margin" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

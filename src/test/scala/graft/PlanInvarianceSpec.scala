@@ -431,4 +431,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("bitext_margin plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("bitext_margin")
   }
+
+  // L132: fixed-round integer power iteration — the PageRank shape
+  // (broadcast-x dot pass + vec-keyed mat-vec + one-row max per round)
+  test("embedding_top_pc plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("embedding_top_pc")
+  }
 }

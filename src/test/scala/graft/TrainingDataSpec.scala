@@ -4838,6 +4838,78 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // ---- all-but-the-top PCA (L132) ----
+
+  /** Plain-Scala replication of the integer power-iteration trajectory. */
+  private def brutePca(vecs: Seq[(Long, Seq[Float])], iters: Int)
+      : Map[Int, Long] = {
+    val dims = vecs.head._2.size
+    val vi = vecs.map { case (_, v) =>
+      v.map(x => math.floor(x.toDouble * 1e9).toLong).toArray
+    }
+    val mu = Array.tabulate(dims)(j => vi.map(_(j)).sum / vecs.size)
+    val u = vi.map(r => Array.tabulate(dims)(j => r(j) - mu(j)))
+    var x = Array.tabulate(dims)(j => if (j == 0) 1000000L else 0L)
+    for (_ <- 1 to iters) {
+      val d = u.map(r => r.zip(x).map { case (a, b) => a * b }.sum
+        / 1000000000000L)
+      val y = Array.tabulate(dims)(j =>
+        u.zip(d).map { case (r, di) => di * r(j) }.sum)
+      val s = math.max(1L, y.map(math.abs).max / 1000000L)
+      x = y.map(_ / s)
+    }
+    x.zipWithIndex.map { case (v, j) => j -> v }.toMap
+  }
+
+  test("integer power iteration equals the plain-Scala trajectory (property)") {
+    val rnd = new scala.util.Random(77)
+    for (seed <- Seq(1, 2)) {
+      rnd.setSeed(seed)
+      val vecs = Seq.tabulate(40)(i =>
+        i.toLong -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+      val got = EmbeddingPca.topComponent(
+          vecs.toDF("vec_id", "embedding"), iters = 4)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === brutePca(vecs, 4), s"seed=$seed")
+    }
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // data = a·(1,2,0,0)/√5 + tiny deterministic noise — after 4 rounds
+    // the max-renormalized direction reads the 1:2 component ratio
+    val vecs = Seq.tabulate(50) { i =>
+      val a = (i % 7 - 3).toFloat            // symmetric, mean ~0
+      val n = (i % 3 - 1).toFloat * 0.01f
+      i.toLong -> Seq(a * 1f, a * 2f, n, -n)
+    }
+    val pc = EmbeddingPca.topComponent(vecs.toDF("vec_id", "embedding"),
+        iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // max-renormalize lands the dominant component at ~1e6 (s itself is
+    // truncated, so the max can overshoot by up to 1/s relative)
+    assert(math.abs(pc(1)) >= 1000000L && math.abs(pc(1)) <= 1005000L)
+    val ratio = pc(0).toDouble / pc(1).toDouble
+    assert(math.abs(ratio - 0.5) < 0.01, s"ratio=$ratio")
+    assert(math.abs(pc(2)) < 20000L && math.abs(pc(3)) < 20000L)
+  }
+
+  test("removeTop kills the fitted component: residual re-projection ~0") {
+    val rnd = new scala.util.Random(9)
+    val vecs = Seq.tabulate(30)(i =>
+      i.toLong -> Seq.fill(6)(rnd.nextFloat())).toDF("vec_id", "embedding")
+    val pc = EmbeddingPca.topComponent(vecs, iters = 4).localCheckpoint(true)
+    // Σ|u·x| before vs Σ|u'·x| after, same scale — removal should kill
+    // ≥ 99% of the fitted component's mass
+    def mass(frame: org.apache.spark.sql.DataFrame, c: String): Long =
+      frame.join(pc, Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col(c) * col("pc_micro")).as("r"))
+        .agg(sum(abs(col("r")))).head().getLong(0)
+    val before = mass(EmbeddingPca.centeredInt(vecs), "u")
+    val after = mass(EmbeddingPca.removeTop(vecs, pc), "u_corrected")
+    assert(after < before / 100, s"residual $after vs $before")
+  }
+
   // ---- blocked-Levenshtein pairs (L130) ----
 
   test("levenshtein pairs: typo pair found, cross-block edit missed, hot guard") {
