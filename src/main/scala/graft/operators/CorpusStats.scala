@@ -250,4 +250,49 @@ object CorpusStats {
     }
     row.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
   }
+
+  /** Multi-signal quality ENSEMBLE rank — the blended-percentile score a
+    * curation mix uses when no single signal is trusted (the
+    * FineWeb-Edu-style blend, signal-agnostic): each integer signal maps
+    * to its exact cumulative percentile rank
+    * (#{docs with value ≤ mine}·10⁶ div n — ties share a rank by
+    * construction), and the ensemble is the integer mean of the per-
+    * signal ranks. All-integer → engine-exact.
+    *
+    * Scale shape: per signal, ONE value-keyed histogram aggregation
+    * (map-side combined), a cumulative window over the DISTINCT-VALUE
+    * frame (cardinality-bounded — the [[histogramQuantiles]] state
+    * discipline; a partitionless window over distinct values, never over
+    * documents), and one value-keyed join back. The corpus never
+    * self-joins; K signals cost K histogram passes over one shared
+    * checkpointed projection.
+    *
+    * Output: (idCol, <signal columns>, rank_<signal>… (micro),
+    * ensemble_micro). */
+  def ensembleRank(docs: DataFrame, idCol: String,
+                   signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.nonEmpty, "ensembleRank needs at least one signal")
+    require(signals.map(_._1).distinct.size == signals.size,
+      s"duplicate signal names: ${signals.map(_._1)}")
+    val base = docs.select(col(idCol).as("doc_id") +:
+        signals.map { case (n, c) => c.cast("long").as(n) }: _*)
+      .localCheckpoint(true) // K histogram passes + the final join chain
+    var out = base
+    for ((n, _) <- signals) {
+      val hist = base.groupBy(col(n)).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col(n))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranks = hist
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(all))
+        .select(col(n), expr("(__cum * 1000000) div __n").as(s"rank_$n"))
+      out = out.join(ranks, Seq(n))
+    }
+    val mean = expr(signals.map(s => s"rank_${s._1}").mkString("(", " + ", s") div ${signals.size}"))
+    out.select((col("doc_id").as(idCol) +: signals.map(s => col(s._1))) ++
+      signals.map(s => col(s"rank_${s._1}")) :+
+      mean.as("ensemble_micro"): _*)
+  }
 }

@@ -2669,6 +2669,20 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("lang"), col("rank"))
     }),
 
+    // Multi-signal quality ensemble (L133): blended exact-percentile
+    // rank over three integer signals (tokens, distinct tokens, chars) —
+    // the FineWeb-style blend when no single signal is trusted;
+    // all-integer, value-histogram percentiles, corpus never self-joins.
+    "quality_ensemble" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      CorpusStats.ensembleRank(Tables.documents(s, dir), "doc_id", Seq(
+        ("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")),
+        ("n_distinct",
+          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")),
+        ("n_chars", length(col("text")).cast("long"))))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Corpus-level top-30 repeated 5-grams (L129): the boilerplate-mining
     // report — two-phase bucketed heavy-hitter cut, doc frequency joined
     // for the winners only.
@@ -5900,6 +5914,34 @@ object TrainingDataQueries extends QueryPack {
          |  c.n_tokens, c.sft_text
          |FROM sp JOIN conv c USING (conv_id)
          |ORDER BY sp.conv_id, sp.turn_idx""".stripMargin,
+
+    // per-signal value histograms + cumulative windows over the
+    // distinct-value frames, value-keyed joins back, integer mean
+    "quality_ensemble" ->
+      s"""WITH $toksCte,
+         |sig AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         |          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |          CAST(length(d.text) AS BIGINT) AS n_chars
+         |        FROM documents d JOIN toks USING (doc_id)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
+         |c1 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          * 1000000) // (SELECT n FROM nn) AS r
+         |       FROM (SELECT n_tok AS v, count(*) AS c FROM sig GROUP BY 1)),
+         |c2 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          * 1000000) // (SELECT n FROM nn) AS r
+         |       FROM (SELECT n_distinct AS v, count(*) AS c FROM sig GROUP BY 1)),
+         |c3 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          * 1000000) // (SELECT n FROM nn) AS r
+         |       FROM (SELECT n_chars AS v, count(*) AS c FROM sig GROUP BY 1))
+         |SELECT s.doc_id, s.n_tok, s.n_distinct, s.n_chars,
+         |  c1.r AS rank_n_tok, c2.r AS rank_n_distinct, c3.r AS rank_n_chars,
+         |  (c1.r + c2.r + c3.r) // 3 AS ensemble_micro
+         |FROM sig s JOIN c1 ON s.n_tok = c1.v
+         |JOIN c2 ON s.n_distinct = c2.v JOIN c3 ON s.n_chars = c3.v
+         |ORDER BY s.doc_id""".stripMargin,
 
     // top-30 corpus 5-grams by total frequency, gram-ascending tiebreak,
     // doc frequency alongside

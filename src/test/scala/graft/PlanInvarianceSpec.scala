@@ -437,4 +437,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("embedding_top_pc plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("embedding_top_pc")
   }
+
+  // L133: K value-histogram passes + value-keyed joins back — no
+  // corpus self-join, no document-keyed window
+  test("quality_ensemble plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("quality_ensemble")
+  }
 }

@@ -4838,6 +4838,23 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // ---- quality ensemble rank (L133) ----
+
+  test("ensemble rank: hand-computed percentile ranks, tie sharing, integer mean") {
+    val d = Seq((1L, 10L, 3L), (2L, 20L, 3L), (3L, 20L, 1L), (4L, 40L, 2L))
+      .toDF("doc_id", "s1", "s2")
+    val r = CorpusStats.ensembleRank(d, "doc_id",
+        Seq(("s1", col("s1")), ("s2", col("s2"))))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // s1 ranks: 10→1/4, 20→3/4 (both ties share), 40→4/4
+    // s2 ranks: 1→1/4, 2→2/4, 3→4/4 (ties share)
+    assert(r(1L) === ((250000L, 1000000L, 625000L)))
+    assert(r(2L) === ((750000L, 1000000L, 875000L)))
+    assert(r(3L) === ((750000L, 250000L, 500000L)))
+    assert(r(4L) === ((1000000L, 500000L, 750000L)))
+  }
+
   // ---- all-but-the-top PCA (L132) ----
 
   /** Plain-Scala replication of the integer power-iteration trajectory. */
