@@ -65,6 +65,55 @@ object Winnow {
       .distinct()
   }
 
+  /** Stateless PER-ROW twin of [[fingerprints]]: each document's selected
+    * fingerprint set as an in-row array of (fp_pos, fp) structs — a pure
+    * projection with no window, explode, or state, so it runs UNCHANGED
+    * on a streaming frame in append mode (the
+    * [[Decontaminate.overlapStateless]] discipline). The per-row HOFs
+    * here are CodegenFallback — fine per-row in a stream, which is why
+    * the BATCH path keeps its window formulation. Equivalence to the
+    * batch operator's per-doc set is spec-pinned.
+    *
+    * A streaming ingest gate matches the arriving document's `out` array
+    * against a batch-fitted hot-fingerprint table (broadcast) the same
+    * way the stateless decontaminator probes its packed gram set. */
+  def fingerprintsStateless(docs: DataFrame, k: Int = 3, w: Int = 4,
+                            textCol: String = "text",
+                            out: String = "fps",
+                            hexLen: Int = 12): DataFrame = {
+    require(k >= 1, s"k=$k"); require(w >= 1, s"w=$w")
+    val hs = transform(
+      graft.functions.WordShingles.allShingles(col(textCol), k),
+      g => graft.functions.Md5Prefix.prefix(g, hexLen))
+    docs
+      .withColumn("__hs", hs)
+      .withColumn("__ng", size(col("__hs")))
+      // window starts: complete windows, or the single partial window at
+      // 0 when fewer than w grams exist (matching the batch filter)
+      .withColumn("__starts",
+        when(col("__ng") === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0),
+            greatest(col("__ng") - w, lit(0)).cast("int"))))
+      .withColumn(out, array_distinct(transform(col("__starts"), s => {
+        // rightmost minimum over window [s, min(s+w, ng)): fold the
+        // window's indices, carrying (best hash, best pos)
+        val win = sequence(s, least(s + w - 1, col("__ng") - 1))
+        aggregate(win,
+          struct(lit(Long.MaxValue).as("fp"), lit(-1L).as("fp_pos")),
+          (acc, i) => {
+            val h = element_at(col("__hs"), i + 1)
+            when(h < acc.getField("fp") ||
+                (h === acc.getField("fp") &&
+                  i.cast("long") > acc.getField("fp_pos")),
+              struct(h.as("fp"), i.cast("long").as("fp_pos")))
+              .otherwise(acc)
+          },
+          acc => struct(acc.getField("fp_pos").as("fp_pos"),
+            acc.getField("fp").as("fp")))
+      })))
+      .drop("__hs", "__ng", "__starts")
+  }
+
   /** Cross-document fingerprint matches: (doc_a, doc_b, n_shared) pairs
     * (a < b) sharing at least `minShared` DISTINCT fingerprint values.
     * By the winnowing guarantee a pair with any verbatim overlap of

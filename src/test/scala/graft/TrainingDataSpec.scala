@@ -4730,6 +4730,26 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("stateless winnowing twin equals the batch fingerprint sets (property)") {
+    for (seed <- Seq(31, 32)) {
+      val rows = randomCorpus(seed, 24).filter(_._2.trim.nonEmpty)
+      val d = docs(rows: _*)
+      val batch = Winnow.fingerprints(d, k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val twin = Winnow.fingerprintsStateless(d, k = 3, w = 4)
+        .select(col("doc_id"), explode(col("fps")).as("f"))
+        .select(col("doc_id"), col("f.fp_pos"), col("f.fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(twin === batch, s"seed=$seed")
+      // docs with no k-grams carry an empty array, not a missing row
+      val short = Winnow.fingerprintsStateless(docs(9L -> "a b"), k = 3, w = 4)
+        .select(size(col("fps"))).head().getInt(0)
+      assert(short === 0)
+    }
+  }
+
   test("winnowing guarantee: a w+k-1-token verbatim overlap shares a fingerprint") {
     val shared = "one two three four five six seven eight" // 8 ≥ w+k−1 = 6
     val d = docs(
