@@ -322,4 +322,61 @@ object Sampling {
     import spark.implicits._
     rows.toSeq.toDF(strataCol, "n_tokens", "alloc_tokens", "epochs_micro")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): keep exactly `k` rows,
+    * each row ranked by the E-S key u^(1/w) — a row's chance of making the
+    * cut scales with its weight (quality score, token count, upvotes), but
+    * no row appears twice and the draw is a pure function of the row key.
+    * This is the one-pass answer to "give me 1M documents, quality-biased"
+    * that per-row Bernoulli (which can't hit an exact k) and sort-by-weight
+    * (which is deterministic top-k, not a sample) both miss.
+    *
+    * Determinism contract (oracle parity): the comparison key is realized
+    * entirely in integer space — maximizing u^(1/w) is maximizing
+    * ln(u)/w, so the key is `round(ln(u)·10⁶) div w` (micro-nats, the
+    * [[graft.operators.LanguageModel]] quantization discipline) with
+    * u = (draw32 + 1)/2³² ∈ (0,1] from the md5 draw. `div` truncates
+    * toward zero in Spark exactly as DuckDB's `//` does (measured, see
+    * bitext_margin), and the numerator is ≤ 0 in both, so the integer key
+    * — and therefore the kept set — is bit-identical in any engine.
+    * Ties (same key) break on the row key ascending.
+    *
+    * Rows whose weight is NULL or < 1 are EXCLUDED — E-S is undefined at
+    * w ≤ 0, and excluding them keeps the integer division total.
+    *
+    * Scale shape: a corpus-wide top-k with a constant group — the
+    * [[graft.operators.TextAnalysis.topNgrams]] exact bucketed two-phase
+    * cut: phase 1 ranks within md5-bucket sub-partitions (a global top-k
+    * row is top-k in its own bucket), phase 2 ranks the ≤ buckets·k
+    * survivors through one final window. The corpus is scanned once and
+    * never sorted through a single task. */
+  def weightedSample(df: DataFrame, k: Int, weightCol: String,
+                     keyCol: String, salt: String = "",
+                     buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(buckets >= 1, s"buckets=$buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val v = conv(draw(col(keyCol), salt), 16, 10).cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4294967296.0)
+    val scored = df
+      .filter(col(weightCol).isNotNull && col(weightCol) >= 1)
+      .withColumn("__lnm", round(log(u) * lit(1e6)).cast("long"))
+      .withColumn("es_micro",
+        expr(s"__lnm div cast($weightCol as bigint)"))
+      .drop("__lnm")
+    val order: Seq[Column] = Seq(col("es_micro").desc, col(keyCol).asc)
+    val pruned =
+      if (buckets == 1) scored
+      else {
+        val bw = W.partitionBy(
+            pmod(xxhash64(col(keyCol).cast("string")), lit(buckets.toLong)))
+          .orderBy(order: _*)
+        scored.withColumn("__brank", row_number().over(bw))
+          .filter(col("__brank") <= k).drop("__brank")
+      }
+    pruned
+      .withColumn("rank", row_number().over(W.partitionBy().orderBy(order: _*)))
+      .filter(col("rank") <= k)
+  }
 }

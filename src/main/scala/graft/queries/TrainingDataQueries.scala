@@ -2601,6 +2601,23 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling WITHOUT replacement (L134, Efraimidis & Spirakis
+    // 2006): exactly 100 docs, token-count-weighted — the quality-biased
+    // exact-k subsample per-row Bernoulli can't hit. The E-S key
+    // u^(1/w) is realized as an integer micro-nat division
+    // (round(ln(u)·1e6) div w — both engines truncate toward zero), so
+    // the kept set is engine-exact; the Spark side runs the bucketed
+    // two-phase top-k funnel, so parity also proves the funnel exact.
+    "sample_weighted" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+        .withColumn("w", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.weightedSample(docs, k = 100, weightCol = "w",
+        keyCol = "doc_id", salt = "es", buckets = 64)
+        .select(col("rank"), col("doc_id"), col("w"), col("es_micro"))
+        .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
     // Benchmark decontamination: training docs sharing any 3-gram with the
     // held-out "benchmark" slice (doc_id % 97 == 0 — an in-table derivation
     // both engines compute identically).
@@ -5211,6 +5228,25 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the SINGLE global window over the integer E-S keys —
+    // the Spark side runs the bucketed two-phase funnel, so parity also
+    // proves the funnel exact; `//` truncates toward zero like Spark div
+    "sample_weighted" ->
+      s"""WITH $toksCte,
+         |s AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS w,
+         |        CAST(round(ln((CAST(CAST('0x' ||
+         |            substring(md5(CAST(d.doc_id AS VARCHAR) || ':es'), 1, 8)
+         |          AS BIGINT) AS DOUBLE) + 1) / 4294967296.0) * 1000000.0)
+         |          AS BIGINT) AS lnm
+         |      FROM documents d JOIN toks USING (doc_id)
+         |      WHERE len(t) >= 1)
+         |SELECT rank, doc_id, w, es_micro FROM (
+         |  SELECT doc_id, w, lnm // w AS es_micro,
+         |    CAST(row_number() OVER (ORDER BY (lnm // w) DESC, doc_id)
+         |      AS INT) AS rank
+         |  FROM s) WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $shinglesCte

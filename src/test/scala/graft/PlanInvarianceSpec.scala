@@ -443,4 +443,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("quality_ensemble plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("quality_ensemble")
   }
+
+  // L134: one scan + bucketed two-phase top-k funnel — the corpus is
+  // never sorted through a single task
+  test("sample_weighted plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sample_weighted")
+  }
 }

@@ -5073,4 +5073,58 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getString(0)).toSeq === Seq("a", "b"))
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
+
+  // ---- Efraimidis-Spirakis weighted sampling (L134) ----
+
+  /** Plain-Scala E-S key: round(ln((draw32+1)/2^32)·1e6) div w — the
+    * operator's exact integer contract, recomputed independently. */
+  private def esKey(key: Long, salt: String, w: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$key:$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val v = java.lang.Long.parseLong(hex, 16)
+    val lnm = math.round(math.log((v + 1).toDouble / 4294967296.0) * 1e6)
+    lnm / w // Long division truncates toward zero, matching Spark div
+  }
+
+  test("weighted sample equals the plain-Scala E-S reference; funnel exact") {
+    val rows = (1L to 300L).map(i => (i, (i % 7) + 1L))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, k = 25, weightCol = "w",
+        keyCol = "doc_id", salt = "t1")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("es_micro"))).sortBy(_._1).toSeq
+    val ref = rows.map { case (id, w) => (id, esKey(id, "t1", w)) }
+      .sortBy { case (id, key) => (-key, id) }.take(25)
+      .zipWithIndex.map { case ((id, key), i) => (i + 1, id, key) }
+    assert(got === ref)
+    // single-window path equals the bucketed funnel
+    val single = Sampling.weightedSample(df, k = 25, weightCol = "w",
+        keyCol = "doc_id", salt = "t1", buckets = 1)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("es_micro"))).sortBy(_._1).toSeq
+    assert(single === got)
+  }
+
+  test("weighted sample: weight bias, invalid-weight exclusion, k >= n") {
+    // |ln(u)·1e6| is at most ~22.2M, so a weight past that floor-divides
+    // every draw to key 0 — giant-weight rows outrank every w=1 row whose
+    // draw didn't land within 5e-7 of 1.0 (none here, checked by the
+    // reference key being < 0)
+    val giants = (1L to 5L).map(i => (i, 30000000L))
+    val small = (6L to 40L).map(i => (i, 1L))
+    assert(small.forall { case (id, w) => esKey(id, "t2", w) < 0 })
+    val picked = Sampling.weightedSample(
+        (giants ++ small).toDF("doc_id", "w"), k = 5,
+        weightCol = "w", keyCol = "doc_id", salt = "t2")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(picked === giants.map(_._1).toSet)
+    // null / zero / negative weights can never be sampled
+    val mixed = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)),
+      (4L, Some(-3L)), (5L, Some(2L))).toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(mixed, k = 10, weightCol = "w",
+      keyCol = "doc_id", salt = "t3").collect().map(_.getAs[Long]("doc_id"))
+    assert(kept.toSet === Set(1L, 5L)) // k >= n keeps all valid rows
+    assert(kept.length === 2)
+  }
 }
