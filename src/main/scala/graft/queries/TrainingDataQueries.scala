@@ -2601,6 +2601,23 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Conversation-tree flattening (L135): ShareGPT-style branching turns
+    // (a binary-heap forest derived from doc_id, 16-turn blocks, depth <= 5)
+    // -> ONE linear conversation per root-to-leaf path, by pointer doubling
+    // (3 node-keyed self-joins for maxDepth=8, never a driver walk); turn
+    // text rides ONE render join at the end, not the doubling.
+    "sft_tree_paths" -> ((s, dir) => {
+      import graft.operators.ConvTree
+      val turns = Tables.documents(s, dir).select(
+        col("doc_id").as("node_id"),
+        when(col("doc_id") % 16 === 0, lit(null).cast("long"))
+          .otherwise(expr("(doc_id div 16) * 16") +
+            expr("((doc_id % 16) - 1) div 2")).as("parent_id"),
+        substring(col("text"), 1, 12).as("text"))
+      ConvTree.leafConversations(turns, maxDepth = 8)
+        .localCheckpoint(true).orderBy(col("leaf_id"))
+    }),
+
     // Weighted sampling WITHOUT replacement (L134, Efraimidis & Spirakis
     // 2006): exactly 100 docs, token-count-weighted — the quality-biased
     // exact-k subsample per-row Bernoulli can't hit. The E-S key
@@ -5228,6 +5245,32 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the sequential recursive root-down walk — the Spark side computes
+    // the same paths by pointer doubling; leaves = nobody's parent
+    "sft_tree_paths" ->
+      """WITH RECURSIVE nodes AS MATERIALIZED (
+        |  SELECT doc_id AS node_id,
+        |    CASE WHEN doc_id % 16 = 0 THEN NULL
+        |         ELSE (doc_id // 16) * 16 + ((doc_id % 16 - 1) // 2)
+        |    END AS parent_id,
+        |    substring(text, 1, 12) AS t
+        |  FROM documents),
+        |walk AS (
+        |  SELECT node_id, node_id AS root_id, 1 AS depth,
+        |         CAST(node_id AS VARCHAR) AS path_str, t AS conv_text
+        |  FROM nodes WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT n.node_id, w.root_id, w.depth + 1,
+        |         w.path_str || '>' || CAST(n.node_id AS VARCHAR),
+        |         w.conv_text || ' | ' || n.t
+        |  FROM nodes n JOIN walk w ON n.parent_id = w.node_id)
+        |SELECT w.node_id AS leaf_id, w.root_id, w.depth, w.path_str,
+        |       w.conv_text
+        |FROM walk w
+        |WHERE w.node_id NOT IN
+        |  (SELECT parent_id FROM nodes WHERE parent_id IS NOT NULL)
+        |ORDER BY leaf_id""".stripMargin,
 
     // the oracle is the SINGLE global window over the integer E-S keys —
     // the Spark side runs the bucketed two-phase funnel, so parity also

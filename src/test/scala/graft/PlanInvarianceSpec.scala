@@ -449,4 +449,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("sample_weighted plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("sample_weighted")
   }
+
+  // L135: fixed pointer-doubling rounds (node-keyed self-joins) + ONE
+  // render join — text never rides the doubling
+  test("sft_tree_paths plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sft_tree_paths")
+  }
 }

@@ -5074,6 +5074,68 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Conversation-tree flattening (L135) ----
+
+  test("tree paths: hand-computed forest — branches, depths, rendering") {
+    // tree A: 1 -> {2, 3}, 3 -> 4   tree B: lone root 10
+    val turns = Seq(
+      (1L, None, "hi"), (2L, Some(1L), "alt one"),
+      (3L, Some(1L), "alt two"), (4L, Some(3L), "reply"),
+      (10L, None, "solo"))
+      .toDF("node_id", "parent_id", "text")
+    val got = ConvTree.leafConversations(turns, maxDepth = 4)
+      .collect().map(r => (r.getAs[Long]("leaf_id"), r.getAs[Long]("root_id"),
+        r.getAs[Int]("depth"), r.getAs[String]("path_str"),
+        r.getAs[String]("conv_text"))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (2L, 1L, 2, "1>2", "hi | alt one"),
+      (4L, 1L, 3, "1>3>4", "hi | alt two | reply"),
+      (10L, 10L, 1, "10", "solo")))
+  }
+
+  test("tree paths: doubling equals a plain-Scala recursive walk (property)") {
+    // deterministic random forest: 200 nodes, parent drawn below the node
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 200L).map { i =>
+      val parent = if (i % 9 == 0) None
+        else Some((rnd.nextInt(i.toInt.max(1))).toLong)
+      (i, parent)
+    }
+    val parentOf = rows.map { case (i, p) => i -> p }.toMap
+    def refPath(i: Long): List[Long] = parentOf(i) match {
+      case None    => List(i)
+      case Some(p) => refPath(p) :+ i
+    }
+    val maxDepth = rows.map(r => refPath(r._1).size).max
+    val got = ConvTree.rootPaths(rows.toDF("node_id", "parent_id"), maxDepth)
+      .collect().map(r => r.getAs[Long]("node_id") ->
+        (r.getAs[Long]("root_id"), r.getAs[Int]("depth"),
+          r.getAs[Seq[Long]]("path").toList)).toMap
+    rows.foreach { case (i, _) =>
+      val p = refPath(i)
+      assert(got(i) === ((p.head, p.size, p)), s"node $i")
+    }
+    // depth exactly a power of two resolves at the minimal round count
+    val chain = (0L to 3L).map(i =>
+      (i, if (i == 0) None else Some(i - 1))).toDF("node_id", "parent_id")
+    assert(ConvTree.rootPaths(chain, maxDepth = 4).count() === 4)
+  }
+
+  test("tree paths fail fast on too-deep forests and dangling parents") {
+    val deep = (0L to 6L).map(i =>
+      (i, if (i == 0) None else Some(i - 1))).toDF("node_id", "parent_id")
+    val e1 = intercept[IllegalArgumentException] {
+      ConvTree.rootPaths(deep, maxDepth = 4).collect()
+    }
+    assert(e1.getMessage.contains("deeper than maxDepth"))
+    val dangling = Seq((1L, None), (2L, Some(99L)))
+      .toDF("node_id", "parent_id")
+    val e2 = intercept[IllegalArgumentException] {
+      ConvTree.rootPaths(dangling, maxDepth = 8).collect()
+    }
+    assert(e2.getMessage.contains("1 node(s)"))
+  }
+
   // ---- Efraimidis-Spirakis weighted sampling (L134) ----
 
   /** Plain-Scala E-S key: round(ln((draw32+1)/2^32)·1e6) div w — the
