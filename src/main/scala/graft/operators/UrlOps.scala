@@ -147,4 +147,73 @@ object UrlOps {
       .withColumn("blocked", col("category").isNotNull)
       .drop("__path")
   }
+
+  /** URL-parallel bitext document alignment (L136) — the ParaCrawl/WMT
+    * baseline aligner (Bañón et al. 2020 §3: URL matching recovers a
+    * large share of parallel pages before any content model runs): two
+    * pages whose URLs differ ONLY by a language marker are translation
+    * candidates. Marker kinds, in priority order (first match wins, only
+    * the matched component is stripped from the site key):
+    *  - leading HOST label (`en.example.com`);
+    *  - first PATH segment (`/en/art/7`);
+    *  - a `lang`/`locale`/`hl` QUERY parameter (`?lang=en`).
+    * Lang-ish query params are stripped from the site key UNCONDITIONALLY
+    * (they are language markers by definition); all other query params
+    * stay, so `/art?id=1` never pairs with `/art?id=2`. A URL carrying
+    * TWO markers (lang host label AND lang path segment) strips only the
+    * host one — such variants differ by more than one marker and
+    * correctly don't pair.
+    *
+    * Rows with no marker are dropped (unmarked pages don't participate in
+    * URL alignment); site keys with more than `maxPerKey` marked pages are
+    * dropped whole (hot-key guard — link farms would otherwise go
+    * quadratic; the count is OUTPUT-sized, one key-keyed aggregation).
+    *
+    * Scale shape: marker extraction + key stripping is a pure codegen'd
+    * projection; pairing is ONE equi-join on the site key bounded by
+    * maxPerKey² per key. Output: (site_key, doc_a, lang_a, doc_b,
+    * lang_b) with lang_a < lang_b — each cross-language page pair once.
+    */
+  def parallelUrlPairs(docs: DataFrame, urlCol: String, idCol: String,
+                       langs: Seq[String],
+                       maxPerKey: Int = 64): DataFrame = {
+    require(langs.nonEmpty, "parallelUrlPairs: empty language set")
+    require(maxPerKey >= 2, s"maxPerKey=$maxPerKey: need >= 2")
+    val langSet = langs.map(_.toLowerCase)
+    val u = col(urlCol)
+    val h = host(u)
+    val p = path(u)
+    val q = query(u)
+    val hostLabel = regexp_extract(h, "^([^.]+)\\.", 1)
+    val seg1 = lower(regexp_extract(p, "^/([^/]+)", 1))
+    val qLang = lower(regexp_extract(q, "(?:^|&)(?:lang|locale|hl)=([^&]*)", 1))
+    val isHost = hostLabel.isin(langSet: _*)
+    val isPath = seg1.isin(langSet: _*)
+    val isQ = qLang.isin(langSet: _*)
+    val mark = when(isHost, hostLabel).when(isPath, seg1)
+      .when(isQ, qLang)
+    val h1 = when(isHost, regexp_replace(h, "^[^.]+\\.", "")).otherwise(h)
+    val p1 = when(!isHost && isPath, regexp_replace(p, "^/[^/]+", ""))
+      .otherwise(p)
+    // lang-ish params out, separator runs collapsed, edges trimmed
+    val q1 = regexp_replace(regexp_replace(
+      regexp_replace(q, "(?:lang|locale|hl)=[^&]*", ""),
+      "&&+", "&"), "^&|&$", "")
+    val key = concat(h1, p1,
+      when(q1 =!= "", concat(lit("?"), q1)).otherwise(lit("")))
+    val tagged = docs
+      .select(col(idCol).as("__id"), key.as("site_key"), mark.as("__lang"))
+      .filter(col("__lang").isNotNull)
+    val okKeys = tagged.groupBy(col("site_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxPerKey).drop("__n")
+    val ok = tagged.join(okKeys, Seq("site_key"))
+    val a = ok.select(col("site_key"), col("__id").as("doc_a"),
+      col("__lang").as("lang_a"))
+    val b = ok.select(col("site_key"), col("__id").as("doc_b"),
+      col("__lang").as("lang_b"))
+    a.join(b, Seq("site_key")).filter(col("lang_a") < col("lang_b"))
+      .select(col("site_key"), col("doc_a"), col("lang_a"),
+        col("doc_b"), col("lang_b"))
+  }
 }

@@ -2601,6 +2601,30 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // URL-parallel bitext alignment (L136): the ParaCrawl baseline —
+    // pages whose URLs differ only by a language marker (host label /
+    // path segment / lang query param, all three kinds synthesized) are
+    // translation candidates; kinds 1 and 2 strip to the SAME site key,
+    // so cross-kind pairing is exercised.
+    "bitext_url_pairs" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val gid = expr("doc_id div 10").cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), col("lang"), lit(".site"), gid,
+            lit(".example.com/art/"), gid))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://www.site"), gid, lit(".example.com/"),
+            col("lang"), lit("/art/"), gid))
+        .otherwise(concat(lit("https://www.site"), gid,
+          lit(".example.com/art/"), gid, lit("?lang="), col("lang")))
+      UrlOps.parallelUrlPairs(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+          "url", "doc_id", langs = Seq("en", "de", "fr", "es", "zh"),
+          maxPerKey = 16)
+        .localCheckpoint(true)
+        .orderBy(col("site_key"), col("doc_a"), col("doc_b"))
+    }),
+
     // Conversation-tree flattening (L135): ShareGPT-style branching turns
     // (a binary-heap forest derived from doc_id, 16-turn blocks, depth <= 5)
     // -> ONE linear conversation per root-to-leaf path, by pointer doubling
@@ -5245,6 +5269,57 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same marker-priority + strip replay over the same synthesized URLs;
+    // RE2 spells these patterns exactly like Java (no script classes)
+    "bitext_url_pairs" -> {
+      val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)#?(.*)$"
+      val ls = Seq("en", "de", "fr", "es", "zh")
+        .map(l => s"'$l'").mkString(", ")
+      s"""WITH urls AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |           'https://' || lang || '.site' || CAST(doc_id // 10 AS VARCHAR)
+         |           || '.example.com/art/' || CAST(doc_id // 10 AS VARCHAR)
+         |         WHEN doc_id % 3 = 1 THEN
+         |           'https://www.site' || CAST(doc_id // 10 AS VARCHAR)
+         |           || '.example.com/' || lang || '/art/' || CAST(doc_id // 10 AS VARCHAR)
+         |         ELSE
+         |           'https://www.site' || CAST(doc_id // 10 AS VARCHAR)
+         |           || '.example.com/art/' || CAST(doc_id // 10 AS VARCHAR)
+         |           || '?lang=' || lang
+         |    END AS url
+         |  FROM documents),
+         |mk AS (SELECT doc_id, h, pa,
+         |    regexp_extract(h, '^([^.]+)\\.', 1) AS hl,
+         |    lower(regexp_extract(pa, '^/([^/]+)', 1)) AS s1,
+         |    lower(regexp_extract(q, '(?:^|&)(?:lang|locale|hl)=([^&]*)', 1)) AS ql,
+         |    regexp_replace(regexp_replace(regexp_replace(q,
+         |      '(?:lang|locale|hl)=[^&]*', '', 'g'), '&&+', '&', 'g'),
+         |      '^&|&$$', '', 'g') AS q2
+         |  FROM (SELECT doc_id,
+         |      lower(regexp_extract(regexp_extract(url, '$pat', 2), '^([^:]*)', 1)) AS h,
+         |      regexp_extract(url, '$pat', 3) AS pa,
+         |      regexp_extract(url, '$pat', 4) AS q
+         |    FROM urls)),
+         |tag AS (SELECT doc_id,
+         |    CASE WHEN hl IN ($ls) THEN hl
+         |         WHEN s1 IN ($ls) THEN s1
+         |         WHEN ql IN ($ls) THEN ql END AS lang,
+         |    (CASE WHEN hl IN ($ls)
+         |          THEN regexp_replace(h, '^[^.]+\\.', '') ELSE h END)
+         |    || (CASE WHEN hl NOT IN ($ls) AND s1 IN ($ls)
+         |             THEN regexp_replace(pa, '^/[^/]+', '') ELSE pa END)
+         |    || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS site_key
+         |  FROM mk),
+         |t AS (SELECT * FROM tag WHERE lang IS NOT NULL),
+         |ok AS (SELECT site_key FROM t GROUP BY 1 HAVING count(*) <= 16)
+         |SELECT a.site_key, a.doc_id AS doc_a, a.lang AS lang_a,
+         |       b.doc_id AS doc_b, b.lang AS lang_b
+         |FROM t a JOIN t b ON a.site_key = b.site_key AND a.lang < b.lang
+         |JOIN ok ON a.site_key = ok.site_key
+         |ORDER BY a.site_key, doc_a, doc_b""".stripMargin
+    },
 
     // the sequential recursive root-down walk — the Spark side computes
     // the same paths by pointer doubling; leaves = nobody's parent

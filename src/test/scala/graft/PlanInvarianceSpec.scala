@@ -455,4 +455,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("sft_tree_paths plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("sft_tree_paths")
   }
+
+  // L136: pure codegen'd marker projection + key-keyed hot-guard agg +
+  // one equi-join — no corpus window
+  test("bitext_url_pairs plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("bitext_url_pairs")
+  }
 }

@@ -5074,6 +5074,54 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- URL-parallel bitext alignment (L136) ----
+
+  private def urlPairs(rows: Seq[(Long, String)], maxPerKey: Int = 64) =
+    UrlOps.parallelUrlPairs(rows.toDF("doc_id", "url"), "url", "doc_id",
+        langs = Seq("en", "fr", "de"), maxPerKey = maxPerKey)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("lang_a"), r.getAs[String]("lang_b"),
+        r.getAs[String]("site_key"))).sortBy(p => (p._1, p._2)).toSeq
+
+  test("url pairs: all three marker kinds strip to one key; no-marker dropped") {
+    val got = urlPairs(Seq(
+      1L -> "https://en.x.com/art/7",        // host label
+      2L -> "https://x.com/fr/art/7",        // path segment
+      3L -> "https://x.com/art/7?hl=de",     // query param
+      4L -> "https://x.com/art/7"))          // unmarked: never pairs
+    // side A is the lexicographically smaller language, so the de-marked
+    // doc 3 fronts both of its pairs
+    assert(got === Seq(
+      (1L, 2L, "en", "fr", "x.com/art/7"),
+      (3L, 1L, "de", "en", "x.com/art/7"),
+      (3L, 2L, "de", "fr", "x.com/art/7")))
+  }
+
+  test("url pairs: query params are content; lang params strip from anywhere") {
+    val got = urlPairs(Seq(
+      1L -> "https://x.com/a?id=1&lang=en",
+      2L -> "https://x.com/a?lang=fr&id=1",  // same cleaned query -> pairs
+      3L -> "https://x.com/a?id=2&lang=de")) // different id -> no pair
+    assert(got === Seq((1L, 2L, "en", "fr", "x.com/a?id=1")))
+    // double marker: only the host label strips, the path segment is
+    // content, so the keys differ and the pages don't pair
+    assert(urlPairs(Seq(
+      1L -> "https://en.x.com/en/a",
+      2L -> "https://fr.x.com/fr/a")).isEmpty)
+    // same language never pairs
+    assert(urlPairs(Seq(
+      1L -> "https://en.x.com/a", 2L -> "https://en.x.com/a")).isEmpty)
+  }
+
+  test("url pairs: hot-key guard drops the whole key") {
+    val hot = Seq(
+      1L -> "https://en.x.com/a", 2L -> "https://fr.x.com/a",
+      3L -> "https://de.x.com/a",
+      4L -> "https://en.y.com/b", 5L -> "https://fr.y.com/b")
+    assert(urlPairs(hot, maxPerKey = 2) ===
+      Seq((4L, 5L, "en", "fr", "y.com/b")))
+  }
+
   // ---- Conversation-tree flattening (L135) ----
 
   test("tree paths: hand-computed forest — branches, depths, rendering") {
