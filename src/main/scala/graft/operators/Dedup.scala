@@ -559,6 +559,72 @@ object Dedup {
     }
   }
 
+  /** MinHash estimator calibration (L137) — the reliability table a
+    * dedup tier owes before its LSH threshold gates a corpus (the
+    * [[graft.operators.QualityModel.calibrationReport]] discipline
+    * applied to similarity estimates): per agreement level
+    * n_agree ∈ [0, numHashes], how far does the MinHash estimate
+    * n_agree/numHashes sit from the mean EXACT Jaccard of the candidate
+    * pairs that landed there? A mis-calibrated band (estimate far above
+    * exact) means the (numHashes, bandSize) choice admits junk pairs at
+    * the configured threshold.
+    *
+    * All integer micro units: est_micro = n_agree·10⁶ div numHashes
+    * (constant per row), exact per pair = |A∩B|·10⁶ div |A∪B| over
+    * distinct k-shingles, means as floor divisions — engine-exact.
+    *
+    * Scale shape: candidates from the banded self-join (the
+    * [[minhashLshPairs]] shape, one shared signature frame feeding both
+    * the banding and the agreement join); agreement is a projection over
+    * the wide signature rows joined to the OUTPUT-sized pair frame;
+    * exact Jaccard joins per-doc distinct-shingle ARRAYS to the pair
+    * frame (in-row array_intersect, the [[jaccardPairsPrefix]] verify
+    * idiom); the final rollup is a ≤ numHashes+1-row aggregation. The
+    * corpus is scanned twice (signatures, shingle arrays) and never
+    * self-joins outside the banded candidate join. */
+  def minhashCalibration(docs: DataFrame, numHashes: Int = 8,
+                         bandSize: Int = 2, idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 3): DataFrame = {
+    val mh = persistTracked(minhashes(docs, numHashes, idCol, textCol, k))
+    val bands = mh.select(col("doc_id"),
+        explode(array(bandStructs(numHashes, bandSize): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val pairs = bands.as("b1")
+      .join(bands.as("b2"), col("b1.band") === col("b2.band") &&
+        col("b1.sig") === col("b2.sig") && col("b1.doc_id") < col("b2.doc_id"))
+      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+      .distinct()
+    val aSide = mh.toDF("doc_a" +: (0 until numHashes).map(i => s"__a$i"): _*)
+    val bSide = mh.toDF("doc_b" +: (0 until numHashes).map(i => s"__b$i"): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      array_distinct(graft.functions.WordShingles.shingles(col(textCol), k))
+        .as("__g"))
+    val ga = grams.select(col("doc_id").as("doc_a"), col("__g").as("__ga"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("__g").as("__gb"))
+    val scored = pairs
+      .join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
+      .withColumn("n_agree", agree)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"))
+      .join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .withColumn("__i", size(array_intersect(col("__ga"), col("__gb")))
+        .cast("long"))
+      .withColumn("__u",
+        size(col("__ga")).cast("long") + size(col("__gb")) - col("__i"))
+      .withColumn("exact_micro", expr("(__i * 1000000) div __u"))
+    scored.groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_micro")).as("__sum"))
+      .select(col("n_agree"),
+        col("n_pairs"),
+        expr(s"(n_agree * 1000000) div $numHashes").as("est_micro"),
+        expr("__sum div n_pairs").as("mean_exact_micro"))
+      .withColumn("gap_micro",
+        abs(col("est_micro") - col("mean_exact_micro")))
+  }
+
   /** Skew counters for the [[jaccardPairs]] guard: one row with the max
     * shingle document frequency, how many shingles a given cap would drop,
     * and how many postings they carry. Run (and log) when tuning

@@ -2601,6 +2601,16 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // MinHash estimator calibration (L137): the reliability table the
+    // LSH dedup tier owes before its threshold gates a corpus — per
+    // signature-agreement level, the integer-micro gap between the
+    // MinHash estimate and the mean exact Jaccard of the candidate pairs
+    // that landed there.
+    "dedup_minhash_calibration" -> ((s, dir) => {
+      Dedup.minhashCalibration(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("n_agree"))
+    }),
+
     // URL-parallel bitext alignment (L136): the ParaCrawl baseline —
     // pages whose URLs differ only by a language marker (host label /
     // path segment / lang query param, all three kinds synthesized) are
@@ -5269,6 +5279,47 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the shared LSH band chain feeds both the candidate join and the
+    // per-permutation agreement count; exact Jaccard replays the shingle
+    // co-occurrence join on the pair frame
+    "dedup_minhash_calibration" ->
+      s"""WITH $lshBandsCtes,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bands b1 JOIN bands b2
+         |    ON b1.band = b2.band AND b1.sig = b2.sig
+         |    AND b1.doc_id < b2.doc_id),
+         |agr AS MATERIALIZED (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM prs p JOIN mh a ON a.doc_id = p.doc_a
+         |  JOIN mh b ON b.doc_id = p.doc_b AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cnt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |cmn AS MATERIALIZED (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c
+         |  FROM prs p JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT g.n_agree,
+         |    (COALESCE(m.c, 0) * 1000000)
+         |      // (ca.n + cb.n - COALESCE(m.c, 0)) AS exact_micro
+         |  FROM agr g
+         |  LEFT JOIN cmn m ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b
+         |  JOIN cnt ca ON ca.doc_id = g.doc_a
+         |  JOIN cnt cb ON cb.doc_id = g.doc_b)
+         |SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (n_agree * 1000000) // 8 AS est_micro,
+         |  CAST(sum(exact_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS mean_exact_micro,
+         |  abs((n_agree * 1000000) // 8
+         |    - CAST(sum(exact_micro) AS BIGINT) // CAST(count(*) AS BIGINT))
+         |    AS gap_micro
+         |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same marker-priority + strip replay over the same synthesized URLs;
     // RE2 spells these patterns exactly like Java (no script classes)

@@ -461,4 +461,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("bitext_url_pairs plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("bitext_url_pairs")
   }
+
+  // L137: one shared signature frame -> banded candidate join, pair-frame
+  // agreement + array-verify joins, <= numHashes+1-row rollup
+  test("dedup_minhash_calibration plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_minhash_calibration")
+  }
 }

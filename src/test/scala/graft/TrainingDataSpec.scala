@@ -5074,6 +5074,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- MinHash estimator calibration (L137) ----
+
+  test("minhash calibration: identical pair row, invariants, pair total") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // exact dup of 1
+      3L -> "alpha beta gamma delta epsilon other",
+      4L -> "completely different words here now",
+      5L -> "alpha beta gamma delta epsilon zeta eta")
+    val rows = Dedup.minhashCalibration(d)
+      .collect().map(r => (r.getAs[Long]("n_agree"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("est_micro"), r.getAs[Long]("mean_exact_micro"),
+        r.getAs[Long]("gap_micro"))).sortBy(_._1).toSeq
+    // the identical pair lands in the full-agreement bucket with exact 1.0
+    val full = rows.find(_._1 == 8L).get
+    assert(full._3 === 1000000L)
+    assert(full._4 === 1000000L && full._5 === 0L)
+    rows.foreach { case (na, np, est, mex, gap) =>
+      assert(na >= 2 && na <= 8, "a shared band implies >= bandSize agreements")
+      assert(np >= 1)
+      assert(est === na * 1000000L / 8)
+      assert(mex >= 0 && mex <= 1000000L)
+      assert(gap === math.abs(est - mex))
+    }
+    // bucket sizes sum to the LSH candidate-pair count
+    val nPairs = Dedup.minhashLshPairs(d).count()
+    assert(rows.map(_._2).sum === nPairs)
+  }
+
   // ---- URL-parallel bitext alignment (L136) ----
 
   private def urlPairs(rows: Seq[(Long, String)], maxPerKey: Int = 64) =
