@@ -250,6 +250,60 @@ object TextAnalysis {
           col("n_bytes").cast("double") / col("n_subwords").cast("double"))
           .otherwise(lit(0.0)).as("bytes_per_token"))
 
+  /** Vocabulary coverage / OOV report (L138) — the "how big must V be"
+    * table a closed-vocabulary tokenizer decision reads: per language,
+    * what share of token TYPES and token OCCURRENCES the vocabulary
+    * covers, and the heaviest uncovered token (the next candidate for
+    * admission). Complements [[tokenizerFertility]] (which measures
+    * subword segmentation of an open vocab, not whole-word coverage of a
+    * closed one).
+    *
+    * Coverage ratios are integer micro units (covered·10⁶ div total —
+    * engine-exact); the top-OOV argmax is deterministic: max count, ties
+    * to the lexicographically SMALLEST token, computed as a max-count
+    * aggregation plus a min-token pass at that count (no struct-ordering
+    * ambiguity across engines). Languages with zero OOV types emit a
+    * null token and count 0.
+    *
+    * Scale shape: one (lang, token)-keyed aggregation with map-side
+    * combine builds the type frame; the vocabulary joins BROADCAST; the
+    * rollup and the two argmax passes are lang-keyed aggregations over
+    * the vocabulary-sized type frame — the corpus is scanned once. */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    vocabCol: String = "token", textCol: String = "text",
+                    langCol: String = "lang"): DataFrame = {
+    val tf = docs
+      .select(col(langCol).as("lang"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("lang"), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val v = vocab.select(col(vocabCol).as("__tok")).distinct()
+      .withColumn("__inv", lit(true))
+    val j = tf.join(broadcast(v), Seq("__tok"), "left")
+      .withColumn("__inv", coalesce(col("__inv"), lit(false)))
+    val roll = j.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("__inv"), 1L).otherwise(0L)).as("n_types_in_vocab"),
+        sum(col("__cnt")).as("n_occ"),
+        sum(when(col("__inv"), col("__cnt")).otherwise(0L))
+          .as("n_occ_in_vocab"))
+    val oov = j.filter(!col("__inv"))
+    val mx = oov.groupBy(col("lang")).agg(max(col("__cnt")).as("__mx"))
+    val top = oov.join(mx, Seq("lang"))
+      .filter(col("__cnt") === col("__mx"))
+      .groupBy(col("lang"))
+      .agg(min(col("__tok")).as("top_oov_token"),
+        max(col("__cnt")).as("top_oov_count"))
+    roll.join(top, Seq("lang"), "left")
+      .select(col("lang"), col("n_types"), col("n_types_in_vocab"),
+        col("n_occ"), col("n_occ_in_vocab"),
+        expr("(n_types_in_vocab * 1000000) div n_types")
+          .as("type_cov_micro"),
+        expr("(n_occ_in_vocab * 1000000) div n_occ").as("occ_cov_micro"),
+        col("top_oov_token"),
+        coalesce(col("top_oov_count"), lit(0L)).as("top_oov_count"))
+  }
+
   /** Quality features: length, token stats, stopword & punctuation ratios,
     * and a composite score in [0,1]. Ratios are double divisions of exact
     * integer counts — deterministic across engines.

@@ -2601,6 +2601,17 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Vocabulary coverage / OOV report (L138): per language, type and
+    // occurrence coverage of the top-50 corpus vocabulary (the REAL
+    // vocabulary operator feeds the REAL coverage operator) plus the
+    // heaviest uncovered token — the closed-vocab sizing table.
+    "tokenizer_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.vocabCoverage(docs,
+          TextAnalysis.vocabulary(docs, topK = 50))
+        .localCheckpoint(true).orderBy(col("lang"))
+    }),
+
     // MinHash estimator calibration (L137): the reliability table the
     // LSH dedup tier owes before its threshold gates a corpus — per
     // signature-agreement level, the integer-micro gap between the
@@ -5279,6 +5290,41 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // top-50 vocab replay (term_freq desc, token asc), (lang, token)
+    // type frame, coverage rollup + deterministic max-count/min-token
+    // argmax for the heaviest OOV token
+    "tokenizer_oov" ->
+      s"""WITH $toksCte,
+         |tok AS MATERIALIZED (SELECT d.lang, unnest(t) AS tok
+         |  FROM documents d JOIN toks USING (doc_id)),
+         |tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         |voc AS (SELECT tok FROM tf
+         |        QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 50),
+         |lt AS MATERIALIZED (SELECT lang, tok,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |j AS MATERIALIZED (SELECT l.lang, l.tok, l.cnt,
+         |    (v.tok IS NOT NULL) AS inv
+         |  FROM lt l LEFT JOIN voc v USING (tok)),
+         |roll AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_types_in_vocab,
+         |    CAST(sum(cnt) AS BIGINT) AS n_occ,
+         |    CAST(sum(CASE WHEN inv THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS n_occ_in_vocab
+         |  FROM j GROUP BY 1),
+         |mx AS (SELECT lang, max(cnt) AS m FROM j WHERE NOT inv GROUP BY 1),
+         |top AS (SELECT j.lang, min(j.tok) AS top_oov_token,
+         |    max(j.cnt) AS top_oov_count
+         |  FROM j JOIN mx ON j.lang = mx.lang AND j.cnt = mx.m
+         |  WHERE NOT j.inv GROUP BY 1)
+         |SELECT r.lang, n_types, n_types_in_vocab, n_occ, n_occ_in_vocab,
+         |  (n_types_in_vocab * 1000000) // n_types AS type_cov_micro,
+         |  (n_occ_in_vocab * 1000000) // n_occ AS occ_cov_micro,
+         |  t.top_oov_token, COALESCE(t.top_oov_count, 0) AS top_oov_count
+         |FROM roll r LEFT JOIN top t USING (lang)
+         |ORDER BY r.lang""".stripMargin,
 
     // the shared LSH band chain feeds both the candidate join and the
     // per-permutation agreement count; exact Jaccard replays the shingle

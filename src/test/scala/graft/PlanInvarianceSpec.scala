@@ -467,4 +467,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("dedup_minhash_calibration plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("dedup_minhash_calibration")
   }
+
+  // L138: one (lang, token) aggregation + broadcast vocab join +
+  // lang-keyed rollup/argmax passes over the type frame
+  test("tokenizer_oov plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("tokenizer_oov")
+  }
 }

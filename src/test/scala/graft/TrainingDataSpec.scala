@@ -5074,6 +5074,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Vocabulary coverage / OOV report (L138) ----
+
+  test("vocab coverage: hand-computed coverage, top-OOV tiebreak, zero-OOV lang") {
+    val d = Seq(
+      (1L, "en", "a a b c"),   // en types: a(3) b(1) c(2), zz(1) below
+      (2L, "en", "a c zz"),
+      (3L, "fr", "a b"))       // fr fully covered
+      .toDF("doc_id", "lang", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = TextAnalysis.vocabCoverage(d, vocab)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_types_in_vocab"),
+          r.getAs[Long]("n_occ"), r.getAs[Long]("n_occ_in_vocab"),
+          r.getAs[Long]("type_cov_micro"), r.getAs[Long]("occ_cov_micro"),
+          r.getAs[String]("top_oov_token"), r.getAs[Long]("top_oov_count")))
+      .toMap
+    // en: 4 types (a,b,c,zz), 2 in vocab; 7 occ, 4 in vocab;
+    // top OOV: c(2) beats zz(1)
+    assert(got("en") === ((4L, 2L, 7L, 4L, 500000L, 571428L, "c", 2L)))
+    // fr: fully covered -> null token, count 0
+    assert(got("fr") === ((2L, 2L, 2L, 2L, 1000000L, 1000000L, null, 0L)))
+    // tie on the max OOV count -> lexicographically smallest token
+    val tied = Seq((1L, "en", "zz aa zz aa q")).toDF("doc_id", "lang", "text")
+    val t = TextAnalysis.vocabCoverage(tied, Seq("q").toDF("token"))
+      .collect().head
+    assert(t.getAs[String]("top_oov_token") === "aa")
+    assert(t.getAs[Long]("top_oov_count") === 2L)
+  }
+
   // ---- MinHash estimator calibration (L137) ----
 
   test("minhash calibration: identical pair row, invariants, pair total") {
