@@ -266,6 +266,38 @@ object TrainingDataQueries extends QueryPack {
        |  score_de, score_en, score_es, score_fr, score_zh
        |FROM lsc)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the L139 tiling gates: positioned
+    * tokens → 8-token block term counts → adjacent-block histogram
+    * intersection → windowed (±2) valley depths → per-doc mean cutoff;
+    * `tile` carries (doc_id, gap_idx, sim, depth, boundary). */
+  private def tilingCtes: String =
+    s"""$toksCte,
+       |tp AS MATERIALIZED (SELECT doc_id, i AS pos, t[i+1] AS tok
+       |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+       |bt AS MATERIALIZED (SELECT doc_id, pos // 8 AS blk, tok,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tp GROUP BY 1, 2, 3),
+       |tsims AS (SELECT l.doc_id, l.blk + 1 AS gap_idx,
+       |    CAST(sum(least(l.c, r.c)) AS BIGINT) AS sim
+       |  FROM bt l JOIN bt r ON l.doc_id = r.doc_id AND r.blk = l.blk + 1
+       |    AND l.tok = r.tok
+       |  GROUP BY 1, 2),
+       |tgaps AS (SELECT DISTINCT doc_id, blk AS gap_idx FROM bt WHERE blk > 0),
+       |tsc AS (SELECT g.doc_id, g.gap_idx, COALESCE(s.sim, 0) AS sim
+       |  FROM tgaps g LEFT JOIN tsims s ON s.doc_id = g.doc_id
+       |    AND s.gap_idx = g.gap_idx),
+       |tdep AS (SELECT doc_id, gap_idx, sim,
+       |    (max(sim) OVER (PARTITION BY doc_id ORDER BY gap_idx
+       |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) - sim)
+       |  + (max(sim) OVER (PARTITION BY doc_id ORDER BY gap_idx
+       |       ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) - sim) AS depth
+       |  FROM tsc),
+       |tst AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(depth) AS BIGINT) AS sm FROM tdep GROUP BY 1),
+       |tile AS (SELECT d.doc_id, d.gap_idx, d.sim, d.depth,
+       |    d.depth * tst.n > tst.sm AS boundary
+       |  FROM tdep d JOIN tst USING (doc_id))""".stripMargin
+
   /** The curation rule set shared by the `filter_provenance` /
     * `filter_ablation` gates — ONE ordered definition feeds the Spark
     * rules, the DuckDB predicates, and both oracles. Signals: ntok
@@ -2599,6 +2631,23 @@ object TrainingDataQueries extends QueryPack {
         keyCol = "doc_id", salt = "sp")
         .select(col("doc_id"), col("split"))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // TextTiling-shaped topic segmentation (L139): integer
+    // histogram-intersection gap scores between adjacent 8-token blocks,
+    // windowed valley depths, mean-depth boundary cutoff.
+    "topic_gap_scores" -> ((s, dir) => {
+      import graft.operators.TopicTiling
+      TopicTiling.gapScores(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("gap_idx"))
+    }),
+
+    // The consumer view of L139: every token block labeled with its
+    // topic segment (cumulative boundary count per doc).
+    "topic_segments" -> ((s, dir) => {
+      import graft.operators.TopicTiling
+      TopicTiling.segments(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("doc_id"), col("block"))
     }),
 
     // Vocabulary coverage / OOV report (L138): per language, type and
@@ -5290,6 +5339,29 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // shared tiling chain (block term counts -> histogram intersection
+    // -> windowed depths -> mean cutoff), gap view
+    "topic_gap_scores" ->
+      s"""WITH $tilingCtes
+         |SELECT doc_id, gap_idx, sim, depth, boundary
+         |FROM tile ORDER BY doc_id, gap_idx""".stripMargin,
+
+    // same chain, consumer view: cumulative boundary count labels every
+    // token block with its segment
+    "topic_segments" ->
+      s"""WITH $tilingCtes,
+         |blocks AS (SELECT doc_id,
+         |    unnest(range((len(t) - 1) // 8 + 1)) AS blk
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT b.doc_id, b.blk AS block,
+         |  CAST(sum(CASE WHEN x.gap_idx IS NOT NULL THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY b.doc_id ORDER BY b.blk
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment
+         |FROM blocks b
+         |LEFT JOIN (SELECT doc_id, gap_idx FROM tile WHERE boundary) x
+         |  ON x.doc_id = b.doc_id AND x.gap_idx = b.blk
+         |ORDER BY b.doc_id, block""".stripMargin,
 
     // top-50 vocab replay (term_freq desc, token asc), (lang, token)
     // type frame, coverage rollup + deterministic max-count/min-token

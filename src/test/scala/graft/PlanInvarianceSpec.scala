@@ -473,4 +473,13 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("tokenizer_oov plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("tokenizer_oov")
   }
+
+  // L139: block-term aggregation + one adjacent self-join + doc-keyed
+  // gap windows — nothing corpus-global
+  test("topic_gap_scores plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("topic_gap_scores")
+  }
+  test("topic_segments plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("topic_segments")
+  }
 }

@@ -5074,6 +5074,42 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- TextTiling topic segmentation (L139) ----
+
+  test("topic tiling: hand-computed gaps, zero-sim gap restored, boundary at the valley") {
+    // four 8-token blocks: aa | aa | bb | bb — the only topic shift is
+    // at gap 2, whose adjacent blocks share NO term (inner join drops
+    // it; the restore-at-0 path must put it back)
+    val text = (Seq.fill(16)("a") ++ Seq.fill(16)("b")).mkString(" ")
+    val gaps = TopicTiling.gapScores(docs(1L -> text))
+      .collect().map(r => (r.getAs[Long]("gap_idx"), r.getAs[Long]("sim"),
+        r.getAs[Long]("depth"), r.getAs[Boolean]("boundary")))
+      .sortBy(_._1).toSeq
+    // sims: g1 = min(8,8) = 8, g2 = 0 (disjoint), g3 = 8
+    // depths (peak window 2): g2 = (8-0)+(8-0) = 16, others 0
+    // mean cutoff: depth*3 > 16 -> only g2
+    assert(gaps === Seq((1L, 8L, 0L, false), (2L, 0L, 16L, true),
+      (3L, 8L, 0L, false)))
+    val segs = TopicTiling.segments(docs(1L -> text))
+      .collect().map(r => r.getAs[Long]("block") -> r.getAs[Long]("segment"))
+      .sortBy(_._1).toSeq
+    assert(segs === Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("topic tiling: short and empty docs") {
+    // a single-block doc has no gap; an empty doc emits nothing
+    val d = docs(1L -> "one two three", 2L -> "")
+    assert(TopicTiling.gapScores(d).count() === 0)
+    val segs = TopicTiling.segments(d)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("block"),
+        r.getAs[Long]("segment"))).toSeq
+    assert(segs === Seq((1L, 0L, 0L)))
+    // a trailing partial block still participates in its gap
+    val partial = docs(3L -> (Seq.fill(8)("x") ++ Seq("x", "y")).mkString(" "))
+    val g = TopicTiling.gapScores(partial).collect().head
+    assert(g.getAs[Long]("sim") === 1L) // min(8,1) for x, y unshared
+  }
+
   // ---- Vocabulary coverage / OOV report (L138) ----
 
   test("vocab coverage: hand-computed coverage, top-OOV tiebreak, zero-OOV lang") {
