@@ -62,6 +62,17 @@ object TextNormalize {
   def scrub(text: Column): Column =
     collapseWhitespace(redactUrls(redactEmails(stripTags(text))))
 
+  /** Consistent pseudonymization (L140): every `pattern` match becomes
+    * the STABLE token `<tag_xxxxxxxx>` (first 8 md5 hex digits of the
+    * match) — same entity, same token, corpus-wide, with zero
+    * coordination (the id is a pure function of the entity, so this is a
+    * zero-shuffle codegen'd projection and ids survive corpus growth).
+    * The coreference-preserving upgrade of [[scrubPii]]'s constant tags.
+    * See [[graft.functions.Pseudonymize]] for the native kernel. */
+  def pseudonymize(text: Column, pattern: String = EmailPattern,
+                   tag: String = "email"): Column =
+    graft.functions.Pseudonymize.pseudonymize(text, pattern, tag)
+
   /** The full PII scrub: [[scrub]] plus IPv4 and phone redaction — the
     * standard redaction list for training corpora. Order matters: URLs go
     * before IPs (a URL host that is an IP is redacted as a URL, whole),

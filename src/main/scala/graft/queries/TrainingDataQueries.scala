@@ -2633,6 +2633,23 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Consistent pseudonymization (L140): injected emails (shared across
+    // docs via doc_id % 50 / % 7) map to stable md5-derived tokens —
+    // same entity, same token, corpus-wide, zero shuffle.
+    "text_pseudonymize" -> ((s, dir) => {
+      import graft.operators.TextNormalize
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          (col("doc_id") % 50).cast("string"),
+          lit("@mail.com or admin@site"),
+          (col("doc_id") % 7).cast("string"), lit(".org now")).as("text"))
+      withPii.select(col("doc_id"),
+          TextNormalize.pseudonymize(col("text")).as("text"),
+          regexp_count(col("text"), lit(TextNormalize.EmailPattern))
+            .cast("long").as("n_entities"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // TextTiling-shaped topic segmentation (L139): integer
     // histogram-intersection gap scores between adjacent 8-token blocks,
     // windowed valley depths, mean-depth boundary cutoff.
@@ -5339,6 +5356,28 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // split/extract/interleave rebuild: segment i, then the i-th match's
+    // md5-prefix token — per-match computed replacements in pure SQL
+    "text_pseudonymize" -> {
+      val ep = graft.operators.TextNormalize.EmailPattern
+      s"""WITH wp AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+         |      || '@mail.com or admin@site' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.org now' AS text
+         |  FROM documents),
+         |x AS (SELECT doc_id,
+         |    regexp_split_to_array(text, '$ep') AS segs,
+         |    regexp_extract_all(text, '$ep') AS ms
+         |  FROM wp)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(len(segs)),
+         |    i -> segs[i+1] || CASE WHEN i+1 <= len(ms)
+         |         THEN '<email_' || substring(md5(ms[i+1]), 1, 8) || '>'
+         |         ELSE '' END), '') AS text,
+         |  CAST(len(ms) AS BIGINT) AS n_entities
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
 
     // shared tiling chain (block term counts -> histogram intersection
     // -> windowed depths -> mean cutoff), gap view

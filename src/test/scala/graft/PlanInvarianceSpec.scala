@@ -482,4 +482,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("topic_segments plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("topic_segments")
   }
+
+  // L140: one native codegen'd projection — zero shuffle
+  test("text_pseudonymize plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("text_pseudonymize")
+  }
 }
