@@ -780,6 +780,69 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** Top-K collocations by PMI-annotated bigram count (L141) — the
+    * phrase-mining report (word2phrase, Mikolov et al. 2013: adjacent
+    * pairs whose joint frequency far exceeds chance are phrases worth
+    * fusing into single tokens before embedding/tokenizer training).
+    * PMI = ln P(xy) − ln P(x) − ln P(y), realized as a SUM OF
+    * MICRO-QUANTIZED LOG TERMS (round(ln·10⁶) per count, integer
+    * arithmetic after) — the [[LanguageModel]] micro-nat discipline;
+    * quantize-then-sum keeps every term inside IEEE-exact range at ANY
+    * corpus size, where ln of the assembled ratio would overflow the
+    * 2⁵³ integer-exact window on the n_pair·N² product.
+    *
+    * Scale shape: bigram + unigram counts are map-side-combined
+    * aggregations; the top-K rides the exact bucketed two-phase funnel
+    * ([[topNgrams]]); unigram counts aggregate WINNERS-ONLY (semi-join
+    * before the count, so the per-token pass runs on ≤ 2K tokens, not
+    * the corpus vocabulary); corpus totals are one-row broadcast
+    * frames, never driver scalars. */
+  def collocations(docs: DataFrame, topK: Int = 30, minCount: Long = 5,
+                   textCol: String = "text",
+                   buckets: Int = 64): DataFrame = {
+    require(topK >= 1, s"topK=$topK"); require(minCount >= 1, s"minCount=$minCount")
+    require(buckets >= 1, s"buckets=$buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    def q(c: Column): Column = round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val bg = docs.select(explode(
+        graft.functions.WordShingles.allShingles(col(textCol), 2)).as("__g"))
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
+    val pc = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val order: Seq[Column] =
+      Seq(col("n_pair").desc, col("w1").asc, col("w2").asc)
+    val pruned =
+      if (buckets == 1) pc
+      else {
+        val bw = W.partitionBy(pmod(xxhash64(col("w1"), col("w2")),
+            lit(buckets.toLong))).orderBy(order: _*)
+        pc.withColumn("__brank", row_number().over(bw))
+          .filter(col("__brank") <= topK).drop("__brank")
+      }
+    val top = pruned
+      .withColumn("rank", row_number().over(W.partitionBy().orderBy(order: _*)))
+      .filter(col("rank") <= topK)
+      .localCheckpoint(true)
+    val winners = top.select(col("w1").as("__tok"))
+      .unionByName(top.select(col("w2").as("__tok"))).distinct()
+    val toks = docs.select(explode(tokens(col(textCol))).as("__tok"))
+    val uc = toks.join(broadcast(winners), Seq("__tok"), "left_semi")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val nTok = toks.agg(count(lit(1)).as("__n"))
+    val nBg = bg.agg(count(lit(1)).as("__nb"))
+    top
+      .join(broadcast(uc.toDF("w1", "n_w1")), Seq("w1"))
+      .join(broadcast(uc.toDF("w2", "n_w2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("rank"), col("w1"), col("w2"), col("n_pair"),
+        col("n_w1"), col("n_w2"),
+        (q(col("n_pair")) + lit(2L) * q(col("__n"))
+          - q(col("n_w1")) - q(col("n_w2")) - q(col("__nb")))
+          .as("pmi_micro"))
+  }
+
   /** Corpus-level top-K repeated n-grams — the boilerplate-mining report
     * (the phrases a curation run turns into scrub rules or
     * stop-fingerprints: navigation chrome, license blurbs, templated

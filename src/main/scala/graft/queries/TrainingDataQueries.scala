@@ -2633,6 +2633,14 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // PMI collocations (L141): top-30 bigrams by count with the
+    // phrase-mining PMI signal as a sum of micro-quantized log terms.
+    "collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables.documents(s, dir),
+          topK = 30, minCount = 5)
+        .localCheckpoint(true).orderBy(col("rank"))
+    }),
+
     // Consistent pseudonymization (L140): injected emails (shared across
     // docs via doc_id % 50 / % 7) map to stable md5-derived tokens —
     // same entity, same token, corpus-wide, zero shuffle.
@@ -5356,6 +5364,36 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // single-window top-30 over bigram counts; PMI mirrored term-for-term
+    // as the same micro-quantized log sum
+    "collocations" ->
+      s"""WITH $toksCte,
+         |bg AS MATERIALIZED (SELECT t[i+1] AS w1, t[i+2] AS w2
+         |  FROM (SELECT t, unnest(range(CASE WHEN len(t) >= 2
+         |          THEN len(t) - 1 ELSE 0 END)) AS i FROM toks)),
+         |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |top AS (SELECT w1, w2, n_pair,
+         |    CAST(row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS INT)
+         |      AS rank
+         |  FROM pc QUALIFY rank <= 30),
+         |tok AS (SELECT unnest(t) AS tok FROM toks),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  WHERE tok IN (SELECT w1 FROM top UNION SELECT w2 FROM top)
+         |  GROUP BY 1)
+         |SELECT rank, w1, w2, n_pair, a.c AS n_w1, b.c AS n_w2,
+         |  CAST(round(ln(CAST(n_pair AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  + 2 * CAST(round(ln(CAST(nn.n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  - CAST(round(ln(CAST(a.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  - CAST(round(ln(CAST(b.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  - CAST(round(ln(CAST(nb.n AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |    AS pmi_micro
+         |FROM top JOIN uc a ON a.tok = top.w1 JOIN uc b ON b.tok = top.w2
+         |CROSS JOIN nn CROSS JOIN nb
+         |ORDER BY rank""".stripMargin,
 
     // split/extract/interleave rebuild: segment i, then the i-th match's
     // md5-prefix token — per-match computed replacements in pure SQL

@@ -487,4 +487,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("text_pseudonymize plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("text_pseudonymize")
   }
+
+  // L141: two map-side-combined count aggs + bucketed funnel +
+  // winners-only unigram join + one-row total broadcasts
+  test("collocations plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("collocations")
+  }
 }

@@ -5074,6 +5074,37 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- PMI collocations (L141) ----
+
+  test("collocations: hand counts, PMI sign, tiebreak, bucketed equals single") {
+    // "new york" 6x as a glued phrase; "of the" frequent but expected
+    val d = docs(
+      1L -> "new york new york new york of the of the of the",
+      2L -> "new york new york new york the of the of the of")
+    val got = TextAnalysis.collocations(d, topK = 5, minCount = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("n_pair"),
+        r.getAs[Long]("n_w1"), r.getAs[Long]("n_w2"),
+        r.getAs[Long]("pmi_micro"))).sortBy(_._1).toSeq
+    def q(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    // 24 tokens, 22 bigrams; "new york": pair 6, new 6, york 6
+    val ny = got.find(r => r._2 == "new" && r._3 == "york").get
+    assert(ny._4 === 6L && ny._5 === 6L && ny._6 === 6L)
+    assert(ny._7 === q(6) + 2 * q(24) - q(6) - q(6) - q(22))
+    // a phrase concentrated in one pair scores far above a pair of
+    // corpus-wide frequent tokens: "of the" (pair 6 but of=6, the=6 too,
+    // same counts here) — craft the contrast with "the of" (pair 2)
+    val to = got.find(r => r._2 == "the" && r._3 == "of").get
+    assert(to._7 < ny._7)
+    // rank 1 tiebreak: three pairs at n_pair=6 -> (new,york) < (of,the)
+    assert(got.head._2 === "new" && got.head._3 === "york")
+    val single = TextAnalysis.collocations(d, topK = 5, minCount = 2,
+        buckets = 1)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("w1")))
+      .sortBy(_._1).toSeq
+    assert(single === got.map(r => (r._1, r._2)))
+  }
+
   // ---- Consistent pseudonymization (L140) ----
 
   test("pseudonymize: stable per-entity tokens, md5-prefix ids, edges") {
