@@ -559,6 +559,40 @@ object Dedup {
     }
   }
 
+  /** Group-level MinHash similarity matrix via MERGEABLE sketches (L142)
+    * — "how much does source A's content overlap source B's?" answered
+    * WITHOUT ever pairing documents: a group's signature is the
+    * elementwise MIN of its shingles' permutation hashes (minwise
+    * signatures are mergeable — min(A ∪ B) = min(min A, min B) — so one
+    * map-side-combined aggregation per group builds them, and snapshots
+    * combine by another min), and the pairwise estimate is signature
+    * agreement. Complements [[pairGroupMatrix]] (which counts actual
+    * near-dup PAIRS and pays pair generation): the sketch matrix reads
+    * whole-group set overlap at one signature row per group.
+    *
+    * est_micro = n_agree·10⁶ div numHashes — integer, engine-exact.
+    *
+    * Scale shape: the corpus is scanned ONCE (shingle postings keyed by
+    * the group); signatures are one groupBy(min…) with map-side combine;
+    * the pairing join touches only the GROUPS-sized signature frame. For
+    * millions of groups, band the signatures first (the
+    * [[minhashLshPairs]] arrangement on the signature frame) — at the
+    * sources/domains granularity this report targets, the direct
+    * triangular join is the right shape. */
+  def minhashMatrix(docs: DataFrame, groupCol: String, numHashes: Int = 8,
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val sig = persistTracked(minhashes(docs, numHashes, groupCol, textCol, k))
+    val a = sig.toDF("src_a" +: (0 until numHashes).map(i => s"__a$i"): _*)
+    val b = sig.toDF("src_b" +: (0 until numHashes).map(i => s"__b$i"): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("n_agree", agree)
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        expr(s"(n_agree * 1000000) div $numHashes").as("est_micro"))
+  }
+
   /** MinHash estimator calibration (L137) — the reliability table a
     * dedup tier owes before its LSH threshold gates a corpus (the
     * [[graft.operators.QualityModel.calibrationReport]] discipline

@@ -2633,6 +2633,18 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Mergeable-sketch group similarity matrix (L142): per 100-doc
+    // source group, one minwise signature (elementwise min — mergeable);
+    // pairwise overlap estimates from signature agreement, the corpus
+    // never pairs.
+    "dedup_sketch_matrix" -> ((s, dir) => {
+      val grouped = Tables.documents(s, dir).select(
+        concat(lit("s"), expr("doc_id div 100").cast("string")).as("grp"),
+        col("text"))
+      Dedup.minhashMatrix(grouped, "grp")
+        .localCheckpoint(true).orderBy(col("src_a"), col("src_b"))
+    }),
+
     // PMI collocations (L141): top-30 bigrams by count with the
     // phrase-mining PMI signal as a sum of micro-quantized log terms.
     "collocations" -> ((s, dir) => {
@@ -5364,6 +5376,31 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // group-keyed minwise signatures (same 8 fixed permutations as the
+    // lsh chain) + triangular agreement join on the groups-sized frame
+    "dedup_sketch_matrix" ->
+      s"""WITH $shinglesCte,
+         |gh AS MATERIALIZED (SELECT DISTINCT
+         |    's' || CAST(doc_id // 100 AS VARCHAR) AS grp,
+         |    CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS h
+         |  FROM sh),
+         |perm(i, pa, pb) AS (VALUES
+         |  (0, 981238597, 825377933), (1, 673562387, 743900233),
+         |  (2, 552963643, 621445373), (3, 413158523, 536870923),
+         |  (4, 316199399, 433024253), (5, 247073897, 362867483),
+         |  (6, 198491317, 297779117), (7, 153889403, 247073891)),
+         |gm AS MATERIALIZED (SELECT grp, i,
+         |    min((pa * h + pb) % 268435456) AS mh
+         |  FROM gh CROSS JOIN perm GROUP BY 1, 2),
+         |agr AS (SELECT a.grp AS src_a, b.grp AS src_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM gm a JOIN gm b ON a.i = b.i AND a.grp < b.grp
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_agree,
+         |  (n_agree * 1000000) // 8 AS est_micro
+         |FROM agr ORDER BY src_a, src_b""".stripMargin,
 
     // single-window top-30 over bigram counts; PMI mirrored term-for-term
     // as the same micro-quantized log sum

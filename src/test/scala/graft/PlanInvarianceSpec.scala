@@ -493,4 +493,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("collocations plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("collocations")
   }
+
+  // L142: one group-keyed signature aggregation + triangular join on the
+  // groups-sized frame — the corpus never pairs
+  test("dedup_sketch_matrix plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_sketch_matrix")
+  }
 }

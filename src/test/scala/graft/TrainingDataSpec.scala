@@ -5074,6 +5074,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Mergeable-sketch group matrix (L142) ----
+
+  test("sketch matrix: mergeability, identical-group agreement, est formula") {
+    val d = Seq(
+      ("a", "alpha beta gamma delta words one"),
+      ("a", "more alpha content beta here now"),
+      ("b", "alpha beta gamma delta words one"),
+      ("b", "more alpha content beta here now"), // b identical set to a
+      ("c", "totally different vocabulary set coming through"))
+      .toDF("grp", "text")
+    val m = Dedup.minhashMatrix(d, "grp")
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+        -> (r.getAs[Long]("n_agree"), r.getAs[Long]("est_micro"))).toMap
+    assert(m(("a", "b")) === ((8L, 1000000L))) // identical shingle sets
+    m.values.foreach { case (na, est) =>
+      assert(est === na * 1000000L / 8)
+    }
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c"))) // triangular
+    // mergeability: the union group's signature is the elementwise min
+    // of the parts' signatures
+    val parts = Dedup.minhashes(d.filter(col("grp").isin("a", "c")), 8,
+        "grp", "text")
+      .collect().map(r => r.getString(0) ->
+        (1 to 8).map(i => r.getLong(i))).toMap
+    val union = Dedup.minhashes(
+        d.filter(col("grp").isin("a", "c")).withColumn("grp", lit("u")),
+        8, "grp", "text")
+      .collect().map(r => (1 to 8).map(i => r.getLong(i))).head
+    val merged = parts("a").zip(parts("c")).map { case (x, y) => x.min(y) }
+    assert(union === merged)
+  }
+
   // ---- PMI collocations (L141) ----
 
   test("collocations: hand counts, PMI sign, tiebreak, bucketed equals single") {
