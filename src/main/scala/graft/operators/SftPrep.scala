@@ -461,4 +461,43 @@ object SftPrep {
         col("sample_rank").cast("long").as("sample_rank"),
         col("__id").as(idCol), col("__score").as(scoreCol))
   }
+
+  /** KV-cache prefix-sharing report (L143) — the inference-cost planning
+    * table behind batch generation over an SFT/eval/best-of-n prompt
+    * set: prompts sharing their first `prefixTokens` tokens prefill that
+    * prefix ONCE under automatic prefix caching (vLLM-style), so every
+    * group member after the first saves `prefix_len` tokens of prefill.
+    * Template-rendered prompt sets ([[formatExamples]] output) share
+    * template prefixes by construction — this is the report that prices
+    * that reuse and ranks which templates to co-schedule.
+    *
+    * A prompt shorter than `prefixTokens` keys by its whole token
+    * sequence (it can only share cache with exact equals). Only groups
+    * with ≥ 2 prompts appear (singletons save nothing). All integer:
+    * saved_tokens = (n_prompts − 1)·prefix_len, saved_micro =
+    * saved·10⁶ div total_tokens.
+    *
+    * Scale shape: one codegen'd prefix projection + ONE prefix-keyed
+    * aggregation with map-side combine. Nothing else. */
+  def prefixCacheReport(prompts: DataFrame, prefixTokens: Int,
+                        textCol: String = "text"): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens=$prefixTokens")
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    // empty prompts have no prefix to share (and would zero the ratio's
+    // denominator) — dropped by contract
+    val keyed = prompts.select(
+      concat_ws(" ", slice(toks, 1, prefixTokens)).as("prefix"),
+      size(toks).cast("long").as("__n"))
+      .filter(col("prefix") =!= "")
+    keyed.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_prompts"),
+        least(min(col("__n")), lit(prefixTokens.toLong)).as("prefix_len"),
+        sum(col("__n")).as("total_tokens"))
+      .filter(col("n_prompts") >= 2)
+      .select(col("prefix"), col("n_prompts"), col("prefix_len"),
+        col("total_tokens"),
+        ((col("n_prompts") - 1L) * col("prefix_len")).as("saved_tokens"),
+        expr("((n_prompts - 1) * prefix_len * 1000000) div total_tokens")
+          .as("saved_micro"))
+  }
 }

@@ -2633,6 +2633,23 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // KV-cache prefix-sharing report (L143): template-rendered prompts
+    // (three 5-token templates on even docs, raw text on odd) grouped by
+    // their first 4 tokens — the prefill-savings planning table.
+    "prefix_cache_report" -> ((s, dir) => {
+      import graft.operators.SftPrep
+      val tpl = when(col("doc_id") % 2 =!= 0, lit(""))
+        .when(expr("(doc_id div 2) % 3") === 0,
+          lit("summarize the following article text : "))
+        .when(expr("(doc_id div 2) % 3") === 1,
+          lit("translate this text into french now : "))
+        .otherwise(lit("answer the question below very briefly : "))
+      val prompts = Tables.documents(s, dir)
+        .select(concat(tpl, col("text")).as("text"))
+      SftPrep.prefixCacheReport(prompts, prefixTokens = 4)
+        .localCheckpoint(true).orderBy(col("prefix"))
+    }),
+
     // Mergeable-sketch group similarity matrix (L142): per 100-doc
     // source group, one minwise signature (elementwise min — mergeable);
     // pairwise overlap estimates from signature agreement, the corpus
@@ -5376,6 +5393,33 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // same template derivation, first-4-token key, one keyed aggregation
+    "prefix_cache_report" ->
+      """WITH p AS (SELECT
+        |    (CASE WHEN doc_id % 2 <> 0 THEN ''
+        |          WHEN (doc_id // 2) % 3 = 0
+        |            THEN 'summarize the following article text : '
+        |          WHEN (doc_id // 2) % 3 = 1
+        |            THEN 'translate this text into french now : '
+        |          ELSE 'answer the question below very briefly : '
+        |     END) || text AS prompt
+        |  FROM documents),
+        |k AS (SELECT
+        |    array_to_string(t[1:4], ' ') AS prefix,
+        |    CAST(len(t) AS BIGINT) AS n
+        |  FROM (SELECT list_filter(regexp_split_to_array(prompt, '\s+'),
+        |          x -> x <> '') AS t FROM p)
+        |  WHERE len(t) > 0),
+        |g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_prompts,
+        |    least(min(n), 4) AS prefix_len,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens
+        |  FROM k GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT prefix, n_prompts, prefix_len, total_tokens,
+        |  (n_prompts - 1) * prefix_len AS saved_tokens,
+        |  ((n_prompts - 1) * prefix_len * 1000000) // total_tokens
+        |    AS saved_micro
+        |FROM g ORDER BY prefix""".stripMargin,
 
     // group-keyed minwise signatures (same 8 fixed permutations as the
     // lsh chain) + triangular agreement join on the groups-sized frame

@@ -499,4 +499,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("dedup_sketch_matrix plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("dedup_sketch_matrix")
   }
+
+  // L143: one codegen'd prefix projection + one keyed aggregation
+  test("prefix_cache_report plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("prefix_cache_report")
+  }
 }

@@ -5074,6 +5074,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- KV-cache prefix-sharing report (L143) ----
+
+  test("prefix cache report: hand savings, short-prompt keying, singleton/empty drop") {
+    val prompts = Seq(
+      "sum this : alpha beta gamma",   // template group, 6 tokens
+      "sum this : delta words",        // 5 tokens
+      "sum this : epsilon",            // 4 tokens
+      "a b",                           // short pair: whole-text key
+      "a b",
+      "lonely prompt here now",        // singleton -> dropped
+      "")                              // empty -> dropped
+      .toDF("text")
+    val got = SftPrep.prefixCacheReport(prompts, prefixTokens = 3)
+      .collect().map(r => r.getAs[String]("prefix") ->
+        (r.getAs[Long]("n_prompts"), r.getAs[Long]("prefix_len"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("saved_tokens"),
+          r.getAs[Long]("saved_micro"))).toMap
+    // template group: 3 prompts, prefix 3 tokens, 15 total, saves 6
+    assert(got("sum this :") === ((3L, 3L, 15L, 6L, 400000L)))
+    // the short pair keys by its whole 2-token text
+    assert(got("a b") === ((2L, 2L, 4L, 2L, 500000L)))
+    assert(got.keySet === Set("sum this :", "a b"))
+  }
+
   // ---- Mergeable-sketch group matrix (L142) ----
 
   test("sketch matrix: mergeability, identical-group agreement, est formula") {
