@@ -266,6 +266,28 @@ object TrainingDataQueries extends QueryPack {
        |  score_de, score_en, score_es, score_fr, score_zh
        |FROM lsc)""".stripMargin
 
+  /** Shared SFT-pair curation rule set (L144) — ONE ordered definition
+    * feeds the Spark rules and the generated oracle, the
+    * [[CurationRuleSql]] discipline. Signals: itok/rtok (whitespace
+    * tokens of instruction/response), plus the raw strings. */
+  private val SftRuleSql = Seq(
+    "resp_min_tokens" -> "(rtok >= 5)",
+    "len_ratio" -> "(rtok * 10 >= itok AND rtok <= itok * 30)",
+    "no_refusal" -> ("(NOT (position('i cannot' IN response) > 0 " +
+      "OR position('as an ai' IN response) > 0 " +
+      "OR position('i am sorry' IN response) > 0))"),
+    "resp_not_echo" -> "(response <> instruction)")
+
+  /** Spark twin of [[SftRuleSql]]. */
+  private def sftRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "resp_min_tokens" -> (col("rtok") >= 5),
+    "len_ratio" ->
+      (col("rtok") * 10 >= col("itok") && col("rtok") <= col("itok") * 30),
+    "no_refusal" -> !(col("response").contains("i cannot") ||
+      col("response").contains("as an ai") ||
+      col("response").contains("i am sorry")),
+    "resp_not_echo" -> (col("response") =!= col("instruction")))
+
   /** Shared DuckDB CTE chain for the L139 tiling gates: positioned
     * tokens → 8-token block term counts → adjacent-block histogram
     * intersection → windowed (±2) valley depths → per-doc mean cutoff;
@@ -2631,6 +2653,37 @@ object TrainingDataQueries extends QueryPack {
         keyCol = "doc_id", salt = "sp")
         .select(col("doc_id"), col("split"))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // SFT-pair heuristic curation (L144): the Alpaca-cleaning rule
+    // battery (length floor, instruction/response ratio band, refusal
+    // phrases, echo detection) over adjacent-doc (instruction, response)
+    // pairs, composed through the REAL provenance filter; short-response
+    // and refusal corruptions injected so every rule fires.
+    "sft_curation" -> ((s, dir) => {
+      import graft.operators.Curation
+      val d = Tables.documents(s, dir)
+      val instr = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair_id"),
+          col("text").as("instruction"))
+      val resp0 = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair_id"), col("text").as("__r0"))
+      val pairs = instr.join(resp0, Seq("pair_id"))
+        .withColumn("response",
+          when(col("pair_id") % 17 === 0, concat_ws(" ",
+            slice(TextAnalysis.tokens(col("__r0")), 1, 2)))
+          .when(col("pair_id") % 13 === 0,
+            concat(lit("i cannot help with that "), col("__r0")))
+          .otherwise(col("__r0")))
+        .withColumn("itok",
+          TextAnalysis.tokenCount(col("instruction")).cast("long"))
+        .withColumn("rtok",
+          TextAnalysis.tokenCount(col("response")).cast("long"))
+        .drop("__r0")
+      Curation.filterWithProvenance(pairs, sftRules)
+        .select(col("pair_id"), col("itok"), col("rtok"), col("keep"),
+          col("n_fails"), col("fail_reasons"), col("first_fail"))
+        .localCheckpoint(true).orderBy(col("pair_id"))
     }),
 
     // KV-cache prefix-sharing report (L143): template-rendered prompts
@@ -5393,6 +5446,42 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // pair synthesis + the shared rule predicates; fail arrays replayed
+    // in rule order, the filterProvenanceOracle shape
+    "sft_curation" -> {
+      val idx = SftRuleSql.indices
+      val preds = SftRuleSql.zipWithIndex
+        .map { case ((_, sql), i) => s"$sql AS p$i" }.mkString(", ")
+      val lists = SftRuleSql.zipWithIndex.map { case ((n, _), i) =>
+        s"(CASE WHEN p$i THEN CAST([] AS VARCHAR[]) ELSE ['$n'] END)"
+      }.mkString(" || ")
+      s"""WITH $toksCte,
+         |ev AS (SELECT doc_id // 2 AS pair_id, text AS instruction
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |od AS (SELECT d.doc_id // 2 AS pair_id, d.text AS r0, t
+         |  FROM documents d JOIN toks USING (doc_id) WHERE d.doc_id % 2 = 1),
+         |pr AS (SELECT pair_id, instruction,
+         |    CASE WHEN pair_id % 17 = 0 THEN array_to_string(t[1:2], ' ')
+         |         WHEN pair_id % 13 = 0
+         |           THEN 'i cannot help with that ' || r0
+         |         ELSE r0 END AS response
+         |  FROM ev JOIN od USING (pair_id)),
+         |sg AS (SELECT pair_id, instruction, response,
+         |    CAST(len(list_filter(regexp_split_to_array(instruction, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS itok,
+         |    CAST(len(list_filter(regexp_split_to_array(response, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS rtok
+         |  FROM pr),
+         |p AS (SELECT pair_id, itok, rtok, $preds FROM sg)
+         |SELECT pair_id, itok, rtok,
+         |  (${idx.map(i => s"p$i").mkString(" AND ")}) AS keep,
+         |  (${idx.map(i => s"CASE WHEN p$i THEN 0 ELSE 1 END").mkString(" + ")})
+         |    AS n_fails,
+         |  COALESCE(array_to_string($lists, '|'), '') AS fail_reasons,
+         |  ($lists)[1] AS first_fail
+         |FROM p ORDER BY pair_id""".stripMargin
+    },
 
     // same template derivation, first-4-token key, one keyed aggregation
     "prefix_cache_report" ->

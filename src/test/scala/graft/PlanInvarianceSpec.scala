@@ -504,4 +504,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("prefix_cache_report plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("prefix_cache_report")
   }
+
+  // L144: pair join + pure codegen'd rule projection (the provenance
+  // filter compiles to one when-chain)
+  test("sft_curation plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("sft_curation")
+  }
 }

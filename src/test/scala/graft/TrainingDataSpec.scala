@@ -5074,6 +5074,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- SFT-pair heuristic curation (L144) ----
+
+  test("sft curation: rules fire at the gate SF, provenance ordered, injections kill") {
+    val rows = SparkEntry.queries("sft_curation")(spark,
+      "/root/testdata/sf0.001").collect()
+    val reasons = rows.flatMap(r => r.getAs[String]("fail_reasons")
+      .split("\\|").filter(_.nonEmpty)).toSet
+    // the three injectable rules all fire somewhere in the fixture
+    assert(Set("resp_min_tokens", "len_ratio", "no_refusal")
+      .subsetOf(reasons))
+    // first_fail is the FIRST listed reason, rule order preserved
+    rows.filter(_.getAs[Int]("n_fails") > 0).foreach { r =>
+      assert(r.getAs[String]("fail_reasons").split("\\|").head ===
+        r.getAs[String]("first_fail"))
+    }
+    // a truncated response fails the token floor first (rule order),
+    // and the ratio band too
+    val short = rows.find(_.getAs[Long]("pair_id") === 17L).get
+    assert(!short.getAs[Boolean]("keep"))
+    assert(short.getAs[String]("fail_reasons")
+      .startsWith("resp_min_tokens|len_ratio"))
+    // a refusal-injected pair (13 mod, not 17 mod) fails no_refusal only
+    val refusal = rows.find(_.getAs[Long]("pair_id") === 13L).get
+    assert(refusal.getAs[String]("fail_reasons") === "no_refusal")
+  }
+
   // ---- KV-cache prefix-sharing report (L143) ----
 
   test("prefix cache report: hand savings, short-prompt keying, singleton/empty drop") {
