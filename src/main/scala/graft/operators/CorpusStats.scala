@@ -295,4 +295,36 @@ object CorpusStats {
       signals.map(s => col(s"rank_${s._1}")) :+
       mean.as("ensemble_micro"): _*)
   }
+
+  /** Vocabulary-growth report (L145) — the Heaps-law curve read off real
+    * ingest batches: per bucket (a shard, snapshot, crawl day — any
+    * ordered batch key the caller supplies), how many token occurrences
+    * arrived and how many NEW types appeared (types whose FIRST bucket
+    * is this one), plus both cumulative curves. A corpus whose new-type
+    * curve stops bending is saturating its vocabulary — the health check
+    * behind "do we need more diverse data?" and closed-vocab sizing
+    * ([[graft.operators.TextAnalysis.vocabCoverage]]'s longitudinal
+    * twin).
+    *
+    * Scale shape: one (bucket) count and one (token) min-bucket
+    * aggregation, both map-side-combined; the rollup and the cumulative
+    * window run on the BUCKETS-sized frame (dozens of rows — the
+    * partitionless window is over batches, never the corpus). */
+  def vocabGrowth(docs: DataFrame, bucketCol: String,
+                  textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(bucketCol).as("bucket"),
+      explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__tok"))
+    val perBucket = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("__tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+  }
 }

@@ -2655,6 +2655,17 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Vocabulary-growth / Heaps-curve report (L145): per 50-doc ingest
+    // batch, token volume and NEW types (first-bucket attribution) with
+    // both cumulative curves — the vocabulary-saturation health check.
+    "vocab_growth" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val batched = Tables.documents(s, dir)
+        .select(expr("doc_id div 50").as("batch"), col("text"))
+      CorpusStats.vocabGrowth(batched, "batch")
+        .localCheckpoint(true).orderBy(col("bucket"))
+    }),
+
     // SFT-pair heuristic curation (L144): the Alpaca-cleaning rule
     // battery (length floor, instruction/response ratio band, refusal
     // phrases, echo detection) over adjacent-doc (instruction, response)
@@ -5446,6 +5457,26 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // first-bucket attribution via min(batch) per token + cumulative
+    // windows over the buckets-sized rollup
+    "vocab_growth" ->
+      s"""WITH $toksCte,
+         |tok AS MATERIALIZED (SELECT doc_id // 50 AS bucket, unnest(t) AS tok
+         |  FROM toks),
+         |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY 1),
+         |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+         |  FROM (SELECT tok, min(bucket) AS bucket FROM tok GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT pb.bucket, pb.n_tokens,
+         |  COALESCE(nt.n_new_types, 0) AS n_new_types,
+         |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY pb.bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM pb LEFT JOIN nt USING (bucket)
+         |ORDER BY pb.bucket""".stripMargin,
 
     // pair synthesis + the shared rule predicates; fail arrays replayed
     // in rule order, the filterProvenanceOracle shape

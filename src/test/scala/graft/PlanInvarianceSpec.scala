@@ -510,4 +510,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("sft_curation plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("sft_curation")
   }
+
+  // L145: two map-side-combined aggregations + buckets-sized rollup
+  test("vocab_growth plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("vocab_growth")
+  }
 }

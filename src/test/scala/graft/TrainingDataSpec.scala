@@ -5074,6 +5074,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Vocabulary-growth report (L145) ----
+
+  test("vocab growth: first-bucket attribution, empty bucket, cumulative curves") {
+    val d = Seq(
+      (0L, "a b a"),     // bucket 0: 3 tokens, new types a, b
+      (0L, "b c"),       //           2 tokens, new type c
+      (1L, "a b c"),     // bucket 1: 3 tokens, nothing new
+      (2L, "a d e"))     // bucket 2: 3 tokens, new types d, e
+      .toDF("batch", "text")
+    val got = CorpusStats.vocabGrowth(d, "batch")
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_new_types"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("cum_types"))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 5L, 3L, 5L, 3L),
+      (1L, 3L, 0L, 8L, 3L),
+      (2L, 3L, 2L, 11L, 5L)))
+    // final cum_types equals the corpus's distinct token count
+    assert(got.last._5 === 5L)
+  }
+
   // ---- SFT-pair heuristic curation (L144) ----
 
   test("sft curation: rules fire at the gate SF, provenance ordered, injections kill") {
