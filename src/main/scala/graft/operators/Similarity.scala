@@ -275,10 +275,13 @@ object Similarity {
     * grades that path against this one). k-NN cuts are per-vector
     * windows bounded by the OTHER side's size; everything downstream is
     * output-sized. */
-  def bitextMarginPairs(sideA: DataFrame, sideB: DataFrame, k: Int,
-                        thresholdMicro: Long,
-                        idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+  /** The shared margin-scored candidate frame behind
+    * [[bitextMarginPairs]] and [[bitextMutualBest]]: every (a, b)
+    * candidate with its nano-quantized cosine and integer ratio margin
+    * (negative-cosine candidates dropped — see bitextMarginPairs). */
+  private def bitextMarginFrame(sideA: DataFrame, sideB: DataFrame, k: Int,
+                                idCol: String,
+                                vecCol: String): DataFrame = {
     require(k >= 1, s"k=$k")
     def side(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), toDouble(col(vecCol)).as(v))
@@ -310,9 +313,49 @@ object Similarity {
       .filter(col("__cn") >= 0 && col("__ka") + col("__kb") > 0)
       .withColumn("margin_micro",
         expr("(2 * __cn * 1000000) div (__ka + __kb)"))
+    withM
+  }
+
+  def bitextMarginPairs(sideA: DataFrame, sideB: DataFrame, k: Int,
+                        thresholdMicro: Long,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val withM = bitextMarginFrame(sideA, sideB, k, idCol, vecCol)
     val w = Window.partitionBy(col("__ia"))
       .orderBy(col("margin_micro").desc, col("__ib").asc)
     withM.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("__ia").as("vec_id_a"), col("__ib").as("vec_id_b"),
+        col("__cn").as("cos_nano"), col("margin_micro"),
+        (col("margin_micro") >= thresholdMicro).as("accepted"))
+  }
+
+  /** MUTUAL-best bitext pairs (L146) — the precision tier CCMatrix ships
+    * on top of [[bitextMarginPairs]]'s per-A argmax: keep a candidate
+    * only when a is b's best margin AND b is a's best (forward-backward
+    * agreement kills hub vectors that win many one-directional argmaxes
+    * but are nobody's mutual partner). Same margin frame, two argmax
+    * windows, one equi-join of the two OUTPUT-sized best frames.
+    * `accepted` carries the threshold verdict exactly as the one-sided
+    * operator does. */
+  def bitextMutualBest(sideA: DataFrame, sideB: DataFrame, k: Int,
+                       thresholdMicro: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    // two window consumers over the joined margin frame — checkpoint so
+    // the knn joins don't run twice
+    val withM = bitextMarginFrame(sideA, sideB, k, idCol, vecCol)
+      .select(col("__ia"), col("__ib"), col("__cn"), col("margin_micro"))
+      .localCheckpoint(true)
+    val wa = Window.partitionBy(col("__ia"))
+      .orderBy(col("margin_micro").desc, col("__ib").asc)
+    val wb = Window.partitionBy(col("__ib"))
+      .orderBy(col("margin_micro").desc, col("__ia").asc)
+    val bestA = withM.withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bestB = withM.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1)
+      .select(col("__ia"), col("__ib"))
+    bestA.join(bestB, Seq("__ia", "__ib"))
       .select(col("__ia").as("vec_id_a"), col("__ib").as("vec_id_b"),
         col("__cn").as("cos_nano"), col("margin_micro"),
         (col("margin_micro") >= thresholdMicro).as("accepted"))

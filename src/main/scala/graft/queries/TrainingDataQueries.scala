@@ -2201,6 +2201,17 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("vec_id_a"))
     }),
 
+    // Mutual-best bitext pairs (L146): the CCMatrix precision tier —
+    // forward-backward argmax agreement over the same margin frame.
+    "bitext_mutual" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMutualBest(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          k = 4, thresholdMicro = BitextThresholdMicro)
+        .localCheckpoint(true).orderBy(col("vec_id_a"))
+    }),
+
     // Winnowing fingerprint matches (L123, Schleimer et al. 2003 / MOSS):
     // rightmost-min-per-window fingerprint sketches, then doc pairs
     // sharing ≥ 2 fingerprint values under a hot-fingerprint guard —
@@ -5126,6 +5137,40 @@ object TrainingDataQueries extends QueryPack {
          |FROM (SELECT *, row_number() OVER (PARTITION BY ia
          |        ORDER BY mm DESC, ib) AS rn FROM m)
          |WHERE rn = 1 ORDER BY vec_id_a""".stripMargin,
+
+    // same margin chain; both argmax directions joined on equality
+    "bitext_mutual" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |sa AS (SELECT vec_id AS ia, v FROM e WHERE vec_id % 2 = 0),
+         |sb AS (SELECT vec_id AS ib, v FROM e WHERE vec_id % 2 = 1),
+         |x AS (SELECT sa.ia, sb.ib,
+         |        CAST(round(${dotSql("sa.v", "sb.v")}
+         |          / (sqrt(${dotSql("sa.v", "sa.v")}) * sqrt(${dotSql("sb.v", "sb.v")}))
+         |          * 1e9) AS BIGINT) AS cn
+         |      FROM sa, sb),
+         |ka AS (SELECT ia, CAST(sum(cn) AS BIGINT) // count(*) AS av
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY ia
+         |               ORDER BY cn DESC, ib) AS rn FROM x)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |kb AS (SELECT ib, CAST(sum(cn) AS BIGINT) // count(*) AS bv
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY ib
+         |               ORDER BY cn DESC, ia) AS rn FROM x)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |m AS (SELECT x.ia, x.ib, x.cn,
+         |        CAST((2 * x.cn * 1000000) // (ka.av + kb.bv) AS BIGINT) AS mm
+         |      FROM x JOIN ka USING (ia) JOIN kb USING (ib)
+         |      WHERE x.cn >= 0 AND ka.av + kb.bv > 0),
+         |ba AS (SELECT ia, ib, cn, mm FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY ia
+         |           ORDER BY mm DESC, ib) AS rn FROM m) WHERE rn = 1),
+         |bb AS (SELECT ia, ib FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY ib
+         |           ORDER BY mm DESC, ia) AS rn FROM m) WHERE rn = 1)
+         |SELECT ba.ia AS vec_id_a, ba.ib AS vec_id_b, ba.cn AS cos_nano,
+         |  ba.mm AS margin_micro, ba.mm >= $BitextThresholdMicro AS accepted
+         |FROM ba JOIN bb ON ba.ia = bb.ia AND ba.ib = bb.ib
+         |ORDER BY vec_id_a""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -515,4 +515,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("vocab_growth plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("vocab_growth")
   }
+
+  // L146: one checkpointed margin frame + two argmax windows + one
+  // equi-join of the output-sized best frames
+  test("bitext_mutual plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("bitext_mutual")
+  }
 }

@@ -5074,6 +5074,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Mutual-best bitext pairs (L146) ----
+
+  test("bitext mutual best = forward best ∩ swapped backward best") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id_a"),
+        r.getAs[Long]("vec_id_b"))).toSet
+    val mutual = Similarity.bitextMutualBest(a, b, k = 4,
+      thresholdMicro = 1150000L)
+    val fwd = pairs(Similarity.bitextMarginPairs(a, b, 4, 1150000L))
+    // the margin is symmetric in the two sides, so the per-B argmax is
+    // the swapped-role run of the same operator
+    val bwd = Similarity.bitextMarginPairs(b, a, 4, 1150000L)
+      .collect().map(r => (r.getAs[Long]("vec_id_b"),
+        r.getAs[Long]("vec_id_a"))).toSet
+    val got = pairs(mutual)
+    assert(got === fwd.intersect(bwd))
+    assert(got.nonEmpty && got.size < fwd.size) // hubs were suppressed
+    // verdicts ride through unchanged from the forward side
+    val fwdRows = Similarity.bitextMarginPairs(a, b, 4, 1150000L)
+      .collect().map(r => (r.getAs[Long]("vec_id_a"),
+        r.getAs[Long]("vec_id_b")) -> r.getAs[Boolean]("accepted")).toMap
+    mutual.collect().foreach { r =>
+      val key = (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))
+      assert(r.getAs[Boolean]("accepted") === fwdRows(key))
+    }
+  }
+
   // ---- Vocabulary-growth report (L145) ----
 
   test("vocab growth: first-bucket attribution, empty bucket, cumulative curves") {
