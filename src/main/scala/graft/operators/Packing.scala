@@ -295,6 +295,78 @@ object Packing {
       .select((df.columns.map(col) ++ Seq(col("shard"), col("pos_in_shard"))).toSeq: _*)
   }
 
+  /** SIZE-BALANCED shard assignment (L147) — sorted round-robin: rows
+    * ranked (size DESC, md5 draw, key) and dealt `rank mod numShards`.
+    * [[shardAssign]] balances COUNTS (hash order is size-blind — one
+    * shard can draw the long docs and run minutes longer under a
+    * data-parallel loader); sorted round-robin bounds the token spread
+    * instead: descending deal keeps every shard within one largest-item
+    * of its neighbors (the classic LPT bound for identical machines at
+    * this deal discipline), and the md5 draw inside a size class keeps
+    * the assignment reproducible and content-blind.
+    *
+    * Scale shape: the global rank is the [[shardAssign]] two-phase cut
+    * with (size, draw-prefix) buckets — one narrow (size, bucket) count
+    * aggregation, exclusive base offsets from a window over that
+    * aggregate (distinct-sizes × 16^drawPrefixLen rows; token counts
+    * are a bounded integer domain — band the size first if yours
+    * isn't), rank within (size, bucket). `drawPrefixLen = 0` keeps the
+    * single-window reference formulation (the oracle's shape — parity
+    * proves the two-phase cut exact).
+    *
+    * Output: input columns + `shard`. */
+  def shardBalancedBySize(df: DataFrame, numShards: Int, sizeCol: String,
+                          keyCol: String, salt: String = "",
+                          drawPrefixLen: Int = 2): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(drawPrefixLen >= 0 && drawPrefixLen <= 8,
+      s"drawPrefixLen must be in [0, 8], got $drawPrefixLen")
+    val reserved = Seq("shard", "__draw", "__bkt", "__base", "__pos", "__n")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by shardBalancedBySize")
+    val W = Window
+    val withDraw = df.withColumn("__draw",
+      coalesce(Sampling.draw(col(keyCol), salt), lit("")))
+    val withPos =
+      if (drawPrefixLen == 0) {
+        val w = W.orderBy(col(sizeCol).desc, col("__draw"), col(keyCol))
+        withDraw.withColumn("__pos", row_number().over(w).cast("long") - 1)
+      } else {
+        val wd = withDraw
+          .withColumn("__bkt", substring(col("__draw"), 1, drawPrefixLen))
+        val wBase = W.orderBy(col(sizeCol).desc, col("__bkt"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val bases = wd.groupBy(col(sizeCol), col("__bkt"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
+          .select(col(sizeCol), col("__bkt"), col("__base"))
+        val wIn = W.partitionBy(col(sizeCol), col("__bkt"))
+          .orderBy(col("__draw"), col(keyCol))
+        wd.join(broadcast(bases), Seq(sizeCol, "__bkt"))
+          .withColumn("__pos",
+            col("__base") + row_number().over(wIn).cast("long") - 1)
+      }
+    withPos
+      .withColumn("shard", (col("__pos") % numShards).cast("int"))
+      .select(df.columns.map(col) :+ col("shard"): _*)
+  }
+
+  /** Per-shard balance rollup for [[shardBalancedBySize]] (or any
+    * sharded frame): doc count, token total, and the global max-min
+    * spread as a micro ratio of the largest shard (repeated on every
+    * row — the one-row extreme frame rides a broadcast, no second
+    * pass). */
+  def shardBalanceReport(assigned: DataFrame, sizeCol: String): DataFrame = {
+    val roll = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("total_tokens"))
+    val mm = roll.agg(max(col("total_tokens")).as("__mx"),
+      min(col("total_tokens")).as("__mn"))
+    roll.crossJoin(broadcast(mm))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        expr("((__mx - __mn) * 1000000) div __mx").as("imbalance_micro"))
+  }
+
   /** Reproducibility manifest for a sharded training output: per shard,
     * member count, token total, the position span, and an ORDER-DEFINED
     * digest — md5 over the member ids joined in `pos_in_shard` order,

@@ -2666,6 +2666,34 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Size-balanced sharding (L147): sorted round-robin by token count
+    // (size desc, md5 draw, id) dealt mod 8 — the token-spread-bounded
+    // alternative to hash sharding; two-phase (size, draw-prefix) rank
+    // vs the oracle's single window, so parity proves the cut exact.
+    "shard_balanced" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.shardBalancedBySize(d, numShards = 8, sizeCol = "n_tokens",
+          keyCol = "doc_id", salt = "bal")
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // The balance rollup of L147: per-shard doc/token totals + the
+    // global max-min spread as a micro ratio.
+    "shard_balance_report" -> ((s, dir) => {
+      import graft.operators.Packing
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.shardBalanceReport(
+          Packing.shardBalancedBySize(d, numShards = 8,
+            sizeCol = "n_tokens", keyCol = "doc_id", salt = "bal"),
+          "n_tokens")
+        .localCheckpoint(true).orderBy(col("shard"))
+    }),
+
     // Vocabulary-growth / Heaps-curve report (L145): per 50-doc ingest
     // batch, token volume and NEW types (first-bucket attribution) with
     // both cumulative curves — the vocabulary-saturation health check.
@@ -5502,6 +5530,38 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // single-window (size desc, draw, id) rank dealt mod 8 — the
+    // two-phase Spark cut must match exactly
+    "shard_balanced" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |        substring(md5(CAST(doc_id AS VARCHAR) || ':bal'), 1, 8) AS dr
+         |      FROM toks),
+         |r AS (SELECT doc_id, n_tokens,
+         |        row_number() OVER (ORDER BY n_tokens DESC, dr, doc_id) - 1
+         |          AS pos
+         |      FROM d)
+         |SELECT doc_id, n_tokens, CAST(pos % 8 AS INT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "shard_balance_report" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |        substring(md5(CAST(doc_id AS VARCHAR) || ':bal'), 1, 8) AS dr
+         |      FROM toks),
+         |r AS (SELECT n_tokens,
+         |        CAST((row_number() OVER (ORDER BY n_tokens DESC, dr, doc_id)
+         |          - 1) % 8 AS INT) AS shard
+         |      FROM d),
+         |roll AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM r GROUP BY 1),
+         |mm AS (SELECT max(total_tokens) AS mx, min(total_tokens) AS mn
+         |  FROM roll)
+         |SELECT shard, n_docs, total_tokens,
+         |  ((mx - mn) * 1000000) // mx AS imbalance_micro
+         |FROM roll CROSS JOIN mm ORDER BY shard""".stripMargin,
 
     // first-bucket attribution via min(batch) per token + cumulative
     // windows over the buckets-sized rollup

@@ -521,4 +521,13 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("bitext_mutual plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("bitext_mutual")
   }
+
+  // L147: two-phase (size, draw-prefix) rank — narrow count agg +
+  // broadcast bases + in-bucket windows, no single-task global sort
+  test("shard_balanced plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("shard_balanced")
+  }
+  test("shard_balance_report plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("shard_balance_report")
+  }
 }

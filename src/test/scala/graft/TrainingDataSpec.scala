@@ -5074,6 +5074,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Size-balanced sharding (L147) ----
+
+  test("balanced shards: LPT spread bound, two-phase equals single window, report") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, 1L + rnd.nextInt(200).toLong))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val assigned = Packing.shardBalancedBySize(df, numShards = 7,
+      sizeCol = "n_tokens", keyCol = "doc_id", salt = "t")
+    val totals = assigned.groupBy("shard")
+      .agg(sum("n_tokens").as("t")).collect().map(_.getLong(1))
+    assert(totals.length === 7)
+    // descending round-robin keeps the spread within one largest item
+    assert(totals.max - totals.min <= rows.map(_._2).max)
+    // the two-phase cut is exactly the single-window deal
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val single = Packing.shardBalancedBySize(df, 7, "n_tokens", "doc_id",
+      salt = "t", drawPrefixLen = 0)
+    assert(canon(assigned) === canon(single))
+    // report mirrors the rollup and the spread formula
+    val rep = Packing.shardBalanceReport(assigned, "n_tokens")
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("imbalance_micro")))
+    assert(rep.map(_._2).sorted.toSeq === totals.sorted.toSeq)
+    val expected = (totals.max - totals.min) * 1000000L / totals.max
+    rep.foreach { case (_, _, imb) => assert(imb === expected) }
+  }
+
   // ---- Mutual-best bitext pairs (L146) ----
 
   test("bitext mutual best = forward best ∩ swapped backward best") {
