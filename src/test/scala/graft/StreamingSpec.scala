@@ -1554,4 +1554,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(12L) === ((false, "min_rank")))
     } finally q.stop()
   }
+
+  test("minwise group signatures stream: incremental mins equal the batch sketch") {
+    // L142's mergeability is exactly what a streaming min aggregation
+    // exploits: signatures of incrementally-arriving group slices fold by
+    // elementwise min, so the drained complete-mode table must equal the
+    // one-shot batch signatures regardless of batch boundaries
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      ("a", "alpha beta gamma delta words"),
+      ("b", "other words entirely here now"),
+      ("a", "more alpha content beta here"),
+      ("b", "second doc for group b today"))
+    val input = MemoryStream[(String, String)]
+    val q = Dedup.minhashes(input.toDS().toDF("grp", "text"), 8,
+        "grp", "text")
+      .writeStream.format("memory").queryName("mh_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      input.addData(rows(2), rows(3))
+      q.processAllAvailable()
+      val got = spark.table("mh_stream").collect()
+        .map(r => r.getString(0) -> (1 to 8).map(r.getLong)).toMap
+      val batch = Dedup.minhashes(rows.toDF("grp", "text"), 8,
+          "grp", "text")
+        .collect().map(r => r.getString(0) -> (1 to 8).map(r.getLong)).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
