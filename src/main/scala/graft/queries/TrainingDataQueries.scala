@@ -2761,8 +2761,10 @@ object TrainingDataQueries extends QueryPack {
       val grouped = Tables.documents(s, dir).select(
         concat(lit("s"), expr("doc_id div 100").cast("string")).as("grp"),
         col("text"))
-      Dedup.minhashMatrix(grouped, "grp")
+      val out = Dedup.minhashMatrix(grouped, "grp")
         .localCheckpoint(true).orderBy(col("src_a"), col("src_b"))
+      Dedup.releaseIntermediateCaches()
+      out
     }),
 
     // PMI collocations (L141): top-30 bigrams by count with the
@@ -2824,8 +2826,10 @@ object TrainingDataQueries extends QueryPack {
     // MinHash estimate and the mean exact Jaccard of the candidate pairs
     // that landed there.
     "dedup_minhash_calibration" -> ((s, dir) => {
-      Dedup.minhashCalibration(Tables.documents(s, dir))
+      val out = Dedup.minhashCalibration(Tables.documents(s, dir))
         .localCheckpoint(true).orderBy(col("n_agree"))
+      Dedup.releaseIntermediateCaches()
+      out
     }),
 
     // URL-parallel bitext alignment (L136): the ParaCrawl baseline —
