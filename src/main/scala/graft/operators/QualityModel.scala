@@ -229,4 +229,31 @@ object QualityModel {
       .withColumn("gap_micro",
         abs(col("mean_pred_micro") - col("pos_rate_micro")))
   }
+
+  /** Per-domain quality prior + blended score (L148) — the FineWeb-era
+    * move: a document's keep decision reads BOTH its own signal and its
+    * domain's track record (a mediocre page on a consistently-good
+    * domain survives; a polished page on a spam domain doesn't).
+    * prior(domain) = floor-mean of the integer score over the domain;
+    * blend = (priorNum·prior + (priorDen−priorNum)·score) div priorDen
+    * — all integer, engine-exact.
+    *
+    * Scale shape: one domain-keyed aggregation with map-side combine
+    * (domains-sized output) joined back BROADCAST; the corpus is
+    * scanned once and never shuffles. */
+  def domainPriorBlend(scored: DataFrame, domainCol: String,
+                       scoreCol: String, priorNum: Long = 1,
+                       priorDen: Long = 2): DataFrame = {
+    require(priorDen >= 1 && priorNum >= 0 && priorNum <= priorDen,
+      s"blend $priorNum/$priorDen: need 0 <= num <= den, den >= 1")
+    val reserved = Seq("domain_prior_micro", "blend_micro")
+    require(!scored.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by domainPriorBlend")
+    val prior = scored.groupBy(col(domainCol))
+      .agg(expr(s"sum($scoreCol) div count(1)").as("domain_prior_micro"))
+    scored.join(broadcast(prior), Seq(domainCol))
+      .withColumn("blend_micro",
+        expr(s"($priorNum * domain_prior_micro + " +
+          s"(${priorDen - priorNum}) * $scoreCol) div $priorDen"))
+  }
 }

@@ -266,6 +266,36 @@ object TrainingDataQueries extends QueryPack {
        |  score_de, score_en, score_es, score_fr, score_zh
        |FROM lsc)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the ensemble-rank gates: three integer
+    * signals → per-signal cumulative-percentile ranks → `ens` carrying
+    * (doc_id, n_tok, n_distinct, n_chars, rank_*, ensemble_micro).
+    * Feeds `quality_ensemble` and the L148 domain-prior blend. */
+  private def ensembleCtes: String =
+    s"""$toksCte,
+       |sig AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+       |          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |          CAST(length(d.text) AS BIGINT) AS n_chars
+       |        FROM documents d JOIN toks USING (doc_id)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
+       |c1 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          * 1000000) // (SELECT n FROM nn) AS r
+       |       FROM (SELECT n_tok AS v, count(*) AS c FROM sig GROUP BY 1)),
+       |c2 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          * 1000000) // (SELECT n FROM nn) AS r
+       |       FROM (SELECT n_distinct AS v, count(*) AS c FROM sig GROUP BY 1)),
+       |c3 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |          * 1000000) // (SELECT n FROM nn) AS r
+       |       FROM (SELECT n_chars AS v, count(*) AS c FROM sig GROUP BY 1)),
+       |ens AS MATERIALIZED (SELECT s.doc_id, s.n_tok, s.n_distinct,
+       |    s.n_chars, c1.r AS rank_n_tok, c2.r AS rank_n_distinct,
+       |    c3.r AS rank_n_chars,
+       |    (c1.r + c2.r + c3.r) // 3 AS ensemble_micro
+       |  FROM sig s JOIN c1 ON s.n_tok = c1.v
+       |  JOIN c2 ON s.n_distinct = c2.v JOIN c3 ON s.n_chars = c3.v)""".stripMargin
+
   /** Shared SFT-pair curation rule set (L144) — ONE ordered definition
     * feeds the Spark rules and the generated oracle, the
     * [[CurationRuleSql]] discipline. Signals: itok/rtok (whitespace
@@ -2663,6 +2693,28 @@ object TrainingDataQueries extends QueryPack {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         keyCol = "doc_id", salt = "sp")
         .select(col("doc_id"), col("split"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Per-domain quality prior + blend (L148): the REAL ensemble rank
+    // feeds a lang-keyed floor-mean prior, blended 1:1 with the doc's
+    // own score — a mediocre doc on a good domain survives.
+    "quality_domain_blend" -> ((s, dir) => {
+      import graft.operators.CorpusStats
+      val docs = Tables.documents(s, dir)
+      val ens = CorpusStats.ensembleRank(docs, "doc_id", Seq(
+          ("n_tok", TextAnalysis.tokenCount(col("text")).cast("long")),
+          ("n_distinct",
+            size(array_distinct(TextAnalysis.tokens(col("text"))))
+              .cast("long")),
+          ("n_chars", length(col("text")).cast("long"))))
+        .select(col("doc_id"), col("ensemble_micro"))
+      val withDomain = ens
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.QualityModel
+        .domainPriorBlend(withDomain, "lang", "ensemble_micro")
+        .select(col("doc_id"), col("lang"), col("ensemble_micro"),
+          col("domain_prior_micro"), col("blend_micro"))
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
@@ -5535,6 +5587,23 @@ object TrainingDataQueries extends QueryPack {
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // the shared ensemble chain + a lang-keyed floor-mean prior + the
+    // 1:1 integer blend
+    "quality_domain_blend" ->
+      s"""WITH $ensembleCtes,
+         |wd AS (SELECT e.doc_id, d.lang, e.ensemble_micro
+         |  FROM ens e JOIN documents d USING (doc_id)),
+         |pr AS (SELECT lang,
+         |    CAST(sum(ensemble_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS domain_prior_micro
+         |  FROM wd GROUP BY 1)
+         |SELECT wd.doc_id, wd.lang, wd.ensemble_micro,
+         |  pr.domain_prior_micro,
+         |  (1 * pr.domain_prior_micro + 1 * wd.ensemble_micro) // 2
+         |    AS blend_micro
+         |FROM wd JOIN pr USING (lang)
+         |ORDER BY wd.doc_id""".stripMargin,
+
     // single-window (size desc, draw, id) rank dealt mod 8 — the
     // two-phase Spark cut must match exactly
     "shard_balanced" ->
@@ -6627,31 +6696,12 @@ object TrainingDataQueries extends QueryPack {
 
     // per-signal value histograms + cumulative windows over the
     // distinct-value frames, value-keyed joins back, integer mean
+    // (shared ensembleCtes — the L148 blend oracle rides the same chain)
     "quality_ensemble" ->
-      s"""WITH $toksCte,
-         |sig AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
-         |          CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-         |          CAST(length(d.text) AS BIGINT) AS n_chars
-         |        FROM documents d JOIN toks USING (doc_id)),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sig),
-         |c1 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |          * 1000000) // (SELECT n FROM nn) AS r
-         |       FROM (SELECT n_tok AS v, count(*) AS c FROM sig GROUP BY 1)),
-         |c2 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |          * 1000000) // (SELECT n FROM nn) AS r
-         |       FROM (SELECT n_distinct AS v, count(*) AS c FROM sig GROUP BY 1)),
-         |c3 AS (SELECT v, (CAST(sum(c) OVER (ORDER BY v
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |          * 1000000) // (SELECT n FROM nn) AS r
-         |       FROM (SELECT n_chars AS v, count(*) AS c FROM sig GROUP BY 1))
-         |SELECT s.doc_id, s.n_tok, s.n_distinct, s.n_chars,
-         |  c1.r AS rank_n_tok, c2.r AS rank_n_distinct, c3.r AS rank_n_chars,
-         |  (c1.r + c2.r + c3.r) // 3 AS ensemble_micro
-         |FROM sig s JOIN c1 ON s.n_tok = c1.v
-         |JOIN c2 ON s.n_distinct = c2.v JOIN c3 ON s.n_chars = c3.v
-         |ORDER BY s.doc_id""".stripMargin,
+      s"""WITH $ensembleCtes
+         |SELECT doc_id, n_tok, n_distinct, n_chars,
+         |  rank_n_tok, rank_n_distinct, rank_n_chars, ensemble_micro
+         |FROM ens ORDER BY doc_id""".stripMargin,
 
     // top-30 corpus 5-grams by total frequency, gram-ascending tiebreak,
     // doc frequency alongside

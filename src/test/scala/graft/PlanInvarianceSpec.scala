@@ -530,4 +530,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("shard_balance_report plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("shard_balance_report")
   }
+
+  // L148: ensemble chain + one domains-sized floor-mean agg joined back
+  // broadcast — the corpus never re-shuffles
+  test("quality_domain_blend plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("quality_domain_blend")
+  }
 }

@@ -5074,6 +5074,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Per-domain quality prior + blend (L148) ----
+
+  test("domain prior blend: floor-mean prior, integer blend, reserved guard") {
+    val scored = Seq(
+      (1L, "good.com", 900000L), (2L, "good.com", 700000L),
+      (3L, "good.com", 800001L), // prior = 2400001/3 = 800000 (floor)
+      (4L, "spam.com", 100000L), (5L, "spam.com", 200000L))
+      .toDF("doc_id", "domain", "score")
+    val got = QualityModel.domainPriorBlend(scored, "domain", "score")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("domain_prior_micro"), r.getAs[Long]("blend_micro")))
+      .toMap
+    assert(got(1L) === ((800000L, 850000L))) // (800000+900000)/2
+    assert(got(2L) === ((800000L, 750000L)))
+    assert(got(4L) === ((150000L, 125000L)))
+    // a mediocre doc on the good domain now outranks a same-score doc
+    // on the spam domain by exactly the prior gap / 2
+    assert(got(2L)._2 - got(5L)._2 ===
+      (800000L - 150000L) / 2 + (700000L - 200000L) / 2)
+    // prior-only and score-only degenerate weights
+    val all = QualityModel.domainPriorBlend(scored, "domain", "score",
+        priorNum = 2, priorDen = 2)
+      .collect().map(r => r.getAs[Long]("blend_micro")).toSet
+    assert(all === Set(800000L, 150000L))
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.domainPriorBlend(
+        scored.withColumnRenamed("score", "blend_micro"),
+        "domain", "blend_micro")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   // ---- Size-balanced sharding (L147) ----
 
   test("balanced shards: LPT spread bound, two-phase equals single window, report") {
