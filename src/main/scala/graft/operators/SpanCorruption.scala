@@ -107,6 +107,42 @@ object SpanCorruption {
     * the rising edge. Per-row lambda-HOF cost is the documented twin
     * trade — corpus-scale batch work stays on [[corrupt]]'s windowed
     * plan. */
+  /** Independent-cropping contrastive pairs (L149) — the
+    * Contriever/SimCSE-family pretraining prep (Izacard et al. 2022 §3:
+    * two independently-sampled spans of one document form a positive
+    * pair; everything else in the batch is a negative): per document two
+    * deterministic token crops of length min(cropTokens, n), offsets
+    * from independent md5 draws mod (n − L + 1), plus their token
+    * overlap (the signal for filtering trivially-identical pairs).
+    * Documents with no tokens emit nothing.
+    *
+    * Scale shape: a PURE codegen'd projection (draw → offset → slice) —
+    * zero shuffle, streaming-safe by construction, the
+    * [[FillInMiddle]] discipline. */
+  def contrastiveCrops(docs: DataFrame, cropTokens: Int = 12,
+                       salt: String = "crop", idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(cropTokens >= 1, s"cropTokens=$cropTokens")
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val base = docs
+      .select(col(idCol).as("doc_id"), toks.as("__t"),
+        size(toks).cast("long").as("__n"))
+      .filter(col("__n") >= 1)
+      .withColumn("__l", least(lit(cropTokens.toLong), col("__n")))
+    def off(tag: String) = pmod(
+      conv(Sampling.draw(col("doc_id"), salt + tag), 16, 10).cast("long"),
+      col("__n") - col("__l") + 1)
+    base
+      .withColumn("__oa", off("a")).withColumn("__ob", off("b"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("__t"), (col("__oa") + 1).cast("int"),
+          col("__l").cast("int"))).as("crop_a"),
+        concat_ws(" ", slice(col("__t"), (col("__ob") + 1).cast("int"),
+          col("__l").cast("int"))).as("crop_b"),
+        greatest(lit(0L), least(col("__oa"), col("__ob")) + col("__l")
+          - greatest(col("__oa"), col("__ob"))).as("overlap_tokens"))
+  }
+
   def corruptStateless(docs: DataFrame, spanStartProb: Double = 0.05,
                        spanLen: Int = 3, salt: String = "t5",
                        idCol: String = "doc_id", textCol: String = "text")

@@ -2696,6 +2696,15 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Contrastive independent crops (L149): two deterministic 12-token
+    // crops per doc + their overlap — the Contriever/SimCSE positive
+    // pair prep, a pure projection.
+    "contrastive_crops" -> ((s, dir) => {
+      import graft.operators.SpanCorruption
+      SpanCorruption.contrastiveCrops(Tables.documents(s, dir))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Per-domain quality prior + blend (L148): the REAL ensemble rank
     // feeds a lang-keyed floor-mean prior, blended 1:1 with the doc's
     // own score — a mediocre doc on a good domain survives.
@@ -5586,6 +5595,26 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // draw -> offset mod (n-l+1) -> inclusive-bound slice; overlap =
+    // min(off)+l - max(off) clamped at 0
+    "contrastive_crops" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |        least(12, CAST(len(t) AS BIGINT)) AS l
+         |      FROM toks WHERE len(t) >= 1),
+         |c AS (SELECT doc_id, t, l,
+         |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+         |      || ':cropa'), 1, 8) AS BIGINT) % (n - l + 1) AS BIGINT) AS oa,
+         |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+         |      || ':cropb'), 1, 8) AS BIGINT) % (n - l + 1) AS BIGINT) AS ob
+         |  FROM b)
+         |SELECT doc_id,
+         |  array_to_string(t[oa+1 : oa+l], ' ') AS crop_a,
+         |  array_to_string(t[ob+1 : ob+l], ' ') AS crop_b,
+         |  greatest(0, least(oa, ob) + l - greatest(oa, ob))
+         |    AS overlap_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // the shared ensemble chain + a lang-keyed floor-mean prior + the
     // 1:1 integer blend

@@ -536,4 +536,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("quality_domain_blend plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("quality_domain_blend")
   }
+
+  // L149: one codegen'd draw/slice projection — zero shuffle
+  test("contrastive_crops plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("contrastive_crops")
+  }
 }

@@ -5074,6 +5074,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Contrastive independent crops (L149) ----
+
+  test("contrastive crops equal a plain-Scala reference; short docs collapse") {
+    def draw32(key: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 120L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val got = SpanCorruption.contrastiveCrops(docs(rows: _*), cropTokens = 5,
+        salt = "s")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("crop_a"), r.getAs[String]("crop_b"),
+          r.getAs[Long]("overlap_tokens"))).toMap
+    rows.foreach { case (id, text) =>
+      val t = text.split(" ")
+      val l = math.min(5, t.length)
+      def off(tag: String) = draw32(id, "s" + tag) % (t.length - l + 1)
+      val (oa, ob) = (off("a"), off("b"))
+      val expOverlap = math.max(0L, math.min(oa, ob) + l - math.max(oa, ob))
+      assert(got(id) === ((
+        t.slice(oa.toInt, oa.toInt + l).mkString(" "),
+        t.slice(ob.toInt, ob.toInt + l).mkString(" "),
+        expOverlap)), s"doc $id")
+    }
+    // a doc shorter than the crop yields two identical full-text crops
+    // with full overlap
+    val short = SpanCorruption.contrastiveCrops(docs(1L -> "a b c"),
+      cropTokens = 10).collect().head
+    assert(short.getAs[String]("crop_a") === "a b c")
+    assert(short.getAs[String]("crop_b") === "a b c")
+    assert(short.getAs[Long]("overlap_tokens") === 3L)
+    // empty docs emit nothing
+    assert(SpanCorruption.contrastiveCrops(docs(2L -> "")).count() === 0)
+  }
+
   // ---- Per-domain quality prior + blend (L148) ----
 
   test("domain prior blend: floor-mean prior, integer blend, reserved guard") {
