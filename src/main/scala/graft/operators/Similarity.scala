@@ -61,6 +61,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Embedding-space hard negatives (L150) — the dense twin of
+    * [[Retrieval.hardNegatives]]'s lexical mining: per query vector, the
+    * top-k cosine neighbors whose LABEL differs from the query's —
+    * same-neighborhood, different-class, the pairs that teach a metric
+    * model its hardest boundaries (Xiong et al. 2021's ANCE signal at
+    * the data-prep tier). The label filter runs BEFORE the rank cut
+    * (the hardNegatives discipline: a query whose neighborhood is
+    * dominated by its own class still yields k true negatives).
+    *
+    * Scale shape: the brute-force scored frame with a broadcast query
+    * side (the [[bruteForceTopK]] baseline — IVF pre-bucketing is the
+    * corpus-scale path, graded by [[recallAtK]] against exactly this
+    * output). */
+  def embeddingHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("__qv"), col(labelCol).as("__ql"))
+      .withColumn("__qn", norm(col("__qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("__cv"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("__cn", norm(col("__cv")))
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .filter(col("neighbor_label") =!= col("__ql")) // before the cut
+      .withColumn("cos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"))
+  }
+
   /** Left-fold squared-L2 distance of two double arrays (fixed accumulation
     * order — the cross-engine determinism discipline of [[dot]]). */
   def sqDist(a: Column, b: Column): Column =

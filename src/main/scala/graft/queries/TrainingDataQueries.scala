@@ -2696,6 +2696,16 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Embedding-space hard negatives (L150): per query vector the top-5
+    // cosine neighbors of a DIFFERENT label, filter before the cut —
+    // the dense twin of the BM25 hard-negative miner.
+    "embedding_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.embeddingHardNegatives(e,
+          e.filter(col("vec_id") < 10), k = 5)
+        .localCheckpoint(true).orderBy(col("query_id"), col("rank"))
+    }),
+
     // Contrastive independent crops (L149): two deterministic 12-token
     // crops per doc + their overlap — the Contriever/SimCSE positive
     // pair prep, a pure projection.
@@ -5595,6 +5605,26 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the ann_bruteforce chain with the label anti-filter BEFORE the
+    // rank window
+    "embedding_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        c.label AS neighbor_label,
+         |        ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")})
+         |          * sqrt(${dotSql("c.v", "c.v")})) AS cos
+         |      FROM e q JOIN e c
+         |        ON c.vec_id <> q.vec_id AND c.label <> q.label
+         |      WHERE q.vec_id < 10),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id, neighbor_label, cos
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // draw -> offset mod (n-l+1) -> inclusive-bound slice; overlap =
     // min(off)+l - max(off) clamped at 0

@@ -541,4 +541,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("contrastive_crops plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("contrastive_crops")
   }
+
+  // L150: broadcast query side + label filter BEFORE the per-query rank
+  test("embedding_hard_negatives plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("embedding_hard_negatives")
+  }
 }

@@ -5074,6 +5074,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Embedding-space hard negatives (L150) ----
+
+  test("embedding hard negatives: label filter before the cut, equals filtered brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val got = Similarity.embeddingHardNegatives(e, q, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+        -> (r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label")))
+      .toMap
+    // every query yields exactly k negatives, all cross-label
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 10L).foreach { qid =>
+      (1 to 5).foreach { r =>
+        val (nid, nl) = got((qid, r))
+        assert(nl === labels(nid))
+        assert(nl !== labels(qid))
+      }
+    }
+    // the filtered-then-ranked result is NOT the top-k of the unfiltered
+    // ranking with same-label rows dropped past the cut: recompute via
+    // bruteForceTopK over a pre-filtered corpus per query and compare
+    val perQuery = (0L until 10L).map { qid =>
+      val negCorpus = e.filter(col("label") =!= labels(qid))
+      val ref = Similarity.bruteForceTopK(negCorpus,
+          e.filter(col("vec_id") === qid), k = 5)
+        .collect().map(r => r.getAs[Int]("rank") ->
+          r.getAs[Long]("neighbor_id")).toMap
+      (1 to 5).forall(r => ref(r) === got((qid, r))._1)
+    }
+    assert(perQuery.forall(identity))
+  }
+
   // ---- Contrastive independent crops (L149) ----
 
   test("contrastive crops equal a plain-Scala reference; short docs collapse") {
