@@ -94,4 +94,33 @@ object ScalarQuant {
     val (mins, maxes) = collectStats(fitMinMax(vectors, vecCol))
     vectors.withColumn(outCol, encodeExpr(col(vecCol), mins, maxes))
   }
+
+  /** Reconstruction-error report (L151) — the QA a quantized ANN tier
+    * owes before int8 codes replace floats in production: per vector
+    * the cosine between the original and its decode(encode(·))
+    * round-trip, nano-quantized (round(cos·10⁹), the bitext_margin
+    * discipline — the per-vector value is one fixed-order fold, so the
+    * frame aggregates downstream in exact integers; feed `err_nano`
+    * to [[CorpusStats.histogramQuantiles]] for the percentile summary).
+    *
+    * Scale shape: the dims-sized fit-collect (the [[quantize]]
+    * boundary) + ONE pure codegen'd projection (encode → decode → fold
+    * cosine) — zero shuffle past the fit. A ZERO vector has no
+    * direction to preserve: its cosine is 0/0 → null (filter upstream
+    * if your corpus can contain them — the [[Similarity]] cosine
+    * contract). */
+  def reconstructionReport(vectors: DataFrame,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val (mins, maxes) = collectStats(fitMinMax(vectors, vecCol))
+    val orig = col(vecCol).cast("array<double>")
+    val dec = decodeExpr(encodeExpr(col(vecCol), mins, maxes), mins, maxes)
+    vectors
+      .select(col(idCol), orig.as("__o"), dec.as("__d"))
+      .select(col(idCol),
+        round(Similarity.dot(col("__o"), col("__d"))
+          / (Similarity.norm(col("__o")) * Similarity.norm(col("__d")))
+          * lit(1e9)).cast("long").as("cos_nano"))
+      .withColumn("err_nano", lit(1000000000L) - col("cos_nano"))
+  }
 }

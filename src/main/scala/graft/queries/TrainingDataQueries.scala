@@ -2696,6 +2696,15 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // SQ reconstruction-error report (L151): per vector the nano-cosine
+    // between the original and its int8 decode(encode(.)) round trip —
+    // the QA the quantized ANN tier owes before codes replace floats.
+    "embedding_sq_error" -> ((s, dir) => {
+      import graft.operators.ScalarQuant
+      ScalarQuant.reconstructionReport(Tables.embeddings(s, dir))
+        .localCheckpoint(true).orderBy(col("vec_id"))
+    }),
+
     // Embedding-space hard negatives (L150): per query vector the top-5
     // cosine neighbors of a DIFFERENT label, filter before the cut —
     // the dense twin of the BM25 hard-negative miner.
@@ -5605,6 +5614,34 @@ object TrainingDataQueries extends QueryPack {
         |       WHEN h < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the embedding_quantize chain extended with midpoint decode and the
+    // ordered-list fold cosine (sum-aggregation dots would be
+    // order-dependent in IEEE; list(ORDER BY pos) + the shared fold is
+    // exact both sides)
+    "embedding_sq_error" ->
+      s"""WITH e AS (SELECT vec_id,
+         |       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         |       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |     FROM embeddings),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         |d AS (SELECT vec_id, pos, x,
+         |    CASE WHEN mx = mn THEN mn
+         |         ELSE mn + (CAST(least(255,
+         |             CAST(floor((x - mn) / (mx - mn) * 256.0) AS INT))
+         |           AS DOUBLE) + 0.5) * (mx - mn) / 256.0
+         |    END AS dx
+         |  FROM e JOIN st USING (pos)),
+         |v AS (SELECT vec_id, list(x ORDER BY pos) AS xv,
+         |        list(dx ORDER BY pos) AS dv
+         |      FROM d GROUP BY 1),
+         |c AS (SELECT vec_id,
+         |    CAST(round(${dotSql("xv", "dv")}
+         |      / (sqrt(${dotSql("xv", "xv")}) * sqrt(${dotSql("dv", "dv")}))
+         |      * 1e9) AS BIGINT) AS cos_nano
+         |  FROM v)
+         |SELECT vec_id, cos_nano, 1000000000 - cos_nano AS err_nano
+         |FROM c ORDER BY vec_id""".stripMargin,
 
     // the ann_bruteforce chain with the label anti-filter BEFORE the
     // rank window

@@ -546,4 +546,9 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("embedding_hard_negatives plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("embedding_hard_negatives")
   }
+
+  // L151: dims-sized fit-collect + one codegen'd round-trip projection
+  test("embedding_sq_error plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("embedding_sq_error")
+  }
 }

