@@ -344,6 +344,10 @@ object Sampling {
     *
     * Rows whose weight is NULL or < 1 are EXCLUDED — E-S is undefined at
     * w ≤ 0, and excluding them keeps the integer division total.
+    * `keyCol` must be unique (the family contract shared with
+    * [[bernoulli]]/[[Packing.shardAssign]]): duplicate keys share one
+    * draw and tie on the full sort key, leaving their relative order to
+    * the engine.
     *
     * Scale shape: a corpus-wide top-k with a constant group — the
     * [[graft.operators.TextAnalysis.topNgrams]] exact bucketed two-phase

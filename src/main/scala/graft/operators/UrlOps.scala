@@ -159,7 +159,11 @@ object UrlOps {
     *  - a `lang`/`locale`/`hl` QUERY parameter (`?lang=en`).
     * Lang-ish query params are stripped from the site key UNCONDITIONALLY
     * (they are language markers by definition); all other query params
-    * stay, so `/art?id=1` never pairs with `/art?id=2`. A URL carrying
+    * stay, so `/art?id=1` never pairs with `/art?id=2`. (Known edge: the
+    * key cleanup matches param names by SUBSTRING — `xlang=en` also
+    * loses its value tail — but identically on both sides of any
+    * candidate pair, so pairing semantics are unaffected; marker
+    * EXTRACTION is anchored and never misfires.) A URL carrying
     * TWO markers (lang host label AND lang path segment) strips only the
     * host one — such variants differ by more than one marker and
     * correctly don't pair.
