@@ -3397,6 +3397,38 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
+    // Cluster-aware leakage-safe split (L152): near-dup CLUSTERS (the
+    // dedup_components pair graph) are the split unit — keying the
+    // split draw on the doc misses near-dups straddling train/val, and
+    // keying on the domain misses cross-site mirrors; the cluster key
+    // (component label, singletons their own id) is the unit that
+    // actually carries the leak. Composes the REAL components walk with
+    // the REAL split assigner.
+    "split_by_cluster" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+      val jp = Dedup.jaccardPairs(docs, threshold = 0.3,
+        maxShingleDf = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val ep = docs
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("a"))
+        .filter(col("a") =!= col("doc_id"))
+        .select(col("a"), col("doc_id").as("b"))
+      val comps = Dedup.connectedComponents(jp.unionByName(ep))
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+      val keyed = docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      Sampling.splitAssign(keyed,
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          keyCol = "cluster", salt = "cs")
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // ——— THE COMPOSED CURATION PIPELINE: the chain a real corpus pass
     // executes, as ONE oracle-gated artifact. Every stage is a first-class
     // operator that also carries its own individual gate; this gate proves
@@ -6586,6 +6618,24 @@ object TrainingDataQueries extends QueryPack {
         |  o.old_hash, n.new_hash
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY 1""".stripMargin,
+
+    // the shared components walk + per-doc cluster key + the cumulative
+    // md5 split cuts (0.9 -> e6666666, 0.95 -> f3333333)
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |comp AS MATERIALIZED (SELECT id AS doc_id,
+         |    CAST(min(lab) AS BIGINT) AS component
+         |  FROM walk GROUP BY id),
+         |k AS (SELECT d.doc_id,
+         |    COALESCE(c.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substring(md5(CAST(cluster AS VARCHAR) || ':cs'), 1, 8)
+         |            < 'e6666666' THEN 'train'
+         |       WHEN substring(md5(CAST(cluster AS VARCHAR) || ':cs'), 1, 8)
+         |            < 'f3333333' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // sample_split's CASE ladder with the draw keyed on the domain string
     "split_by_group" ->

@@ -551,4 +551,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("embedding_sq_error plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("embedding_sq_error")
   }
+
+  // L152: the components chain (round-vocabulary mode — CC round count
+  // is graph-dependent) + one left join + the split projection
+  test("split_by_cluster round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("split_by_cluster", roundMultiplicityVaries = true)
+  }
 }

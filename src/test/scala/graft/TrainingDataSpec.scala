@@ -5074,6 +5074,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(z.map(_.getLong(2)).toSeq === Seq(3L, 4L)) // 7/2=3 then 4/1
   }
 
+  // ---- Cluster-aware leakage-safe split (L152) ----
+
+  test("cluster split: no near-dup cluster straddles splits; straddle exists per-doc") {
+    val rows = SparkEntry.queries("split_by_cluster")(spark,
+        "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster"), r.getAs[String]("split")))
+    // every cluster maps to exactly one split (the whole point)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1, s"cluster $c straddles")
+    }
+    // the fixture has real multi-doc clusters, so the guarantee is
+    // non-vacuous, and all three splits are populated
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+    assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
+    // a doc-keyed split WOULD straddle at least one of those clusters
+    // (the leak this operator exists to close)
+    val docKeyed = Sampling.splitAssign(
+        rows.toSeq.toDF("doc_id", "cluster", "old"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        keyCol = "doc_id", salt = "cs")
+      .collect().map(r => r.getAs[Long]("cluster") -> r.getAs[String]("split"))
+    assert(docKeyed.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1))
+  }
+
   // ---- SQ reconstruction-error report (L151) ----
 
   test("sq error report: bounded by the per-dim midpoint error; exact on constants") {
