@@ -95,9 +95,15 @@ object ConvTree {
       .select(col("node_id").as("leaf_id"), col("root_id"), col("depth"),
         concat_ws(">", col("path").cast("array<string>")).as("path_str"),
         col("path"))
+    // Null text coalesces to "" BEFORE the render join: collect_list
+    // skips nulls, so an uncoalesced null turn would silently shorten
+    // conv_text (and a recursive-CTE engine would null the whole
+    // conversation instead) — coalescing pins one engine-independent
+    // semantic: a null turn renders as an empty segment.
     val steps = leaves
       .select(col("leaf_id"), posexplode(col("path")).as(Seq("__pos", "__n")))
-      .join(turns.select(col(idCol).as("__n"), col(textCol).as("__t")),
+      .join(turns.select(col(idCol).as("__n"),
+          coalesce(col(textCol), lit("")).as("__t")),
         Seq("__n"))
     val wCum = Window.partitionBy(col("leaf_id")).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -362,9 +362,14 @@ object Packing {
         sum(col(sizeCol)).cast("long").as("total_tokens"))
     val mm = roll.agg(max(col("total_tokens")).as("__mx"),
       min(col("total_tokens")).as("__mn"))
+    // __mx = 0 (every shard's token total zero) is a perfectly-balanced
+    // degenerate, not a division error: pin imbalance to 0 rather than
+    // letting Spark null the cell where an integer engine would raise.
     roll.crossJoin(broadcast(mm))
       .select(col("shard"), col("n_docs"), col("total_tokens"),
-        expr("((__mx - __mn) * 1000000) div __mx").as("imbalance_micro"))
+        when(col("__mx") === 0L, 0L)
+          .otherwise(expr("((__mx - __mn) * 1000000) div __mx"))
+          .as("imbalance_micro"))
   }
 
   /** Reproducibility manifest for a sharded training output: per shard,

@@ -243,14 +243,36 @@ object QualityModel {
     * scanned once and never shuffles. */
   def domainPriorBlend(scored: DataFrame, domainCol: String,
                        scoreCol: String, priorNum: Long = 1,
-                       priorDen: Long = 2): DataFrame = {
+                       priorDen: Long = 2): DataFrame =
+    domainPriorBlendStateless(scored,
+      domainPrior(scored, domainCol, scoreCol), domainCol, scoreCol,
+      priorNum, priorDen)
+
+  /** The batch-fitted per-domain prior behind [[domainPriorBlend]]: ONE
+    * domains-sized floor-mean aggregation — the frozen model a stream
+    * scores under ([[domainPriorBlendStateless]]). */
+  def domainPrior(scored: DataFrame, domainCol: String,
+                  scoreCol: String): DataFrame =
+    scored.groupBy(col(domainCol))
+      .agg(expr(s"sum($scoreCol) div count(1)").as("domain_prior_micro"))
+
+  /** Stateless streaming twin of [[domainPriorBlend]]: the prior is a
+    * batch-fitted [[domainPrior]] frame, the blend a pure per-row
+    * projection after a broadcast equi-join — append mode, no watermark,
+    * the [[Dsir.scoreStateless]] fit-batch/apply-stream discipline.
+    * Drained-stream output ≡ batch on the same corpus by construction
+    * (same join, same integer blend). Rows whose domain the fit never
+    * saw are DROPPED (inner join): a frozen prior has no opinion on a
+    * new domain — refit, or route unseen domains to a default upstream. */
+  def domainPriorBlendStateless(scored: DataFrame, prior: DataFrame,
+                                domainCol: String, scoreCol: String,
+                                priorNum: Long = 1,
+                                priorDen: Long = 2): DataFrame = {
     require(priorDen >= 1 && priorNum >= 0 && priorNum <= priorDen,
       s"blend $priorNum/$priorDen: need 0 <= num <= den, den >= 1")
     val reserved = Seq("domain_prior_micro", "blend_micro")
     require(!scored.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by domainPriorBlend")
-    val prior = scored.groupBy(col(domainCol))
-      .agg(expr(s"sum($scoreCol) div count(1)").as("domain_prior_micro"))
     scored.join(broadcast(prior), Seq(domainCol))
       .withColumn("blend_micro",
         expr(s"($priorNum * domain_prior_micro + " +

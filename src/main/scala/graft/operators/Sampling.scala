@@ -78,6 +78,35 @@ object Sampling {
     df.withColumn(outCol, assigned)
   }
 
+  /** Stateless streaming twin of the cluster-aware leakage-safe split
+    * (the `split_by_cluster` composition): `clusters` is the
+    * batch-fitted (doc_id, cluster) map from the near-dup components
+    * walk ([[Dedup.connectedComponents]] labels, singletons absent);
+    * the stream assigns each document its cluster by broadcast LEFT
+    * join (absent → its own id, exactly the batch fallback) and splits
+    * by [[splitAssign]] — a pure projection of the cluster key, so
+    * append mode needs no watermark and drained-stream ≡ batch by
+    * construction. The leak-safety contract on a stream: a document
+    * whose near-dup cluster was fitted lands in its CLUSTER's split
+    * (it can never straddle train/test against its batch siblings);
+    * a genuinely new document is its own singleton cluster until the
+    * next components refit. */
+  def splitByClusterStateless(docs: DataFrame, clusters: DataFrame,
+                              weights: Seq[(String, Double)],
+                              salt: String = "",
+                              idCol: String = "doc_id"): DataFrame = {
+    val reserved = Seq("cluster", "split")
+    require(!docs.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by splitByClusterStateless")
+    val m = broadcast(
+      clusters.select(col(idCol), col("cluster").as("__cl")))
+    splitAssign(
+      docs.join(m, Seq(idCol), "left")
+        .withColumn("cluster", coalesce(col("__cl"), col(idCol)))
+        .drop("__cl"),
+      weights, keyCol = "cluster", salt = salt)
+  }
+
   /** Weighted corpus mixing under per-source token budgets: within each
     * stratum (source, language, domain), documents are ordered by their
     * deterministic hash draw — a reproducible shuffle — and the prefix
@@ -360,6 +389,9 @@ object Sampling {
                      buckets: Int = 64): DataFrame = {
     require(k >= 1, s"k=$k")
     require(buckets >= 1, s"buckets=$buckets")
+    val reserved = Seq("es_micro", "rank", "__lnm", "__brank")
+    require(!df.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by weightedSample")
     val W = org.apache.spark.sql.expressions.Window
     val v = conv(draw(col(keyCol), salt), 16, 10).cast("long")
     val u = (v + lit(1L)).cast("double") / lit(4294967296.0)

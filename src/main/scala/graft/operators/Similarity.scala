@@ -400,6 +400,89 @@ object Similarity {
         (col("margin_micro") >= thresholdMicro).as("accepted"))
   }
 
+  /** IVF tuning table: recall@k per probe depth, the measurement that
+    * justifies an nProbe choice (the `ann_recall` gate grades ONE
+    * setting; a tuning decision needs the CURVE — where recall
+    * saturates is where probing stops paying).
+    *
+    * One search at the WIDEST depth: candidates are scored once, each
+    * carrying the probe rank of the cell it came from, and every
+    * narrower sweep is a FILTER over the same scored frame (a cell
+    * probed at depth p is probed at every depth ≥ p, so the depth-p
+    * candidate set is exactly `probe_rank ≤ p`) — one corpus scan and
+    * one window over candidates × |nProbes| instead of |nProbes|
+    * re-searches.
+    *
+    * Output, one row per probe depth: (n_probe, n_queries, sum_truth,
+    * sum_hits, recall_micro) with recall_micro = (10⁶·sum_hits) div
+    * sum_truth — pooled-truth micro-averaged recall, all integer,
+    * engine-exact. Depths whose sweep hits nothing still report (the
+    * dimension comes from the literal list, not from observed hits).
+    *
+    * Scale shape: inherits [[ivfTopK]]'s (broadcast centroids + probes,
+    * cell-keyed candidate join); the sweep explode multiplies only the
+    * CANDIDATE frame (queries-bounded), never the corpus; the final
+    * table is |nProbes| rows. The exact tier rides [[bruteForceTopK]]
+    * — the documented ground-truth baseline, queries-bounded. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int, nProbes: Seq[Int],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), s"nProbes=$nProbes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val depths = nProbes.distinct.sorted
+    val maxP = depths.last
+    val cents = ivfCentroids(corpus, numCells, idCol, vecCol)
+    val asg = ivfAssignTo(corpus, cents, idCol, vecCol)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("cell"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .join(cents)
+      .withColumn("__d", sqDist(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= maxP)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("cell"),
+        col("__pr")))
+    val c = corpus.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("__cv2"))
+      .withColumn("__cn", norm(col("__cv2")))
+    val scored = asg.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(c, Seq("vec_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv2")) /
+        (col("__qn") * col("__cn")))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("__pr"))
+      .localCheckpoint(true) // scored once, swept |nProbes| times
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // two consumers: totals + hit semi-join
+    val wRank = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val approx = scored
+      .select(col("query_id"), col("vec_id"), col("cos"), col("__pr"),
+        explode(array(depths.map(lit): _*)).as("n_probe"))
+      .filter(col("__pr") <= col("n_probe"))
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= k)
+      .select(col("n_probe"), col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("__h"))
+    val totals = broadcast(exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("sum_truth")))
+    import spark.implicits._
+    depths.toDF("n_probe").crossJoin(totals)
+      .join(broadcast(hits), Seq("n_probe"), "left")
+      .select(col("n_probe"), col("n_queries"), col("sum_truth"),
+        coalesce(col("__h"), lit(0L)).as("sum_hits"))
+      .withColumn("recall_micro",
+        expr("(1000000 * sum_hits) div sum_truth"))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))

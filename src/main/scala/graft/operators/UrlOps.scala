@@ -148,6 +148,79 @@ object UrlOps {
       .drop("__path")
   }
 
+  /** The broadcast-join twin of [[categorize]] — the 100 TB contract for
+    * a PRODUCTION-sized blocklist (UT1's adult list alone is ~4M
+    * domains: a when-chain of millions of literals is not a plan; a
+    * broadcast table is). Same rule kinds, same first-match-wins
+    * semantics, same output contract — the equivalence is spec-pinned
+    * against [[categorize]] on the same rules.
+    *
+    * `rules` is a DataFrame (category, kind, pattern, rule_pos) with
+    * rule_pos the 0-based position in the ordered list (DataFrames are
+    * unordered; position must travel as data). First match = the
+    * matching rule with the SMALLEST rule_pos.
+    *
+    * Join strategy per kind — the reason this scales:
+    *  - `domain`: broadcast EQUI-join on [[registeredDomain]];
+    *  - `host_suffix`: the host explodes into its label suffixes
+    *    (`a.b.c.com` → 4 rows via substring_index — codegen'd, bounded
+    *    by label count), turning "endsWith at a label boundary" into a
+    *    broadcast EQUI-join on the suffix;
+    *  - `path_kw`: broadcast theta-join on `contains` — a nested-loop
+    *    over ONLY the path_kw subset, which in UT1-shaped lists is
+    *    dozens of keywords against millions of domains: keep keyword
+    *    rules few, that leg is per-row × |keywords|.
+    * Matches union (hit-sized: most URLs are clean), one min-struct
+    * aggregation picks the winning rule per URL, and ONE left equi-join
+    * hands verdicts back to the corpus — the corpus itself never
+    * explodes and never carries rule text.
+    *
+    * `idCol` must be a unique row key (the join-back identity; the
+    * family contract shared with [[graft.operators.Sampling.bernoulli]]). */
+  def categorizeBroadcast(urls: DataFrame, urlCol: String, idCol: String,
+                          rules: DataFrame): DataFrame = {
+    val reserved = Seq("host", "domain", "category", "blocked", "__path",
+      "__sfx", "__pos", "__m")
+    require(!urls.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by categorizeBroadcast")
+    val u = col(urlCol)
+    val withParts = urls
+      .withColumn("host", host(u))
+      .withColumn("domain", registeredDomain(col("host")))
+      .withColumn("__path", path(u))
+    // narrow key frame feeds the three match legs; the full row set is
+    // joined only once, at the end
+    val parts = withParts
+      .select(col(idCol), col("host"), col("domain"), col("__path"))
+    def leg(kind: String) = broadcast(
+      rules.filter(col("kind") === kind)
+        .select(col("category").as("__c"), col("pattern"),
+          col("rule_pos").cast("long").as("__pos")))
+    val dHits = parts
+      .join(leg("domain"), col("domain") === col("pattern"))
+    // substring_index(host, '.', -(n+1)) = the host's last n+1 labels —
+    // the full label-suffix set, one codegen'd projection per label
+    val sMatched = parts
+      .select(col(idCol), col("host"),
+        posexplode(split(col("host"), "\\.")).as(Seq("__n", "__lbl")))
+      .select(col(idCol),
+        expr("substring_index(host, '.', -(__n + 1))").as("__sfx"))
+      .join(leg("host_suffix"), col("__sfx") === col("pattern"))
+    val pHits = parts
+      .join(leg("path_kw"), col("__path").contains(col("pattern")))
+    val matches = dHits.select(col(idCol), col("__pos"), col("__c"))
+      .unionByName(sMatched.select(col(idCol), col("__pos"), col("__c")))
+      .unionByName(pHits.select(col(idCol), col("__pos"), col("__c")))
+    val verdict = matches
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__pos"), col("__c"))).as("__m"))
+      .select(col(idCol), col("__m.__c").as("category"))
+    withParts
+      .join(verdict, Seq(idCol), "left")
+      .withColumn("blocked", col("category").isNotNull)
+      .drop("__path")
+  }
+
   /** URL-parallel bitext document alignment (L136) — the ParaCrawl/WMT
     * baseline aligner (Bañón et al. 2020 §3: URL matching recovers a
     * large share of parallel pages before any content model runs): two

@@ -472,8 +472,8 @@ object PipelineQueries extends QueryPack {
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
-        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
-        |  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
         |FROM events ORDER BY event_id""".stripMargin,
 
     "a5_population_rollup" ->

@@ -1586,4 +1586,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("domain-prior blend scores a stream under the batch-fitted prior ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two domains with clearly different track records
+    val pool = Seq((1L, "good.com", 900000L), (2L, "good.com", 800000L),
+      (3L, "spam.net", 100000L), (4L, "spam.net", 200000L),
+      (5L, "good.com", 700000L))
+      .toDF("doc_id", "domain", "score_micro")
+    val prior = QualityModel.domainPrior(pool, "domain", "score_micro")
+      .localCheckpoint(true)
+    val want = QualityModel.domainPriorBlend(pool, "domain", "score_micro")
+      .select("doc_id", "domain_prior_micro", "blend_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val input = MemoryStream[(Long, String, Long)]
+    val q = QualityModel.domainPriorBlendStateless(
+        input.toDF().toDF("doc_id", "domain", "score_micro"), prior,
+        "domain", "score_micro")
+      .writeStream.format("memory").queryName("prior_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "good.com", 900000L), (3L, "spam.net", 100000L))
+      q.processAllAvailable()
+      // fresh doc on a fitted domain + a doc on an UNSEEN domain (dropped)
+      input.addData((10L, "good.com", 100000L), (11L, "new.org", 500000L))
+      q.processAllAvailable()
+      val streamed = spark.table("prior_stream")
+        .select("doc_id", "domain_prior_micro", "blend_micro")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed(1L) === want(1L))
+      assert(streamed(3L) === want(3L))
+      // frozen fit scores fresh content under the fitted prior:
+      // prior(good.com) = (900000+800000+700000) div 3 = 800000;
+      // blend = (1*800000 + 1*100000) div 2
+      assert(streamed(10L) === ((800000L, 450000L)))
+      assert(!streamed.contains(11L)) // unseen domain: no opinion
+    } finally q.stop()
+  }
+
+  test("cluster-aware split assigns a stream doc its batch cluster's split ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sampling
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    // batch-fitted near-dup cluster map: {1,2,7} one cluster, {3,4} another
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster").localCheckpoint(true)
+    val pool = Seq(1L, 2L, 3L, 4L, 5L, 7L).toDF("doc_id")
+    val want = Sampling.splitByClusterStateless(pool, clusters, weights,
+        salt = "cs")
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val input = MemoryStream[Long]
+    val q = Sampling.splitByClusterStateless(
+        input.toDF().toDF("doc_id"), clusters, weights, salt = "cs")
+      .writeStream.format("memory").queryName("clsplit_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 3L, 5L)
+      q.processAllAvailable()
+      input.addData(2L, 4L, 7L, 99L) // 99: unseen → own singleton cluster
+      q.processAllAvailable()
+      val streamed = spark.table("clsplit_stream")
+        .select("doc_id", "cluster", "split")
+        .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      (Seq(1L, 2L, 3L, 4L, 5L, 7L)).foreach { id =>
+        assert(streamed(id) === want(id), s"doc $id")
+      }
+      // cluster members can never straddle splits — on stream or batch
+      assert(streamed(1L)._1 === 1L && streamed(2L) === streamed(1L)
+        && streamed(7L) === streamed(1L))
+      assert(streamed(3L) === streamed(4L))
+      assert(streamed(99L)._1 === 99L) // singleton fallback keys on itself
+    } finally q.stop()
+  }
 }

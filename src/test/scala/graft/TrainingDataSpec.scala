@@ -4531,6 +4531,36 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("SAM duplicated spans equal SA and k-gram formulations (property)") {
+    // three independent algorithms (generalized suffix automaton, prefix-
+    // doubling SA, hashed k-grams) pinned to one answer on random corpora;
+    // repartition(5) forces cross-partition resolution through tier 2
+    for (seed <- Seq(6, 7, 8)) {
+      val rows = randomCorpus(seed, 24)
+      val d = docs(rows: _*)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("doc_id", "cast(span_start as long) span_start",
+            "cast(span_end as long) span_end")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+      val viaSam = canon(
+        graft.operators.SuffixAutomaton.duplicatedSpans(d.repartition(5),
+          minLen = 3))
+      val viaSa = canon(SuffixArray
+        .duplicatedSpans(SuffixArray.fit(d, maxPrefix = 16), minLen = 3))
+      val viaKgram = canon(SubstringDedup.duplicatedSpans(d, k = 3))
+      assert(viaSam === viaSa, s"seed=$seed SAM vs SA")
+      assert(viaSam === viaKgram, s"seed=$seed SAM vs k-gram")
+    }
+    // single-partition path: everything resolves inside one SAM, and a
+    // within-document repeat counts (the ExactSubstr contract)
+    val one = docs(1L -> "x y z q x y z q", 2L -> "a b c")
+    val got = graft.operators.SuffixAutomaton
+      .duplicatedSpans(one.coalesce(1), minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 0L, 8L))) // "x y z q" at 0 and 4 merge to [0,8)
+  }
+
   test("suffix array: shorter prefix sorts first, identical suffixes share a rank") {
     val d = docs(1L -> "b a", 2L -> "b a c", 3L -> "b a")
     val sa = SuffixArray.fit(d, maxPrefix = 4).sa.collect()
@@ -5260,6 +5290,12 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rep.map(_._2).sorted.toSeq === totals.sorted.toSeq)
     val expected = (totals.max - totals.min) * 1000000L / totals.max
     rep.foreach { case (_, _, imb) => assert(imb === expected) }
+    // degenerate: every shard total 0 → perfectly balanced, imbalance 0
+    // (not a null from 0/0)
+    val zeros = Packing.shardBalanceReport(
+      Seq((1L, 0L, 0), (2L, 0L, 1)).toDF("doc_id", "n_tokens", "shard"),
+      "n_tokens").collect()
+    assert(zeros.forall(r => r.getAs[Long]("imbalance_micro") === 0L))
   }
 
   // ---- Mutual-best bitext pairs (L146) ----
@@ -5617,6 +5653,15 @@ class TrainingDataSpec extends AnyFunSuite {
       (2L, 1L, 2, "1>2", "hi | alt one"),
       (4L, 1L, 3, "1>3>4", "hi | alt two | reply"),
       (10L, 10L, 1, "10", "solo")))
+    // a null-text turn renders as an empty segment — it can neither
+    // silently shorten the conversation nor null the whole rendering
+    val withNull = Seq((1L, Option.empty[Long], Some("hi")),
+      (2L, Some(1L), Option.empty[String]), (3L, Some(2L), Some("end")))
+      .toDF("node_id", "parent_id", "text")
+    val conv = ConvTree.leafConversations(withNull, maxDepth = 4)
+      .collect().map(r => (r.getAs[Long]("leaf_id"),
+        r.getAs[String]("conv_text"))).toSeq
+    assert(conv === Seq((3L, "hi |  | end")))
   }
 
   test("tree paths: doubling equals a plain-Scala recursive walk (property)") {
@@ -5714,5 +5759,13 @@ class TrainingDataSpec extends AnyFunSuite {
       keyCol = "doc_id", salt = "t3").collect().map(_.getAs[Long]("doc_id"))
     assert(kept.toSet === Set(1L, 5L)) // k >= n keeps all valid rows
     assert(kept.length === 2)
+    // reserved output/scratch columns are guarded, like the siblings
+    for (c <- Seq("es_micro", "rank", "__lnm", "__brank")) {
+      val clash = Seq((1L, 2L, "x")).toDF("doc_id", "w", c)
+      intercept[IllegalArgumentException] {
+        Sampling.weightedSample(clash, k = 1, weightCol = "w",
+          keyCol = "doc_id")
+      }
+    }
   }
 }

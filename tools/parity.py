@@ -48,12 +48,13 @@ def main():
             failures.append(name)
             continue
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM read_parquet({files!r})")
-            scols = [d[0] for d in spark_rel.description]
+            spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            scols = list(spark_rel.columns)
+            stypes = [str(t) for t in spark_rel.types]
             srows = spark_rel.fetchall()
-            orel = con.execute(sql)
-            ocols = [d[0] for d in orel.description]
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            otypes = [str(t) for t in orel.types]
             orows = orel.fetchall()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
@@ -63,6 +64,18 @@ def main():
         o_sorted, o_c = canon(orows, ocols)
         if s_c != o_c:
             print(f"SCHEMA   {name}: spark={s_c} oracle={o_c}")
+            failures.append(name)
+            continue
+        # Typed comparison: the driver hashes TYPED values, so an oracle
+        # column whose DuckDB type drifts from the Spark parquet type
+        # (HUGEINT from an uncast sum(), DECIMAL, INT32 vs INT64) is a
+        # hash mismatch even when every cell compares equal.
+        s_t = {c: t for c, t in zip(scols, stypes)}
+        o_t = {c: t for c, t in zip(ocols, otypes)}
+        drift = [(c, s_t[c], o_t[c]) for c in s_c if s_t[c] != o_t[c]]
+        if drift:
+            print(f"TYPE     {name}: " + ", ".join(
+                f"{c}: spark={st} oracle={ot}" for c, st, ot in drift))
             failures.append(name)
             continue
         if len(s_sorted) != len(o_sorted):
