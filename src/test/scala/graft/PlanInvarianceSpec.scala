@@ -557,4 +557,23 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("split_by_cluster round vocabulary is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("split_by_cluster", roundMultiplicityVaries = true)
   }
+
+  // round 14: per-partition SAM tier-1 + gram-keyed count agg + one
+  // equi-join — no cross join, no corpus-wide window
+  test("dedup_substring_sam plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_substring_sam")
+  }
+
+  // round 14: three broadcast rule legs (two equi, one contains-theta
+  // over the keyword subset) + hit-sized min agg + one join back — the
+  // corpus never explodes
+  test("url_category_broadcast plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("url_category_broadcast")
+  }
+
+  // round 14: one widest-depth candidate frame swept by filters — the
+  // per-depth cuts add no scan and no join
+  test("ann_recall_sweep plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("ann_recall_sweep")
+  }
 }

@@ -3970,6 +3970,52 @@ class TrainingDataSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       UrlOps.categorize(d, "url", Seq(("x", "badkind", "p")))
     }
+    // the broadcast-join twin agrees with the literal fold cell for cell
+    // (same rules as a rule_pos-carrying table)
+    val ruleDf = rules.zipWithIndex
+      .map { case ((c, k, p), i) => (c, k, p, i.toLong) }
+      .toDF("category", "kind", "pattern", "rule_pos")
+    val viaJoin = UrlOps.categorizeBroadcast(d, "url", "doc_id", ruleDf)
+      .select("doc_id", "category", "blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(viaJoin === got)
+    // first-match-wins with a LATER rule matching the same URL: doc 1
+    // also matches the path keyword but the domain rule has lower pos
+    val hostDom = UrlOps.categorizeBroadcast(d, "url", "doc_id", ruleDf)
+      .filter(col("doc_id") === 1L)
+      .select("host", "domain", "category").as[(String, String, String)]
+      .collect().head
+    assert(hostDom === (("www.bad-casino.com", "bad-casino.com", "gambling")))
+  }
+
+  test("ivf recall sweep: widening probes is monotone, widest row is exhaustive") {
+    import graft.operators.Similarity
+    val e = (1 to 40).map(i => (i.toLong,
+      Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") <= 5)
+    val sweep = Similarity.ivfRecallSweep(e, q, k = 3, numCells = 8,
+        nProbes = Seq(1, 2, 4, 8))
+      .orderBy(col("n_probe"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(sweep.map(_._1) === Seq(1, 2, 4, 8))
+    // pooled truth is |queries| × k everywhere
+    assert(sweep.forall { case (_, nq, st, _, _) => nq === 5L && st === 15L })
+    // recall is monotone in probe depth and exhaustive at numCells
+    val recalls = sweep.map(_._5)
+    assert(recalls === recalls.sorted)
+    assert(recalls.last === 1000000L)
+    // each sweep row equals an independent ivfTopK at that depth
+    val truth = Similarity.bruteForceTopK(e, q, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    for ((np, _, _, hits, _) <- sweep) {
+      val indep = Similarity.ivfTopK(e, q, k = 3, numCells = 8, nProbe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      assert(hits === indep, s"nProbe=$np")
+    }
   }
 
   test("mojibake repair inverts the corruption and leaves clean text alone") {
