@@ -95,7 +95,7 @@ object Sampling {
                               weights: Seq[(String, Double)],
                               salt: String = "",
                               idCol: String = "doc_id"): DataFrame = {
-    val reserved = Seq("cluster", "split")
+    val reserved = Seq("cluster", "split", "__cl")
     require(!docs.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by splitByClusterStateless")
     val m = broadcast(

@@ -479,8 +479,12 @@ object Similarity {
       .join(broadcast(hits), Seq("n_probe"), "left")
       .select(col("n_probe"), col("n_queries"), col("sum_truth"),
         coalesce(col("__h"), lit(0L)).as("sum_hits"))
+      // sum_truth = 0 (no queries, or every query's only vector is
+      // itself) is "nothing to recall", not a division error: pin 0
+      // rather than nulling where an integer engine would raise
       .withColumn("recall_micro",
-        expr("(1000000 * sum_hits) div sum_truth"))
+        when(col("sum_truth") === 0L, 0L)
+          .otherwise(expr("(1000000 * sum_hits) div sum_truth")))
   }
 
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {

@@ -177,8 +177,13 @@ object SuffixAutomaton {
                       textCol: String = "text"): DataFrame = {
     require(minLen >= 1, s"minLen=$minLen")
     val spark = docs.sparkSession
+    // null text coalesces to the empty document (zero positions) — the
+    // same silent skip the sibling formulations get from posexplode of a
+    // null array; idCol must be NON-NULL (the per-row kernel reads it as
+    // a primitive long, and the span merge keys on it)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      graft.functions.WordShingles.allShingles(col(textCol), 1).as("t"))
+      graft.functions.WordShingles.allShingles(
+        coalesce(col(textCol), lit("")), 1).as("t"))
     // tier 1: one SAM per partition. Row kinds by nullability: resolved
     // positions carry no gram text (gram null), locally-unique positions
     // carry their exact gram, and each distinct locally-repeated gram

@@ -183,6 +183,15 @@ object UrlOps {
       "__sfx", "__pos", "__m")
     require(!urls.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by categorizeBroadcast")
+    // fail fast on an empty or mistyped rule table, like the literal-fold
+    // twin — a silently-dropped kind would turn the blocklist off with no
+    // error; the kinds check is ONE model-sized job at build time
+    val kinds = Set("domain", "host_suffix", "path_kw")
+    val seenKinds = rules.select(col("kind")).distinct()
+      .collect().map(_.getString(0))
+    require(seenKinds.nonEmpty, "categorizeBroadcast: empty rule table")
+    require(seenKinds.forall(kinds),
+      s"rule kinds must be in $kinds: ${seenKinds.filterNot(kinds).toSeq}")
     val u = col(urlCol)
     val withParts = urls
       .withColumn("host", host(u))

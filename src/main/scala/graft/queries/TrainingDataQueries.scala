@@ -1290,9 +1290,14 @@ object TrainingDataQueries extends QueryPack {
     * dedup postings do. */
   private val saFitCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), SuffixArray.Model]()
-  private def saFit(s: SparkSession, dir: String): SuffixArray.Model =
+  private def saFit(s: SparkSession, dir: String): SuffixArray.Model = {
+    // evict dead sessions first: a stopped session's Model (and its
+    // checkpoint blocks) must not stay strongly reachable for the JVM's
+    // life — the cache is bounded by LIVE (session, sfDir) pairs
+    saFitCache.keySet.removeIf(_._1.sparkContext.isStopped)
     saFitCache.computeIfAbsent((s, dir),
       _ => SuffixArray.fit(saCorpus(s, dir), maxPrefix = 64))
+  }
 
   /** Union corpus for the `decontaminate_sa` gate: TRAIN = [[saCorpus]];
     * EVAL = (a) every %40 train doc's tokens 10..25 verbatim plus a novel
@@ -5516,7 +5521,9 @@ object TrainingDataQueries extends QueryPack {
          |      GROUP BY 1)
          |SELECT np.n_probe, tot.n_queries, tot.sum_truth,
          |  COALESCE(h.sum_hits, 0) AS sum_hits,
-         |  (1000000 * COALESCE(h.sum_hits, 0)) // tot.sum_truth AS recall_micro
+         |  CASE WHEN tot.sum_truth = 0 THEN 0
+         |       ELSE (1000000 * COALESCE(h.sum_hits, 0)) // tot.sum_truth
+         |  END AS recall_micro
          |FROM np CROSS JOIN tot LEFT JOIN h USING (n_probe)
          |ORDER BY np.n_probe""".stripMargin,
 

@@ -3987,6 +3987,17 @@ class TrainingDataSpec extends AnyFunSuite {
       .select("host", "domain", "category").as[(String, String, String)]
       .collect().head
     assert(hostDom === (("www.bad-casino.com", "bad-casino.com", "gambling")))
+    // mistyped kinds and empty tables fail fast, like the literal fold —
+    // a silently-dropped kind would turn a production blocklist off
+    intercept[IllegalArgumentException] {
+      UrlOps.categorizeBroadcast(d, "url", "doc_id",
+        Seq(("x", "host-suffix", "p", 0L))
+          .toDF("category", "kind", "pattern", "rule_pos"))
+    }
+    intercept[IllegalArgumentException] {
+      UrlOps.categorizeBroadcast(d, "url", "doc_id",
+        ruleDf.filter(col("rule_pos") < 0))
+    }
   }
 
   test("ivf recall sweep: widening probes is monotone, widest row is exhaustive") {
@@ -4016,6 +4027,11 @@ class TrainingDataSpec extends AnyFunSuite {
         .count()
       assert(hits === indep, s"nProbe=$np")
     }
+    // degenerate: no queries → sum_truth 0 and recall pinned to 0, not null
+    val none = Similarity.ivfRecallSweep(e, q.filter(col("vec_id") < 0),
+        k = 3, numCells = 8, nProbes = Seq(1, 2))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(none === Seq((1, 0L, 0L, 0L, 0L), (2, 0L, 0L, 0L, 0L)))
   }
 
   test("mojibake repair inverts the corruption and leaves clean text alone") {
@@ -4605,6 +4621,14 @@ class TrainingDataSpec extends AnyFunSuite {
       .duplicatedSpans(one.coalesce(1), minLen = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, 0L, 8L))) // "x y z q" at 0 and 4 merge to [0,8)
+    // a null-text document is the empty document (zero positions) — the
+    // sibling formulations' posexplode-of-null skip, not a task crash
+    val withNull = Seq((1L, "x y z x y z"), (2L, null))
+      .toDF("doc_id", "text")
+    val nn = graft.operators.SuffixAutomaton
+      .duplicatedSpans(withNull, minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(nn === Seq((1L, 0L, 6L)))
   }
 
   test("suffix array: shorter prefix sorts first, identical suffixes share a rank") {
