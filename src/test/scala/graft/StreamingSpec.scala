@@ -1587,6 +1587,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("url blocklist categorize labels an ingest stream ≡ batch (pure projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.UrlOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the literal-fold categorize is a pure in-row projection — stream-
+    // safe by construction (the broadcast-join twin is the batch-side
+    // arrangement for production-sized lists; a stream applies the fold)
+    val rules = Seq(
+      ("gambling", "domain", "bad-casino.com"),
+      ("ads", "path_kw", "/promo"))
+    val urls = Seq(
+      (1L, "https://www.bad-casino.com/p/1"),
+      (2L, "http://clean.example.com/p/2/promo"),
+      (3L, "https://fine.example.com/p/3"))
+    val want = UrlOps.categorize(urls.toDF("doc_id", "url"), "url", rules)
+      .select("doc_id", "category", "blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = UrlOps.categorize(input.toDF().toDF("doc_id", "url"), "url",
+        rules)
+      .select("doc_id", "category", "blocked")
+      .writeStream.format("memory").queryName("urlcat_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(urls(0), urls(1))
+      q.processAllAvailable()
+      input.addData(urls(2))
+      q.processAllAvailable()
+      val streamed = spark.table("urlcat_stream")
+        .as[(Long, Option[String], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed === want)
+      assert(streamed(1L) === ((Some("gambling"), true)))
+      assert(streamed(2L) === ((Some("ads"), true)))
+      assert(streamed(3L) === ((None, false)))
+    } finally q.stop()
+  }
+
   test("domain-prior blend scores a stream under the batch-fitted prior ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.QualityModel
