@@ -162,6 +162,34 @@ object KMeans {
     cents
   }
 
+  /** One representative per cluster: the member NEAREST its cell's
+    * centroid (ties to the lowest id), with the cell's member count —
+    * the coreset/diversity-selection view of a fitted clustering (pick
+    * one exemplar per semantic neighborhood; the SemDedup-era companion
+    * to pruning: where [[SemDedup.prune]] drops redundant members, this
+    * names the member that STANDS FOR the cluster).
+    *
+    * Output: (cell, representative_id, rep_dist, n_members) — one row
+    * per cell that has members. rep_dist is the squared distance (the
+    * [[assign]] in-row fold, index-order — engine-exact).
+    *
+    * Scale shape: [[assign]]'s broadcast argmin projection + ONE
+    * cell-keyed window (both the rank and the member count ride the
+    * same partitioning — one exchange), cells-sized output. */
+  def representatives(vectors: DataFrame, centroids: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCell = Window.partitionBy(col("cell"))
+    val w = byCell.orderBy(col("dist"), col("vec_id"))
+    assign(vectors, centroids, idCol, vecCol)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byCell))
+      .filter(col("__rn") === 1)
+      .select(col("cell"), col("vec_id").as("representative_id"),
+        col("dist").as("rep_dist"), col("n_members"))
+  }
+
   /** One Lloyd round over MANY independent trainings at once: `vectors`
     * carries a group key (e.g. a PQ subspace id) and `centroids` is
     * (group, cell, centroid). Every aggregation below is keyed by the

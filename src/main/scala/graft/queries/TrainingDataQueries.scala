@@ -1809,6 +1809,19 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("vec_id"))
     }),
 
+    // One representative per semantic cluster (round 14): the member
+    // nearest its fitted centroid (ties to the lowest id) + cell size —
+    // the coreset selection view over the same deterministic k-means.
+    // The float rep_dist stays out of the gate (the ordering pins it);
+    // the oracle replays the assignment and both windowed cuts.
+    "cluster_representatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      KMeans.representatives(e,
+          KMeans.fit(e, k = KmeansK, iters = KmeansIters))
+        .select(col("cell"), col("representative_id"), col("n_members"))
+        .localCheckpoint(true).orderBy(col("cell"))
+    }),
+
     // DSIR importance weights: hashed unigram+bigram distributions on the
     // en-language slice (target) vs the whole pool (raw); micro-nat
     // quantized per-bucket log ratios, exact integer per-doc sums.
@@ -4644,6 +4657,23 @@ object TrainingDataQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
          |  FROM fin) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    // the same assignment, then per cell the nearest member (ties to the
+    // lowest id) and the member count — both windows replayed
+    "cluster_representatives" ->
+      s"""WITH $kmeansCtes,
+         |fin AS (SELECT e.vec_id, c.cell, ${sqDistSql("e.v", "c.c")} AS d
+         |        FROM emb e, cent$KmeansIters c),
+         |asg AS (SELECT vec_id, cell, d FROM (
+         |  SELECT vec_id, cell, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM fin) WHERE rn = 1),
+         |rep AS (SELECT cell, vec_id, d,
+         |          row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rr,
+         |          CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_members
+         |        FROM asg)
+         |SELECT cell, vec_id AS representative_id, n_members
+         |FROM rep WHERE rr = 1 ORDER BY cell""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH $toksCte,

@@ -576,4 +576,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("ann_recall_sweep plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("ann_recall_sweep")
   }
+
+  // round 14: the assign projection + ONE cell-keyed window (rank and
+  // count share the partitioning) — cells-sized output
+  test("cluster_representatives plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("cluster_representatives")
+  }
 }

@@ -1135,6 +1135,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out === Seq((7L, 0, 0.25)))
   }
 
+  test("kmeans representatives: nearest member per cell, ties to lowest id") {
+    // fitted cells from the 1-D hand case: {0,1}→0.5 and {2,3}→10.5;
+    // id 0 and id 1 are EQUIDISTANT from 0.5 → tie breaks to id 0
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(10.0)),
+      (3L, Seq(11.0))).toDF("vec_id", "embedding")
+    val reps = KMeans.representatives(vecs, KMeans.fit(vecs, k = 2, iters = 3))
+      .as[(Int, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(reps === Seq((0, 0L, 0.25, 2L), (1, 2L, 0.25, 2L)))
+    // property: the representative IS the assignment-frame argmin and
+    // counts sum to the corpus
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = KMeans.fit(e, k = 4, iters = 2)
+    val asg = KMeans.assign(e, cents)
+      .as[(Long, Int, Double)].collect()
+    val want = asg.groupBy(_._2).map { case (c, ms) =>
+      val best = ms.minBy(m => (m._3, m._1))
+      c -> ((best._1, ms.length.toLong))
+    }
+    val got = KMeans.representatives(e, cents)
+      .as[(Int, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got === want)
+    assert(got.values.map(_._2).sum === asg.length.toLong)
+  }
+
   test("semdedup: hand case — in-cell cosine prune keeps the lowest id") {
     // Lloyd (k=2) converges to cells {0,1,2} (y-axis) and {3,4} (x≈10).
     // Within the y-axis cell, v1 and v2 are colinear with v0 (cos = 1.0)
