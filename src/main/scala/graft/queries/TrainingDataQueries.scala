@@ -1339,6 +1339,41 @@ object TrainingDataQueries extends QueryPack {
        |          t[i+1:] AS sl
        |        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM stoks))""".stripMargin
 
+  /** The CCNet bucket chain — shared by the labeling gate and the
+    * keep filter composed over it. */
+  private def ccnetBucketsOracle: String =
+    s"""WITH $toksCte,
+       |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+       |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+       |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+       |sc AS (SELECT r.doc_id,
+       |         CAST(round(ln((coalesce(cn.c, 0) + 1.0)
+       |                       / (coalesce(ct.ct, 0) + 1.0 * voc.v))
+       |                    * 1000000) AS BIGINT) AS term
+       |       FROM tr r
+       |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
+       |       LEFT JOIN ctot ct ON r.ctx = ct.ctx
+       |       CROSS JOIN voc),
+       |agg AS (SELECT doc_id, count(*) AS n_trans,
+       |          CAST(sum(term) AS BIGINT) AS lm_score
+       |        FROM sc GROUP BY 1),
+       |px AS (SELECT a.doc_id, d.lang,
+       |         -CAST(a.lm_score AS DOUBLE) / CAST(a.n_trans AS DOUBLE) AS ppx
+       |       FROM agg a JOIN documents d USING (doc_id)
+       |       WHERE a.n_trans > 0),
+       |cuts AS (SELECT lang,
+       |           quantile_cont(ppx, CAST(1 AS DOUBLE)/3) AS c1,
+       |           quantile_cont(ppx, CAST(2 AS DOUBLE)/3) AS c2
+       |         FROM px GROUP BY 1)
+       |SELECT p.doc_id, p.lang, p.ppx,
+       |       CASE WHEN p.ppx <= c.c1 THEN 'head'
+       |            WHEN p.ppx <= c.c2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM px p JOIN cuts c USING (lang)
+       |ORDER BY p.doc_id""".stripMargin
+
   /** The K-GRAM ExactSubstr formulation over the SA gates' derived
     * corpus — the shared oracle for `dedup_substring_sa` (prefix-doubling
     * suffix array) AND `dedup_substring_sam` (generalized suffix
@@ -3375,6 +3410,17 @@ object TrainingDataQueries extends QueryPack {
       import graft.operators.LanguageModel
       val docs = Tables.documents(s, dir)
       LanguageModel.perplexityBuckets(docs, LanguageModel.ngramCounts(docs))
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // the KEEP rule those buckets exist for (round 14): CCNet retains
+    // head+middle and drops the tail tercile — the composition a real
+    // curation pass executes, as its own gated artifact
+    "ccnet_filter" -> ((s, dir) => {
+      import graft.operators.LanguageModel
+      val docs = Tables.documents(s, dir)
+      LanguageModel.perplexityBuckets(docs, LanguageModel.ngramCounts(docs))
+        .filter(col("bucket").isin("head", "middle"))
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
@@ -6665,38 +6711,12 @@ object TrainingDataQueries extends QueryPack {
     // tercile fractions are the SAME IEEE division (1/3 in doubles) both
     // engines perform, and quantile_cont's interpolation matches Spark's
     // exact percentile (lower + frac·(upper−lower))
-    "ccnet_buckets" ->
-      s"""WITH $toksCte,
-         |tr AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
-         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-         |cnt AS (SELECT ctx, tok, count(*) AS c FROM tr GROUP BY 1, 2),
-         |ctot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1),
-         |voc AS (SELECT count(DISTINCT tok) AS v FROM cnt),
-         |sc AS (SELECT r.doc_id,
-         |         CAST(round(ln((coalesce(cn.c, 0) + 1.0)
-         |                       / (coalesce(ct.ct, 0) + 1.0 * voc.v))
-         |                    * 1000000) AS BIGINT) AS term
-         |       FROM tr r
-         |       LEFT JOIN cnt cn ON r.ctx = cn.ctx AND r.tok = cn.tok
-         |       LEFT JOIN ctot ct ON r.ctx = ct.ctx
-         |       CROSS JOIN voc),
-         |agg AS (SELECT doc_id, count(*) AS n_trans,
-         |          CAST(sum(term) AS BIGINT) AS lm_score
-         |        FROM sc GROUP BY 1),
-         |px AS (SELECT a.doc_id, d.lang,
-         |         -CAST(a.lm_score AS DOUBLE) / CAST(a.n_trans AS DOUBLE) AS ppx
-         |       FROM agg a JOIN documents d USING (doc_id)
-         |       WHERE a.n_trans > 0),
-         |cuts AS (SELECT lang,
-         |           quantile_cont(ppx, CAST(1 AS DOUBLE)/3) AS c1,
-         |           quantile_cont(ppx, CAST(2 AS DOUBLE)/3) AS c2
-         |         FROM px GROUP BY 1)
-         |SELECT p.doc_id, p.lang, p.ppx,
-         |       CASE WHEN p.ppx <= c.c1 THEN 'head'
-         |            WHEN p.ppx <= c.c2 THEN 'middle'
-         |            ELSE 'tail' END AS bucket
-         |FROM px p JOIN cuts c USING (lang)
-         |ORDER BY p.doc_id""".stripMargin,
+    "ccnet_buckets" -> ccnetBucketsOracle,
+
+    // the keep rule over the same chain — head+middle survive
+    "ccnet_filter" ->
+      s"""SELECT * FROM ($ccnetBucketsOracle)
+         |WHERE bucket IN ('head', 'middle') ORDER BY doc_id""".stripMargin,
 
     // the text_subword_segments recursive walk, pieces mapped to 1-based
     // fixture ids (UNK → 0) — VALUES list generated from the same Seq
