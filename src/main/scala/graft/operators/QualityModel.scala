@@ -261,21 +261,40 @@ object QualityModel {
     * projection after a broadcast equi-join — append mode, no watermark,
     * the [[Dsir.scoreStateless]] fit-batch/apply-stream discipline.
     * Drained-stream output ≡ batch on the same corpus by construction
-    * (same join, same integer blend). Rows whose domain the fit never
-    * saw are DROPPED (inner join): a frozen prior has no opinion on a
-    * new domain — refit, or route unseen domains to a default upstream. */
+    * (same join, same integer blend).
+    *
+    * Unseen domains — a frozen prior has no opinion on a domain the fit
+    * never saw, and on a production stream new domains WILL arrive:
+    *  - `defaultPrior = None` (the strict default): unseen-domain rows
+    *    are DROPPED (inner join). Only safe when stream domains are a
+    *    subset of fitted domains by construction; otherwise this is
+    *    silent data loss — prefer the explicit default.
+    *  - `defaultPrior = Some(p)`: LEFT join; unseen rows blend against
+    *    `p` (e.g. the corpus-median prior) and are flagged
+    *    `prior_seen = false` so callers can count or route them instead
+    *    of losing them invisibly. */
   def domainPriorBlendStateless(scored: DataFrame, prior: DataFrame,
                                 domainCol: String, scoreCol: String,
                                 priorNum: Long = 1,
-                                priorDen: Long = 2): DataFrame = {
+                                priorDen: Long = 2,
+                                defaultPrior: Option[Long] = None): DataFrame = {
     require(priorDen >= 1 && priorNum >= 0 && priorNum <= priorDen,
       s"blend $priorNum/$priorDen: need 0 <= num <= den, den >= 1")
-    val reserved = Seq("domain_prior_micro", "blend_micro")
+    val reserved = Seq("domain_prior_micro", "blend_micro", "prior_seen")
     require(!scored.columns.exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by domainPriorBlend")
-    scored.join(broadcast(prior), Seq(domainCol))
-      .withColumn("blend_micro",
-        expr(s"($priorNum * domain_prior_micro + " +
-          s"(${priorDen - priorNum}) * $scoreCol) div $priorDen"))
+    val blend = expr(s"($priorNum * domain_prior_micro + " +
+      s"(${priorDen - priorNum}) * $scoreCol) div $priorDen")
+    defaultPrior match {
+      case None =>
+        scored.join(broadcast(prior), Seq(domainCol))
+          .withColumn("blend_micro", blend)
+      case Some(p) =>
+        scored.join(broadcast(prior), Seq(domainCol), "left")
+          .withColumn("prior_seen", col("domain_prior_micro").isNotNull)
+          .withColumn("domain_prior_micro",
+            coalesce(col("domain_prior_micro"), lit(p)))
+          .withColumn("blend_micro", blend)
+    }
   }
 }

@@ -174,8 +174,10 @@ object SuffixAutomaton {
     * [span_start, span_end - minLen] occurs ≥ 2 times corpus-wide. */
   def duplicatedSpans(docs: DataFrame, minLen: Int,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      maxPartitionTokens: Long = 4000000L): DataFrame = {
     require(minLen >= 1, s"minLen=$minLen")
+    require(maxPartitionTokens >= 1, s"maxPartitionTokens=$maxPartitionTokens")
     val spark = docs.sparkSession
     // null text coalesces to the empty document (zero positions) — the
     // same silent skip the sibling formulations get from posexplode of a
@@ -190,8 +192,25 @@ object SuffixAutomaton {
     // adds one presence-only row (pos null)
     val hits = spark.createDataFrame(
       toks.rdd.mapPartitions { rows =>
+        // runtime enforcement of the memory contract documented above:
+        // the running token count trips BEFORE the rest of an oversized
+        // partition materializes (and long before the O(tokens) automaton
+        // builds), so misuse fails with the repartition hint instead of
+        // an executor OOM
+        var partTokens = 0L
         val parts = rows.map { r =>
-          (r.getLong(0), r.getSeq[String](1).toArray)
+          val t = r.getSeq[String](1).toArray
+          partTokens += t.length
+          if (partTokens > maxPartitionTokens)
+            throw new IllegalStateException(
+              s"SuffixAutomaton.duplicatedSpans: partition exceeds " +
+                s"$maxPartitionTokens tokens (~${maxPartitionTokens * 200 / (1 << 20)} MB " +
+                "of automaton at ~200 B/token). Repartition the corpus to " +
+                "~10-20 MB of text per partition first, raise " +
+                "maxPartitionTokens if the executor heap genuinely has " +
+                "room, or use SubstringDedup/SuffixArray as the routine " +
+                "large-corpus paths.")
+          (r.getLong(0), t)
         }.toArray
         val sam = new Sam
         parts.foreach { case (_, t) =>

@@ -185,7 +185,10 @@ object UrlOps {
       s"${reserved.mkString("/")} are reserved by categorizeBroadcast")
     // fail fast on an empty or mistyped rule table, like the literal-fold
     // twin — a silently-dropped kind would turn the blocklist off with no
-    // error; the kinds check is ONE model-sized job at build time
+    // error. The kinds check is an EAGER model-sized Spark action at
+    // plan-build time (it re-executes the rules lineage): the contract is
+    // that rules frames are blocklist-sized and cheap — localCheckpoint
+    // the rules upstream if their lineage is expensive to recompute
     val kinds = Set("domain", "host_suffix", "path_kw")
     val seenKinds = rules.select(col("kind")).distinct()
       .collect().map(_.getString(0))
@@ -228,6 +231,62 @@ object UrlOps {
       .join(verdict, Seq(idCol), "left")
       .withColumn("blocked", col("category").isNotNull)
       .drop("__path")
+  }
+
+  /** Stateless streaming twin of [[categorizeBroadcast]]: the rule
+    * TABLE (same (category, kind, pattern, rule_pos) contract) is
+    * folded into ONE pos-sorted array row and broadcast-crossed onto
+    * the stream; the verdict is a pure in-row scan of that array —
+    * first match = first element of the filtered, pos-ordered rules.
+    * No aggregation, no stream-side shuffle, so it runs append-mode on
+    * an unbounded ingest exactly like the literal-fold [[categorize]]
+    * — but keeps the TABLE-shaped rule contract (rules stay data, hot-
+    * swappable by refitting the static side, never recompiled plans).
+    *
+    * Memory contract: the whole rule table rides one broadcast row —
+    * the same footprint [[categorizeBroadcast]]'s broadcast legs pay,
+    * but per-URL work is O(|rules|) instead of the batch twin's
+    * hash-join probes: on a BATCH corpus with a UT1-sized list, use
+    * [[categorizeBroadcast]]; on a stream (no groupBy available in
+    * append mode without a watermark), this is the arrangement. */
+  def categorizeBroadcastStateless(urls: DataFrame, urlCol: String,
+                                   rules: DataFrame): DataFrame = {
+    val reserved = Seq("host", "domain", "category", "blocked", "__path",
+      "__rules")
+    require(!urls.columns.exists(reserved.contains),
+      s"${reserved.mkString("/")} are reserved by categorizeBroadcastStateless")
+    // kinds check runs on the STATIC rule side at plan-build time (one
+    // model-sized job; rules frames are blocklist-sized by contract —
+    // checkpoint upstream if the rules lineage is expensive)
+    val kinds = Set("domain", "host_suffix", "path_kw")
+    val seenKinds = rules.select(col("kind")).distinct()
+      .collect().map(_.getString(0))
+    require(seenKinds.nonEmpty, "categorizeBroadcastStateless: empty rule table")
+    require(seenKinds.forall(kinds),
+      s"rule kinds must be in $kinds: ${seenKinds.filterNot(kinds).toSeq}")
+    val ruleRow = rules.agg(sort_array(collect_list(struct(
+      col("rule_pos").cast("long").as("pos"), col("category"),
+      col("kind"), col("pattern")))).as("__rules"))
+    val u = col(urlCol)
+    def ruleMatches(r: Column): Column =
+      (r.getField("kind") === "domain" &&
+        col("domain") === r.getField("pattern")) ||
+      (r.getField("kind") === "host_suffix" &&
+        (col("host") === r.getField("pattern") ||
+          col("host").endsWith(concat(lit("."), r.getField("pattern"))))) ||
+      (r.getField("kind") === "path_kw" &&
+        col("__path").contains(r.getField("pattern")))
+    urls
+      .withColumn("host", host(u))
+      .withColumn("domain", registeredDomain(col("host")))
+      .withColumn("__path", path(u))
+      .crossJoin(broadcast(ruleRow))
+      // get() is 0-based and null on empty — no-match URLs stay unblocked
+      .withColumn("category",
+        get(filter(col("__rules"), ruleMatches(_)), lit(0))
+          .getField("category"))
+      .withColumn("blocked", col("category").isNotNull)
+      .drop("__path", "__rules")
   }
 
   /** URL-parallel bitext document alignment (L136) — the ParaCrawl/WMT

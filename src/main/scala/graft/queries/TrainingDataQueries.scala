@@ -1323,6 +1323,138 @@ object TrainingDataQueries extends QueryPack {
       (col("doc_id") < 1000000000L).as("is_train")))
   }
 
+  /** Fit-once cache for the `decontaminate_sa` union-corpus suffix array
+    * — the [[saFit]] discipline extended to the one SA consumer that
+    * refit from scratch per call (it fits train ∪ eval, a DIFFERENT
+    * corpus than [[saCorpus]], so it cannot share [[saFitCache]]'s
+    * entries; it shares the contract instead). Same keying, same
+    * dead-session eviction, same standalone correctness: a fresh
+    * session refits. */
+  private val deconSaFitCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SuffixArray.Model]()
+  private def deconSaFit(s: SparkSession, dir: String): SuffixArray.Model = {
+    deconSaFitCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    deconSaFitCache.computeIfAbsent((s, dir),
+      _ => SuffixArray.fit(deconSaCorpus(s, dir)._1, maxPrefix = 64))
+  }
+
+  /** Fit-once cache for the trained quality classifier (the [[saFit]]
+    * discipline, third application): `quality_lr` and
+    * `classifier_calibration` gate the SAME 8-step full-batch GD
+    * trajectory — one scores per-document, the other rolls the scored
+    * frame up into the reliability report. The fit is deterministic and
+    * the scored frame is localCheckpoint-pinned, so ONE (features →
+    * train → score) chain per (session, sfDir) feeds both — exactly the
+    * production shape (train once, score once, audit the same scores).
+    * Standalone correctness: a fresh session/JVM refits. */
+  private val qualityScoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    qualityScoredCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    qualityScoredCache.computeIfAbsent((s, dir), { _ =>
+      import graft.operators.QualityModel
+      val docs = Tables.documents(s, dir)
+      val label = size(filter(
+        graft.operators.TextAnalysis.tokens(col("text")),
+        _ === "spark")) >= 2
+      val feats = QualityModel.features(docs, buckets = 8, labelExpr = label)
+        .localCheckpoint(true) // train loop + scoring reuse, one build
+      val w = QualityModel.train(feats, buckets = 8, iters = 8, lr = 4.0)
+      QualityModel.score(feats, w, buckets = 8).localCheckpoint(true)
+    })
+  }
+
+  /** Synthesized 16×16 luma rasters for the perceptual-hash gates (the
+    * pre-decoded pixel table a real multimodal corpus would carry after
+    * [[graft.operators.Multimodal]] decode): documents group by
+    * base = doc_id div 4 into a shared base image — 64 md5-derived
+    * bits, one per 2×2 block, rendered at two luma levels (bit·200)
+    * plus an in-block jitter (idx·7 mod 40) so the operator's box
+    * filter has real sums to reduce (the jitter band is ~80 luma away
+    * from the threshold mean, so designed bits survive it). Per-doc
+    * perturbation: %4∈{0,3} verbatim, %4==1 inverts 2 base-derived
+    * cells (near-dup), %4==2 inverts 10 (beyond the radius). ALL
+    * integer/md5 arithmetic — the oracle replays it row-for-row. */
+  private def phashPixels(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: org.apache.spark.sql.Column, b: Long) =
+      floor(a / lit(b.toDouble)).cast("long")
+    val base = expr("doc_id div 4")
+    // stage 1: the 64 per-cell luma BITS (md5 base pattern XOR the
+    // per-doc perturbation) — 64 interpreted md5 draws per row, and the
+    // checkpoint makes `bits` an attribute (HOF lambdas don't CSE: an
+    // inlined alias would re-run all 64 draws once per downstream
+    // reference — a measured ~10⁴× blow-up in the first formulation
+    // that synthesized all 256 pixels with inline md5)
+    val cellBits = transform(sequence(lit(0L), lit(63L)), c => {
+      val b0 = conv(substring(md5(concat(base.cast("string"), lit(":"),
+        c.cast("string"))), 1, 1), 16, 10).cast("long") % 2L
+      val flip = when(col("doc_id") % 4 === 1 &&
+          (c === base % 64L || c === (base * 31L + 7L) % 64L), lit(1L))
+        .when(col("doc_id") % 4 === 2 && array_contains(
+          transform(sequence(lit(0L), lit(9L)),
+            j => (base * 13L + j * 17L + 3L) % 64L), c), lit(1L))
+        .otherwise(lit(0L))
+      (b0 + flip) % 2L
+    })
+    val staged = Tables.documents(s, dir)
+      .select(col("doc_id"), cellBits.as("__bits"))
+      .localCheckpoint(true)
+    // stage 2: expand bits to the 16×16 raster — cheap element_at reads
+    // of the materialized attribute plus the in-block jitter
+    val pixels = transform(sequence(lit(0L), lit(255L)), idx => {
+      val row = idiv(idx, 16L)
+      val cm = idx % 16
+      val c = idiv(row, 2L) * 8L + idiv(cm, 2L)
+      element_at(col("__bits"), (c + 1L).cast("int")) * 200L +
+        (idx * 7L) % 40L
+    })
+    staged.select(col("doc_id"), pixels.as("pixels")).localCheckpoint(true)
+  }
+
+  /** Shared DuckDB CTE chain for the perceptual-hash gates: the
+    * [[phashPixels]] synthesis replayed per (doc, pixel), the operator's
+    * block-mean → threshold → MSB-first 16-bit band packing re-derived
+    * in integer SQL, ending in `phband` (doc_id, bi, bv) for aHash and
+    * `phdband` for the wrap-gradient dHash. */
+  private def phashCtes: String =
+    """phpx AS (SELECT d.doc_id, d.doc_id // 4 AS base, i.idx
+      |         FROM documents d, (SELECT unnest(range(256)) AS idx) i),
+      |phc AS (SELECT doc_id, base, idx,
+      |          ((idx // 16) // 2) * 8 + ((idx % 16) // 2) AS c
+      |        FROM phpx),
+      |phb AS (SELECT doc_id, c, idx,
+      |    CAST(CAST('0x' || substring(md5(CAST(base AS VARCHAR) || ':' ||
+      |      CAST(c AS VARCHAR)), 1, 1) AS INT) % 2 AS BIGINT) AS b0,
+      |    CASE WHEN doc_id % 4 = 1
+      |           AND (c = base % 64 OR c = (base * 31 + 7) % 64) THEN 1
+      |         WHEN doc_id % 4 = 2 AND list_contains(
+      |           list_transform(range(10), j -> (base * 13 + j * 17 + 3) % 64), c)
+      |           THEN 1
+      |         ELSE 0 END AS fl
+      |  FROM phc),
+      |phv AS (SELECT doc_id, c,
+      |          ((b0 + fl) % 2) * 200 + (idx * 7) % 40 AS v
+      |        FROM phb),
+      |phcell AS (SELECT doc_id, c, CAST(sum(v) // 4 AS BIGINT) AS cell
+      |           FROM phv GROUP BY 1, 2),
+      |phmean AS (SELECT doc_id, CAST(sum(cell) // 64 AS BIGINT) AS m
+      |           FROM phcell GROUP BY 1),
+      |phbit AS (SELECT p.doc_id, p.c,
+      |            CASE WHEN p.cell >= m.m THEN 1 ELSE 0 END AS bit
+      |          FROM phcell p JOIN phmean m USING (doc_id)),
+      |phband AS (SELECT doc_id, c // 16 AS bi,
+      |    CAST(sum(CAST(bit AS BIGINT)
+      |      * (CAST(1 AS BIGINT) << CAST(15 - (c % 16) AS INT))) AS BIGINT) AS bv
+      |  FROM phbit GROUP BY 1, 2),
+      |phdbit AS (SELECT a.doc_id, a.c,
+      |             CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+      |           FROM phcell a JOIN phcell b ON a.doc_id = b.doc_id
+      |             AND b.c = (a.c // 8) * 8 + ((a.c % 8) + 1) % 8),
+      |phdband AS (SELECT doc_id, c // 16 AS bi,
+      |    CAST(sum(CAST(bit AS BIGINT)
+      |      * (CAST(1 AS BIGINT) << CAST(15 - (c % 16) AS INT))) AS BIGINT) AS bv
+      |  FROM phdbit GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB CTE chain for the suffix-array oracles: the derived
     * corpus, capped token lists, and one row per suffix with its sort
     * key (tokens joined by chr(1) — sorts exactly like the token
@@ -2251,9 +2383,10 @@ object TrainingDataQueries extends QueryPack {
     // LCP against its nearest train suffix above/below in direct
     // token-list comparison — the PROPERTY, not the algorithm.
     "decontaminate_sa" -> ((s, dir) => {
-      val (docs, tags) = deconSaCorpus(s, dir)
-      SuffixArray.leakageReport(
-          SuffixArray.fit(docs, maxPrefix = 64), tags, minLen = 5)
+      // union fit comes from the fit-once cache (deconSaFit); the tags
+      // frame is a pure projection of the same lazy corpus — cheap
+      val tags = deconSaCorpus(s, dir)._2
+      SuffixArray.leakageReport(deconSaFit(s, dir), tags, minLen = 5)
         .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
@@ -2684,6 +2817,49 @@ object TrainingDataQueries extends QueryPack {
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("n_frames"), col("digest"), col("out_width"), col("out_height"))
         .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Per-image perceptual hashes (L158): aHash + dHash band values over
+    // the synthesized 16×16 luma rasters — pins the integer block-mean /
+    // threshold / band-packing math bit-for-bit (the pair gate below
+    // composes it; this gate is the direct hash audit). Pure per-row
+    // projection, zero shuffle.
+    "phash" -> ((s, dir) => {
+      // NATIVE kernel (PhashExprs), not the HOF reference shape:
+      // interpreted HOF hashing costs ~10⁴ node evals per row (135 s at
+      // sf0.1, measured); the kernel is one codegen'd O(pixels) pass,
+      // spec-pinned ≡ the HOF shape
+      val hashed = phashPixels(s, dir).select(col("doc_id"),
+        graft.functions.PhashExprs
+          .ahashBands(col("pixels"), w = 16, h = 16).as("__a"),
+        graft.functions.PhashExprs
+          .dhashBands(col("pixels"), w = 16, h = 16).as("__d"))
+        .localCheckpoint(true) // hash once; the unpack reads attributes
+      hashed.select(col("doc_id") +:
+          (0 until 4).map(i => element_at(col("__a"), i + 1).as(s"a$i")) ++:
+          (0 until 4).map(i => element_at(col("__d"), i + 1).as(s"d$i")): _*)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash image near-dup pairs (L159): aHash banded into
+    // 4×16-bit buckets, candidate pairs from the band equi-join, exact
+    // in-row popcount verification at Hamming ≤ 3 — recall-1.0 by
+    // pigeonhole (≤3 differing bits can't touch all 4 bands). The
+    // fixture plants doc groups of 4 sharing a base image: %4∈{0,3}
+    // identical (hamming 0), %4==1 two cells inverted (≤2), %4==2 ten
+    // cells inverted (≫3, excluded) — every verdict shape fires at
+    // every SF. Bucket cap 1000 is the hot-bucket guard, exercise-
+    // without-effect here (max band bucket ≤ group size + band
+    // collisions), the monochrome-thumbnail defense at corpus scale.
+    "dedup_phash" -> ((s, dir) => {
+      import graft.operators.PerceptualHash
+      val imgs = phashPixels(s, dir).select(col("doc_id"),
+        graft.functions.PhashExprs
+          .ahashBands(col("pixels"), w = 16, h = 16).as("bands"))
+        .localCheckpoint(true) // hash once; the pair engine re-reads bands
+      PerceptualHash.nearDupPairs(imgs, numBands = 4, maxHamming = 3,
+          maxBucketSize = Some(1000))
+        .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Corpus scrub pass: tag strip + email/URL redaction + whitespace
@@ -3453,15 +3629,9 @@ object TrainingDataQueries extends QueryPack {
     // oracle re-derives the whole trajectory as unrolled CTE layers from
     // the same constants.
     "quality_lr" -> ((s, dir) => {
-      import graft.operators.QualityModel
-      val docs = Tables.documents(s, dir)
-      val label =
-        size(filter(TextAnalysis.tokens(col("text")), _ === "spark")) >= 2
-      val feats = QualityModel.features(docs, buckets = 8, labelExpr = label)
-        .localCheckpoint(true) // train loop + scoring reuse, one build
-      val w = QualityModel.train(feats, buckets = 8, iters = 8, lr = 4.0)
-      QualityModel.score(feats, w, buckets = 8)
-        .localCheckpoint(true).orderBy(col("doc_id"))
+      // the (features → train → score) chain comes from the fit-once
+      // cache shared with classifier_calibration (qualityScored)
+      qualityScored(s, dir).orderBy(col("doc_id"))
     }),
 
     // Calibration / reliability report (L124) over the SAME trained
@@ -3472,15 +3642,10 @@ object TrainingDataQueries extends QueryPack {
     // units (ECE·10⁶ = Σ n·gap/N over the rows). The oracle re-derives
     // the full GD trajectory and rolls the scored frame up.
     "classifier_calibration" -> ((s, dir) => {
-      import graft.operators.QualityModel
-      val docs = Tables.documents(s, dir)
-      val label =
-        size(filter(TextAnalysis.tokens(col("text")), _ === "spark")) >= 2
-      val feats = QualityModel.features(docs, buckets = 8, labelExpr = label)
-        .localCheckpoint(true)
-      val w = QualityModel.train(feats, buckets = 8, iters = 8, lr = 4.0)
-      QualityModel.calibrationReport(
-          QualityModel.score(feats, w, buckets = 8), bins = 100)
+      // rolls up the SAME cached scored frame quality_lr gates — one GD
+      // trajectory feeds both (the saFit fit-once discipline)
+      graft.operators.QualityModel
+        .calibrationReport(qualityScored(s, dir), bins = 100)
         .localCheckpoint(true).orderBy(col("bin"))
     }),
 
@@ -3732,6 +3897,52 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_id"))
       Dedup.releaseIntermediateCaches()
       out
+    }),
+
+    // FineWeb-shaped web-curation lead (L160): a real crawl run LEADS
+    // with the URL blocklist before any content model touches bytes —
+    // this gate composes the BROADCAST-JOIN blocklist (L154, the
+    // production-sized arrangement) with language id and the Gopher
+    // battery over the survivors: blocklist → drop blocked → langid →
+    // gopher keep. Output one row per surviving document with its URL
+    // verdict columns, predicted language, token count, and text md5.
+    // Complements corpus_pipeline (which gates the full 14-stage chain
+    // with the literal-fold normalize) — this is the crawl-front slice
+    // with the broadcast engine in the composition seat.
+    "web_pipeline" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      import s.implicits._
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 7 === 0, lit("bad-casino.com"))
+          .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, "/promo").otherwise(lit(""))).as("url")
+      val rules = UrlBlockRules.zipWithIndex
+        .map { case ((c, k, p), i) => (c, k, p, i.toLong) }
+        .toDF("category", "kind", "pattern", "rule_pos")
+      val cat = UrlOps.categorizeBroadcast(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"), url),
+        "url", "doc_id", rules)
+      // blocklist survivors feed both content stages off one checkpoint
+      val unblocked = cat.filter(!col("blocked"))
+        .select(col("doc_id"), col("lang"), col("host"), col("domain"),
+          col("text"))
+        .localCheckpoint(true)
+      val gopherKeep = TextAnalysis.gopherColumns(col("text"))
+        .toMap.apply("gopher_keep")
+      unblocked
+        .withColumn("__lt", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("plang",
+          TextAnalysis.predictedLangFromTokens(col("__lt")))
+        .filter(gopherKeep)
+        .select(col("doc_id"), col("lang"), col("plang"), col("host"),
+          col("domain"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .localCheckpoint(true).orderBy(col("doc_id"))
     }),
 
     // SFT example construction (L91): deterministic (prompt, response)
@@ -4346,7 +4557,38 @@ object TrainingDataQueries extends QueryPack {
     coreOracles + ("quality_signals" -> qualitySignalsOracle) +
       ("negative_samples" -> negativeSamplesOracle) +
       ("preference_pairs" -> preferencePairsOracle) +
-      ("sft_pipeline" -> sftPipelineOracle)
+      ("sft_pipeline" -> sftPipelineOracle) +
+      ("web_pipeline" -> webPipelineOracle)
+
+  /** Composed oracle for `web_pipeline`: the L115/L154 URL-verdict
+    * oracle, the langid oracle, and the Gopher oracle embedded as
+    * subqueries (each keeps its own WITH scope) joined on doc_id, with
+    * the two keep predicates applied — the same stage outputs the Spark
+    * composition chains, pinned stage-for-stage by the per-gate
+    * parities and here in composition. */
+  private def webPipelineOracle: String =
+    // subqueries splice AFTER stripMargin: the url oracle's own content
+    // has lines beginning with `||` (string concat), which an outer
+    // stripMargin would corrupt into `|`
+    """WITH cat AS (SELECT doc_id, host, domain, blocked
+      |  FROM (__CAT__)),
+      |lid AS (SELECT doc_id, predicted FROM (__LID__)),
+      |gop AS (SELECT doc_id, gopher_keep
+      |  FROM (__GOP__)),
+      |tk AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT c.doc_id, d.lang, l.predicted AS plang, c.host, c.domain,
+      |  CAST(len(tk.t) AS BIGINT) AS n_tokens, md5(d.text) AS text_md5
+      |FROM cat c JOIN documents d USING (doc_id)
+      |JOIN lid l USING (doc_id)
+      |JOIN gop g USING (doc_id)
+      |JOIN tk USING (doc_id)
+      |WHERE NOT c.blocked AND g.gopher_keep
+      |ORDER BY c.doc_id""".stripMargin
+      .replace("__CAT__", urlCategoryOracle)
+      .replace("__LID__", coreOracles("text_langid"))
+      .replace("__GOP__", coreOracles("quality_gopher"))
 
   /** Composed oracle for `negative_samples`: the skip-gram oracle embeds
     * as a subquery (own WITH scope); intervals come from the
@@ -5709,6 +5951,43 @@ object TrainingDataQueries extends QueryPack {
         |  CAST(floor(width * scale) AS INT) AS out_width,
         |  CAST(floor(height * scale) AS INT) AS out_height
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the whole hash derivation replayed in integer SQL, band by band
+    "phash" ->
+      s"""WITH $phashCtes,
+         |aa AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS BIGINT) AS a0,
+         |    CAST(sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS BIGINT) AS a1,
+         |    CAST(sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS BIGINT) AS a2,
+         |    CAST(sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS BIGINT) AS a3
+         |  FROM phband GROUP BY 1),
+         |dd AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN bi = 0 THEN bv ELSE 0 END) AS BIGINT) AS d0,
+         |    CAST(sum(CASE WHEN bi = 1 THEN bv ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN bi = 2 THEN bv ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(sum(CASE WHEN bi = 3 THEN bv ELSE 0 END) AS BIGINT) AS d3
+         |  FROM phdband GROUP BY 1)
+         |SELECT doc_id, a0, a1, a2, a3, d0, d1, d2, d3
+         |FROM aa JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // band-bucket candidates + exact popcount — the pigeonhole property
+    // (radius ≤ bands-1 ⇒ some band matches) makes the banded candidate
+    // set EXACT, so the oracle can use the same bucketing without being
+    // the same code path: the Spark side buckets via posexplode + cap
+    // guard + posting lists, the oracle via a direct band self-join
+    "dedup_phash" ->
+      s"""WITH $phashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM phband a JOIN phband b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |hx AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN phband x ON x.doc_id = c.doc_a
+         |  JOIN phband y ON y.doc_id = c.doc_b AND y.bi = x.bi
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM hx
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,

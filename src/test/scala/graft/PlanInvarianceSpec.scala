@@ -582,4 +582,28 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("cluster_representatives plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("cluster_representatives")
   }
+
+  // L157: the ccnet_buckets chain + ONE in-row keep predicate — the
+  // filter adds no exchange and no join to the bucket chain's shape
+  test("ccnet_filter plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("ccnet_filter")
+  }
+
+  // L158: pure per-row hash projections over the materialized pixel
+  // table — no exchange beyond the checkpoint + dump sort
+  test("phash plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("phash")
+  }
+
+  // L159: band posting-list aggregation + pair explode + one pair-keyed
+  // agg — candidates never all-pairs, verification in-row
+  test("dedup_phash plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_phash")
+  }
+
+  // L160: the broadcast blocklist legs + the two in-row content keeps —
+  // the composition adds no exchange over the L154 shape
+  test("web_pipeline plan shape is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("web_pipeline")
+  }
 }

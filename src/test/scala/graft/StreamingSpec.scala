@@ -1626,6 +1626,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TABLE-shaped url blocklist labels an ingest stream ≡ batch broadcast join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.UrlOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the broadcast-join twin's min-rule_pos aggregation has no append-
+    // mode stream form; the stateless twin keeps the TABLE-shaped rule
+    // contract (rules stay data, hot-swappable) and folds the pos-sorted
+    // broadcast array in-row — drained stream ≡ the batch broadcast join
+    val rules = Seq(
+      ("gambling", "domain", "bad-casino.com", 0L),
+      ("social", "host_suffix", "social.example.com", 1L),
+      ("ads", "path_kw", "/promo", 2L))
+      .toDF("category", "kind", "pattern", "rule_pos")
+      .localCheckpoint(true)
+    val urls = Seq(
+      (1L, "https://www.bad-casino.com/p/1/promo"), // domain beats path
+      (2L, "http://feed.social.example.com/p/2"),   // label-boundary suffix
+      (3L, "http://notsocial.example.com/p/3/promo"), // path, NOT suffix
+      (4L, "https://www.clean.example.com/p/4"))    // unblocked
+    val want = UrlOps.categorizeBroadcast(urls.toDF("doc_id", "url"),
+        "url", "doc_id", rules)
+      .select("doc_id", "host", "domain", "category", "blocked")
+      .as[(Long, String, String, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = UrlOps.categorizeBroadcastStateless(
+        input.toDF().toDF("doc_id", "url"), "url", rules)
+      .select("doc_id", "host", "domain", "category", "blocked")
+      .writeStream.format("memory").queryName("urlcat_bcast_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(urls(0), urls(1))
+      q.processAllAvailable()
+      input.addData(urls(2), urls(3))
+      q.processAllAvailable()
+      val streamed = spark.table("urlcat_bcast_stream")
+        .as[(Long, String, String, Option[String], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(streamed === want)
+      assert(streamed(1L)._4 === ((Some("gambling"))))
+      assert(streamed(4L) === (("www.clean.example.com", "clean.example.com",
+        None, false)))
+    } finally q.stop()
+  }
+
   test("domain-prior blend scores a stream under the batch-fitted prior ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.QualityModel

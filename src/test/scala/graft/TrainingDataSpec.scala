@@ -4023,6 +4023,18 @@ class TrainingDataSpec extends AnyFunSuite {
       UrlOps.categorizeBroadcast(d, "url", "doc_id",
         ruleDf.filter(col("rule_pos") < 0))
     }
+    // the stateless (streaming) twin — in-row fold over the pos-sorted
+    // broadcast rule array — agrees with both batch arrangements
+    val viaFold = UrlOps.categorizeBroadcastStateless(d, "url", ruleDf)
+      .select("doc_id", "category", "blocked")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(viaFold === got)
+    intercept[IllegalArgumentException] {
+      UrlOps.categorizeBroadcastStateless(d, "url",
+        Seq(("x", "badkind", "p", 0L))
+          .toDF("category", "kind", "pattern", "rule_pos"))
+    }
   }
 
   test("ivf recall sweep: widening probes is monotone, widest row is exhaustive") {
@@ -5862,5 +5874,171 @@ class TrainingDataSpec extends AnyFunSuite {
           keyCol = "doc_id")
       }
     }
+  }
+
+  test("phash: hand-computed cells, ahash and dhash on a 4x4 raster") {
+    // 4×4 raster, grid 2 → 2×2 blocks: cells (10, 200, 30, 240)
+    val px = Seq((1L, Seq(10L, 10L, 200L, 200L,
+      10L, 10L, 200L, 200L,
+      30L, 30L, 240L, 240L,
+      30L, 30L, 240L, 240L))).toDF("doc_id", "pixels")
+    val cells = px.select(
+        PerceptualHash.lumaCells(col("pixels"), w = 4, h = 4, grid = 2))
+      .as[Seq[Long]].head()
+    assert(cells === Seq(10L, 200L, 30L, 240L))
+    // mean = 480/4 = 120 → bits (0,1,0,1) → one 4-bit band = 5
+    val a = px.select(PerceptualHash.ahashBands(col("pixels"), 4, 4,
+      grid = 2, bandBits = 4)).as[Seq[Long]].head()
+    assert(a === Seq(5L))
+    // dhash wrap gradient: (10>200, 200>10, 30>240, 240>30) = 0101 = 5
+    val d = px.select(PerceptualHash.dhashBands(col("pixels"), 4, 4,
+      grid = 2, bandBits = 4)).as[Seq[Long]].head()
+    assert(d === Seq(5L))
+    // non-uniform block exercises the floor mean: (10+11+12+14)/4 = 11
+    val jit = Seq((1L, Seq(10L, 11L, 0L, 0L, 12L, 14L, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))).toDF("doc_id", "pixels")
+    val jc = jit.select(
+        PerceptualHash.lumaCells(col("pixels"), 4, 4, grid = 2))
+      .as[Seq[Long]].head()
+    assert(jc.head === 11L)
+    // grid must divide the raster
+    intercept[IllegalArgumentException] {
+      PerceptualHash.lumaCells(col("pixels"), w = 4, h = 4, grid = 3)
+    }
+  }
+
+  test("phash native kernel equals the HOF reference shape on random rasters") {
+    val rnd = new scala.util.Random(43)
+    val px = (1L to 40L).map(i =>
+      i -> Seq.fill(256)(rnd.nextInt(256).toLong))
+      .toDF("doc_id", "pixels").localCheckpoint(true)
+    def grab(c: org.apache.spark.sql.Column) =
+      px.select(col("doc_id"), c.as("b")).as[(Long, Seq[Long])]
+        .collect().toMap
+    assert(grab(graft.functions.PhashExprs.ahashBands(col("pixels"), 16, 16))
+      === grab(PerceptualHash.ahashBands(col("pixels"), 16, 16)))
+    assert(grab(graft.functions.PhashExprs.dhashBands(col("pixels"), 16, 16))
+      === grab(PerceptualHash.dhashBands(col("pixels"), 16, 16)))
+    // non-default geometry: 8×8 raster, grid 4, 8-bit bands
+    val px8 = (1L to 20L).map(i =>
+      i -> Seq.fill(64)(rnd.nextInt(256).toLong))
+      .toDF("doc_id", "pixels").localCheckpoint(true)
+    def grab8(c: org.apache.spark.sql.Column) =
+      px8.select(col("doc_id"), c.as("b")).as[(Long, Seq[Long])]
+        .collect().toMap
+    assert(grab8(graft.functions.PhashExprs.ahashBands(col("pixels"), 8, 8,
+        grid = 4, bandBits = 8))
+      === grab8(PerceptualHash.ahashBands(col("pixels"), 8, 8,
+        grid = 4, bandBits = 8)))
+    assert(grab8(graft.functions.PhashExprs.dhashBands(col("pixels"), 8, 8,
+        grid = 4, bandBits = 8))
+      === grab8(PerceptualHash.dhashBands(col("pixels"), 8, 8,
+        grid = 4, bandBits = 8)))
+    // the kernel validates geometry at build time like the HOF shape
+    intercept[IllegalArgumentException] {
+      graft.functions.PhashExprs.ahashBands(col("pixels"), 8, 8, grid = 3)
+    }
+  }
+
+  test("phash pairs: banded engine equals brute force at the pigeonhole radius") {
+    // engineered band rows: pairs at hamming 0, 1, 3 (spread over 3
+    // bands), 4 (all four bands touched — beyond the radius), and far
+    val base = Seq(7L, 99L, 1024L, 65535L)
+    def flip(bands: Seq[Long], bandIdx: Int, bit: Int): Seq[Long] =
+      bands.updated(bandIdx, bands(bandIdx) ^ (1L << bit))
+    val rows = Seq(
+      1L -> base,
+      2L -> base,                                     // hamming 0 vs 1
+      3L -> flip(base, 0, 3),                         // hamming 1
+      4L -> flip(flip(flip(base, 0, 2), 1, 7), 2, 0), // hamming 3, 3 bands
+      5L -> flip(flip(flip(flip(base, 0, 1), 1, 1), 2, 1), 3, 1), // 4 bands
+      6L -> Seq(11111L, 22222L, 33333L, 44444L))      // far
+    val imgs = rows.toDF("doc_id", "bands")
+    val got = PerceptualHash.nearDupPairs(imgs, numBands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs
+    val brute = (for {
+      (a, ba) <- rows; (b, bb) <- rows if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y).toLong }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L, 0L)))
+    assert(got.contains((1L, 3L, 1L)))
+    assert(got.contains((1L, 4L, 3L)))
+    assert(!got.contains((1L, 5L, 4L))) // 4 bits over 4 bands: outside radius
+    // radius beyond bands-1 would lose recall — fail fast, not silently
+    intercept[IllegalArgumentException] {
+      PerceptualHash.nearDupPairs(imgs, numBands = 4, maxHamming = 4)
+    }
+    // hot-bucket guard: a band value shared corpus-wide is a stop bucket
+    val hot = (1L to 20L).map(i => i -> Seq(5L, 100L + i, 200L + i,
+      300L + i)).toDF("doc_id", "bands")
+    val guarded = PerceptualHash.nearDupPairs(hot, numBands = 4,
+      maxHamming = 3, maxBucketSize = Some(10))
+    assert(guarded.count() === 0L) // only the capped band-0 bucket paired
+  }
+
+  test("phash pairs: random property — banded equals brute force") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 60L).map { i =>
+      // half the rows derive from a shared prototype with few flips so
+      // near pairs actually exist; the rest are independent
+      if (i % 2 == 0) {
+        val proto = Seq(1234L, 4321L, 777L, 31000L)
+        (0 until rnd.nextInt(5)).foldLeft(proto) { (b, _) =>
+          val bi = rnd.nextInt(4)
+          b.updated(bi, b(bi) ^ (1L << rnd.nextInt(16)))
+        } match { case b => i -> b }
+      } else i -> Seq.fill(4)(rnd.nextInt(65536).toLong)
+    }
+    val got = PerceptualHash.nearDupPairs(rows.toDF("doc_id", "bands"),
+        numBands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (a, ba) <- rows; (b, bb) <- rows if a < b
+      h = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y).toLong }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // the prototype half guarantees real pairs
+  }
+
+  test("suffix automaton enforces the partition token budget with the repartition hint") {
+    val d = docs((1L, Seq.fill(300)("tok").mkString(" ")),
+      (2L, Seq.fill(300)("tok").mkString(" ")))
+      .coalesce(1)
+    val ex = intercept[Exception] {
+      SuffixAutomaton.duplicatedSpans(d, minLen = 5,
+        maxPartitionTokens = 500L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(messages.exists(_.contains("Repartition the corpus")))
+    // under the budget the same corpus resolves normally
+    assert(SuffixAutomaton.duplicatedSpans(d, minLen = 5,
+      maxPartitionTokens = 1000L).count() === 2L)
+  }
+
+  test("domain-prior blend: explicit default prior keeps unseen-domain rows flagged") {
+    val pool = Seq((1L, "good.com", 900000L), (2L, "good.com", 700000L),
+      (3L, "spam.net", 100000L)).toDF("doc_id", "domain", "score_micro")
+    val prior = QualityModel.domainPrior(pool, "domain", "score_micro")
+    val stream = Seq((10L, "good.com", 100000L), (11L, "new.org", 500000L))
+      .toDF("doc_id", "domain", "score_micro")
+    // strict default: unseen domain DROPPED (documented inner join)
+    val strict = QualityModel.domainPriorBlendStateless(stream, prior,
+      "domain", "score_micro")
+    assert(strict.select("doc_id").as[Long].collect().toSet === Set(10L))
+    // explicit default: unseen rows kept, flagged, blended against it
+    val kept = QualityModel.domainPriorBlendStateless(stream, prior,
+        "domain", "score_micro", defaultPrior = Some(400000L))
+      .select("doc_id", "prior_seen", "domain_prior_micro", "blend_micro")
+      .as[(Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(kept(10L) === ((true, 800000L, 450000L)))
+    assert(kept(11L) === ((false, 400000L, 450000L)))
   }
 }
