@@ -1665,8 +1665,8 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, String, String, Option[String], Boolean)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
       assert(streamed === want)
-      assert(streamed(1L)._4 === ((Some("gambling"))))
-      assert(streamed(4L) === (("www.clean.example.com", "clean.example.com",
+      assert(streamed(1L)._3 === Some("gambling"))
+      assert(streamed(4L) === (("www.clean.example.com", "example.com",
         None, false)))
     } finally q.stop()
   }
