@@ -2862,6 +2862,27 @@ object TrainingDataQueries extends QueryPack {
         .localCheckpoint(true).orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The keep list image dedup exists FOR (L161): phash near-dup pairs
+    // → connected components (the same BSP walk every text-dedup tier
+    // uses — a near-dup RELATION isn't transitive, the cluster is) →
+    // canonical min-id survives per cluster, untouched images pass
+    // through. Composes L159's exact banded engine with the shared
+    // components machinery; the oracle replays pairs + the recursive
+    // min-label walk + the NOT IN drop.
+    "dedup_phash_keep" -> ((s, dir) => {
+      import graft.operators.PerceptualHash
+      val imgs = phashPixels(s, dir).select(col("doc_id"),
+        graft.functions.PhashExprs
+          .ahashBands(col("pixels"), w = 16, h = 16).as("bands"))
+        .localCheckpoint(true)
+      val pairs = PerceptualHash.nearDupPairs(imgs, numBands = 4,
+          maxHamming = 3, maxBucketSize = Some(1000))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comps = Dedup.connectedComponents(pairs)
+      Dedup.applyKeepList(imgs.select(col("doc_id")), comps)
+        .localCheckpoint(true).orderBy(col("doc_id"))
+    }),
+
     // Corpus scrub pass: tag strip + email/URL redaction + whitespace
     // collapse, plus per-doc redaction counts. md5 of the scrubbed text
     // hash-checks the whole transformation.
@@ -5988,6 +6009,30 @@ object TrainingDataQueries extends QueryPack {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, hamming FROM hx
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the L159 pair set fed through the shared recursive min-label walk;
+    // survivors = canonical ids + untouched images
+    "dedup_phash_keep" ->
+      s"""WITH RECURSIVE $phashCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM phband a JOIN phband b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |hx AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |  JOIN phband x ON x.doc_id = c.doc_a
+         |  JOIN phband y ON y.doc_id = c.doc_b AND y.bi = x.bi
+         |  GROUP BY 1, 2),
+         |pp AS (SELECT doc_a AS a, doc_b AS b FROM hx WHERE hamming <= 3),
+         |edges AS (SELECT a, b FROM pp UNION SELECT b, a FROM pp),
+         |walk(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+         |drop_ids AS (SELECT id FROM walk GROUP BY id HAVING min(lab) <> id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,

@@ -606,4 +606,10 @@ class PlanInvarianceSpec extends AnyFunSuite {
   test("web_pipeline plan shape is identical at sf0.001 and sf0.1") {
     assertScaleInvariant("web_pipeline")
   }
+
+  // L161: phash pair engine + the components walk (round-vocabulary —
+  // CC round count is graph-dependent) + one anti-join
+  test("dedup_phash_keep round vocabulary is identical at sf0.001 and sf0.1") {
+    assertScaleInvariant("dedup_phash_keep", roundMultiplicityVaries = true)
+  }
 }

@@ -1671,6 +1671,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("perceptual hashing labels a media ingest stream ≡ batch (pure projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the native kernel is a per-row projection — stream-safe by
+    // construction; an ingest pipeline hashes frames as they arrive and
+    // dedups against a banded history downstream (the incremental-dedup
+    // arrangement), so the hash itself must stream
+    val rnd = new scala.util.Random(47)
+    val media = (1L to 12L).map(i => i -> Seq.fill(256)(rnd.nextInt(256).toLong))
+    val want = media.toDF("doc_id", "pixels")
+      .select(col("doc_id"), graft.functions.PhashExprs
+        .ahashBands(col("pixels"), 16, 16).as("bands"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val input = MemoryStream[(Long, Seq[Long])]
+    val q = input.toDF().toDF("doc_id", "pixels")
+      .select(col("doc_id"), graft.functions.PhashExprs
+        .ahashBands(col("pixels"), 16, 16).as("bands"))
+      .writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(media.take(7): _*)
+      q.processAllAvailable()
+      input.addData(media.drop(7): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("phash_stream")
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(streamed === want)
+    } finally q.stop()
+  }
+
   test("domain-prior blend scores a stream under the batch-fitted prior ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.QualityModel
