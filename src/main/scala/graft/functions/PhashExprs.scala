@@ -81,6 +81,13 @@ object PhashExprs {
     * [[graft.operators.PerceptualHash]] arithmetic. */
   def bands(pixels: ArrayData, w: Int, h: Int, grid: Int, bandBits: Int,
             dhash: Boolean): GenericArrayData = {
+    // a wrong-sized raster is a data-contract violation, not an index
+    // accident — fail with the contract, not an opaque out-of-bounds
+    if (pixels.numElements() != w * h)
+      throw new IllegalArgumentException(
+        s"phash_bands: raster has ${pixels.numElements()} pixels, " +
+          s"declared ${w}x$h = ${w * h}; decode/resize upstream must " +
+          "emit exactly the declared geometry")
     val bw = w / grid
     val bh = h / grid
     val nCells = grid * grid

@@ -5938,6 +5938,15 @@ class TrainingDataSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.functions.PhashExprs.ahashBands(col("pixels"), 8, 8, grid = 3)
     }
+    // a wrong-sized raster fails with the data contract, not an opaque
+    // out-of-bounds (pixels are 64-long here, declared 16x16 = 256)
+    val wrongGeom = intercept[Exception] {
+      px8.select(graft.functions.PhashExprs
+        .ahashBands(col("pixels"), 16, 16)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](wrongGeom)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(msgs.exists(_.contains("declared 16x16")))
   }
 
   test("phash pairs: banded engine equals brute force at the pigeonhole radius") {
